@@ -1,0 +1,199 @@
+"""Encoder configuration.
+
+One config dataclass covers both backbone families the reference trains
+(reference: src/modeling.py:175-178 loads any ``AutoModel``; the published runs
+use meta-llama/Llama-3.2-1B and BGE/XLM-Roberta-family encoders). The pooling
+rule is part of the config because the reference dispatches on
+``config.architectures[0]`` (src/modeling.py:224-232): Llama-family → last
+non-pad token, everything else → CLS/first token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class EncoderConfig:
+    model_type: str = "llama"  # "llama" | "xlm-roberta" (covers bert/roberta/bge)
+    vocab_size: int = 128256
+    hidden_size: int = 2048
+    intermediate_size: int = 8192
+    num_hidden_layers: int = 16
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8  # GQA; == num_attention_heads for MHA
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 131072
+    rms_norm_eps: float = 1e-5  # llama
+    layer_norm_eps: float = 1e-5  # roberta
+    rope_theta: float = 500000.0
+    rope_scaling: Optional[dict] = None  # llama3-style {"rope_type": "llama3", ...}
+    type_vocab_size: int = 1  # roberta token-type vocabulary
+    pad_token_id: Optional[int] = None
+    tie_word_embeddings: bool = True
+    hidden_act: str = "silu"  # llama: silu; roberta: gelu
+    hidden_dropout: float = 0.0  # roberta hidden_dropout_prob; llama has none
+    attention_dropout: float = 0.0
+    pooling: str = "last_token"  # "last_token" | "cls" | "mean"
+    normalize: bool = True
+    architectures: tuple = ()
+
+    def __post_init__(self):
+        if self.head_dim is None:
+            self.head_dim = self.hidden_size // self.num_attention_heads
+        if not self.pooling:
+            self.pooling = default_pooling(self.architectures, self.model_type)
+
+    @property
+    def is_llama(self) -> bool:
+        return self.model_type == "llama"
+
+    @classmethod
+    def from_hf_dict(cls, d: dict) -> "EncoderConfig":
+        """Build from a HuggingFace ``config.json`` dict (keeps checkpoint interop)."""
+        model_type = d.get("model_type", "llama")
+        archs = tuple(d.get("architectures") or ())
+        if model_type == "llama":
+            cfg = cls(
+                model_type="llama",
+                vocab_size=d["vocab_size"],
+                hidden_size=d["hidden_size"],
+                intermediate_size=d["intermediate_size"],
+                num_hidden_layers=d["num_hidden_layers"],
+                num_attention_heads=d["num_attention_heads"],
+                num_key_value_heads=d.get(
+                    "num_key_value_heads", d["num_attention_heads"]
+                ),
+                head_dim=d.get("head_dim"),
+                max_position_embeddings=d.get("max_position_embeddings", 131072),
+                rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+                rope_theta=d.get("rope_theta", 10000.0),
+                rope_scaling=d.get("rope_scaling"),
+                pad_token_id=d.get("pad_token_id"),
+                tie_word_embeddings=d.get("tie_word_embeddings", True),
+                hidden_act=d.get("hidden_act", "silu"),
+                pooling="last_token",
+                architectures=archs,
+            )
+        elif model_type in ("xlm-roberta", "roberta", "bert"):
+            cfg = cls(
+                model_type="xlm-roberta",
+                vocab_size=d["vocab_size"],
+                hidden_size=d["hidden_size"],
+                intermediate_size=d["intermediate_size"],
+                num_hidden_layers=d["num_hidden_layers"],
+                num_attention_heads=d["num_attention_heads"],
+                num_key_value_heads=d["num_attention_heads"],
+                max_position_embeddings=d.get("max_position_embeddings", 512),
+                layer_norm_eps=d.get("layer_norm_eps", 1e-12),
+                type_vocab_size=d.get("type_vocab_size", 1),
+                pad_token_id=d.get("pad_token_id", 1),
+                tie_word_embeddings=False,
+                hidden_act=d.get("hidden_act", "gelu"),
+                hidden_dropout=d.get("hidden_dropout_prob", 0.1),
+                attention_dropout=d.get("attention_probs_dropout_prob", 0.1),
+                pooling="cls",
+                architectures=archs,
+            )
+        else:
+            raise ValueError(f"Unsupported model_type: {model_type}")
+        return cfg
+
+    @classmethod
+    def from_pretrained(cls, path: str) -> "EncoderConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            return cls.from_hf_dict(json.load(f))
+
+    def to_hf_dict(self) -> dict:
+        if self.is_llama:
+            return {
+                "model_type": "llama",
+                "architectures": list(self.architectures) or ["LlamaModel"],
+                "vocab_size": self.vocab_size,
+                "hidden_size": self.hidden_size,
+                "intermediate_size": self.intermediate_size,
+                "num_hidden_layers": self.num_hidden_layers,
+                "num_attention_heads": self.num_attention_heads,
+                "num_key_value_heads": self.num_key_value_heads,
+                "head_dim": self.head_dim,
+                "max_position_embeddings": self.max_position_embeddings,
+                "rms_norm_eps": self.rms_norm_eps,
+                "rope_theta": self.rope_theta,
+                "rope_scaling": self.rope_scaling,
+                "pad_token_id": self.pad_token_id,
+                "tie_word_embeddings": self.tie_word_embeddings,
+                "hidden_act": self.hidden_act,
+                "torch_dtype": "float32",
+            }
+        return {
+            "model_type": "xlm-roberta",
+            "architectures": list(self.architectures) or ["XLMRobertaModel"],
+            "vocab_size": self.vocab_size,
+            "hidden_size": self.hidden_size,
+            "intermediate_size": self.intermediate_size,
+            "num_hidden_layers": self.num_hidden_layers,
+            "num_attention_heads": self.num_attention_heads,
+            "max_position_embeddings": self.max_position_embeddings,
+            "layer_norm_eps": self.layer_norm_eps,
+            "type_vocab_size": self.type_vocab_size,
+            "pad_token_id": self.pad_token_id,
+            "hidden_act": self.hidden_act,
+            "torch_dtype": "float32",
+        }
+
+    def save_pretrained(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(self.to_hf_dict(), f, indent=2)
+
+
+def default_pooling(architectures, model_type: str) -> str:
+    """Reference rule (src/modeling.py:224-232): 'Llama' in architectures[0] →
+    last-non-pad-token pooling; otherwise CLS/first token."""
+    if architectures and "Llama" in architectures[0]:
+        return "last_token"
+    if model_type == "llama":
+        return "last_token"
+    return "cls"
+
+
+def tiny_llama_config(vocab_size: int = 512) -> EncoderConfig:
+    """Small config for tests and smoke runs."""
+    return EncoderConfig(
+        model_type="llama",
+        vocab_size=vocab_size,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=2048,
+        rope_theta=10000.0,
+        rope_scaling=None,
+        pad_token_id=0,
+        architectures=("LlamaModel",),
+        pooling="last_token",
+    )
+
+
+def tiny_roberta_config(vocab_size: int = 512) -> EncoderConfig:
+    return EncoderConfig(
+        model_type="xlm-roberta",
+        vocab_size=vocab_size,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=520,
+        layer_norm_eps=1e-5,
+        type_vocab_size=1,
+        pad_token_id=1,
+        tie_word_embeddings=False,
+        hidden_act="gelu",
+        architectures=("XLMRobertaModel",),
+        pooling="cls",
+    )

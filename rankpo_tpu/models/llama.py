@@ -1,0 +1,207 @@
+"""Llama-3.x style decoder used as a text encoder (functional JAX).
+
+Capability parity with the reference's ``AutoModel.from_pretrained('meta-llama/
+Llama-3.2-1B')`` backbone (src/modeling.py:175-178, src/run_contrastive.py:86-98)
+but built TPU-first:
+
+  - Parameters are a plain pytree with layers STACKED on a leading axis and the
+    transformer body run with ``lax.scan`` — one compiled layer regardless of
+    depth, with optional ``jax.checkpoint`` rematerialization per layer (the
+    analog of ``--gradient_checkpointing``, scripts/train/run_contrastive.sh).
+  - Attention goes through rankpo_tpu.ops.attention (Pallas flash kernel on TPU,
+    XLA elsewhere) instead of flash-attn-2 CUDA kernels.
+  - RoPE implements the HF non-interleaved rotate-half layout including the
+    llama3 frequency-scaling rule so HF Llama-3.2 safetensors import bit-matches.
+
+Kernels are stored [in, out] (JAX convention); the HF import transposes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rankpo_tpu.models.config import EncoderConfig
+from rankpo_tpu.ops.attention import multi_head_attention
+
+
+# ---------------------------------------------------------------------------
+# RoPE
+# ---------------------------------------------------------------------------
+
+def rope_inv_freq(config: EncoderConfig) -> jnp.ndarray:
+    """Per-dim inverse frequencies, with llama3 wavelength-dependent scaling."""
+    d = config.head_dim
+    inv_freq = 1.0 / (
+        config.rope_theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    )
+    rs = config.rope_scaling
+    if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+        factor = rs["factor"]
+        low = rs["low_freq_factor"]
+        high = rs["high_freq_factor"]
+        orig = rs["original_max_position_embeddings"]
+        low_wavelen = orig / low
+        high_wavelen = orig / high
+        wavelen = 2 * jnp.pi / inv_freq
+        scaled = jnp.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+        smooth = (orig / wavelen - low) / (high - low)
+        smoothed = (1 - smooth) / factor * inv_freq + smooth * inv_freq
+        is_medium = (wavelen >= high_wavelen) & (wavelen <= low_wavelen)
+        inv_freq = jnp.where(is_medium, smoothed, scaled)
+    return inv_freq
+
+
+def rope_cos_sin(config: EncoderConfig, positions: jax.Array) -> tuple:
+    """cos/sin tables [B, S, head_dim] in the HF duplicated-half layout."""
+    inv_freq = rope_inv_freq(config)
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # [B, S, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, S, H, D]; cos/sin: [B, S, D]."""
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return x * cos + _rotate_half(x) * sin
+
+
+# ---------------------------------------------------------------------------
+# Norm / MLP
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """fp32 accumulation, weight applied in input dtype (matches HF LlamaRMSNorm)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    return weight * xf.astype(dtype)
+
+
+_ACTS = {"silu": jax.nn.silu, "gelu": jax.nn.gelu}
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+def init_params(key: jax.Array, config: EncoderConfig, dtype=jnp.float32) -> dict:
+    """Random init (normal 0.02 like HF). Layer params stacked on axis 0."""
+    h = config.hidden_size
+    d = config.head_dim
+    hq = config.num_attention_heads
+    hkv = config.num_key_value_heads
+    f = config.intermediate_size
+    L = config.num_hidden_layers
+
+    keys = jax.random.split(key, 8)
+
+    def norm(k, shape, scale=0.02):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    params = {
+        "embed_tokens": {"weight": norm(keys[0], (config.vocab_size, h))},
+        "layers": {
+            "input_layernorm": {"weight": jnp.ones((L, h), dtype)},
+            "post_attention_layernorm": {"weight": jnp.ones((L, h), dtype)},
+            "q_proj": {"kernel": norm(keys[1], (L, h, hq * d))},
+            "k_proj": {"kernel": norm(keys[2], (L, h, hkv * d))},
+            "v_proj": {"kernel": norm(keys[3], (L, h, hkv * d))},
+            "o_proj": {"kernel": norm(keys[4], (L, hq * d, h))},
+            "gate_proj": {"kernel": norm(keys[5], (L, h, f))},
+            "up_proj": {"kernel": norm(keys[6], (L, h, f))},
+            "down_proj": {"kernel": norm(keys[7], (L, f, h))},
+        },
+        "norm": {"weight": jnp.ones((h,), dtype)},
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer(
+    config: EncoderConfig,
+    x: jax.Array,
+    lp: dict,
+    cos: jax.Array,
+    sin: jax.Array,
+    mask: jax.Array,
+    attn_impl: str,
+) -> jax.Array:
+    b, s, h = x.shape
+    d = config.head_dim
+    hq = config.num_attention_heads
+    hkv = config.num_key_value_heads
+
+    residual = x
+    y = rms_norm(x, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+    q = (y @ lp["q_proj"]["kernel"]).reshape(b, s, hq, d)
+    k = (y @ lp["k_proj"]["kernel"]).reshape(b, s, hkv, d)
+    v = (y @ lp["v_proj"]["kernel"]).reshape(b, s, hkv, d)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    attn = multi_head_attention(q, k, v, mask=mask, causal=True, impl=attn_impl)
+    x = residual + attn.reshape(b, s, hq * d) @ lp["o_proj"]["kernel"]
+
+    residual = x
+    y = rms_norm(x, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+    act = _ACTS[config.hidden_act]
+    mlp = (act(y @ lp["gate_proj"]["kernel"]) * (y @ lp["up_proj"]["kernel"])) @ lp[
+        "down_proj"
+    ]["kernel"]
+    return residual + mlp
+
+
+def apply(
+    params: dict,
+    config: EncoderConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    *,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> jax.Array:
+    """Returns last_hidden_state [B, S, H] in compute_dtype.
+
+    Positions are ``arange`` regardless of padding (HF LlamaModel default when
+    position_ids is None); with right padding + causal attention pad positions
+    never influence non-pad tokens, so this matches the reference numerics.
+    """
+    b, s = input_ids.shape
+    x = params["embed_tokens"]["weight"][input_ids].astype(compute_dtype)
+    positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    cos, sin = rope_cos_sin(config, positions)
+    key_mask = attention_mask.astype(bool)
+
+    layer_params = jax.tree_util.tree_map(
+        lambda p: p.astype(compute_dtype)
+        if jnp.issubdtype(p.dtype, jnp.floating)
+        else p,
+        params["layers"],
+    )
+
+    def body(carry, lp):
+        fn = _layer
+        if remat:
+            fn = jax.checkpoint(
+                lambda c, p: _layer(config, c, p, cos, sin, key_mask, attn_impl)
+            )
+            return fn(carry, lp), None
+        return fn(config, carry, lp, cos, sin, key_mask, attn_impl), None
+
+    x, _ = jax.lax.scan(body, x, layer_params)
+    x = rms_norm(x, params["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
+    return x

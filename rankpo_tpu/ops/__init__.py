@@ -1,0 +1,3 @@
+from rankpo_tpu.ops.attention import multi_head_attention
+
+__all__ = ["multi_head_attention"]

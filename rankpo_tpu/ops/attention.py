@@ -1,0 +1,83 @@
+"""Attention dispatch: XLA reference path + Pallas flash-attention fast path.
+
+TPU-native replacement for the reference's flash-attn-2 CUDA dependency
+(reference: src/modeling.py:145-146 ``attn_implementation='flash_attention_2'``,
+README.md:81). The public signature is implementation-agnostic so the Pallas
+kernel (rankpo_tpu/ops/flash_attention.py) can be swapped in without touching
+model code; on CPU or for odd shapes we fall back to a fused-by-XLA einsum
+path with fp32 softmax accumulation.
+
+Shapes follow the JAX convention: q [B, Sq, Hq, D], k/v [B, Sk, Hkv, D] with
+GQA when Hq > Hkv (Hq % Hkv == 0). ``mask`` is a [B, Sk] bool key-validity
+(padding) mask; ``causal`` adds the autoregressive constraint (Llama).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # large-negative instead of -inf: keeps softmax NaN-free for fully-masked rows
+
+
+def _xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    causal: bool,
+) -> jax.Array:
+    b, sq, hq, d = q.shape
+    _, sk, hkv, _ = k.shape
+    groups = hq // hkv
+
+    scale = 1.0 / (d**0.5)
+    qf = (q * scale).reshape(b, sq, hkv, groups, d)
+    # logits in fp32 for numerical stability at long sequence lengths
+    logits = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qf, k, preferred_element_type=jnp.float32
+    )
+
+    if mask is not None:
+        key_mask = mask[:, None, None, None, :]  # [B,1,1,1,Sk]
+        logits = jnp.where(key_mask, logits, NEG_INF)
+    if causal:
+        causal_mask = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=sk - sq)
+        logits = jnp.where(causal_mask[None, None, None, :, :], logits, NEG_INF)
+
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
+    return out.reshape(b, sq, hq, d)
+
+
+def _use_flash(q: jax.Array) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    b, s, h, d = q.shape
+    # flash kernel wants MXU-friendly head_dim and enough sequence to tile
+    return d % 128 == 0 and s >= 256
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    impl: str = "auto",
+) -> jax.Array:
+    """Scaled dot-product attention with GQA, padding mask, optional causality.
+
+    impl: "auto" (flash on TPU when profitable), "xla", or "flash".
+    """
+    if impl == "auto":
+        impl = "flash" if _use_flash(q) else "xla"
+    if impl == "flash":
+        from rankpo_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, mask=mask, causal=causal)
+    return _xla_attention(q, k, v, mask, causal)

@@ -1,0 +1,213 @@
+"""Model-layer unit tests: pooling semantics, forward shapes, HF round-trip,
+and activation parity against torch/transformers reference implementations."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rankpo_tpu.models import (
+    EncoderConfig,
+    embed,
+    forward_hidden,
+    init_params,
+    load_pretrained,
+    resize_token_embeddings,
+    save_pretrained,
+    tiny_llama_config,
+    tiny_roberta_config,
+)
+from rankpo_tpu.models.pooling import cls_pool, l2_normalize, last_token_pool, mean_pool
+
+
+class TestPooling:
+    def test_last_token_right_padding(self):
+        hidden = jnp.arange(2 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 3)
+        mask = jnp.array([[1, 1, 0, 0], [1, 1, 1, 1]])
+        out = last_token_pool(hidden, mask)
+        # row 0: last non-pad is position 1; row 1: full-length -> position 3
+        np.testing.assert_array_equal(out[0], hidden[0, 1])
+        np.testing.assert_array_equal(out[1], hidden[1, 3])
+
+    def test_full_length_row_argmin_guard(self):
+        # the % guard of modeling.py:227: all-ones mask must select the final token
+        hidden = jnp.ones((1, 5, 2)) * jnp.arange(5)[None, :, None]
+        mask = jnp.ones((1, 5), dtype=jnp.int32)
+        out = last_token_pool(hidden, mask)
+        assert float(out[0, 0]) == 4.0
+
+    def test_cls(self):
+        hidden = jnp.arange(12, dtype=jnp.float32).reshape(1, 4, 3)
+        np.testing.assert_array_equal(cls_pool(hidden, None), hidden[:, 0])
+
+    def test_mean(self):
+        hidden = jnp.array([[[2.0], [4.0], [100.0]]])
+        mask = jnp.array([[1, 1, 0]])
+        assert float(mean_pool(hidden, mask)[0, 0]) == 3.0
+
+    def test_l2_normalize(self):
+        x = jnp.array([[3.0, 4.0]])
+        np.testing.assert_allclose(np.asarray(l2_normalize(x)), [[0.6, 0.8]], rtol=1e-6)
+
+
+class TestForward:
+    @pytest.mark.parametrize("cfg_fn", [tiny_llama_config, tiny_roberta_config])
+    def test_shapes_and_finite(self, cfg_fn):
+        cfg = cfg_fn()
+        params = init_params(jax.random.key(0), cfg)
+        ids = jax.random.randint(jax.random.key(1), (2, 16), 5, cfg.vocab_size)
+        mask = jnp.ones((2, 16), jnp.int32).at[0, 10:].set(0)
+        ids = ids * mask + cfg.pad_token_id * (1 - mask)
+        hidden = forward_hidden(params, cfg, ids, mask, compute_dtype=jnp.float32)
+        assert hidden.shape == (2, 16, cfg.hidden_size)
+        assert bool(jnp.all(jnp.isfinite(hidden)))
+
+    def test_embed_normalized(self):
+        cfg = tiny_llama_config()
+        params = init_params(jax.random.key(0), cfg)
+        ids = jax.random.randint(jax.random.key(1), (3, 8), 5, cfg.vocab_size)
+        mask = jnp.ones((3, 8), jnp.int32)
+        reps = embed(params, cfg, {"input_ids": ids, "attention_mask": mask},
+                     compute_dtype=jnp.float32)
+        assert reps.shape == (3, cfg.hidden_size)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(reps), axis=-1), 1.0, rtol=1e-5
+        )
+
+    def test_right_padding_invariance_llama(self):
+        """Causal attention + last-token pooling: extra right-padding must not
+        change the embedding (guarantees static-shape padding is safe)."""
+        cfg = tiny_llama_config()
+        params = init_params(jax.random.key(0), cfg)
+        ids = jax.random.randint(jax.random.key(1), (2, 6), 5, cfg.vocab_size)
+        mask = jnp.ones((2, 6), jnp.int32)
+        short = embed(params, cfg, {"input_ids": ids, "attention_mask": mask},
+                      compute_dtype=jnp.float32)
+        pad = jnp.full((2, 4), cfg.pad_token_id, jnp.int32)
+        ids_l = jnp.concatenate([ids, pad], axis=1)
+        mask_l = jnp.concatenate([mask, jnp.zeros((2, 4), jnp.int32)], axis=1)
+        long = embed(params, cfg, {"input_ids": ids_l, "attention_mask": mask_l},
+                     compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(short), np.asarray(long), atol=1e-5)
+
+    def test_right_padding_invariance_roberta(self):
+        cfg = tiny_roberta_config()
+        params = init_params(jax.random.key(0), cfg)
+        ids = jax.random.randint(jax.random.key(1), (2, 6), 5, cfg.vocab_size)
+        mask = jnp.ones((2, 6), jnp.int32)
+        short = embed(params, cfg, {"input_ids": ids, "attention_mask": mask},
+                      compute_dtype=jnp.float32)
+        pad = jnp.full((2, 4), cfg.pad_token_id, jnp.int32)
+        ids_l = jnp.concatenate([ids, pad], axis=1)
+        mask_l = jnp.concatenate([mask, jnp.zeros((2, 4), jnp.int32)], axis=1)
+        long = embed(params, cfg, {"input_ids": ids_l, "attention_mask": mask_l},
+                     compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(short), np.asarray(long), atol=1e-5)
+
+
+class TestResize:
+    def test_resize_grows_with_mean_init(self):
+        cfg = tiny_llama_config(vocab_size=100)
+        params = init_params(jax.random.key(0), cfg)
+        new_params, new_cfg = resize_token_embeddings(params, cfg, 107)
+        assert new_cfg.vocab_size == 107
+        table = new_params["embed_tokens"]["weight"]
+        assert table.shape == (107, cfg.hidden_size)
+        mean = jnp.mean(params["embed_tokens"]["weight"], axis=0)
+        np.testing.assert_allclose(np.asarray(table[100]), np.asarray(mean), rtol=1e-5)
+
+
+class TestHFRoundTrip:
+    @pytest.mark.parametrize("cfg_fn", [tiny_llama_config, tiny_roberta_config])
+    def test_save_load_identity(self, tmp_path, cfg_fn):
+        cfg = cfg_fn()
+        params = init_params(jax.random.key(0), cfg)
+        save_pretrained(str(tmp_path), cfg, params)
+        cfg2, params2 = load_pretrained(str(tmp_path))
+        assert cfg2.model_type == cfg.model_type
+        assert cfg2.pooling == cfg.pooling
+        ids = jax.random.randint(jax.random.key(1), (2, 8), 5, cfg.vocab_size)
+        mask = jnp.ones((2, 8), jnp.int32)
+        a = embed(params, cfg, {"input_ids": ids, "attention_mask": mask},
+                  compute_dtype=jnp.float32)
+        b = embed(params2, cfg2, {"input_ids": ids, "attention_mask": mask},
+                  compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestTorchParity:
+    """Activation parity vs transformers' reference implementations (SURVEY.md
+    hard-part #3: 'parity dies silently here')."""
+
+    def test_llama_parity(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from transformers import LlamaConfig, LlamaModel
+
+        hf_cfg = LlamaConfig(
+            vocab_size=128,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=128,
+            rope_theta=10000.0,
+            pad_token_id=0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        hf_model = LlamaModel(hf_cfg).eval()
+        hf_model.save_pretrained(str(tmp_path))
+
+        cfg, params = load_pretrained(str(tmp_path))
+        ids = np.array([[5, 6, 7, 8, 0, 0], [9, 10, 11, 12, 13, 14]])
+        mask = np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]])
+        with torch.no_grad():
+            ref = hf_model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        ours = np.asarray(
+            forward_hidden(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                compute_dtype=jnp.float32,
+            )
+        )
+        # only non-pad positions need to match (pad rows differ by mask conventions)
+        np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], atol=2e-4)
+
+    def test_xlmr_parity(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from transformers import XLMRobertaConfig, XLMRobertaModel
+
+        hf_cfg = XLMRobertaConfig(
+            vocab_size=128,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            max_position_embeddings=64,
+            type_vocab_size=1,
+            pad_token_id=1,
+            hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        hf_model = XLMRobertaModel(hf_cfg, add_pooling_layer=False).eval()
+        hf_model.save_pretrained(str(tmp_path))
+
+        cfg, params = load_pretrained(str(tmp_path))
+        ids = np.array([[5, 6, 7, 8, 1, 1], [9, 10, 11, 12, 13, 14]])
+        mask = np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]])
+        with torch.no_grad():
+            ref = hf_model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        ours = np.asarray(
+            forward_hidden(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                compute_dtype=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], atol=2e-4)
