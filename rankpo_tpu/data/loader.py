@@ -1,0 +1,92 @@
+"""Host input pipeline: sharded, shuffled, prefetching batch loader.
+
+Replaces the reference's accelerate-prepared torch DataLoader
+(src/contrastive_trainer.py:92-146): each JAX process reads only its shard of
+every global batch (process-sharded sampling), the collator produces
+static-shape numpy batches, and a background thread keeps ``prefetch`` batches
+ahead so tokenum/pad work overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        collator: Callable,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
+        prefetch: int = 2,
+    ):
+        if batch_size % process_count != 0:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{process_count} processes"
+            )
+        self.dataset = dataset
+        self.collator = collator
+        self.batch_size = batch_size
+        self.local_batch_size = batch_size // process_count
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
+        self.prefetch = prefetch
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, epoch))
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def epoch(self, epoch: int = 0, start_step: int = 0) -> Iterator[dict]:
+        """Iterate this process's batches for one epoch. ``start_step`` skips
+        already-consumed batches (resume support, the analog of the reference's
+        batch-skipping on resume, contrastive_trainer.py:472-481)."""
+        order = self._epoch_order(epoch)
+        steps = self.steps_per_epoch()
+
+        def produce(out_q: queue.Queue):
+            try:
+                for step in range(start_step, steps):
+                    lo = step * self.batch_size
+                    global_ids = order[lo : lo + self.batch_size]
+                    local_ids = global_ids[
+                        self.process_index :: self.process_count
+                    ]
+                    rows = [self.dataset[int(i)] for i in local_ids]
+                    out_q.put(("batch", self.collator(rows)))
+                out_q.put(("done", None))
+            except Exception as e:  # surface worker errors in the consumer
+                out_q.put(("error", e))
+
+        q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
+        t = threading.Thread(target=produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            kind, payload = q.get()
+            if kind == "done":
+                return
+            if kind == "error":
+                raise payload
+            yield payload
