@@ -95,6 +95,42 @@ def info_nce_loss(
     return loss, scores
 
 
+def info_nce_block_loss(
+    q_reps: jax.Array,
+    p_reps: jax.Array,
+    *,
+    num_blocks: int,
+    temperature: float = 0.02,
+) -> Tuple[jax.Array, jax.Array]:
+    """In-batch InfoNCE restricted to per-device blocks — the
+    ``negatives_cross_device=False`` + ``use_inbatch_neg=True`` semantics
+    (src/modeling.py:293-302 without the :287-290 gather, where each rank
+    scores only its local batch and DDP averages the per-rank losses).
+
+    Computed on GLOBAL arrays under jit: q [B, H] reshaped to [W, B/W, H],
+    p [B*G, H] to [W, B*G/W, H]; block-diagonal einsum; with the batch sharded
+    over the data axis the partitioner keeps every block on its own device and
+    inserts no collectives for the scores.
+    """
+    b = q_reps.shape[0]
+    group_size = p_reps.shape[0] // b
+    bw = b // num_blocks
+    qb = q_reps.reshape(num_blocks, bw, -1)
+    pb = p_reps.reshape(num_blocks, bw * group_size, -1)
+    scores = (
+        jnp.einsum("wbh,wph->wbp", qb, pb, preferred_element_type=jnp.float32)
+        / temperature
+    )  # [W, B/W, (B/W)*G]
+    targets = jnp.arange(bw, dtype=jnp.int32) * group_size
+    logits = scores.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits, axis=-1)  # [W, B/W]
+    picked = jnp.take_along_axis(
+        logits, jnp.broadcast_to(targets[None, :, None], (num_blocks, bw, 1)), axis=-1
+    )[..., 0]
+    loss = jnp.mean(logz - picked)
+    return loss, scores.reshape(b, -1)
+
+
 def _gather_concat(x: jax.Array, axis_name: str) -> jax.Array:
     """all_gather along the named mesh axis, concatenated on the batch dim.
     Unlike the reference's SimCLR trick (src/modeling.py:373-377) no gradient

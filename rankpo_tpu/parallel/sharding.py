@@ -1,0 +1,115 @@
+"""Parameter and optimizer-state sharding rules.
+
+TPU-native replacement for the reference's DeepSpeed ZeRO configs
+(configs/ds_zero1_config_llama.json etc., SURVEY.md §2.3):
+
+  - Tensor parallelism (``model`` axis; a TPU-first extension — the reference
+    has none): attention QKV and MLP up/gate kernels are sharded on their
+    output dim, O/down kernels on their input dim, so each layer does
+    sharded-matmul → psum exactly once per block (Megatron layout). Biases
+    follow their kernel's output sharding.
+  - ZeRO-1 (``data`` axis): parameters stay replicated across data-parallel
+    devices, but optimizer moments are sharded over ``data`` on each leaf's
+    largest divisible dimension. Under ``jit`` XLA then reduce-scatters grads
+    into the moment shards and all-gathers the param update — the same
+    communication schedule DeepSpeed stage 1 hand-implements.
+
+All rules are expressed as PartitionSpec pytrees consumed by
+``jax.jit(in_shardings=..., out_shardings=...)``; GSPMD inserts the collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rankpo_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+# Path-suffix → spec for stacked [L, in, out] kernels (llama) and
+# [L, in, out]/[L, out] dense params (roberta). Matched on the last two
+# path components joined with '.'.
+_LLAMA_RULES = {
+    "q_proj.kernel": P(None, None, MODEL_AXIS),
+    "k_proj.kernel": P(None, None, MODEL_AXIS),
+    "v_proj.kernel": P(None, None, MODEL_AXIS),
+    "gate_proj.kernel": P(None, None, MODEL_AXIS),
+    "up_proj.kernel": P(None, None, MODEL_AXIS),
+    "o_proj.kernel": P(None, MODEL_AXIS, None),
+    "down_proj.kernel": P(None, MODEL_AXIS, None),
+}
+
+_ROBERTA_RULES = {
+    "query.kernel": P(None, None, MODEL_AXIS),
+    "key.kernel": P(None, None, MODEL_AXIS),
+    "value.kernel": P(None, None, MODEL_AXIS),
+    "intermediate.kernel": P(None, None, MODEL_AXIS),
+    "query.bias": P(None, MODEL_AXIS),
+    "key.bias": P(None, MODEL_AXIS),
+    "value.bias": P(None, MODEL_AXIS),
+    "intermediate.bias": P(None, MODEL_AXIS),
+    "attn_output.kernel": P(None, MODEL_AXIS, None),
+    "output.kernel": P(None, MODEL_AXIS, None),
+}
+
+_RULES = {**_LLAMA_RULES, **_ROBERTA_RULES}
+
+
+def _path_str(path) -> str:
+    return ".".join(
+        str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+    )
+
+
+def param_partition_specs(params, model_axis_size: int = 1):
+    """PartitionSpec pytree for parameters: TP rules on the model axis,
+    replicated over data. With model_axis_size == 1 everything is replicated."""
+
+    def spec_for(path, leaf):
+        if model_axis_size <= 1:
+            return P()
+        ps = _path_str(path)
+        for suffix, spec in _RULES.items():
+            if ps.endswith(suffix):
+                # only shard if the sharded dim divides evenly
+                dims = list(spec)
+                for d, axis in enumerate(dims):
+                    if axis == MODEL_AXIS and leaf.shape[d] % model_axis_size != 0:
+                        return P()
+                return spec
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def zero1_partition_specs(tree, data_axis_size: int, model_axis_size: int = 1):
+    """Specs for optimizer moments: like the params' TP spec, plus the largest
+    remaining dimension sharded over ``data`` (ZeRO-1). Leaves with no
+    dimension divisible by the data axis stay replicated over data."""
+    param_specs = param_partition_specs(tree, model_axis_size)
+
+    def shard_leaf(path, leaf, pspec):
+        if data_axis_size <= 1:
+            return pspec
+        dims = list(pspec) + [None] * (leaf.ndim - len(pspec))
+        # pick the largest dim not already taken by the model axis
+        order = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+        for d in order:
+            if dims[d] is None and leaf.shape[d] % data_axis_size == 0:
+                dims[d] = DATA_AXIS
+                return P(*dims)
+        return pspec
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf, ps: shard_leaf(path, leaf, ps), tree, param_specs
+    )
+
+
+def make_shardings(mesh: Mesh, specs):
+    """PartitionSpec pytree → NamedSharding pytree."""
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )

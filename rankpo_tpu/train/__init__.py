@@ -1,0 +1,15 @@
+from rankpo_tpu.train.config import TrainConfig
+from rankpo_tpu.train.state import TrainState
+from rankpo_tpu.train.trainer import Trainer
+from rankpo_tpu.train.steps import (
+    make_contrastive_loss_fn,
+    make_rankpo_loss_fn,
+)
+
+__all__ = [
+    "TrainConfig",
+    "TrainState",
+    "Trainer",
+    "make_contrastive_loss_fn",
+    "make_rankpo_loss_fn",
+]

@@ -1,0 +1,82 @@
+"""Checkpoint persistence: HF-format model dirs + orbax optimizer state.
+
+Layout mirrors the reference (contrastive_trainer.py:846-908, 912-1027):
+``output_dir/checkpoint-{global_step}/`` containing config.json +
+model.safetensors (from hf_io.save_pretrained), trainer_state.json,
+training_args.json, and — when ``save_only_model=False`` — an ``opt_state/``
+orbax tree so training is optimizer-resumable (the published reference recipe
+is NOT, SURVEY.md §5). Rotation keeps at most ``save_total_limit`` checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Optional
+
+_CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
+
+
+def save_trainer_state(directory: str, state: dict, config) -> None:
+    with open(os.path.join(directory, "trainer_state.json"), "w") as f:
+        json.dump(state, f, indent=2)
+    with open(os.path.join(directory, "training_args.json"), "w") as f:
+        f.write(config.to_json_string())
+
+
+def load_trainer_state(directory: str) -> dict:
+    path = os.path.join(directory, "trainer_state.json")
+    if not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
+def save_opt_state(directory: str, opt_state) -> None:
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, "opt_state"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as checkpointer:
+        checkpointer.save(path, jax.device_get(opt_state))
+
+
+def load_opt_state(directory: str, template):
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, "opt_state"))
+    if not os.path.isdir(path):
+        return None
+    with ocp.PyTreeCheckpointer() as checkpointer:
+        restored = checkpointer.restore(
+            path, item=jax.tree_util.tree_map(lambda x: x, jax.device_get(template))
+        )
+    return restored
+
+
+def list_checkpoints(output_dir: str):
+    if not os.path.isdir(output_dir):
+        return []
+    found = []
+    for name in os.listdir(output_dir):
+        m = _CKPT_RE.match(name)
+        if m and os.path.isdir(os.path.join(output_dir, name)):
+            found.append((int(m.group(1)), os.path.join(output_dir, name)))
+    return [p for _, p in sorted(found)]
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    ckpts = list_checkpoints(output_dir)
+    return ckpts[-1] if ckpts else None
+
+
+def rotate_checkpoints(output_dir: str, save_total_limit: Optional[int]) -> None:
+    if not save_total_limit or save_total_limit <= 0:
+        return
+    ckpts = list_checkpoints(output_dir)
+    for stale in ckpts[: max(0, len(ckpts) - save_total_limit)]:
+        shutil.rmtree(stale, ignore_errors=True)

@@ -1,0 +1,64 @@
+"""Training configuration.
+
+Mirrors the reference's TrainingArguments surface that the published recipes
+actually use (scripts/train/run_contrastive.sh, run_rankpo.sh;
+src/arguments.py TrainArguments/RankPOArguments) minus DeepSpeed JSON — the
+mesh/sharding fields replace it (SURVEY.md §2 L8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    output_dir: str = "outputs/run"
+    overwrite_output_dir: bool = False
+
+    # optimization
+    learning_rate: float = 1e-5
+    lr_scheduler_type: str = "cosine"  # cosine | linear | constant
+    warmup_ratio: float = 0.1
+    warmup_steps: int = 0
+    weight_decay: float = 0.0
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+
+    # schedule
+    num_train_epochs: int = 3
+    max_steps: int = -1
+    per_device_train_batch_size: int = 8
+    gradient_accumulation_steps: int = 1
+    dataloader_drop_last: bool = True
+    seed: int = 42
+
+    # precision / memory
+    bf16: bool = True
+    pure_bf16: bool = False
+    gradient_checkpointing: bool = False
+
+    # parallelism (replaces configs/*.json DeepSpeed ZeRO)
+    model_parallel: int = 1
+    zero1: bool = True  # shard optimizer state over the data axis
+
+    # logging / checkpointing
+    logging_steps: int = 1
+    save_strategy: str = "epoch"  # epoch | steps | no
+    save_steps: int = 500
+    save_total_limit: Optional[int] = None
+    save_only_model: bool = True
+    resume_from_checkpoint: Optional[str] = None
+    run_name: str = "auto"
+    wandb_project: str = ""
+    log_level: str = "info"
+
+    def to_json_string(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    def global_batch_size(self, n_devices: int) -> int:
+        return self.per_device_train_batch_size * n_devices

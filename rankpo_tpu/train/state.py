@@ -1,0 +1,78 @@
+"""Train state pytree + optimizer construction.
+
+One functional state replaces the reference's Trainer/DeepSpeedEngine/optimizer
+object tangle (src/contrastive_trainer.py:250-341): params, optax state and the
+step counter live in a single donated pytree that flows through the jitted
+train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from rankpo_tpu.train.config import TrainConfig
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+        )
+
+
+def make_schedule(config: TrainConfig, total_steps: int) -> optax.Schedule:
+    """warmup + {cosine, linear, constant} decay — the schedule surface the
+    reference recipes use (--lr_scheduler_type cosine --warmup_ratio 0.1)."""
+    warmup = config.warmup_steps or int(total_steps * config.warmup_ratio)
+    peak = config.learning_rate
+    if config.lr_scheduler_type == "constant":
+        if warmup == 0:
+            return optax.constant_schedule(peak)
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, peak, warmup), optax.constant_schedule(peak)],
+            [warmup],
+        )
+    decay_steps = max(total_steps - warmup, 1)
+    if config.lr_scheduler_type == "linear":
+        decay = optax.linear_schedule(peak, 0.0, decay_steps)
+    elif config.lr_scheduler_type == "cosine":
+        decay = optax.cosine_decay_schedule(peak, decay_steps)
+    else:
+        raise ValueError(f"unknown lr_scheduler_type {config.lr_scheduler_type!r}")
+    if warmup == 0:
+        return decay
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, peak, warmup), decay], [warmup]
+    )
+
+
+def make_optimizer(config: TrainConfig, total_steps: int):
+    """AdamW + global-norm clipping (the reference's implicit HF defaults:
+    clip at max_grad_norm, AdamW with TrainingArguments betas/eps)."""
+    schedule = make_schedule(config, total_steps)
+    components = []
+    if config.max_grad_norm and config.max_grad_norm > 0:
+        components.append(optax.clip_by_global_norm(config.max_grad_norm))
+    components.append(
+        optax.adamw(
+            schedule,
+            b1=config.adam_beta1,
+            b2=config.adam_beta2,
+            eps=config.adam_epsilon,
+            weight_decay=config.weight_decay,
+        )
+    )
+    return optax.chain(*components), schedule

@@ -1,0 +1,166 @@
+"""Loss-function builders for the two training stages.
+
+These produce pure ``loss_fn(params, batch, rng) -> (loss, metrics)`` closures
+consumed by the generic Trainer; the pairing replaces the reference's two
+Trainer forks (src/contrastive_trainer.py, src/rankpo_trainer.py) with one
+train loop and two loss functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rankpo_tpu.losses.contrastive import (
+    info_nce_block_loss,
+    info_nce_loss,
+    validate_temperature,
+)
+from rankpo_tpu.losses.rankpo import rankpo_batch_loss
+from rankpo_tpu.models import encoder as enc
+from rankpo_tpu.models.config import EncoderConfig
+
+
+def make_contrastive_loss_fn(
+    model_config: EncoderConfig,
+    *,
+    temperature: float = 0.02,
+    use_inbatch_neg: bool = True,
+    negatives_cross_device: bool = True,
+    normalize_embeddings: bool = True,
+    num_data_shards: int = 1,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> Callable:
+    """Contrastive stage (src/modeling.py:254-314 forward + run_contrastive.py).
+
+    Runs on GLOBAL batch arrays under jit; ``negatives_cross_device`` selects
+    full-batch InfoNCE (GSPMD all-gathers passages over the data axis) vs
+    per-device-block InfoNCE (no collective). The reference's temperature
+    guards (modeling.py:186-191) are applied at build time.
+    """
+    temperature = validate_temperature(normalize_embeddings, temperature)
+
+    def loss_fn(params, batch, rng):
+        drop_q, drop_p = (
+            jax.random.split(rng) if rng is not None else (None, None)
+        )
+        q_reps = enc.embed(
+            params,
+            model_config,
+            batch["query"],
+            normalize=normalize_embeddings,
+            compute_dtype=compute_dtype,
+            remat=remat,
+            deterministic=rng is None,
+            dropout_key=drop_q,
+            attn_impl=attn_impl,
+        )
+        p_reps = enc.embed(
+            params,
+            model_config,
+            batch["passage"],
+            normalize=normalize_embeddings,
+            compute_dtype=compute_dtype,
+            remat=remat,
+            deterministic=rng is None,
+            dropout_key=drop_p,
+            attn_impl=attn_impl,
+        )
+        if use_inbatch_neg and not negatives_cross_device and num_data_shards > 1:
+            loss, scores = info_nce_block_loss(
+                q_reps, p_reps, num_blocks=num_data_shards, temperature=temperature
+            )
+        else:
+            loss, scores = info_nce_loss(
+                q_reps,
+                p_reps,
+                temperature=temperature,
+                use_inbatch_neg=use_inbatch_neg,
+            )
+        return loss, {}
+
+    return loss_fn
+
+
+def make_rankpo_loss_fn(
+    model_config: EncoderConfig,
+    *,
+    beta: float = 1.0,
+    gamma_beta_ratio: float = 0.0,
+    temperature: float = 0.02,
+    loss_type: str = "sigmoid",
+    label_smoothing: float = 0.0,
+    rankpo_weight: float = 1.0,
+    sft_weight: float = 0.0,
+    reference_free: bool = True,
+    ref_params=None,
+    disable_dropout: bool = True,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+    attn_impl: str = "auto",
+) -> Callable:
+    """RankPO stage (src/rankpo_trainer.py:447-568).
+
+    Faithful quirk: the reference RankPO forward ALWAYS L2-normalizes
+    (rankpo_trainer.py:417 ignores the normalize_embeddings flag), so scores are
+    cosines regardless; we do the same. The frozen reference model, when given,
+    is captured in the closure with stop_gradient (replaces the DeepSpeed
+    stage-0/3 eval-mode engine of rankpo_trainer.py:295-324).
+    """
+
+    def _scores(params, batch, rng, deterministic):
+        dq, dp = jax.random.split(rng) if rng is not None else (None, None)
+        q_reps = enc.embed(
+            params,
+            model_config,
+            batch["query"],
+            normalize=True,
+            compute_dtype=compute_dtype,
+            remat=remat,
+            deterministic=deterministic,
+            dropout_key=dq,
+            attn_impl=attn_impl,
+        )
+        p_reps = enc.embed(
+            params,
+            model_config,
+            batch["passage"],
+            normalize=True,
+            compute_dtype=compute_dtype,
+            remat=remat,
+            deterministic=deterministic,
+            dropout_key=dp,
+            attn_impl=attn_impl,
+        )
+        b = q_reps.shape[0]
+        grouped = p_reps.reshape(b, 2, -1)  # [chosen, rejected] interleaved
+        return jnp.einsum(
+            "bh,bgh->bg", q_reps, grouped, preferred_element_type=jnp.float32
+        )
+
+    def loss_fn(params, batch, rng):
+        step_rng = None if disable_dropout else rng
+        scores = _scores(params, batch, step_rng, deterministic=disable_dropout)
+        ref_scores = None
+        if not reference_free and ref_params is not None:
+            ref_scores = jax.lax.stop_gradient(
+                _scores(ref_params, batch, None, deterministic=True)
+            )
+        return rankpo_batch_loss(
+            scores,
+            ref_scores,
+            beta=beta,
+            gamma_beta_ratio=gamma_beta_ratio,
+            temperature=temperature,
+            loss_type=loss_type,
+            label_smoothing=label_smoothing,
+            rankpo_weight=rankpo_weight,
+            sft_weight=sft_weight,
+        )
+
+    return loss_fn

@@ -1,0 +1,312 @@
+"""Generic functional trainer: one jit-compiled, mesh-sharded train step.
+
+Replaces the reference's 1,096-line vendored fork of HF Trainer
+(src/contrastive_trainer.py) and the stock-Trainer RankPO subclass
+(src/rankpo_trainer.py) with a single loop:
+
+  - the ENTIRE optimizer step (grad accumulation scan, global-norm clip, AdamW,
+    param update) is one ``jit`` over the mesh with donated state;
+  - ZeRO-1: optimizer moments are pinned to data-axis shards via out_shardings
+    (rankpo_tpu/parallel/sharding.py) — XLA schedules the reduce-scatter /
+    all-gather the way DeepSpeed stage 1 does by hand;
+  - gradient accumulation is a ``lax.scan`` over a [accum, B, ...] microbatch
+    stack (the reference loops in python over dataloader steps,
+    contrastive_trainer.py:487-530);
+  - checkpointing is HF-format safetensors (+ optional full-state orbax),
+    per epoch or per N steps with rotation, and resume restores step/opt state
+    (contrastive_trainer.py:358-414, 846-908 equivalents).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rankpo_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+from rankpo_tpu.data.loader import DataLoader
+from rankpo_tpu.parallel.sharding import (
+    make_shardings,
+    param_partition_specs,
+    zero1_partition_specs,
+)
+from rankpo_tpu.train import checkpoint as ckpt
+from rankpo_tpu.train.config import TrainConfig
+from rankpo_tpu.train.state import TrainState, make_optimizer
+from rankpo_tpu.utils.seed import set_seed
+
+logger = logging.getLogger(__name__)
+
+# ordered log keys, matching the reference's log stream
+# (contrastive_trainer.py:1059-1067)
+_LOG_KEY_ORDER = [
+    "global_step",
+    "loss",
+    "learning_rate",
+    "grad_norm",
+    "global_epoch",
+    "epoch",
+    "step",
+]
+
+
+class Trainer:
+    def __init__(
+        self,
+        *,
+        loss_fn: Callable,
+        params,
+        mesh,
+        config: TrainConfig,
+        total_steps: int,
+        save_params_fn: Optional[Callable] = None,
+        log_fn: Optional[Callable] = None,
+    ):
+        """loss_fn(params, batch, rng) -> (loss, metrics) on global arrays.
+
+        save_params_fn(directory, params) writes the model in HF format (the
+        caller owns model config/tokenizer); when None, checkpoint dirs contain
+        only trainer state.
+        """
+        self.loss_fn = loss_fn
+        self.mesh = mesh
+        self.config = config
+        self.total_steps = total_steps
+        self.save_params_fn = save_params_fn
+        self.log_fn = log_fn
+        self.tx, self.schedule = make_optimizer(config, total_steps)
+
+        dp = mesh.shape[DATA_AXIS]
+        mp = mesh.shape.get(MODEL_AXIS, 1)
+
+        param_specs = param_partition_specs(params, mp)
+        opt_shapes = jax.eval_shape(self.tx.init, params)
+        if config.zero1:
+            opt_specs = zero1_partition_specs(opt_shapes, dp, mp)
+        else:
+            opt_specs = jax.tree_util.tree_map(lambda _: P(), opt_shapes)
+        self.state_specs = TrainState(step=P(), params=param_specs, opt_state=opt_specs)
+        self.state_shardings = make_shardings(mesh, self.state_specs)
+
+        # place params on the mesh, init optimizer state directly into its shards
+        params = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s),
+            params,
+            self.state_shardings.params,
+        )
+        init_fn = jax.jit(
+            lambda p: TrainState.create(p, self.tx),
+            out_shardings=self.state_shardings,
+        )
+        self.state = init_fn(params)
+
+        self._step_fn = self._build_step()
+        self._history: List[Dict] = []
+        self._log_buffer: List[Dict] = []
+
+    # ------------------------------------------------------------------
+    def _build_step(self):
+        accum = self.config.gradient_accumulation_steps
+        loss_fn = self.loss_fn
+        tx = self.tx
+
+        def step_fn(state: TrainState, batch, rng):
+            params = state.params
+
+            def micro(mb, r):
+                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mb, r
+                )
+                return loss, metrics, grads
+
+            rngs = jax.random.split(jax.random.fold_in(rng, state.step), accum)
+
+            if accum == 1:
+                mb = jax.tree_util.tree_map(lambda x: x[0], batch)
+                loss, metrics, grads = micro(mb, rngs[0])
+            else:
+                def body(carry, inp):
+                    mb, r = inp
+                    loss, metrics, grads = micro(mb, r)
+                    c_loss, c_metrics, c_grads = carry
+                    new = (
+                        c_loss + loss,
+                        jax.tree_util.tree_map(jnp.add, c_metrics, metrics),
+                        jax.tree_util.tree_map(jnp.add, c_grads, grads),
+                    )
+                    return new, None
+
+                mb0 = jax.tree_util.tree_map(lambda x: x[0], batch)
+                zero_shapes = jax.eval_shape(micro, mb0, rngs[0])
+                init = jax.tree_util.tree_map(
+                    lambda sd: jnp.zeros(sd.shape, sd.dtype), zero_shapes
+                )
+                (loss, metrics, grads), _ = jax.lax.scan(
+                    body, init, (batch, rngs)
+                )
+                inv = 1.0 / accum
+                loss = loss * inv
+                metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
+                grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+
+            grad_norm = optax.global_norm(grads)
+            updates, new_opt = tx.update(grads, state.opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_state = TrainState(
+                step=state.step + 1, params=new_params, opt_state=new_opt
+            )
+            out_metrics = dict(metrics)
+            out_metrics["loss"] = loss
+            out_metrics["grad_norm"] = grad_norm
+            return new_state, out_metrics
+
+        batch_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        rep = NamedSharding(self.mesh, P())
+        return jax.jit(
+            step_fn,
+            in_shardings=(self.state_shardings, batch_sharding, rep),
+            out_shardings=(self.state_shardings, rep),
+            donate_argnums=(0,),
+        )
+
+    # ------------------------------------------------------------------
+    def train_step(self, batch, rng) -> Dict[str, float]:
+        """One optimizer step on a [accum, B_global, ...] microbatch stack."""
+        self.state, metrics = self._step_fn(self.state, batch, rng)
+        return metrics
+
+    def train(self, dataset, collator, *, start_epoch: int = 0) -> List[Dict]:
+        """Full training loop over epochs (reference hot loop
+        contrastive_trainer.py:456-620)."""
+        cfg = self.config
+        n_proc = jax.process_count()
+        micro_global = cfg.per_device_train_batch_size * self.mesh.devices.size
+        accum = cfg.gradient_accumulation_steps
+        loader = DataLoader(
+            dataset,
+            collator,
+            batch_size=micro_global,
+            shuffle=True,
+            drop_last=cfg.dataloader_drop_last,
+            seed=cfg.seed,
+            process_index=jax.process_index(),
+            process_count=n_proc,
+        )
+        rng = set_seed(cfg.seed)
+        steps_per_epoch = loader.steps_per_epoch() // accum
+        global_step = int(self.state.step)
+
+        # resume: skip whole epochs already done
+        resume_epoch = global_step // max(steps_per_epoch, 1)
+        resume_step_in_epoch = global_step % max(steps_per_epoch, 1)
+
+        t_start = time.time()
+        for epoch in range(max(start_epoch, resume_epoch), cfg.num_train_epochs):
+            micro_iter = loader.epoch(
+                epoch,
+                start_step=(resume_step_in_epoch * accum if epoch == resume_epoch else 0),
+            )
+            step_in_epoch = resume_step_in_epoch if epoch == resume_epoch else 0
+            while True:
+                micros = []
+                for _ in range(accum):
+                    nxt = next(micro_iter, None)
+                    if nxt is None:
+                        break
+                    micros.append(nxt)
+                if len(micros) < accum:
+                    break  # drop trailing partial accumulation group
+                batch = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs, axis=0), *micros
+                )
+                metrics = self.train_step(batch, rng)
+                global_step += 1
+                step_in_epoch += 1
+
+                if cfg.logging_steps and global_step % cfg.logging_steps == 0:
+                    logs = {
+                        "global_step": global_step,
+                        "loss": float(metrics["loss"]),
+                        "learning_rate": float(self.schedule(global_step - 1)),
+                        "grad_norm": float(metrics["grad_norm"]),
+                        "global_epoch": round(
+                            epoch + step_in_epoch / max(steps_per_epoch, 1), 4
+                        ),
+                        "epoch": epoch,
+                        "step": step_in_epoch,
+                    }
+                    for k, v in metrics.items():
+                        if k not in ("loss", "grad_norm"):
+                            logs[k] = float(v)
+                    self._log(logs)
+
+                if (
+                    cfg.save_strategy == "steps"
+                    and cfg.save_steps
+                    and global_step % cfg.save_steps == 0
+                ):
+                    self.save_checkpoint(global_step, epoch)
+                if cfg.max_steps > 0 and global_step >= cfg.max_steps:
+                    self.save_checkpoint(global_step, epoch)
+                    return self._history
+
+            if cfg.save_strategy == "epoch":
+                self.save_checkpoint(global_step, epoch)
+
+        logger.info(
+            "training done: %d steps in %.1fs", global_step, time.time() - t_start
+        )
+        return self._history
+
+    # ------------------------------------------------------------------
+    def _log(self, logs: Dict) -> None:
+        ordered = {k: logs[k] for k in _LOG_KEY_ORDER if k in logs}
+        ordered.update({k: v for k, v in logs.items() if k not in ordered})
+        self._history.append(ordered)
+        logger.info("%s", ordered)
+        if self.log_fn is not None:
+            self.log_fn(ordered)
+
+    def save_checkpoint(self, global_step: int, epoch: int) -> Optional[str]:
+        if self.config.save_strategy == "no":
+            return None
+        if jax.process_index() != 0:
+            return None
+        directory = os.path.join(
+            self.config.output_dir, f"checkpoint-{global_step}"
+        )
+        os.makedirs(directory, exist_ok=True)
+        if self.save_params_fn is not None:
+            params_host = jax.device_get(self.state.params)
+            self.save_params_fn(directory, params_host)
+        trainer_state = {"global_step": global_step, "epoch": epoch}
+        ckpt.save_trainer_state(directory, trainer_state, self.config)
+        if not self.config.save_only_model:
+            ckpt.save_opt_state(directory, self.state.opt_state)
+        ckpt.rotate_checkpoints(self.config.output_dir, self.config.save_total_limit)
+        logger.info("saved checkpoint: %s", directory)
+        return directory
+
+    def resume_from(self, directory: str) -> None:
+        """Restore step counter (and optimizer state when present). Params are
+        the caller's responsibility (load via hf_io and rebuild the Trainer)."""
+        tstate = ckpt.load_trainer_state(directory)
+        opt_state = ckpt.load_opt_state(directory, self.state.opt_state)
+        step = jnp.asarray(tstate.get("global_step", 0), jnp.int32)
+        if opt_state is not None:
+            opt_state = jax.device_put(opt_state, self.state_shardings.opt_state)
+            self.state = TrainState(
+                step=step, params=self.state.params, opt_state=opt_state
+            )
+        else:
+            self.state = TrainState(
+                step=step, params=self.state.params, opt_state=self.state.opt_state
+            )

@@ -1,0 +1,259 @@
+"""Trainer tests on the virtual 8-device mesh: end-to-end smoke for both
+stages, grad-accumulation equivalence, ZeRO-1 sharding, schedules, resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from rankpo_tpu.core.mesh import DATA_AXIS, MeshConfig, make_mesh
+from rankpo_tpu.data import (
+    ContrastiveCollator,
+    ContrastiveDataset,
+    HashTokenizer,
+    PairPreferenceDataset,
+    RankPOCollator,
+)
+from rankpo_tpu.losses.contrastive import info_nce_block_loss, info_nce_loss
+from rankpo_tpu.models import init_params, tiny_llama_config, save_pretrained
+from rankpo_tpu.train import (
+    TrainConfig,
+    Trainer,
+    make_contrastive_loss_fn,
+    make_rankpo_loss_fn,
+)
+from rankpo_tpu.train.state import make_schedule
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return HashTokenizer(vocab_size=256)
+
+
+def _contrastive_rows(n=32, n_neg=6):
+    return [
+        {
+            "query": f"common topic {i} alpha beta",
+            "positives": [f"common topic {i} gamma delta"],
+            "negatives": [f"other {j} {i} unrelated" for j in range(n_neg)],
+        }
+        for i in range(n)
+    ]
+
+
+class TestBlockLoss:
+    def test_one_block_equals_global(self):
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+        p = jnp.asarray(rng.randn(16, 16).astype(np.float32))
+        a, _ = info_nce_loss(q, p, temperature=0.1)
+        b, _ = info_nce_block_loss(q, p, num_blocks=1, temperature=0.1)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
+    def test_blocks_mean_of_per_block_ce(self):
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+        p = jnp.asarray(rng.randn(16, 16).astype(np.float32))
+        whole, _ = info_nce_block_loss(q, p, num_blocks=4, temperature=0.1)
+        per = [
+            info_nce_loss(q[2 * i : 2 * i + 2], p[4 * i : 4 * i + 4],
+                          temperature=0.1)[0]
+            for i in range(4)
+        ]
+        np.testing.assert_allclose(float(whole), float(np.mean(per)), rtol=1e-5)
+
+
+class TestSchedule:
+    def test_warmup_cosine(self):
+        cfg = TrainConfig(learning_rate=1e-3, warmup_steps=10,
+                          lr_scheduler_type="cosine")
+        sched = make_schedule(cfg, total_steps=110)
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-6)
+        assert float(sched(60)) < 1e-3
+        assert float(sched(109)) < float(sched(60))
+
+    def test_linear_and_constant(self):
+        cfg = TrainConfig(learning_rate=1.0, warmup_steps=0, warmup_ratio=0.0,
+                          lr_scheduler_type="linear")
+        sched = make_schedule(cfg, total_steps=100)
+        np.testing.assert_allclose(float(sched(50)), 0.5, rtol=1e-6)
+        cfg = TrainConfig(learning_rate=2.0, warmup_steps=0, warmup_ratio=0.0,
+                          lr_scheduler_type="constant")
+        sched = make_schedule(cfg, total_steps=100)
+        np.testing.assert_allclose(float(sched(99)), 2.0)
+
+
+def _make_trainer(mesh, tmp_path, tok, accum=1, zero1=True, total_steps=8,
+                  save_only_model=True, cfg_extra=None):
+    model_cfg = tiny_llama_config(vocab_size=256)
+    params = init_params(jax.random.key(0), model_cfg)
+    loss_fn = make_contrastive_loss_fn(
+        model_cfg, temperature=0.05, use_inbatch_neg=True,
+        negatives_cross_device=True, compute_dtype=jnp.float32,
+    )
+    cfg = TrainConfig(
+        output_dir=str(tmp_path),
+        learning_rate=1e-3,
+        warmup_steps=0, warmup_ratio=0.0,
+        lr_scheduler_type="constant",
+        per_device_train_batch_size=1,
+        gradient_accumulation_steps=accum,
+        num_train_epochs=1,
+        zero1=zero1,
+        save_only_model=save_only_model,
+        **(cfg_extra or {}),
+    )
+    trainer = Trainer(
+        loss_fn=loss_fn, params=params, mesh=mesh, config=cfg,
+        total_steps=total_steps,
+        save_params_fn=lambda d, p: save_pretrained(d, model_cfg, p),
+    )
+    return trainer, model_cfg
+
+
+class TestTrainerContrastive:
+    def test_loss_decreases_8dev(self, data_mesh, tmp_path, tok):
+        trainer, model_cfg = _make_trainer(data_mesh, tmp_path, tok)
+        ds = ContrastiveDataset(_contrastive_rows(64), tok, 16, 16)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                   max_query_length=16, max_passage_length=16,
+                                   seed=0)
+        history = trainer.train(ds, coll)
+        assert len(history) == 8  # 64 rows / (1*8 devices) batches, accum 1
+        assert history[-1]["loss"] < history[0]["loss"]
+        assert history[0]["global_step"] == 1
+        # ordered log keys (reference contrastive_trainer.py:1059-1067)
+        assert list(history[0])[:7] == [
+            "global_step", "loss", "learning_rate", "grad_norm",
+            "global_epoch", "epoch", "step",
+        ]
+
+    def test_zero1_opt_state_sharded(self, data_mesh, tmp_path, tok):
+        trainer, _ = _make_trainer(data_mesh, tmp_path, tok, zero1=True)
+        mu = trainer.state.opt_state[1][0].mu  # clip -> adamw inner state
+        leaf = mu["layers"]["q_proj"]["kernel"]
+        spec = leaf.sharding.spec
+        assert DATA_AXIS in tuple(spec), f"expected data-sharded moments, got {spec}"
+
+    def test_grad_accum_matches_mean_of_micro_grads(self, data_mesh, tmp_path, tok):
+        """accum=2 must produce the identical update to manually averaging the
+        two microbatch gradients (DeepSpeed grad-accum semantics)."""
+        model_cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(0), model_cfg)
+        loss_fn = make_contrastive_loss_fn(
+            model_cfg, temperature=0.05, compute_dtype=jnp.float32
+        )
+        ds = ContrastiveDataset(_contrastive_rows(32), tok, 16, 16)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                   max_query_length=16, max_passage_length=16,
+                                   seed=0)
+        rows_a = [ds[i] for i in range(8)]
+        rows_b = [ds[i] for i in range(8, 16)]
+        mb_a, mb_b = coll(rows_a), coll(rows_b)
+        batch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), mb_a, mb_b)
+
+        grads_manual = []
+        for mb in (mb_a, mb_b):
+            g = jax.grad(lambda p: loss_fn(p, mb, None)[0])(params)
+            grads_manual.append(g)
+        mean_grads = jax.tree_util.tree_map(
+            lambda a, b: (a + b) / 2, *grads_manual
+        )
+
+        cfg = TrainConfig(output_dir=str(tmp_path), learning_rate=1e-3,
+                          warmup_steps=0, warmup_ratio=0.0, lr_scheduler_type="constant",
+                          per_device_train_batch_size=1,
+                          gradient_accumulation_steps=2, max_grad_norm=0.0)
+        trainer = Trainer(loss_fn=lambda p, b, r: loss_fn(p, b, None),
+                          params=params, mesh=data_mesh, config=cfg,
+                          total_steps=4)
+        metrics = trainer.train_step(batch, jax.random.key(0))
+        expected_norm = float(
+            jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                         for g in jax.tree_util.tree_leaves(mean_grads)))
+        )
+        np.testing.assert_allclose(
+            float(metrics["grad_norm"]), expected_norm, rtol=1e-4
+        )
+
+    def test_checkpoint_and_resume(self, data_mesh, tmp_path, tok):
+        trainer, model_cfg = _make_trainer(
+            data_mesh, tmp_path, tok, save_only_model=False
+        )
+        ds = ContrastiveDataset(_contrastive_rows(16), tok, 16, 16)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                   max_query_length=16, max_passage_length=16)
+        trainer.train(ds, coll)
+        ckpt_dir = os.path.join(str(tmp_path), "checkpoint-2")
+        assert os.path.isdir(ckpt_dir)
+        assert os.path.isfile(os.path.join(ckpt_dir, "model.safetensors"))
+        assert os.path.isfile(os.path.join(ckpt_dir, "trainer_state.json"))
+        assert os.path.isdir(os.path.join(ckpt_dir, "opt_state"))
+
+        # resume into a fresh trainer
+        from rankpo_tpu.models import load_pretrained
+
+        cfg2, params2 = load_pretrained(ckpt_dir)
+        trainer2, _ = _make_trainer(data_mesh, tmp_path / "resume", tok,
+                                    save_only_model=False)
+        trainer2.resume_from(ckpt_dir)
+        assert int(trainer2.state.step) == 2
+        # restored moments match saved ones
+        mu_orig = jax.device_get(trainer.state.opt_state[1][0].mu)
+        mu_restored = jax.device_get(trainer2.state.opt_state[1][0].mu)
+        np.testing.assert_allclose(
+            np.asarray(mu_orig["norm"]["weight"]),
+            np.asarray(mu_restored["norm"]["weight"]),
+            rtol=1e-6,
+        )
+
+    def test_rotation(self, data_mesh, tmp_path, tok):
+        trainer, _ = _make_trainer(
+            data_mesh, tmp_path, tok,
+            cfg_extra={"save_strategy": "steps", "save_steps": 1,
+                       "save_total_limit": 2},
+        )
+        ds = ContrastiveDataset(_contrastive_rows(32), tok, 16, 16)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                   max_query_length=16, max_passage_length=16)
+        trainer.train(ds, coll)
+        from rankpo_tpu.train.checkpoint import list_checkpoints
+        assert len(list_checkpoints(str(tmp_path))) == 2
+
+
+class TestTrainerRankPO:
+    def test_rankpo_loss_decreases(self, data_mesh, tmp_path, tok):
+        model_cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(1), model_cfg)
+        loss_fn = make_rankpo_loss_fn(
+            model_cfg, beta=2.0, temperature=0.1, loss_type="sigmoid",
+            reference_free=True, compute_dtype=jnp.float32,
+        )
+        rows = [
+            {
+                "query": f"job listing {i} skills",
+                "passage1": f"job listing {i} skills match",
+                "passage2": f"random other {i} text",
+                "preferred": "A",
+            }
+            for i in range(32)
+        ]
+        ds = PairPreferenceDataset(rows, tok, 16, 16)
+        coll = RankPOCollator(pad_token_id=0, max_query_length=16,
+                              max_passage_length=16)
+        cfg = TrainConfig(
+            output_dir=str(tmp_path), learning_rate=1e-3, warmup_steps=0, warmup_ratio=0.0,
+            lr_scheduler_type="constant", per_device_train_batch_size=1,
+            num_train_epochs=2, save_strategy="no",
+        )
+        trainer = Trainer(loss_fn=loss_fn, params=params, mesh=data_mesh,
+                          config=cfg, total_steps=8)
+        history = trainer.train(ds, coll)
+        assert history[-1]["loss"] < history[0]["loss"]
+        assert "rewards/accuracies" in history[0]
+        assert "rankpo_loss" in history[0]
