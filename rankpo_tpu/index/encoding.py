@@ -1,0 +1,148 @@
+"""Batched text → embedding encoder for evaluation, mining, and serving.
+
+TPU-native analog of the reference's ``ModelForInference.encode``
+(src/modeling.py:473-554), with the differences that matter on TPU:
+
+  - static shapes: row count padded to the (fixed) batch size and sequence
+    length padded to a bucket (multiple of ``length_multiple``, capped at
+    ``max_length``) so each bucket compiles exactly once — instead of the
+    reference's pad-to-batch-max dynamic shapes;
+  - mesh-parallel: the batch is sharded over the data axis, making multi-chip
+    corpus encoding first-class (the reference scaffolds this in
+    utils.py:165-285 split_between_processes but never uses it);
+  - output always fp32 numpy (the reference upcasts bf16 before numpy,
+    modeling.py:537-538).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rankpo_tpu.core.mesh import DATA_AXIS
+from rankpo_tpu.models import encoder as enc
+from rankpo_tpu.models.config import EncoderConfig
+
+logger = logging.getLogger(__name__)
+
+
+class InferenceEncoder:
+    def __init__(
+        self,
+        config: EncoderConfig,
+        params,
+        tokenizer,
+        *,
+        mesh=None,
+        normalize_embeddings: bool = True,
+        compute_dtype=jnp.bfloat16,
+        attn_impl: str = "auto",
+        length_multiple: int = 64,
+    ):
+        self.config = config
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.normalize = normalize_embeddings
+        self.compute_dtype = compute_dtype
+        self.attn_impl = attn_impl
+        self.length_multiple = length_multiple
+
+        if mesh is not None:
+            param_sharding = NamedSharding(mesh, P())
+            self.params = jax.device_put(params, param_sharding)
+            batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        else:
+            self.params = params
+            batch_sharding = None
+
+        def _embed(params, batch):
+            return enc.embed(
+                params,
+                config,
+                batch,
+                normalize=self.normalize,
+                compute_dtype=self.compute_dtype,
+                deterministic=True,
+                attn_impl=self.attn_impl,
+            )
+
+        if batch_sharding is not None:
+            self._embed_fn = jax.jit(
+                _embed,
+                in_shardings=(
+                    NamedSharding(mesh, P()),
+                    {"input_ids": batch_sharding, "attention_mask": batch_sharding},
+                ),
+            )
+        else:
+            self._embed_fn = jax.jit(_embed)
+
+    @classmethod
+    def from_pretrained(cls, path: str, tokenizer=None, **kwargs) -> "InferenceEncoder":
+        from rankpo_tpu.data.tokenization import load_tokenizer
+        from rankpo_tpu.models import load_pretrained
+
+        config, params = load_pretrained(path)
+        if tokenizer is None:
+            tokenizer = load_tokenizer(path)
+        return cls(config, params, tokenizer, **kwargs)
+
+    # ------------------------------------------------------------------
+    def _bucket_length(self, longest: int, max_length: int) -> int:
+        m = self.length_multiple
+        return max(m, min(-(-longest // m) * m, max_length))
+
+    def encode(
+        self,
+        sentences: Union[str, List[str]],
+        *,
+        batch_size: int = 256,
+        max_length: int = 512,
+        description: str = "Encoding",
+    ) -> np.ndarray:
+        """Returns fp32 [N, H] embeddings (or [H] for a single string)."""
+        single = isinstance(sentences, str)
+        if single:
+            sentences = [sentences]
+        if sentences and not isinstance(sentences[0], str):
+            raise ValueError("Input items should be text.")
+
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        if batch_size % n_dev != 0:
+            batch_size = -(-batch_size // n_dev) * n_dev
+
+        pad_id = self.config.pad_token_id or 0
+        out: List[np.ndarray] = []
+        n = len(sentences)
+        for lo in range(0, n, batch_size):
+            chunk = sentences[lo : lo + batch_size]
+            encoded = self.tokenizer(chunk, max_length=max_length, truncation=True)
+            ids_list = encoded["input_ids"]
+            longest = max(len(x) for x in ids_list)
+            target = self._bucket_length(longest, max_length)
+            ids = np.full((batch_size, target), pad_id, np.int32)
+            mask = np.zeros((batch_size, target), np.int32)
+            for i, seq in enumerate(ids_list):
+                seq = seq[:target]
+                ids[i, : len(seq)] = seq
+                mask[i, : len(seq)] = 1
+            # fully-padded filler rows keep static shape; pooling needs at
+            # least one attended token, give them one pad token attended
+            for i in range(len(chunk), batch_size):
+                mask[i, 0] = 1
+            reps = self._embed_fn(
+                self.params, {"input_ids": ids, "attention_mask": mask}
+            )
+            out.append(np.asarray(reps[: len(chunk)], np.float32))
+            if lo == 0:
+                logger.info(
+                    "%s: %d texts, batch %d, bucket len %d", description, n,
+                    batch_size, target,
+                )
+        result = np.concatenate(out, axis=0) if out else np.zeros((0, 0), np.float32)
+        return result[0] if single else result

@@ -1,0 +1,184 @@
+"""Exact brute-force inner-product retrieval on the device mesh.
+
+TPU-native replacement for FAISS ``IndexFlatIP`` (reference: src/utils.py:38-80
+create_faiss_index/faiss_search; consumed by evaluate.py:214-225 and
+get_hard_negatives.py:229-243). This is the BASELINE.json centerpiece: the
+corpus embedding matrix lives in HBM sharded over the data axis, queries are
+replicated, and search is a sharded matmul + per-shard top-k + cross-shard
+merge — one code path serving evaluation, hard-negative mining, and pod-scale
+query serving.
+
+Exactness & tie-breaking: scores are fp32; ``lax.top_k`` breaks ties by lowest
+index, and the cross-shard merge concatenates per-shard candidates in ascending
+global-index order, so the final ranking also prefers the lowest global index —
+matching FAISS's deterministic heap behavior closely enough for bit-identical
+metrics (verified in tests against a numpy oracle).
+
+On TPU the inner matmul+top-k runs as a fused Pallas kernel
+(rankpo_tpu/ops/topk.py) that streams corpus blocks through VMEM with a running
+top-k, never materializing the [Q, N] score matrix in HBM; the XLA path below
+is the fallback and the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rankpo_tpu.core.mesh import DATA_AXIS
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def numpy_search(
+    corpus: np.ndarray, queries: np.ndarray, k: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side oracle with FAISS IndexFlatIP semantics: exact IP scores,
+    descending, ties broken by lower corpus index. Used for parity tests and
+    as the CPU baseline in benchmarks."""
+    scores = queries.astype(np.float32) @ corpus.astype(np.float32).T
+    k = min(k, corpus.shape[0])
+    # stable descending sort by (-score, index)
+    part = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
+    part_scores = np.take_along_axis(scores, part, axis=1)
+    order = np.lexsort((part, -part_scores), axis=1)
+    indices = np.take_along_axis(part, order, axis=1)
+    out_scores = np.take_along_axis(part_scores, order, axis=1)
+    return out_scores, indices
+
+
+class FlatIPIndex:
+    """Sharded exact inner-product index.
+
+    corpus embeddings: [N, D]; stored padded to a multiple of the shard count
+    (padded rows scored -inf so they never surface).
+    """
+
+    def __init__(
+        self,
+        embeddings,
+        mesh: Optional[Mesh] = None,
+        *,
+        dtype=jnp.float32,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.mesh = mesh
+        self.n_total = int(embeddings.shape[0])
+        self.dim = int(embeddings.shape[1])
+        self.dtype = dtype
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+
+        n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        pad = (-self.n_total) % n_shards
+        self.n_padded = self.n_total + pad
+
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if pad:
+            emb = np.concatenate(
+                [emb, np.zeros((pad, self.dim), np.float32)], axis=0
+            )
+        if mesh is not None:
+            sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+        else:
+            sharding = None
+        self.corpus = jax.device_put(jnp.asarray(emb, dtype=dtype), sharding)
+        self._search_fn = None
+        self._search_k = None
+
+    # ------------------------------------------------------------------
+    def _build_search(self, k: int):
+        from rankpo_tpu.ops.topk import matmul_topk
+
+        corpus = self.corpus
+        n_total = self.n_total
+        mesh = self.mesh
+        use_pallas = self.use_pallas
+
+        if mesh is None:
+
+            def single(queries):
+                return matmul_topk(
+                    queries.astype(corpus.dtype),
+                    corpus,
+                    k=k,
+                    n_valid=n_total,
+                    use_pallas=use_pallas,
+                )
+
+            return jax.jit(single)
+
+        n_shards = mesh.shape[DATA_AXIS]
+        shard_rows = self.n_padded // n_shards
+        k_local = min(k, shard_rows)
+
+        def per_shard(corpus_local, queries):
+            # corpus_local: this shard's [n_padded/W, D] slice
+            shard_id = jax.lax.axis_index(DATA_AXIS)
+            offset = shard_id * shard_rows
+            n_valid_local = jnp.clip(n_total - offset, 0, shard_rows)
+            scores, idx = matmul_topk(
+                queries.astype(corpus_local.dtype),
+                corpus_local,
+                k=k_local,
+                n_valid=n_valid_local,
+                index_offset=offset,
+                use_pallas=use_pallas,
+                vary_axes=(DATA_AXIS,),
+            )
+            return scores, idx
+
+        shard_fn = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P()),
+            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        )
+
+        def sharded(queries):
+            # per-shard candidates concatenated in ascending-shard (ascending
+            # global index) order: [Q, W*k_local]
+            cand_scores, cand_idx = shard_fn(corpus, queries)
+            final_scores, pos = jax.lax.top_k(cand_scores, k)
+            final_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+            return final_scores, final_idx
+
+        return jax.jit(sharded, in_shardings=NamedSharding(mesh, P()))
+
+    def search(
+        self,
+        queries,
+        k: int = 100,
+        batch_size: int = 256,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched exact top-k (analog of utils.py:58-80 faiss_search).
+        Returns fp32 scores and int32 indices, shapes [Q, k]."""
+        k = min(k, self.n_total)
+        if self._search_fn is None or self._search_k != k:
+            self._search_fn = self._build_search(k)
+            self._search_k = k
+        queries = np.asarray(queries, np.float32)
+        n_q = queries.shape[0]
+        all_scores, all_indices = [], []
+        for lo in range(0, n_q, batch_size):
+            block = queries[lo : lo + batch_size]
+            real = block.shape[0]
+            if real < batch_size:  # static shapes: pad the final block
+                block = np.concatenate(
+                    [block, np.zeros((batch_size - real, self.dim), np.float32)]
+                )
+            scores, idx = self._search_fn(jnp.asarray(block))
+            all_scores.append(np.asarray(scores[:real], np.float32))
+            all_indices.append(np.asarray(idx[:real], np.int32))
+        return np.concatenate(all_scores), np.concatenate(all_indices)
+
+    @property
+    def ntotal(self) -> int:
+        return self.n_total

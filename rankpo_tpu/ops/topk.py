@@ -1,0 +1,101 @@
+"""Streaming fused matmul + running top-k.
+
+The compute core of the FlatIP index (replaces FAISS's C++ scan loops,
+reference src/utils.py:58-80): corpus blocks stream through the score matmul
+and a running top-k merge, so the full [Q, N] score matrix never exists in
+HBM — peak memory is O(Q·(k + block)). Expressed with ``lax.scan`` so XLA
+pipelines block matmuls on the MXU; a Pallas kernel can replace the body
+without changing the contract.
+
+Contract (FAISS parity): fp32 scores, descending; ties broken by LOWEST global
+index. The merge keeps candidates ordered (previous best, then current block in
+ascending index), and ``lax.top_k``'s earliest-position tie-break preserves the
+invariant inductively.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def matmul_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    *,
+    k: int,
+    n_valid: int | jax.Array | None = None,
+    index_offset: int | jax.Array = 0,
+    block_size: int = 4096,
+    use_pallas: bool = False,
+    vary_axes: tuple = (),
+) -> Tuple[jax.Array, jax.Array]:
+    """queries [Q, D], corpus [N, D] -> (scores [Q, k] fp32, indices [Q, k] int32).
+
+    ``n_valid``: number of real corpus rows (rows >= n_valid are padding and
+    score -inf). ``index_offset``: added to returned indices (shard offset).
+    ``use_pallas`` selects the fused TPU kernel when shapes permit; the scan
+    path below is the portable fallback and correctness oracle.
+    """
+    if use_pallas:
+        from rankpo_tpu.ops.topk_pallas import pallas_matmul_topk, pallas_supported
+
+        if pallas_supported(queries.shape, corpus.shape, k):
+            return pallas_matmul_topk(
+                queries,
+                corpus,
+                k=k,
+                n_valid=n_valid,
+                index_offset=index_offset,
+            )
+    n, d = corpus.shape
+    q = queries.shape[0]
+    k = min(k, n)
+    block = min(block_size, n)
+    n_blocks = -(-n // block)
+    n_pad = n_blocks * block - n
+    if n_valid is None:
+        n_valid = n
+
+    if n_pad:
+        corpus = jnp.concatenate(
+            [corpus, jnp.zeros((n_pad, d), corpus.dtype)], axis=0
+        )
+    blocks = corpus.reshape(n_blocks, block, d)
+
+    # sentinel index for -inf init slots: large (so real ties win the
+    # lowest-index rule) but safe against overflow when a shard offset is added
+    init_scores = jnp.full((q, k), NEG_INF, jnp.float32)
+    init_idx = jnp.full((q, k), jnp.int32(2**30), jnp.int32)
+    if vary_axes:
+        # inside shard_map the scan carry must match the body output's
+        # device-varying type (it depends on the per-shard corpus slice)
+        init_scores = jax.lax.pcast(init_scores, vary_axes, to='varying')
+        init_idx = jax.lax.pcast(init_idx, vary_axes, to='varying')
+
+    def body(carry, inp):
+        best_scores, best_idx = carry
+        blk, blk_no = inp
+        s = jnp.einsum(
+            "qd,nd->qn", queries, blk, preferred_element_type=jnp.float32
+        )
+        local = blk_no * block + jax.lax.broadcasted_iota(
+            jnp.int32, (q, block), dimension=1
+        )
+        s = jnp.where(local < n_valid, s, NEG_INF)
+        cat_scores = jnp.concatenate([best_scores, s], axis=1)
+        cat_idx = jnp.concatenate([best_idx, local], axis=1)
+        new_scores, pos = jax.lax.top_k(cat_scores, k)
+        new_idx = jnp.take_along_axis(cat_idx, pos, axis=1)
+        return (new_scores, new_idx), None
+
+    (scores, idx), _ = jax.lax.scan(
+        body,
+        (init_scores, init_idx),
+        (blocks, jnp.arange(n_blocks, dtype=jnp.int32)),
+    )
+    return scores, idx + jnp.int32(index_offset)

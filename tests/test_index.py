@@ -1,0 +1,160 @@
+"""Index engine tests: exact parity vs the numpy FAISS-semantics oracle,
+tie-breaking, sharded (8-device) vs single-device equivalence, streaming
+matmul_topk vs dense top_k, and the inference encoder."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rankpo_tpu.index import FlatIPIndex, InferenceEncoder, numpy_search
+from rankpo_tpu.ops.topk import matmul_topk
+from rankpo_tpu.data import HashTokenizer
+from rankpo_tpu.models import init_params, tiny_llama_config
+
+
+def _random_corpus(n, d, seed=0, normalize=True):
+    rng = np.random.RandomState(seed)
+    x = rng.randn(n, d).astype(np.float32)
+    if normalize:
+        x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    return x
+
+
+class TestMatmulTopk:
+    def test_matches_dense_topk(self):
+        corpus = _random_corpus(1000, 32, 0)
+        queries = _random_corpus(17, 32, 1)
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=10,
+                           block_size=128)
+        dense = queries @ corpus.T
+        ds, di = jax.lax.top_k(jnp.asarray(dense), 10)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ds), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(di))
+
+    def test_n_valid_masks_padding(self):
+        corpus = np.zeros((100, 8), np.float32)
+        corpus[:50] = _random_corpus(50, 8, 2)
+        corpus[50:] = 100.0  # huge scores that must never surface
+        queries = _random_corpus(4, 8, 3)
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=20,
+                           n_valid=50, block_size=32)
+        assert int(np.asarray(i).max()) < 50
+
+    def test_index_offset(self):
+        corpus = _random_corpus(64, 8, 4)
+        queries = _random_corpus(2, 8, 5)
+        _, i0 = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=5)
+        _, i7 = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=5,
+                            index_offset=700)
+        np.testing.assert_array_equal(np.asarray(i7), np.asarray(i0) + 700)
+
+    def test_tie_breaking_lowest_index(self):
+        base = _random_corpus(32, 8, 6)
+        corpus = np.concatenate([base, base], axis=0)  # every vector duplicated
+        queries = _random_corpus(4, 8, 7)
+        _, idx = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=8,
+                             block_size=16)
+        idx = np.asarray(idx)
+        # with exact ties, the lower index (first copy, < 32) must come first
+        for row in idx:
+            seen_pairs = {}
+            for rank, j in enumerate(row):
+                pair = j % 32
+                if pair in seen_pairs:
+                    assert row[seen_pairs[pair]] == pair, (
+                        f"lower index should rank first: {row}"
+                    )
+                else:
+                    seen_pairs[pair] = rank
+
+
+class TestFlatIPIndex:
+    @pytest.mark.parametrize("n,k", [(100, 10), (1000, 100), (257, 64)])
+    def test_parity_vs_numpy_oracle_single_device(self, n, k):
+        corpus = _random_corpus(n, 16, seed=n)
+        queries = _random_corpus(33, 16, seed=n + 1)
+        index = FlatIPIndex(corpus)
+        s, i = index.search(queries, k=k, batch_size=16)
+        es, ei = numpy_search(corpus, queries, k)
+        np.testing.assert_array_equal(i, ei)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+
+    def test_parity_sharded_8dev(self, data_mesh):
+        corpus = _random_corpus(803, 16, seed=42)  # deliberately not divisible by 8
+        queries = _random_corpus(29, 16, seed=43)
+        index = FlatIPIndex(corpus, mesh=data_mesh)
+        s, i = index.search(queries, k=100, batch_size=8)
+        es, ei = numpy_search(corpus, queries, 100)
+        np.testing.assert_array_equal(i, ei)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+
+    def test_k_larger_than_corpus_clamped(self):
+        corpus = _random_corpus(7, 8, 1)
+        index = FlatIPIndex(corpus)
+        s, i = index.search(_random_corpus(3, 8, 2), k=100)
+        assert s.shape == (3, 7)
+
+    def test_ntotal(self, data_mesh):
+        index = FlatIPIndex(_random_corpus(10, 4, 0), mesh=data_mesh)
+        assert index.ntotal == 10
+
+
+class TestInferenceEncoder:
+    def _encoder(self, mesh=None):
+        cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(0), cfg)
+        tok = HashTokenizer(vocab_size=256)
+        return InferenceEncoder(
+            cfg, params, tok, mesh=mesh, compute_dtype=jnp.float32,
+            length_multiple=8,
+        )
+
+    def test_shapes_and_norm(self):
+        enc = self._encoder()
+        texts = [f"document number {i} about topic {i % 3}" for i in range(10)]
+        embs = enc.encode(texts, batch_size=4, max_length=16)
+        assert embs.shape == (10, 64)
+        assert embs.dtype == np.float32
+        np.testing.assert_allclose(np.linalg.norm(embs, axis=-1), 1.0, rtol=1e-4)
+
+    def test_single_string(self):
+        enc = self._encoder()
+        e = enc.encode("hello world", batch_size=4, max_length=16)
+        assert e.shape == (64,)
+
+    def test_batch_padding_does_not_change_results(self):
+        enc = self._encoder()
+        texts = [f"text {i} alpha beta gamma" for i in range(5)]
+        a = enc.encode(texts, batch_size=8, max_length=16)   # padded batch
+        b = enc.encode(texts, batch_size=5, max_length=16)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_mesh_sharded_encode_matches_single(self, data_mesh):
+        enc_s = self._encoder(mesh=data_mesh)
+        enc_1 = self._encoder()
+        texts = [f"doc {i} content words here" for i in range(16)]
+        a = enc_s.encode(texts, batch_size=8, max_length=16)
+        b = enc_1.encode(texts, batch_size=8, max_length=16)
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestEndToEndRetrieval:
+    def test_encode_index_search(self, data_mesh):
+        """Mini end-to-end: encode corpus+queries, search, positives retrieved.
+        The SURVEY.md §7 'minimum end-to-end slice' check."""
+        cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(0), cfg)
+        tok = HashTokenizer(vocab_size=256)
+        enc = InferenceEncoder(cfg, params, tok, mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+        corpus_texts = [f"unique document {i} topic {i}" for i in range(40)]
+        # query texts identical to their positive docs -> must retrieve them
+        queries = [corpus_texts[i] for i in (3, 17, 29)]
+        c_emb = enc.encode(corpus_texts, batch_size=8, max_length=16)
+        q_emb = enc.encode(queries, batch_size=8, max_length=16)
+        index = FlatIPIndex(c_emb, mesh=data_mesh)
+        scores, indices = index.search(q_emb, k=5)
+        assert list(indices[:, 0]) == [3, 17, 29]
+        np.testing.assert_allclose(scores[:, 0], 1.0, atol=1e-4)
