@@ -1,0 +1,171 @@
+"""Checkpoint-walking retrieval evaluator.
+
+TPU-native rebuild of the reference evaluation harness (src/evaluate.py):
+walk a model tree for checkpoints (config.json marker, :86-94), skip
+already-evaluated ones unless overwrite (:169-184), then per checkpoint:
+encode queries + corpus on the mesh, exact top-k search on the FlatIP engine
+(replacing the encode→FAISS-CPU round-trip of :207-225 — embeddings never
+leave HBM between encode and search), compute metrics at cutoffs, and write
+metrics.json / -indices.npy / -scores.npy plus an aggregated
+all_eval_results.json (:240-287).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from datetime import datetime
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from rankpo_tpu.data.datasets import load_eval_corpus, load_eval_queries
+from rankpo_tpu.eval.metrics import compute_metrics
+from rankpo_tpu.index import FlatIPIndex, InferenceEncoder
+
+logger = logging.getLogger(__name__)
+
+
+def get_save_path(
+    model_path: str,
+    output_dir: str,
+    can_overwrite: bool = True,
+    file_type: str = "json",
+) -> str:
+    """Result-path convention (reference evaluate.py:42-80):
+    ``models/run-x/checkpoint-N`` → ``output_dir/run-x/checkpoint-N.json``;
+    a bare model dir → ``output_dir/<name>/main.json``."""
+    segs = os.path.normpath(model_path).split(os.sep)
+    if len(segs) >= 2 and segs[-1].startswith("checkpoint-"):
+        out = os.path.join(output_dir, segs[-2])
+        filename = f"{segs[-1]}.{file_type}"
+    else:
+        out = os.path.join(output_dir, segs[-1])
+        filename = f"main.{file_type}"
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, filename)
+    if not can_overwrite and os.path.isfile(path):
+        stem, ext = filename.rsplit(".", 1)
+        stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        path = os.path.join(out, f"{stem}_{stamp}.{ext}")
+    return path
+
+
+def find_checkpoints(model_path: str) -> List[str]:
+    """Every directory under model_path containing a config.json
+    (reference evaluate.py:86-94)."""
+    found = []
+    for dirpath, _dirnames, filenames in os.walk(model_path):
+        if "config.json" in filenames:
+            found.append(dirpath)
+    return sorted(found)
+
+
+def evaluate_checkpoint(
+    model_path: str,
+    query_texts: Sequence[str],
+    labels: Sequence[Sequence[int]],
+    corpus_texts: Sequence[str],
+    *,
+    tokenizer=None,
+    mesh=None,
+    batch_size: int = 256,
+    max_query_length: int = 32,
+    max_passage_length: int = 128,
+    k: int = 100,
+    cutoffs: Sequence[int] = (1, 5, 10, 20, 100),
+    encoder: Optional[InferenceEncoder] = None,
+    compute_dtype=None,
+) -> Dict[str, float]:
+    """Encode → index → search → metrics for one checkpoint."""
+    if encoder is None:
+        kwargs = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
+        encoder = InferenceEncoder.from_pretrained(
+            model_path, tokenizer=tokenizer, mesh=mesh, **kwargs
+        )
+    q_emb = encoder.encode(
+        list(query_texts), batch_size=batch_size, max_length=max_query_length,
+        description="Embedding queries",
+    )
+    c_emb = encoder.encode(
+        list(corpus_texts), batch_size=batch_size, max_length=max_passage_length,
+        description="Embedding corpus",
+    )
+    index = FlatIPIndex(c_emb, mesh=mesh)
+    scores, indices = index.search(q_emb, k=k, batch_size=batch_size)
+    metrics = compute_metrics(indices, scores, labels, cutoffs=list(cutoffs))
+    return metrics, indices, scores
+
+
+def evaluate_path(
+    model_path: str,
+    query_data: str,
+    corpus_data: str,
+    output_dir: str,
+    *,
+    evaluate_all_checkpoints: bool = False,
+    overwrite_output_dir: bool = False,
+    tokenizer=None,
+    mesh=None,
+    batch_size: int = 256,
+    max_query_length: int = 32,
+    max_passage_length: int = 128,
+    k: int = 100,
+    cutoffs: Sequence[int] = (1, 5, 10, 20, 100),
+    save_arrays: bool = True,
+    compute_dtype=None,
+) -> Dict[str, Dict[str, float]]:
+    """Full harness over one model dir or all its checkpoints."""
+    queries, labels = load_eval_queries(query_data)
+    corpus = load_eval_corpus(corpus_data)
+    logger.info("eval: %d queries over %d corpus items", len(queries), len(corpus))
+
+    if evaluate_all_checkpoints:
+        models = find_checkpoints(model_path)
+    else:
+        models = (
+            [model_path]
+            if os.path.isfile(os.path.join(model_path, "config.json"))
+            else []
+        )
+    if not models:
+        logger.error("no checkpoint found under %s", model_path)
+        return {}
+
+    results: Dict[str, Dict[str, float]] = {}
+    save_path = None
+    for model in models:
+        save_path = get_save_path(model, output_dir, can_overwrite=True)
+        if os.path.isfile(save_path) and not overwrite_output_dir:
+            logger.warning("skip %s: results exist at %s", model, save_path)
+            continue
+        logger.info("evaluating %s", model)
+        metrics, indices, scores = evaluate_checkpoint(
+            model,
+            queries,
+            labels,
+            corpus,
+            tokenizer=tokenizer,
+            mesh=mesh,
+            batch_size=batch_size,
+            max_query_length=max_query_length,
+            max_passage_length=max_passage_length,
+            k=k,
+            cutoffs=cutoffs,
+            compute_dtype=compute_dtype,
+        )
+        with open(save_path, "w") as f:
+            json.dump(metrics, f, indent=4)
+        if save_arrays:
+            stem = save_path.rsplit(".", 1)[0]
+            np.save(stem + "-indices.npy", indices)
+            np.save(stem + "-scores.npy", scores)
+        results[os.path.basename(save_path).split(".")[0]] = metrics
+        logger.info("results: %s", metrics)
+
+    if save_path is not None and len(results) == len(models):
+        agg = os.path.join(os.path.dirname(save_path), "all_eval_results.json")
+        with open(agg, "w") as f:
+            json.dump(results, f, indent=4)
+    return results
