@@ -1,0 +1,83 @@
+"""Headline benchmark: exact brute-force top-k QPS vs CPU baseline.
+
+Targets BASELINE.json's north star: the FlatIP engine (replacing FAISS
+IndexFlatIP, reference src/utils.py:38-80) must deliver >=10x FAISS-CPU QPS at
+equal index memory. FAISS is not installed in this image, so the CPU baseline
+is a numpy BLAS matmul + argpartition brute-force search — the same exact
+algorithm class (and typically at least as fast as single-thread FAISS flat).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+N_CORPUS = 100_000
+DIM = 1024
+N_QUERIES = 1024
+K = 100
+BATCH = 256
+CPU_QUERY_SAMPLE = 64  # measure CPU on a subset, scale QPS
+
+
+def _make_data():
+    rng = np.random.RandomState(0)
+    corpus = rng.randn(N_CORPUS, DIM).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    queries = rng.randn(N_QUERIES, DIM).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+    return corpus, queries
+
+
+def _cpu_qps(corpus: np.ndarray, queries: np.ndarray) -> float:
+    sub = queries[:CPU_QUERY_SAMPLE]
+    t0 = time.perf_counter()
+    scores = sub @ corpus.T
+    part = np.argpartition(-scores, kth=K - 1, axis=1)[:, :K]
+    ps = np.take_along_axis(scores, part, axis=1)
+    order = np.argsort(-ps, axis=1, kind="stable")
+    np.take_along_axis(part, order, axis=1)
+    dt = time.perf_counter() - t0
+    return len(sub) / dt
+
+
+def _device_qps(corpus: np.ndarray, queries: np.ndarray) -> tuple:
+    import jax
+
+    from rankpo_tpu.index import FlatIPIndex
+
+    index = FlatIPIndex(corpus)
+    # warmup + correctness spot check
+    s, i = index.search(queries[:BATCH], k=K, batch_size=BATCH)
+    assert np.all(np.isfinite(s))
+    t0 = time.perf_counter()
+    index.search(queries, k=K, batch_size=BATCH)
+    dt = time.perf_counter() - t0
+    return len(queries) / dt, jax.default_backend()
+
+
+def main():
+    corpus, queries = _make_data()
+    qps, backend = _device_qps(corpus, queries)
+    cpu_qps = _cpu_qps(corpus, queries)
+    print(
+        json.dumps(
+            {
+                "metric": f"exact_topk_qps_{N_CORPUS // 1000}k_corpus_d{DIM}_k{K}",
+                "value": round(qps, 2),
+                "unit": "queries/sec",
+                "vs_baseline": round(qps / cpu_qps, 2),
+                "baseline_cpu_qps": round(cpu_qps, 2),
+                "backend": backend,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""Dataclass-driven CLI parsing.
+
+Keeps the reference's declarative flag surface (src/arguments.py's seven
+dataclasses parsed by HfArgumentParser) so the published shell recipes
+translate ~1:1, without depending on transformers' TrainingArguments: a small
+argparse generator reads dataclass fields directly. DeepSpeed flags are
+replaced by mesh flags (``--model_parallel``, ``--zero1``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from typing import Optional, Sequence, Type, Union, get_args, get_origin
+
+
+def _add_field(parser: argparse.ArgumentParser, f: dataclasses.Field) -> None:
+    name = "--" + f.name
+    ftype = f.type
+    origin = get_origin(ftype)
+    if origin is Union:  # Optional[T]
+        args = [a for a in get_args(ftype) if a is not type(None)]
+        ftype = args[0] if args else str
+    if isinstance(ftype, str):  # from __future__ annotations
+        ftype = {"str": str, "int": int, "float": float, "bool": bool}.get(
+            ftype.replace("Optional[", "").replace("]", ""), str
+        )
+    default = (
+        f.default
+        if f.default is not dataclasses.MISSING
+        else (f.default_factory() if f.default_factory is not dataclasses.MISSING else None)
+    )
+    help_text = (f.metadata or {}).get("help", "")
+    if ftype is bool:
+        # HF-style: both `--flag` and `--flag False` accepted
+        parser.add_argument(
+            name,
+            nargs="?",
+            const=True,
+            default=default,
+            type=lambda s: s if isinstance(s, bool) else s.lower() in ("1", "true", "yes"),
+            help=help_text,
+        )
+    else:
+        parser.add_argument(name, type=ftype, default=default, help=help_text)
+
+
+def parse_dataclasses(classes: Sequence[Type], argv: Optional[Sequence[str]] = None):
+    parser = argparse.ArgumentParser()
+    seen = set()
+    for cls in classes:
+        for f in dataclasses.fields(cls):
+            if f.name in seen or not f.init:
+                continue
+            seen.add(f.name)
+            _add_field(parser, f)
+    ns = parser.parse_args(argv)
+    out = []
+    for cls in classes:
+        kwargs = {
+            f.name: getattr(ns, f.name)
+            for f in dataclasses.fields(cls)
+            if f.init and hasattr(ns, f.name)
+        }
+        out.append(cls(**kwargs))
+    return tuple(out)
+
+
+def _json_str(obj) -> str:
+    return json.dumps(dataclasses.asdict(obj), indent=2, default=str)
+
+
+# ---------------------------------------------------------------------------
+# Shared argument groups (reference src/arguments.py analogs)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ModelArguments:
+    model_name_or_path: str = dataclasses.field(
+        default=None,
+        metadata={"help": "HF-format checkpoint directory for the encoder."},
+    )
+    tokenizer_name: Optional[str] = dataclasses.field(
+        default=None,
+        metadata={"help": "Tokenizer path if different from the model; "
+                          "'hash:<vocab>' selects the hermetic test tokenizer."},
+    )
+    attn_impl: str = dataclasses.field(
+        default="auto", metadata={"help": "Attention impl: auto|xla|flash."}
+    )
+
+    def to_json_string(self):
+        return _json_str(self)
+
+
+@dataclasses.dataclass
+class TrainDataArguments:
+    train_data: str = dataclasses.field(
+        default=None, metadata={"help": "Path to the training jsonl."}
+    )
+    num_negatives: int = dataclasses.field(
+        default=5, metadata={"help": "Negatives sampled per query."}
+    )
+    max_query_length: int = dataclasses.field(default=32)
+    max_passage_length: int = dataclasses.field(default=128)
+    pad_multiple: Optional[int] = dataclasses.field(
+        default=None,
+        metadata={"help": "Bucketed padding multiple (None = fixed max length)."},
+    )
+
+    def to_json_string(self):
+        return _json_str(self)
+
+
+@dataclasses.dataclass
+class ContrastiveArguments:
+    use_inbatch_neg: bool = dataclasses.field(default=True)
+    negatives_cross_device: bool = dataclasses.field(default=True)
+    temperature: float = dataclasses.field(default=0.02)
+    normalize_embeddings: bool = dataclasses.field(default=True)
+
+    def to_json_string(self):
+        return _json_str(self)
+
+
+@dataclasses.dataclass
+class RankPOArguments:
+    reference_free: bool = dataclasses.field(default=False)
+    ref_model_name_or_path: Optional[str] = dataclasses.field(default=None)
+    temperature: float = dataclasses.field(default=0.02)
+    beta: float = dataclasses.field(default=1.0)
+    gamma_beta_ratio: float = dataclasses.field(default=0.0)
+    sft_weight: float = dataclasses.field(default=0.0)
+    rankpo_weight: float = dataclasses.field(default=1.0)
+    loss_type: str = dataclasses.field(default="sigmoid")
+    label_smoothing: float = dataclasses.field(default=0.0)
+    disable_dropout: bool = dataclasses.field(default=True)
+
+    def to_json_string(self):
+        return _json_str(self)
+
+
+@dataclasses.dataclass
+class EvaluateArguments:
+    model_name_or_path: str = dataclasses.field(default=None)
+    tokenizer_name: Optional[str] = dataclasses.field(default=None)
+    query_data: str = dataclasses.field(default=None)
+    corpus_data: str = dataclasses.field(default=None)
+    output_dir: str = dataclasses.field(default="")
+    overwrite_output_dir: bool = dataclasses.field(default=False)
+    evaluate_all_checkpoints: bool = dataclasses.field(default=False)
+    batch_size: int = dataclasses.field(default=256)
+    max_query_length: int = dataclasses.field(default=32)
+    max_passage_length: int = dataclasses.field(default=128)
+    k: int = dataclasses.field(default=100)
+    cutoffs: str = dataclasses.field(default="1,5,10,20,100")
+    bf16: bool = dataclasses.field(default=False)
+    log_level: str = dataclasses.field(default="info")
+
+    def to_json_string(self):
+        return _json_str(self)
+
+
+@dataclasses.dataclass
+class HardNegativeArguments:
+    model_name_or_path: str = dataclasses.field(default=None)
+    tokenizer_name: Optional[str] = dataclasses.field(default=None)
+    input_file: str = dataclasses.field(default=None)
+    output_prefix: str = dataclasses.field(default=None)
+    batch_size: int = dataclasses.field(default=32)
+    max_query_length: int = dataclasses.field(default=32)
+    max_passage_length: int = dataclasses.field(default=128)
+    search_range: str = dataclasses.field(default="0-100")
+    method: Optional[str] = dataclasses.field(
+        default=None, metadata={"help": "topk | sample | cluster (comma-joined)"}
+    )
+    num_negatives: int = dataclasses.field(default=10)
+    num_clusters: int = dataclasses.field(default=10)
+    lambda_: Optional[float] = dataclasses.field(default=None)
+    bf16: bool = dataclasses.field(default=False)
+    seed: int = dataclasses.field(default=42)
+    log_level: str = dataclasses.field(default="info")
+
+    def to_json_string(self):
+        return _json_str(self)
+
+
+@dataclasses.dataclass
+class PredictionArguments:
+    model_name_or_path: str = dataclasses.field(default=None)
+    tokenizer_name: Optional[str] = dataclasses.field(default=None)
+    query_data: str = dataclasses.field(default=None)
+    corpus_data: str = dataclasses.field(default=None)
+    output_file: str = dataclasses.field(default=None)
+    batch_size: int = dataclasses.field(default=32)
+    max_query_length: int = dataclasses.field(default=32)
+    max_passage_length: int = dataclasses.field(default=128)
+    search_range: str = dataclasses.field(default="0-100")
+    method: str = dataclasses.field(default="topk")
+    num_predictions: int = dataclasses.field(default=10)
+    bf16: bool = dataclasses.field(default=False)
+    seed: int = dataclasses.field(default=42)
+    log_level: str = dataclasses.field(default="info")
+
+    def to_json_string(self):
+        return _json_str(self)
+
+
+def resolve_tokenizer(name_or_path: Optional[str], model_path: str):
+    """'hash:<vocab>' → HashTokenizer (hermetic); otherwise HF AutoTokenizer."""
+    from rankpo_tpu.data.tokenization import HashTokenizer, load_tokenizer
+
+    target = name_or_path or model_path
+    if target and target.startswith("hash:"):
+        return HashTokenizer(vocab_size=int(target.split(":", 1)[1]))
+    return load_tokenizer(target)

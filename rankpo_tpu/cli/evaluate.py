@@ -1,0 +1,47 @@
+"""Retrieval evaluation entry point (reference src/evaluate.py CLI surface)."""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+
+from rankpo_tpu.cli.arguments import EvaluateArguments, parse_dataclasses, resolve_tokenizer
+from rankpo_tpu.core.mesh import local_mesh
+from rankpo_tpu.eval import evaluate_path
+from rankpo_tpu.utils.logging import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    (args,) = parse_dataclasses([EvaluateArguments], argv)
+    setup_logging(args.log_level)
+    logger.info("evaluation arguments:\n%s", args.to_json_string())
+
+    tokenizer = resolve_tokenizer(args.tokenizer_name, args.model_name_or_path)
+    cutoffs = [int(c.strip()) for c in args.cutoffs.split(",")]
+    results = evaluate_path(
+        args.model_name_or_path,
+        args.query_data,
+        args.corpus_data,
+        args.output_dir,
+        evaluate_all_checkpoints=args.evaluate_all_checkpoints,
+        overwrite_output_dir=args.overwrite_output_dir,
+        tokenizer=tokenizer,
+        mesh=local_mesh(),
+        batch_size=args.batch_size,
+        max_query_length=args.max_query_length,
+        max_passage_length=args.max_passage_length,
+        k=args.k,
+        cutoffs=cutoffs,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    for name, metrics in results.items():
+        print(f"== {name} ==")
+        print("\n".join(f"    {k:15} {v}" for k, v in metrics.items()))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,180 @@
+"""Contrastive-learning entry point (stage 1).
+
+Capability parity with the reference launcher (src/run_contrastive.py:42-245):
+output-dir guard, seed, model + tokenizer setup with the Llama pad-token fix
+and the 7 domain special tokens (+ embedding resize), jsonl dataset
+tokenization, then training. Instead of torchrun + DeepSpeed this builds a
+device mesh and hands a jit-compiled loss to the generic Trainer.
+
+Usage (mirrors scripts/train/run_contrastive.sh flags):
+  python -m rankpo_tpu.cli.run_contrastive \
+      --model_name_or_path <hf-dir> --train_data data/train.jsonl \
+      --output_dir outputs/run --temperature 0.02 --num_negatives 5 \
+      --negatives_cross_device --bf16 --gradient_checkpointing ...
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from rankpo_tpu.cli.arguments import (
+    ContrastiveArguments,
+    ModelArguments,
+    TrainDataArguments,
+    parse_dataclasses,
+    resolve_tokenizer,
+)
+from rankpo_tpu.core.mesh import DATA_AXIS, MeshConfig, make_mesh
+from rankpo_tpu.core.precision import policy_from_flags
+from rankpo_tpu.data import ContrastiveCollator, ContrastiveDataset
+from rankpo_tpu.data.tokenization import prepare_tokenizer
+from rankpo_tpu.models import load_pretrained, resize_token_embeddings, save_pretrained
+from rankpo_tpu.train import TrainConfig, Trainer, make_contrastive_loss_fn
+from rankpo_tpu.train.checkpoint import latest_checkpoint
+from rankpo_tpu.utils.logging import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def guard_output_dir(cfg: TrainConfig) -> None:
+    """Refuse to clobber a non-empty output dir (reference :49-57)."""
+    if (
+        os.path.exists(cfg.output_dir)
+        and os.listdir(cfg.output_dir)
+        and not cfg.overwrite_output_dir
+        and not cfg.resume_from_checkpoint
+    ):
+        raise ValueError(
+            f"Output directory ({cfg.output_dir}) already exists and is not "
+            "empty. Use --overwrite_output_dir to overcome."
+        )
+
+
+def setup_model_and_tokenizer(model_args: ModelArguments):
+    """Load encoder + tokenizer; apply pad-token rule, add domain special
+    tokens, resize embeddings (reference :101-148)."""
+    config, params = load_pretrained(model_args.model_name_or_path)
+    tokenizer = resolve_tokenizer(
+        model_args.tokenizer_name, model_args.model_name_or_path
+    )
+    if hasattr(tokenizer, "add_special_tokens"):  # real HF tokenizer
+        new_size = prepare_tokenizer(tokenizer)
+        if new_size != config.vocab_size:
+            params, config = resize_token_embeddings(params, config, new_size)
+            logger.info("resized token embeddings to %d", new_size)
+        if config.pad_token_id is None:
+            config.pad_token_id = tokenizer.pad_token_id
+    pad_id = getattr(tokenizer, "pad_token_id", None)
+    if pad_id is None:
+        pad_id = config.pad_token_id or 0
+    return config, params, tokenizer, pad_id
+
+
+def main(argv=None):
+    model_args, data_args, c_args, train_cfg = parse_dataclasses(
+        [ModelArguments, TrainDataArguments, ContrastiveArguments, TrainConfig],
+        argv,
+    )
+    setup_logging(train_cfg.log_level)
+    guard_output_dir(train_cfg)
+    logger.info("model args:\n%s", model_args.to_json_string())
+    logger.info("data args:\n%s", data_args.to_json_string())
+    logger.info("train config:\n%s", train_cfg.to_json_string())
+
+    mesh = make_mesh(MeshConfig(model_parallel=train_cfg.model_parallel))
+    logger.info("mesh: %s over %d devices", dict(mesh.shape), mesh.devices.size)
+
+    config, params, tokenizer, pad_id = setup_model_and_tokenizer(model_args)
+    config.normalize = c_args.normalize_embeddings
+
+    dataset = ContrastiveDataset(
+        data_args.train_data,
+        tokenizer,
+        max_query_length=data_args.max_query_length,
+        max_passage_length=data_args.max_passage_length,
+    )
+    collator = ContrastiveCollator(
+        pad_token_id=pad_id,
+        num_negatives=data_args.num_negatives,
+        max_query_length=data_args.max_query_length,
+        max_passage_length=data_args.max_passage_length,
+        pad_multiple=data_args.pad_multiple,
+        seed=train_cfg.seed,
+    )
+
+    global_micro = train_cfg.per_device_train_batch_size * mesh.devices.size
+    steps_per_epoch = len(dataset) // (
+        global_micro * train_cfg.gradient_accumulation_steps
+    )
+    total_steps = (
+        train_cfg.max_steps
+        if train_cfg.max_steps > 0
+        else steps_per_epoch * train_cfg.num_train_epochs
+    )
+
+    policy = policy_from_flags(train_cfg.bf16, train_cfg.pure_bf16)
+    loss_fn = make_contrastive_loss_fn(
+        config,
+        temperature=c_args.temperature,
+        use_inbatch_neg=c_args.use_inbatch_neg,
+        negatives_cross_device=c_args.negatives_cross_device,
+        normalize_embeddings=c_args.normalize_embeddings,
+        num_data_shards=mesh.shape[DATA_AXIS],
+        compute_dtype=policy.compute_dtype,
+        remat=train_cfg.gradient_checkpointing,
+        attn_impl=model_args.attn_impl,
+    )
+
+    def save_params_fn(directory, host_params):
+        save_pretrained(directory, config, host_params)
+        if hasattr(tokenizer, "save_pretrained"):
+            tokenizer.save_pretrained(directory)
+
+    trainer = Trainer(
+        loss_fn=loss_fn,
+        params=params,
+        mesh=mesh,
+        config=train_cfg,
+        total_steps=max(total_steps, 1),
+        save_params_fn=save_params_fn,
+    )
+
+    resume = train_cfg.resume_from_checkpoint
+    if resume:
+        if resume in ("true", "True", "latest"):
+            resume = latest_checkpoint(train_cfg.output_dir)
+        if resume:
+            logger.info("resuming from %s", resume)
+            trainer.resume_from(resume)
+
+    t0 = time.time()
+    history = trainer.train(dataset, collator)
+
+    # final save at output_dir root (reference trainer.save_model(), :228)
+    if jax.process_index() == 0:
+        save_params_fn(train_cfg.output_dir, jax.device_get(trainer.state.params))
+        metrics = {
+            "train_samples": len(dataset),
+            "train_runtime": round(time.time() - t0, 2),
+            "train_steps": int(trainer.state.step),
+            "final_loss": history[-1]["loss"] if history else None,
+        }
+        with open(os.path.join(train_cfg.output_dir, "train_results.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        with open(
+            os.path.join(train_cfg.output_dir, "trainer_history.json"), "w"
+        ) as f:
+            json.dump(history, f, indent=2)
+        logger.info("train metrics: %s", metrics)
+    return history
+
+
+if __name__ == "__main__":
+    main()

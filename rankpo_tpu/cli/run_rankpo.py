@@ -1,0 +1,136 @@
+"""RankPO preference-training entry point (stage 2).
+
+Capability parity with src/run_rankpo.py:47-265: loads the stage-1 checkpoint,
+optionally a frozen reference model (unless --reference_free), the annotated
+pair jsonl, and trains with the sigmoid/hinge preference loss. Paper recipe
+(scripts/train/run_rankpo.sh): --reference_free --loss_type sigmoid --beta 2.0
+--temperature 0.1.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from rankpo_tpu.cli.arguments import (
+    ModelArguments,
+    RankPOArguments,
+    TrainDataArguments,
+    parse_dataclasses,
+)
+from rankpo_tpu.cli.run_contrastive import guard_output_dir, setup_model_and_tokenizer
+from rankpo_tpu.core.mesh import MeshConfig, make_mesh
+from rankpo_tpu.core.precision import policy_from_flags
+from rankpo_tpu.data import PairPreferenceDataset, RankPOCollator
+from rankpo_tpu.models import load_pretrained, save_pretrained
+from rankpo_tpu.train import TrainConfig, Trainer, make_rankpo_loss_fn
+from rankpo_tpu.train.checkpoint import latest_checkpoint
+from rankpo_tpu.utils.logging import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def main(argv=None):
+    model_args, data_args, r_args, train_cfg = parse_dataclasses(
+        [ModelArguments, TrainDataArguments, RankPOArguments, TrainConfig], argv
+    )
+    setup_logging(train_cfg.log_level)
+    guard_output_dir(train_cfg)
+    logger.info("model args:\n%s", model_args.to_json_string())
+    logger.info("rankpo args:\n%s", r_args.to_json_string())
+
+    mesh = make_mesh(MeshConfig(model_parallel=train_cfg.model_parallel))
+    config, params, tokenizer, pad_id = setup_model_and_tokenizer(model_args)
+
+    ref_params = None
+    if not r_args.reference_free:
+        ref_path = r_args.ref_model_name_or_path or model_args.model_name_or_path
+        _ref_cfg, ref_params = load_pretrained(ref_path)
+        logger.info("loaded frozen reference model from %s", ref_path)
+
+    dataset = PairPreferenceDataset(
+        data_args.train_data,
+        tokenizer,
+        max_query_length=data_args.max_query_length,
+        max_passage_length=data_args.max_passage_length,
+    )
+    collator = RankPOCollator(
+        pad_token_id=pad_id,
+        max_query_length=data_args.max_query_length,
+        max_passage_length=data_args.max_passage_length,
+        pad_multiple=data_args.pad_multiple,
+    )
+
+    global_micro = train_cfg.per_device_train_batch_size * mesh.devices.size
+    steps_per_epoch = len(dataset) // (
+        global_micro * train_cfg.gradient_accumulation_steps
+    )
+    total_steps = (
+        train_cfg.max_steps
+        if train_cfg.max_steps > 0
+        else steps_per_epoch * train_cfg.num_train_epochs
+    )
+
+    policy = policy_from_flags(train_cfg.bf16, train_cfg.pure_bf16)
+    loss_fn = make_rankpo_loss_fn(
+        config,
+        beta=r_args.beta,
+        gamma_beta_ratio=r_args.gamma_beta_ratio,
+        temperature=r_args.temperature,
+        loss_type=r_args.loss_type,
+        label_smoothing=r_args.label_smoothing,
+        rankpo_weight=r_args.rankpo_weight,
+        sft_weight=r_args.sft_weight,
+        reference_free=r_args.reference_free,
+        ref_params=ref_params,
+        disable_dropout=r_args.disable_dropout,
+        compute_dtype=policy.compute_dtype,
+        remat=train_cfg.gradient_checkpointing,
+        attn_impl=model_args.attn_impl,
+    )
+
+    def save_params_fn(directory, host_params):
+        save_pretrained(directory, config, host_params)
+        if hasattr(tokenizer, "save_pretrained"):
+            tokenizer.save_pretrained(directory)
+
+    trainer = Trainer(
+        loss_fn=loss_fn,
+        params=params,
+        mesh=mesh,
+        config=train_cfg,
+        total_steps=max(total_steps, 1),
+        save_params_fn=save_params_fn,
+    )
+
+    resume = train_cfg.resume_from_checkpoint
+    if resume:
+        if resume in ("true", "True", "latest"):
+            resume = latest_checkpoint(train_cfg.output_dir)
+        if resume:
+            trainer.resume_from(resume)
+
+    t0 = time.time()
+    history = trainer.train(dataset, collator)
+
+    if jax.process_index() == 0:
+        save_params_fn(train_cfg.output_dir, jax.device_get(trainer.state.params))
+        metrics = {
+            "train_samples": len(dataset),
+            "train_runtime": round(time.time() - t0, 2),
+            "train_steps": int(trainer.state.step),
+            "final_loss": history[-1]["loss"] if history else None,
+        }
+        with open(os.path.join(train_cfg.output_dir, "train_results.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        logger.info("train metrics: %s", metrics)
+    return history
+
+
+if __name__ == "__main__":
+    main()

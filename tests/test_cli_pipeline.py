@@ -1,0 +1,211 @@
+"""Full-pipeline integration test through the CLI entry points, on the 8-device
+CPU mesh: contrastive train → evaluate → mine hard negatives → generate
+prediction pairs → RankPO train → re-evaluate. The hermetic analog of the
+reference's published two-stage recipe (README.md:60-171)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from rankpo_tpu.data import HashTokenizer
+from rankpo_tpu.models import init_params, save_pretrained, tiny_llama_config
+from rankpo_tpu.utils.jsonl import read_jsonl
+
+
+N_DOCS = 24
+TOK = "hash:256"
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pipeline")
+    cfg = tiny_llama_config(vocab_size=256)
+    params = init_params(jax.random.key(0), cfg)
+    base_model = root / "base-model"
+    save_pretrained(str(base_model), cfg, params)
+
+    docs = [f"field {i} research on subject {i} methods" for i in range(N_DOCS)]
+    train_rows = []
+    for i in range(16):
+        train_rows.append({
+            "query": f"job opening about subject {i} methods",
+            "positives": [docs[i]],
+            "negatives": [docs[(i + j) % N_DOCS] for j in range(4, 10)],
+        })
+    (root / "train.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in train_rows)
+    )
+    (root / "queries.jsonl").write_text("\n".join(
+        json.dumps({"query": {"text": f"job opening about subject {i} methods"},
+                    "positives": {"index": [i]}})
+        for i in range(8)
+    ))
+    (root / "corpus.jsonl").write_text(
+        "\n".join(json.dumps({"text": t}) for t in docs)
+    )
+    (root / "mining.jsonl").write_text("\n".join(
+        json.dumps({
+            "query": {"text": f"job opening about subject {i} methods"},
+            "positives": {"text": [docs[i]]},
+            "negatives": {"text": [docs[(i + 5) % N_DOCS]]},
+        })
+        for i in range(8)
+    ))
+    return root, str(base_model)
+
+
+def test_full_pipeline(workspace):
+    root, base_model = workspace
+
+    # ---- stage 1: contrastive training -------------------------------------
+    from rankpo_tpu.cli.run_contrastive import main as run_contrastive
+
+    out1 = str(root / "stage1")
+    history = run_contrastive([
+        "--model_name_or_path", base_model,
+        "--tokenizer_name", TOK,
+        "--train_data", str(root / "train.jsonl"),
+        "--output_dir", out1,
+        "--learning_rate", "1e-3",
+        "--lr_scheduler_type", "cosine",
+        "--warmup_ratio", "0.1",
+        "--num_train_epochs", "2",
+        "--per_device_train_batch_size", "1",
+        "--gradient_accumulation_steps", "1",
+        "--num_negatives", "3",
+        "--use_inbatch_neg",
+        "--negatives_cross_device",
+        "--normalize_embeddings", "True",
+        "--temperature", "0.05",
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--bf16", "False",
+        "--save_strategy", "epoch",
+        "--logging_steps", "1",
+    ])
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert os.path.isfile(os.path.join(out1, "model.safetensors"))
+    assert os.path.isdir(os.path.join(out1, "checkpoint-2"))
+    assert os.path.isfile(os.path.join(out1, "train_results.json"))
+
+    # ---- evaluate all stage-1 checkpoints -----------------------------------
+    from rankpo_tpu.cli.evaluate import main as run_eval
+
+    eval_out = str(root / "eval1")
+    results = run_eval([
+        "--model_name_or_path", out1,
+        "--tokenizer_name", TOK,
+        "--query_data", str(root / "queries.jsonl"),
+        "--corpus_data", str(root / "corpus.jsonl"),
+        "--output_dir", eval_out,
+        "--evaluate_all_checkpoints",
+        "--batch_size", "8",
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--k", "10",
+        "--cutoffs", "1,5,10",
+    ])
+    assert results  # root model + checkpoints
+    for metrics in results.values():
+        assert set(metrics) >= {"MRR@1", "Recall@5", "nDCG@10"}
+
+    # ---- mine hard negatives with the trained model -------------------------
+    from rankpo_tpu.cli.get_hard_negatives import main as run_mining
+
+    mined_dir = str(root / "mined")
+    outputs = run_mining([
+        "--model_name_or_path", out1,
+        "--tokenizer_name", TOK,
+        "--input_file", str(root / "mining.jsonl"),
+        "--output_prefix", mined_dir,
+        "--batch_size", "8",
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--search_range", "0-8",
+        "--method", "topk",
+        "--num_negatives", "3",
+    ])
+    mined = read_jsonl(outputs["topk.jsonl"])
+    assert len(mined) == 8 and all(len(r["negatives"]) == 3 for r in mined)
+    assert os.path.isfile(os.path.join(mined_dir, "config.json"))
+
+    # ---- generate prediction pairs for AI annotation ------------------------
+    from rankpo_tpu.cli.get_predictions import main as run_preds
+
+    preds_file = str(root / "predictions.jsonl")
+    rows = run_preds([
+        "--model_name_or_path", out1,
+        "--tokenizer_name", TOK,
+        "--query_data", str(root / "queries.jsonl"),
+        "--corpus_data", str(root / "corpus.jsonl"),
+        "--output_file", preds_file,
+        "--batch_size", "8",
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--search_range", "0-6",
+        "--method", "topk",
+        "--num_predictions", "3",
+    ])
+    assert rows and os.path.isfile(preds_file)
+
+    # ---- simulate the AI judge, then stage 2: RankPO ------------------------
+    annotated = [dict(r, preferred="A") for r in read_jsonl(preds_file)]
+    pairs_file = root / "annotated.jsonl"
+    pairs_file.write_text("\n".join(json.dumps(r) for r in annotated))
+
+    from rankpo_tpu.cli.run_rankpo import main as run_rankpo
+
+    out2 = str(root / "stage2")
+    history2 = run_rankpo([
+        "--model_name_or_path", out1,
+        "--tokenizer_name", TOK,
+        "--train_data", str(pairs_file),
+        "--output_dir", out2,
+        "--learning_rate", "1e-4",
+        "--num_train_epochs", "1",
+        "--per_device_train_batch_size", "1",
+        "--reference_free",
+        "--loss_type", "sigmoid",
+        "--beta", "2.0",
+        "--temperature", "0.1",
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--bf16", "False",
+        "--save_strategy", "epoch",
+    ])
+    assert history2
+    assert "rewards/accuracies" in history2[0]
+    assert os.path.isfile(os.path.join(out2, "model.safetensors"))
+
+
+def test_random_negatives_cli(workspace):
+    root, _ = workspace
+    from rankpo_tpu.cli.get_random_negatives import main as run_rand
+
+    out = str(root / "rand.jsonl")
+    run_rand([
+        "--input_file", str(root / "mining.jsonl"),
+        "--output_file", out,
+        "--num_negatives", "4",
+        "--seed", "0",
+    ])
+    rows = read_jsonl(out)
+    assert len(rows) == 8 and all(len(r["negatives"]) == 4 for r in rows)
+
+
+def test_output_dir_guard(workspace):
+    root, base_model = workspace
+    from rankpo_tpu.cli.run_contrastive import main as run_contrastive
+
+    out1 = str(root / "stage1")  # already populated by the pipeline test
+    with pytest.raises(ValueError, match="already exists"):
+        run_contrastive([
+            "--model_name_or_path", base_model,
+            "--tokenizer_name", TOK,
+            "--train_data", str(root / "train.jsonl"),
+            "--output_dir", out1,
+        ])
