@@ -102,12 +102,15 @@ class FlatIPIndex:
         mesh = self.mesh
         use_pallas = self.use_pallas
 
+        # NOTE: the corpus is a jit ARGUMENT, never a closure capture — a
+        # captured array becomes an HLO constant, which ships the whole index
+        # to the compiler (and breaks remote-compile setups on >100MB corpora).
         if mesh is None:
 
-            def single(queries):
+            def single(corpus_arg, queries):
                 return matmul_topk(
-                    queries.astype(corpus.dtype),
-                    corpus,
+                    queries.astype(corpus_arg.dtype),
+                    corpus_arg,
                     k=k,
                     n_valid=n_total,
                     use_pallas=use_pallas,
@@ -142,15 +145,21 @@ class FlatIPIndex:
             out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
         )
 
-        def sharded(queries):
+        def sharded(corpus_arg, queries):
             # per-shard candidates concatenated in ascending-shard (ascending
             # global index) order: [Q, W*k_local]
-            cand_scores, cand_idx = shard_fn(corpus, queries)
+            cand_scores, cand_idx = shard_fn(corpus_arg, queries)
             final_scores, pos = jax.lax.top_k(cand_scores, k)
             final_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
             return final_scores, final_idx
 
-        return jax.jit(sharded, in_shardings=NamedSharding(mesh, P()))
+        return jax.jit(
+            sharded,
+            in_shardings=(
+                NamedSharding(mesh, P(DATA_AXIS, None)),
+                NamedSharding(mesh, P()),
+            ),
+        )
 
     def search(
         self,
@@ -174,7 +183,7 @@ class FlatIPIndex:
                 block = np.concatenate(
                     [block, np.zeros((batch_size - real, self.dim), np.float32)]
                 )
-            scores, idx = self._search_fn(jnp.asarray(block))
+            scores, idx = self._search_fn(self.corpus, jnp.asarray(block))
             all_scores.append(np.asarray(scores[:real], np.float32))
             all_indices.append(np.asarray(idx[:real], np.int32))
         return np.concatenate(all_scores), np.concatenate(all_indices)
