@@ -80,7 +80,9 @@ class EncoderConfig:
             )
         elif model_type in ("xlm-roberta", "roberta", "bert"):
             cfg = cls(
-                model_type="xlm-roberta",
+                # bert (BGE family) and roberta/xlm-roberta (BGE-M3 family)
+                # share the encoder body but differ in the position-id rule
+                model_type="bert" if model_type == "bert" else "xlm-roberta",
                 vocab_size=d["vocab_size"],
                 hidden_size=d["hidden_size"],
                 intermediate_size=d["intermediate_size"],
@@ -90,7 +92,9 @@ class EncoderConfig:
                 max_position_embeddings=d.get("max_position_embeddings", 512),
                 layer_norm_eps=d.get("layer_norm_eps", 1e-12),
                 type_vocab_size=d.get("type_vocab_size", 1),
-                pad_token_id=d.get("pad_token_id", 1),
+                pad_token_id=d.get(
+                    "pad_token_id", 0 if model_type == "bert" else 1
+                ),
                 tie_word_embeddings=False,
                 hidden_act=d.get("hidden_act", "gelu"),
                 hidden_dropout=d.get("hidden_dropout_prob", 0.1),
@@ -128,9 +132,10 @@ class EncoderConfig:
                 "hidden_act": self.hidden_act,
                 "torch_dtype": "float32",
             }
+        default_arch = "BertModel" if self.model_type == "bert" else "XLMRobertaModel"
         return {
-            "model_type": "xlm-roberta",
-            "architectures": list(self.architectures) or ["XLMRobertaModel"],
+            "model_type": self.model_type,
+            "architectures": list(self.architectures) or [default_arch],
             "vocab_size": self.vocab_size,
             "hidden_size": self.hidden_size,
             "intermediate_size": self.intermediate_size,

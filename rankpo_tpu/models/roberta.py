@@ -147,8 +147,13 @@ def apply(
     """Returns last_hidden_state [B, S, H] in compute_dtype."""
     b, s = input_ids.shape
     emb = params["embeddings"]
-    pad_id = config.pad_token_id if config.pad_token_id is not None else 1
-    pos_ids = roberta_position_ids(input_ids, pad_id)
+    if config.model_type == "bert":
+        # BERT (BGE family): absolute positions are plain arange
+        pos_ids = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    else:
+        # Roberta/XLM-R (BGE-M3 family): pad-offset cumulative positions
+        pad_id = config.pad_token_id if config.pad_token_id is not None else 1
+        pos_ids = roberta_position_ids(input_ids, pad_id)
     x = (
         emb["word_embeddings"]["weight"][input_ids]
         + emb["position_embeddings"]["weight"][pos_ids]

@@ -176,6 +176,45 @@ class TestTorchParity:
         # only non-pad positions need to match (pad rows differ by mask conventions)
         np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], atol=2e-4)
 
+    def test_bert_parity(self, tmp_path):
+        """BGE-small/base are BertModels — plain-arange positions, not the
+        Roberta pad-offset rule."""
+        torch = pytest.importorskip("torch")
+        from transformers import BertConfig, BertModel
+
+        hf_cfg = BertConfig(
+            vocab_size=128,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            max_position_embeddings=64,
+            type_vocab_size=2,
+            pad_token_id=0,
+            hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(0)
+        hf_model = BertModel(hf_cfg, add_pooling_layer=False).eval()
+        hf_model.save_pretrained(str(tmp_path))
+
+        cfg, params = load_pretrained(str(tmp_path))
+        assert cfg.model_type == "bert"
+        ids = np.array([[5, 6, 7, 8, 0, 0], [9, 10, 11, 12, 13, 14]])
+        mask = np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]])
+        with torch.no_grad():
+            ref = hf_model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        ours = np.asarray(
+            forward_hidden(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                compute_dtype=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], atol=2e-4)
+
     def test_xlmr_parity(self, tmp_path):
         torch = pytest.importorskip("torch")
         from transformers import XLMRobertaConfig, XLMRobertaModel
