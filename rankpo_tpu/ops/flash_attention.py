@@ -1,0 +1,370 @@
+"""Pallas TPU flash attention (forward + backward), FlashAttention-2 style.
+
+Replaces the reference's flash-attn-2 CUDA dependency (src/modeling.py:145-146,
+README.md:81) for the encoder hot loop at seq 1280/4096. Design:
+
+  - grid (batch·heads, q_blocks); one q tile in VMEM per step, K/V for the
+    (batch, head) pinned in VMEM across q-block steps (the index map repeats, so
+    the pipeline doesn't re-DMA); key blocks are looped INSIDE the kernel with
+    online softmax (running max/sum + rescaled accumulator, all fp32).
+  - GQA is zero-copy: the K/V BlockSpec index map divides the head index by the
+    group count instead of materializing repeated heads.
+  - padding: a per-row key-validity mask [B, Sk] (the collators right-pad);
+    causal masking for the Llama decoder-as-encoder path with whole-block
+    skipping above the diagonal.
+  - backward: standard FA2 two-kernel scheme — dq over q blocks, dkv over key
+    blocks — recomputing probabilities from the saved logsumexp.
+
+The XLA fallback in rankpo_tpu/ops/attention.py remains the correctness oracle;
+tests run this kernel in interpret mode on CPU against it (values and grads).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+DEFAULT_Q_BLOCK = 256
+DEFAULT_K_BLOCK = 512
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, causal, k_block
+):
+    q = q_ref[0].astype(jnp.float32) * scale  # [Bq, D]
+    bq, d = q.shape
+    sk = k_ref.shape[1]
+    n_kb = sk // k_block
+    qi = pl.program_id(1)
+    q_offset = qi * bq
+
+    m = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, d), jnp.float32)
+
+    def body(kb, carry):
+        m, l, acc = carry
+        k_blk = k_ref[0, pl.ds(kb * k_block, k_block), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * k_block, k_block), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Bq, Bk]
+        key_valid = mask_ref[0, pl.ds(kb * k_block, k_block)]  # [Bk]
+        valid = jnp.broadcast_to(key_valid[None, :] != 0, s.shape)
+        if causal:
+            q_pos = q_offset + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=0
+            )
+            k_pos = kb * k_block + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, dimension=1
+            )
+            valid = jnp.logical_and(valid, k_pos <= q_pos)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    if causal:
+        # skip key blocks entirely above the diagonal
+        last_kb = (q_offset + bq - 1) // k_block + 1
+        n_iter = jnp.minimum(last_kb, n_kb)
+    else:
+        n_iter = n_kb
+    m, l, acc = jax.lax.fori_loop(0, n_iter, body, (m, l, acc))
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros, not NaN
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = (m + jnp.log(l_safe))[:, 0]
+
+
+def _dq_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
+    *, scale, causal, k_block,
+):
+    q = q_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, None]
+    delta = delta_ref[0][:, None]
+    bq, d = q.shape
+    sk = k_ref.shape[1]
+    n_kb = sk // k_block
+    qi = pl.program_id(1)
+    q_offset = qi * bq
+
+    def body(kb, dq):
+        k_blk = k_ref[0, pl.ds(kb * k_block, k_block), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(kb * k_block, k_block), :].astype(jnp.float32)
+        s = scale * jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        key_valid = mask_ref[0, pl.ds(kb * k_block, k_block)]
+        valid = jnp.broadcast_to(key_valid[None, :] != 0, s.shape)
+        if causal:
+            q_pos = q_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            k_pos = kb * k_block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            valid = jnp.logical_and(valid, k_pos <= q_pos)
+        s = jnp.where(valid, s, NEG_INF)
+        p = jnp.exp(s - lse)  # [Bq, Bk]
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        return dq + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal:
+        last_kb = (q_offset + bq - 1) // k_block + 1
+        n_iter = jnp.minimum(last_kb, n_kb)
+    else:
+        n_iter = n_kb
+    dq = jax.lax.fori_loop(0, n_iter, body, jnp.zeros((bq, d), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    *, scale, causal, q_block,
+):
+    k = k_ref[0].astype(jnp.float32)  # [Bk, D]
+    v = v_ref[0].astype(jnp.float32)
+    bk, d = k.shape
+    sq = q_ref.shape[1]
+    n_qb = sq // q_block
+    ki = pl.program_id(1)
+    k_offset = ki * bk
+    key_valid = mask_ref[0, pl.ds(k_offset, bk)]
+
+    def body(qb, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(qb * q_block, q_block), :].astype(jnp.float32)
+        do_blk = do_ref[0, pl.ds(qb * q_block, q_block), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * q_block, q_block)][:, None]
+        delta = delta_ref[0, pl.ds(qb * q_block, q_block)][:, None]
+        s = scale * jax.lax.dot_general(
+            q_blk, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Bq, Bk]
+        valid = jnp.broadcast_to(key_valid[None, :] != 0, s.shape)
+        if causal:
+            q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            k_pos = k_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            valid = jnp.logical_and(valid, k_pos <= q_pos)
+        s = jnp.where(valid, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dv_new = dv + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        dk_new = dk + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_new, dv_new
+
+    if causal:
+        first_qb = k_offset // q_block  # q blocks strictly above diagonal see no keys here
+        start = first_qb
+    else:
+        start = 0
+    dk, dv = jax.lax.fori_loop(
+        start, n_qb, body,
+        (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32)),
+    )
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrappers
+# ---------------------------------------------------------------------------
+
+def _pad_to(x, size, axis):
+    pad = (-x.shape[axis]) % size
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flatten_heads(x):
+    # [B, S, H, D] -> [B*H, S, D]
+    b, s, h, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _unflatten_heads(x, b, h):
+    bh, s, d = x.shape
+    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
+)
+def _flash(q, k, v, mask, causal, q_block, k_block, interpret):
+    out, _lse = _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret)
+    return out
+
+
+def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret):
+    bh, sq, d = q.shape
+    bhkv, sk, _ = k.shape
+    groups = bh // bhkv
+    scale = 1.0 / (d**0.5)
+    n_qb = sq // q_block
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, k_block=k_block
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(bh, n_qb),
+        in_specs=[
+            pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
+            pl.BlockSpec((1, sk, d), lambda bhi, qi, g=groups: (bhi // g, 0, 0)),
+            pl.BlockSpec((1, sk, d), lambda bhi, qi, g=groups: (bhi // g, 0, 0)),
+            pl.BlockSpec((1, sk), lambda bhi, qi: (bhi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
+            pl.BlockSpec((1, q_block), lambda bhi, qi: (bhi, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, mask)
+    return out, lse
+
+
+def _flash_fwd(q, k, v, mask, causal, q_block, k_block, interpret):
+    out, lse = _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret)
+    return out, (q, k, v, mask, out, lse)
+
+
+def _flash_bwd(causal, q_block, k_block, interpret, res, g):
+    q, k, v, mask, out, lse = res
+    bh, sq, d = q.shape
+    bhkv, sk, _ = k.shape
+    groups = bh // bhkv
+    scale = 1.0 / (d**0.5)
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, causal=causal, k_block=k_block),
+        grid=(bh, sq // q_block),
+        in_specs=[
+            pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
+            pl.BlockSpec((1, sk, d), lambda bhi, qi, g_=groups: (bhi // g_, 0, 0)),
+            pl.BlockSpec((1, sk, d), lambda bhi, qi, g_=groups: (bhi // g_, 0, 0)),
+            pl.BlockSpec((1, sk), lambda bhi, qi: (bhi, 0)),
+            pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
+            pl.BlockSpec((1, q_block), lambda bhi, qi: (bhi, qi)),
+            pl.BlockSpec((1, q_block), lambda bhi, qi: (bhi, qi)),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, mask, g, lse, delta)
+
+    # dk/dv computed per (kv head, key block); every query head in the group
+    # contributes, so grid runs over query heads and results are summed.
+    dk_per_head, dv_per_head = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, causal=causal, q_block=q_block),
+        grid=(bh, sk // k_block),
+        in_specs=[
+            pl.BlockSpec((1, sq, d), lambda bhi, ki: (bhi, 0, 0)),
+            pl.BlockSpec((1, k_block, d), lambda bhi, ki, g_=groups: (bhi // g_, ki, 0)),
+            pl.BlockSpec((1, k_block, d), lambda bhi, ki, g_=groups: (bhi // g_, ki, 0)),
+            pl.BlockSpec((1, sk), lambda bhi, ki: (bhi, 0)),
+            pl.BlockSpec((1, sq, d), lambda bhi, ki: (bhi, 0, 0)),
+            pl.BlockSpec((1, sq), lambda bhi, ki: (bhi, 0)),
+            pl.BlockSpec((1, sq), lambda bhi, ki: (bhi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k_block, d), lambda bhi, ki: (bhi, ki, 0)),
+            pl.BlockSpec((1, k_block, d), lambda bhi, ki: (bhi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sk, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, mask, g, lse, delta)
+
+    if groups > 1:
+        dk = dk_per_head.reshape(bhkv, groups, sk, d).sum(axis=1)
+        dv = dv_per_head.reshape(bhkv, groups, sk, d).sum(axis=1)
+    else:
+        dk, dv = dk_per_head, dv_per_head
+    return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    q_block: int = DEFAULT_Q_BLOCK,
+    k_block: int = DEFAULT_K_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """q [B, Sq, Hq, D]; k/v [B, Sk, Hkv, D]; mask [B, Sk] key validity.
+    Returns [B, Sq, Hq, D] in q.dtype."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, sq, hq, d = q.shape
+    _, sk, hkv, _ = k.shape
+    groups = hq // hkv
+
+    if mask is None:
+        mask = jnp.ones((b, sk), jnp.int32)
+    mask = mask.astype(jnp.int32)
+
+    q_block = min(q_block, sq) if sq % q_block else q_block
+    k_block = min(k_block, sk) if sk % k_block else k_block
+    q_block = min(q_block, 1 << (sq - 1).bit_length(), sq)
+    k_block = min(k_block, 1 << (sk - 1).bit_length(), sk)
+    while sq % q_block:
+        q_block //= 2
+    while sk % k_block:
+        k_block //= 2
+
+    qf = _flatten_heads(q)
+    kf = _flatten_heads(k)
+    vf = _flatten_heads(v)
+    # per-(batch·query-head) mask rows so BlockSpec indexing stays trivial
+    mask_bh = jnp.repeat(mask, hq, axis=0)
+
+    out = _flash(qf, kf, vf, mask_bh, causal, q_block, k_block, interpret)
+    return _unflatten_heads(out, b, hq)

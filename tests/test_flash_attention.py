@@ -1,0 +1,100 @@
+"""Flash-attention kernel numerics vs the XLA oracle (interpret mode on CPU):
+values and gradients, with padding masks, causal mode, GQA, odd lengths."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rankpo_tpu.ops.attention import _xla_attention
+from rankpo_tpu.ops.flash_attention import flash_attention
+
+
+def _inputs(b=2, sq=64, sk=64, hq=4, hkv=4, d=16, seed=0, mask_lens=None):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(b, sq, hq, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, sk, hkv, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, sk, hkv, d).astype(np.float32))
+    if mask_lens is None:
+        mask = jnp.ones((b, sk), jnp.int32)
+    else:
+        mask = jnp.asarray(
+            np.stack([
+                np.concatenate([np.ones(m, np.int32), np.zeros(sk - m, np.int32)])
+                for m in mask_lens
+            ])
+        )
+    return q, k, v, mask
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_forward_matches_xla(causal):
+    q, k, v, mask = _inputs(mask_lens=[64, 40])
+    ref = _xla_attention(q, k, v, mask, causal)
+    out = flash_attention(q, k, v, mask=mask, causal=causal,
+                          q_block=16, k_block=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_forward_gqa():
+    q, k, v, mask = _inputs(hq=8, hkv=2, mask_lens=[64, 30])
+    ref = _xla_attention(q, k, v, mask, True)
+    out = flash_attention(q, k, v, mask=mask, causal=True,
+                          q_block=32, k_block=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_forward_non_divisible_lengths():
+    # seq lengths not multiples of the requested blocks: wrapper shrinks blocks
+    q, k, v, mask = _inputs(sq=48, sk=80, mask_lens=[80, 52])
+    ref = _xla_attention(q, k, v, mask, False)
+    out = flash_attention(q, k, v, mask=mask, causal=False,
+                          q_block=32, k_block=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("causal,hq,hkv", [(False, 4, 4), (True, 4, 4), (True, 4, 2)])
+def test_gradients_match_xla(causal, hq, hkv):
+    q, k, v, mask = _inputs(b=2, sq=32, sk=32, hq=hq, hkv=hkv, d=8,
+                            mask_lens=[32, 20])
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, mask=mask, causal=causal,
+                              q_block=16, k_block=16, interpret=True)
+        return jnp.sum(jnp.square(out))
+
+    def loss_ref(q, k, v):
+        out = _xla_attention(q, k, v, mask, causal)
+        return jnp.sum(jnp.square(out))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_fully_masked_row_is_finite():
+    q, k, v, mask = _inputs(b=1, sq=16, sk=16, mask_lens=[0])
+    out = flash_attention(q, k, v, mask=mask, causal=False,
+                          q_block=16, k_block=16, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_encoder_integration():
+    """multi_head_attention(impl='flash') path through the llama encoder."""
+    from rankpo_tpu.models import init_params, tiny_llama_config
+    from rankpo_tpu.models import encoder as enc
+
+    cfg = tiny_llama_config(vocab_size=64)
+    params = init_params(jax.random.key(0), cfg)
+    ids = jax.random.randint(jax.random.key(1), (2, 32), 5, 64)
+    mask = jnp.ones((2, 32), jnp.int32).at[1, 20:].set(0)
+    a = enc.embed(params, cfg, {"input_ids": ids, "attention_mask": mask},
+                  compute_dtype=jnp.float32, attn_impl="xla")
+    b = enc.embed(params, cfg, {"input_ids": ids, "attention_mask": mask},
+                  compute_dtype=jnp.float32, attn_impl="flash")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
