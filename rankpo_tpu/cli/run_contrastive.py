@@ -137,6 +137,8 @@ def main(argv=None):
         if hasattr(tokenizer, "save_pretrained"):
             tokenizer.save_pretrained(directory)
 
+    from rankpo_tpu.utils.wandb_utils import maybe_init_wandb
+
     trainer = Trainer(
         loss_fn=loss_fn,
         params=params,
@@ -144,6 +146,7 @@ def main(argv=None):
         config=train_cfg,
         total_steps=max(total_steps, 1),
         save_params_fn=save_params_fn,
+        log_fn=maybe_init_wandb(train_cfg.wandb_project, train_cfg.run_name),
     )
 
     resume = train_cfg.resume_from_checkpoint

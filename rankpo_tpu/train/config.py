@@ -46,6 +46,11 @@ class TrainConfig:
     model_parallel: int = 1
     zero1: bool = True  # shard optimizer state over the data axis
 
+    # robustness / observability (SURVEY.md §5 gaps the reference lacks)
+    skip_nonfinite_updates: bool = True  # hold params when loss/grads go NaN/Inf
+    profile_steps: int = 0  # trace this many steps with jax.profiler
+    profile_start_step: int = 10
+
     # logging / checkpointing
     logging_steps: int = 1
     save_strategy: str = "epoch"  # epoch | steps | no

@@ -160,6 +160,19 @@ class Trainer:
             grad_norm = optax.global_norm(grads)
             updates, new_opt = tx.update(grads, state.opt_state, params)
             new_params = optax.apply_updates(params, updates)
+            if self.config.skip_nonfinite_updates:
+                # NaN/Inf guard: keep the old params/opt state for a bad step
+                # (the reference only filters the LOGGED loss,
+                # contrastive_trainer.py:532-544; this also protects training)
+                ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+                new_params = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old), new_params, params
+                )
+                new_opt = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old),
+                    new_opt,
+                    state.opt_state,
+                )
             new_state = TrainState(
                 step=state.step + 1, params=new_params, opt_state=new_opt
             )
@@ -227,7 +240,27 @@ class Trainer:
                 batch = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs, axis=0), *micros
                 )
+                if (
+                    cfg.profile_steps
+                    and global_step == cfg.profile_start_step
+                    and jax.process_index() == 0
+                ):
+                    jax.profiler.start_trace(
+                        os.path.join(cfg.output_dir, "profile")
+                    )
+                t_step = time.time()
                 metrics = self.train_step(batch, rng)
+                metrics = {k: float(v) for k, v in metrics.items()}  # block
+                step_time = time.time() - t_step
+                if (
+                    cfg.profile_steps
+                    and global_step == cfg.profile_start_step + cfg.profile_steps
+                    and jax.process_index() == 0
+                ):
+                    jax.profiler.stop_trace()
+                    logger.info(
+                        "profiler trace written to %s/profile", cfg.output_dir
+                    )
                 global_step += 1
                 step_in_epoch += 1
 
@@ -246,6 +279,10 @@ class Trainer:
                     for k, v in metrics.items():
                         if k not in ("loss", "grad_norm"):
                             logs[k] = float(v)
+                    logs["step_time"] = round(step_time, 4)
+                    logs["samples_per_sec"] = round(
+                        micro_global * accum / step_time, 2
+                    )
                     self._log(logs)
 
                 if (
