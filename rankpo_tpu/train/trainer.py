@@ -109,6 +109,7 @@ class Trainer:
         self.state = init_fn(params)
 
         self._step_fn = self._build_step()
+        self._eval_fn = None
         self._history: List[Dict] = []
         self._log_buffer: List[Dict] = []
 
@@ -191,6 +192,50 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def evaluate(self, dataset, collator, *, batch_size: Optional[int] = None) -> Dict[str, float]:
+        """Loss/metric evaluation pass without gradients (the analog of the
+        reference RankPO prediction_step, rankpo_trainer.py:590-624). Returns
+        eval_-prefixed means over the dataset."""
+        if self._eval_fn is None:
+            loss_fn = self.loss_fn
+            rep = NamedSharding(self.mesh, P())
+            batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+
+            def eval_step(params, batch):
+                loss, metrics = loss_fn(params, batch, None)
+                out = dict(metrics)
+                out["loss"] = loss
+                return out
+
+            self._eval_fn = jax.jit(
+                eval_step,
+                in_shardings=(self.state_shardings.params, batch_sharding),
+                out_shardings=rep,
+            )
+        cfg = self.config
+        micro_global = batch_size or (
+            cfg.per_device_train_batch_size * self.mesh.devices.size
+        )
+        loader = DataLoader(
+            dataset,
+            collator,
+            batch_size=micro_global,
+            shuffle=False,
+            drop_last=True,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in loader.epoch(0):
+            metrics = self._eval_fn(self.state.params, batch)
+            for key, value in metrics.items():
+                sums[key] = sums.get(key, 0.0) + float(value)
+            n += 1
+        if n == 0:
+            return {}
+        return {f"eval_{k}": v / n for k, v in sums.items()}
+
     def train_step(self, batch, rng) -> Dict[str, float]:
         """One optimizer step on a [accum, B_global, ...] microbatch stack."""
         self.state, metrics = self._step_fn(self.state, batch, rng)

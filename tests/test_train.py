@@ -257,3 +257,9 @@ class TestTrainerRankPO:
         assert history[-1]["loss"] < history[0]["loss"]
         assert "rewards/accuracies" in history[0]
         assert "rankpo_loss" in history[0]
+
+        # eval pass (prediction_step analog)
+        eval_metrics = trainer.evaluate(ds, coll)
+        assert "eval_loss" in eval_metrics
+        assert "eval_rewards/accuracies" in eval_metrics
+        assert np.isfinite(eval_metrics["eval_loss"])
