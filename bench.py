@@ -19,9 +19,9 @@ import numpy as np
 
 N_CORPUS = 100_000
 DIM = 1024
-N_QUERIES = 1024
+N_QUERIES = 4096
 K = 100
-BATCH = 256
+BATCH = 1024  # large batches amortize dispatch; dense path [1024, 100k] = 400MB
 CPU_QUERY_SAMPLE = 64  # measure CPU on a subset, scale QPS
 
 
@@ -35,15 +35,32 @@ def _make_data():
 
 
 def _cpu_qps(corpus: np.ndarray, queries: np.ndarray) -> float:
+    """Best of: C++ multithreaded heap top-k (FAISS-flat class) and numpy BLAS
+    matmul + argpartition. Take the faster as the honest baseline."""
     sub = queries[:CPU_QUERY_SAMPLE]
+
+    def numpy_path():
+        scores = sub @ corpus.T
+        part = np.argpartition(-scores, kth=K - 1, axis=1)[:, :K]
+        ps = np.take_along_axis(scores, part, axis=1)
+        order = np.argsort(-ps, axis=1, kind="stable")
+        np.take_along_axis(part, order, axis=1)
+
     t0 = time.perf_counter()
-    scores = sub @ corpus.T
-    part = np.argpartition(-scores, kth=K - 1, axis=1)[:, :K]
-    ps = np.take_along_axis(scores, part, axis=1)
-    order = np.argsort(-ps, axis=1, kind="stable")
-    np.take_along_axis(part, order, axis=1)
-    dt = time.perf_counter() - t0
-    return len(sub) / dt
+    numpy_path()
+    qps_numpy = len(sub) / (time.perf_counter() - t0)
+
+    qps_native = 0.0
+    try:
+        from rankpo_tpu.native import native_topk_ip
+
+        native_topk_ip(corpus[:1000], sub[:4], K)  # warm build
+        t0 = time.perf_counter()
+        native_topk_ip(corpus, sub, K)
+        qps_native = len(sub) / (time.perf_counter() - t0)
+    except Exception:
+        pass
+    return max(qps_numpy, qps_native)
 
 
 def _device_qps(corpus: np.ndarray, queries: np.ndarray) -> tuple:

@@ -22,6 +22,32 @@ import jax.numpy as jnp
 
 NEG_INF = jnp.float32(-jnp.inf)
 
+# below this score-matrix footprint (bytes) the dense path wins: one big MXU
+# matmul + a single top_k beats the sequential block scan (profiled on v5e:
+# dense 14.5ms vs scan 26ms for [256, 100k]); above it, stream blocks.
+DENSE_SCORE_BUDGET = 1 << 31  # 2 GB
+
+
+def dense_matmul_topk(
+    queries: jax.Array,
+    corpus: jax.Array,
+    *,
+    k: int,
+    n_valid: int | jax.Array | None = None,
+    index_offset: int | jax.Array = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full [Q, N] score matrix + one exact top_k. Fastest when it fits HBM."""
+    n = corpus.shape[0]
+    k = min(k, n)
+    scores = jnp.einsum(
+        "qd,nd->qn", queries, corpus, preferred_element_type=jnp.float32
+    )
+    if n_valid is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        scores = jnp.where(col < n_valid, scores, NEG_INF)
+    top_scores, idx = jax.lax.top_k(scores, k)
+    return top_scores, idx + jnp.int32(index_offset)
+
 
 def matmul_topk(
     queries: jax.Array,
@@ -33,6 +59,7 @@ def matmul_topk(
     block_size: int = 4096,
     use_pallas: bool = False,
     vary_axes: tuple = (),
+    allow_dense: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """queries [Q, D], corpus [N, D] -> (scores [Q, k] fp32, indices [Q, k] int32).
 
@@ -52,6 +79,12 @@ def matmul_topk(
                 n_valid=n_valid,
                 index_offset=index_offset,
             )
+
+    # dense fast path when the score matrix fits the budget
+    if allow_dense and queries.shape[0] * corpus.shape[0] * 4 <= DENSE_SCORE_BUDGET:
+        return dense_matmul_topk(
+            queries, corpus, k=k, n_valid=n_valid, index_offset=index_offset
+        )
     n, d = corpus.shape
     q = queries.shape[0]
     k = min(k, n)

@@ -23,15 +23,26 @@ def _random_corpus(n, d, seed=0, normalize=True):
 
 
 class TestMatmulTopk:
-    def test_matches_dense_topk(self):
+    @pytest.mark.parametrize("allow_dense", [True, False])
+    def test_matches_dense_topk(self, allow_dense):
         corpus = _random_corpus(1000, 32, 0)
         queries = _random_corpus(17, 32, 1)
         s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=10,
-                           block_size=128)
+                           block_size=128, allow_dense=allow_dense)
         dense = queries @ corpus.T
         ds, di = jax.lax.top_k(jnp.asarray(dense), 10)
         np.testing.assert_allclose(np.asarray(s), np.asarray(ds), atol=1e-5)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(di))
+
+    def test_scan_equals_dense_path(self):
+        corpus = _random_corpus(2000, 16, 8)
+        queries = _random_corpus(9, 16, 9)
+        sd, idn = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=25,
+                              allow_dense=True)
+        ss, ids = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=25,
+                              block_size=256, allow_dense=False)
+        np.testing.assert_array_equal(np.asarray(idn), np.asarray(ids))
+        np.testing.assert_allclose(np.asarray(sd), np.asarray(ss), atol=1e-5)
 
     def test_n_valid_masks_padding(self):
         corpus = np.zeros((100, 8), np.float32)
