@@ -1,0 +1,93 @@
+"""HTTP retrieval server: /search over a mesh-sharded FlatIP index.
+
+POST /search {"queries": ["..."], "k": 10} -> {"results": [...]}
+GET  /healthz -> {"status": "ok", "ntotal": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from rankpo_tpu.cli.arguments import resolve_tokenizer
+from rankpo_tpu.core.mesh import local_mesh
+from rankpo_tpu.data.datasets import load_eval_corpus
+from rankpo_tpu.index import InferenceEncoder
+from rankpo_tpu.models import load_pretrained
+from rankpo_tpu.serve import RetrievalService
+from rankpo_tpu.utils.logging import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def make_handler(service: RetrievalService):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok", "ntotal": service.ntotal})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/search":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                queries = req["queries"]
+                k = int(req.get("k", 10))
+                results = service.query(queries, k=k)
+                self._reply(200, {"results": results})
+            except Exception as e:  # surface errors as JSON
+                self._reply(400, {"error": str(e)})
+
+        def log_message(self, fmt, *args):
+            logger.info("%s - %s", self.address_string(), fmt % args)
+
+    return Handler
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_name_or_path", required=True)
+    parser.add_argument("--tokenizer_name", default=None)
+    parser.add_argument("--corpus_data", required=True)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--max_query_length", type=int, default=512)
+    parser.add_argument("--max_passage_length", type=int, default=512)
+    parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--log_level", default="info")
+    args = parser.parse_args(argv)
+
+    setup_logging(args.log_level)
+    mesh = local_mesh()
+    config, params = load_pretrained(args.model_name_or_path)
+    tokenizer = resolve_tokenizer(args.tokenizer_name, args.model_name_or_path)
+    encoder = InferenceEncoder(config, params, tokenizer, mesh=mesh)
+    service = RetrievalService(
+        encoder, mesh=mesh, max_query_length=args.max_query_length
+    )
+    corpus = load_eval_corpus(args.corpus_data)
+    service.build_index(
+        corpus, max_passage_length=args.max_passage_length,
+        batch_size=args.batch_size,
+    )
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    logger.info("serving %d passages on %s:%d", service.ntotal, args.host, args.port)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Retrieval serving: encoder + sharded index behind one query API.
+
+The pod-scale serving target of BASELINE.json ("multi-million-passage sharded
+matmul+top-k index"): the corpus lives sharded in HBM across the mesh; queries
+are encoded and searched without leaving the device between the two steps.
+The reference has no serving path at all (its closest is the offline
+evaluate.py loop) — this is the productionized form of the same
+encode→search→rank pipeline, reusing the exact components evaluation and
+mining use, so serving scores are bit-identical to evaluation scores.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from rankpo_tpu.index import FlatIPIndex, InferenceEncoder
+
+logger = logging.getLogger(__name__)
+
+
+class RetrievalService:
+    def __init__(
+        self,
+        encoder: InferenceEncoder,
+        *,
+        mesh=None,
+        max_query_length: int = 512,
+        query_batch_size: int = 64,
+    ):
+        self.encoder = encoder
+        self.mesh = mesh
+        self.max_query_length = max_query_length
+        self.query_batch_size = query_batch_size
+        self.index: Optional[FlatIPIndex] = None
+        self.corpus_texts: List[str] = []
+
+    @classmethod
+    def from_pretrained(cls, model_path: str, tokenizer=None, mesh=None, **kwargs):
+        encoder = InferenceEncoder.from_pretrained(
+            model_path, tokenizer=tokenizer, mesh=mesh
+        )
+        return cls(encoder, mesh=mesh, **kwargs)
+
+    # ------------------------------------------------------------------
+    def build_index(
+        self,
+        corpus_texts: Sequence[str],
+        *,
+        max_passage_length: int = 512,
+        batch_size: int = 256,
+    ) -> None:
+        """Encode the corpus on the mesh and pin it sharded in HBM."""
+        t0 = time.time()
+        embeddings = self.encoder.encode(
+            list(corpus_texts),
+            batch_size=batch_size,
+            max_length=max_passage_length,
+            description="Indexing corpus",
+        )
+        self.index = FlatIPIndex(embeddings, mesh=self.mesh)
+        self.corpus_texts = list(corpus_texts)
+        logger.info(
+            "indexed %d passages in %.1fs", len(corpus_texts), time.time() - t0
+        )
+
+    def load_index(self, embeddings: np.ndarray, corpus_texts: Sequence[str]):
+        """Attach a prebuilt embedding matrix (e.g. from an offline encode)."""
+        self.index = FlatIPIndex(embeddings, mesh=self.mesh)
+        self.corpus_texts = list(corpus_texts)
+
+    # ------------------------------------------------------------------
+    def query(
+        self,
+        texts: Sequence[str] | str,
+        k: int = 10,
+        *,
+        return_passages: bool = True,
+    ) -> List[Dict]:
+        """Top-k passages per query text."""
+        if self.index is None:
+            raise RuntimeError("no index built; call build_index first")
+        single = isinstance(texts, str)
+        if single:
+            texts = [texts]
+        q_emb = self.encoder.encode(
+            list(texts),
+            batch_size=min(self.query_batch_size, max(len(texts), 1)),
+            max_length=self.max_query_length,
+            description="Encoding queries",
+        )
+        scores, indices = self.index.search(
+            q_emb, k=k, batch_size=self.query_batch_size
+        )
+        results = []
+        for qi in range(len(texts)):
+            hits = []
+            for score, idx in zip(scores[qi], indices[qi]):
+                hit = {"index": int(idx), "score": float(score)}
+                if return_passages:
+                    hit["passage"] = self.corpus_texts[int(idx)]
+                hits.append(hit)
+            results.append({"query": texts[qi], "hits": hits})
+        return results[0] if single else results
+
+    @property
+    def ntotal(self) -> int:
+        return self.index.ntotal if self.index is not None else 0

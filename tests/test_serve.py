@@ -1,0 +1,89 @@
+"""Serving tests: RetrievalService library API and the HTTP endpoint."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rankpo_tpu.data import HashTokenizer
+from rankpo_tpu.index import InferenceEncoder
+from rankpo_tpu.models import init_params, tiny_llama_config
+from rankpo_tpu.serve import RetrievalService
+
+
+@pytest.fixture(scope="module")
+def service(data_mesh):
+    cfg = tiny_llama_config(vocab_size=256)
+    params = init_params(jax.random.key(0), cfg)
+    tok = HashTokenizer(vocab_size=256)
+    encoder = InferenceEncoder(cfg, params, tok, mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+    svc = RetrievalService(encoder, mesh=data_mesh, max_query_length=16,
+                           query_batch_size=8)
+    corpus = [f"document {i} on distinct topic {i}" for i in range(32)]
+    svc.build_index(corpus, max_passage_length=16, batch_size=8)
+    return svc
+
+
+class TestRetrievalService:
+    def test_query_single(self, service):
+        res = service.query("document 7 on distinct topic 7", k=3)
+        assert res["hits"][0]["index"] == 7
+        assert res["hits"][0]["score"] == pytest.approx(1.0, abs=1e-4)
+        assert res["hits"][0]["passage"].startswith("document 7")
+
+    def test_query_batch(self, service):
+        res = service.query(
+            ["document 3 on distinct topic 3", "document 19 on distinct topic 19"],
+            k=2,
+        )
+        assert [r["hits"][0]["index"] for r in res] == [3, 19]
+
+    def test_query_without_index_raises(self, data_mesh):
+        cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(0), cfg)
+        enc = InferenceEncoder(cfg, params, HashTokenizer(256), mesh=data_mesh,
+                               compute_dtype=jnp.float32)
+        svc = RetrievalService(enc, mesh=data_mesh)
+        with pytest.raises(RuntimeError):
+            svc.query("x")
+
+    def test_load_prebuilt_index(self, service, data_mesh):
+        emb = np.eye(8, 64, dtype=np.float32)
+        svc = RetrievalService(service.encoder, mesh=data_mesh,
+                               max_query_length=16)
+        svc.load_index(emb, [f"p{i}" for i in range(8)])
+        assert svc.ntotal == 8
+
+
+class TestHTTPServer:
+    def test_search_endpoint(self, service):
+        from http.server import ThreadingHTTPServer
+        from rankpo_tpu.cli.serve import make_handler
+
+        server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+                health = json.loads(r.read())
+            assert health["status"] == "ok" and health["ntotal"] == 32
+
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps(
+                    {"queries": ["document 5 on distinct topic 5"], "k": 2}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            assert body["results"][0]["hits"][0]["index"] == 5
+        finally:
+            server.shutdown()
