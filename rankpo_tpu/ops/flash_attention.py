@@ -3,17 +3,25 @@
 Replaces the reference's flash-attn-2 CUDA dependency (src/modeling.py:145-146,
 README.md:81) for the encoder hot loop at seq 1280/4096. Design:
 
-  - grid (batch·heads, q_blocks); one q tile in VMEM per step, K/V for the
-    (batch, head) pinned in VMEM across q-block steps (the index map repeats, so
-    the pipeline doesn't re-DMA); key blocks are looped INSIDE the kernel with
-    online softmax (running max/sum + rescaled accumulator, all fp32).
+  - grid (batch·heads, q_blocks), q-blocks innermost; one q tile in VMEM per
+    step, K/V for the (batch, head) pinned in VMEM across q-block steps (the
+    index map repeats, so the pipeline doesn't re-DMA); key blocks are looped
+    INSIDE the kernel with online softmax (running max/sum + rescaled
+    accumulator, all fp32).
   - GQA is zero-copy: the K/V BlockSpec index map divides the head index by the
     group count instead of materializing repeated heads.
-  - padding: a per-row key-validity mask [B, Sk] (the collators right-pad);
-    causal masking for the Llama decoder-as-encoder path with whole-block
-    skipping above the diagonal.
+  - padding: a per-row key-validity mask (the collators right-pad); causal
+    masking for the Llama decoder-as-encoder path with whole-block skipping
+    above the diagonal.
   - backward: standard FA2 two-kernel scheme — dq over q blocks, dkv over key
     blocks — recomputing probabilities from the saved logsumexp.
+
+TPU tiling notes: the last two dims of every block must be (multiple of 8,
+multiple of 128) or equal the full array dims. Row-vector stats therefore
+use: 8-sublane shared blocks for read-only inputs (mask/lse/delta as
+[ceil8(BH), S] with block (8, S), the kernel picking row ``bh % 8``), and a
+128-lane broadcast layout for the lse OUTPUT ([BH, Sq, 128], lane 0 sliced off
+afterwards) — the same layout jax's shipped TPU kernel uses for l/m.
 
 The XLA fallback in rankpo_tpu/ops/attention.py remains the correctness oracle;
 tests run this kernel in interpret mode on CPU against it (values and grads).
@@ -30,9 +38,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LANES = 128
+SUBLANES = 8
 
 DEFAULT_Q_BLOCK = 256
 DEFAULT_K_BLOCK = 512
+
+
+def _row(ref):
+    """The kernel's row inside an 8-sublane shared stats block."""
+    return pl.program_id(0) % SUBLANES
 
 
 def _fwd_kernel(
@@ -44,6 +59,7 @@ def _fwd_kernel(
     n_kb = sk // k_block
     qi = pl.program_id(1)
     q_offset = qi * bq
+    mask_row = _row(mask_ref)
 
     m = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
@@ -57,7 +73,7 @@ def _fwd_kernel(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [Bq, Bk]
-        key_valid = mask_ref[0, pl.ds(kb * k_block, k_block)]  # [Bk]
+        key_valid = mask_ref[mask_row, pl.ds(kb * k_block, k_block)]  # [Bk]
         valid = jnp.broadcast_to(key_valid[None, :] != 0, s.shape)
         if causal:
             q_pos = q_offset + jax.lax.broadcasted_iota(
@@ -89,7 +105,8 @@ def _fwd_kernel(
 
     l_safe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros, not NaN
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = (m + jnp.log(l_safe))[:, 0]
+    lse = m + jnp.log(l_safe)  # [Bq, 1]
+    lse_ref[0] = jnp.broadcast_to(lse, (bq, LANES))
 
 
 def _dq_kernel(
@@ -98,13 +115,15 @@ def _dq_kernel(
 ):
     q = q_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][:, None]
-    delta = delta_ref[0][:, None]
     bq, d = q.shape
     sk = k_ref.shape[1]
     n_kb = sk // k_block
     qi = pl.program_id(1)
     q_offset = qi * bq
+    row = _row(lse_ref)
+    lse = lse_ref[row, pl.ds(q_offset, bq)][:, None]
+    delta = delta_ref[row, pl.ds(q_offset, bq)][:, None]
+    mask_row = _row(mask_ref)
 
     def body(kb, dq):
         k_blk = k_ref[0, pl.ds(kb * k_block, k_block), :].astype(jnp.float32)
@@ -113,7 +132,7 @@ def _dq_kernel(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        key_valid = mask_ref[0, pl.ds(kb * k_block, k_block)]
+        key_valid = mask_ref[mask_row, pl.ds(kb * k_block, k_block)]
         valid = jnp.broadcast_to(key_valid[None, :] != 0, s.shape)
         if causal:
             q_pos = q_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -151,14 +170,15 @@ def _dkv_kernel(
     n_qb = sq // q_block
     ki = pl.program_id(1)
     k_offset = ki * bk
-    key_valid = mask_ref[0, pl.ds(k_offset, bk)]
+    key_valid = mask_ref[_row(mask_ref), pl.ds(k_offset, bk)]
+    stats_row = _row(lse_ref)
 
     def body(qb, carry):
         dk, dv = carry
         q_blk = q_ref[0, pl.ds(qb * q_block, q_block), :].astype(jnp.float32)
         do_blk = do_ref[0, pl.ds(qb * q_block, q_block), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(qb * q_block, q_block)][:, None]
-        delta = delta_ref[0, pl.ds(qb * q_block, q_block)][:, None]
+        lse = lse_ref[stats_row, pl.ds(qb * q_block, q_block)][:, None]
+        delta = delta_ref[stats_row, pl.ds(qb * q_block, q_block)][:, None]
         s = scale * jax.lax.dot_general(
             q_blk, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -186,8 +206,7 @@ def _dkv_kernel(
         return dk_new, dv_new
 
     if causal:
-        first_qb = k_offset // q_block  # q blocks strictly above diagonal see no keys here
-        start = first_qb
+        start = k_offset // q_block  # q blocks strictly above diagonal see no keys here
     else:
         start = 0
     dk, dv = jax.lax.fori_loop(
@@ -202,15 +221,6 @@ def _dkv_kernel(
 # Host-side wrappers
 # ---------------------------------------------------------------------------
 
-def _pad_to(x, size, axis):
-    pad = (-x.shape[axis]) % size
-    if pad == 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
-
-
 def _flatten_heads(x):
     # [B, S, H, D] -> [B*H, S, D]
     b, s, h, d = x.shape
@@ -222,9 +232,22 @@ def _unflatten_heads(x, b, h):
     return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7)
-)
+def _pad_rows8(x):
+    """Pad dim 0 to a multiple of 8 (sublane requirement for shared stats)."""
+    pad = (-x.shape[0]) % SUBLANES
+    if pad == 0:
+        return x
+    widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths)
+
+
+def _stats_spec(s):
+    """Read-only stats BlockSpec: [ceil8(BH), S] with 8-sublane shared blocks;
+    the kernel picks row program_id(0) % 8."""
+    return pl.BlockSpec((SUBLANES, s), lambda bhi, i: (bhi // SUBLANES, 0))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash(q, k, v, mask, causal, q_block, k_block, interpret):
     out, _lse = _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret)
     return out
@@ -240,26 +263,26 @@ def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret):
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, k_block=k_block
     )
-    out, lse = pl.pallas_call(
+    out, lse3 = pl.pallas_call(
         kernel,
         grid=(bh, n_qb),
         in_specs=[
             pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
             pl.BlockSpec((1, sk, d), lambda bhi, qi, g=groups: (bhi // g, 0, 0)),
             pl.BlockSpec((1, sk, d), lambda bhi, qi, g=groups: (bhi // g, 0, 0)),
-            pl.BlockSpec((1, sk), lambda bhi, qi: (bhi, 0)),
+            _stats_spec(sk),
         ],
         out_specs=[
             pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
-            pl.BlockSpec((1, q_block), lambda bhi, qi: (bhi, qi)),
+            pl.BlockSpec((1, q_block, LANES), lambda bhi, qi: (bhi, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, sq), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sq, LANES), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, mask)
-    return out, lse
+    )(q, k, v, _pad_rows8(mask))
+    return out, lse3[:, :, 0]
 
 
 def _flash_fwd(q, k, v, mask, causal, q_block, k_block, interpret):
@@ -275,6 +298,10 @@ def _flash_bwd(causal, q_block, k_block, interpret, res, g):
     scale = 1.0 / (d**0.5)
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
 
+    mask8 = _pad_rows8(mask)
+    lse8 = _pad_rows8(lse)
+    delta8 = _pad_rows8(delta)
+
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal, k_block=k_block),
         grid=(bh, sq // q_block),
@@ -282,18 +309,18 @@ def _flash_bwd(causal, q_block, k_block, interpret, res, g):
             pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
             pl.BlockSpec((1, sk, d), lambda bhi, qi, g_=groups: (bhi // g_, 0, 0)),
             pl.BlockSpec((1, sk, d), lambda bhi, qi, g_=groups: (bhi // g_, 0, 0)),
-            pl.BlockSpec((1, sk), lambda bhi, qi: (bhi, 0)),
+            _stats_spec(sk),
             pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
-            pl.BlockSpec((1, q_block), lambda bhi, qi: (bhi, qi)),
-            pl.BlockSpec((1, q_block), lambda bhi, qi: (bhi, qi)),
+            _stats_spec(sq),
+            _stats_spec(sq),
         ],
         out_specs=pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         interpret=interpret,
-    )(q, k, v, mask, g, lse, delta)
+    )(q, k, v, mask8, g, lse8, delta8)
 
-    # dk/dv computed per (kv head, key block); every query head in the group
-    # contributes, so grid runs over query heads and results are summed.
+    # dk/dv per (query head, key block); every query head in a GQA group
+    # contributes, so the grid runs over query heads and results are summed.
     dk_per_head, dv_per_head = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal, q_block=q_block),
         grid=(bh, sk // k_block),
@@ -301,10 +328,10 @@ def _flash_bwd(causal, q_block, k_block, interpret, res, g):
             pl.BlockSpec((1, sq, d), lambda bhi, ki: (bhi, 0, 0)),
             pl.BlockSpec((1, k_block, d), lambda bhi, ki, g_=groups: (bhi // g_, ki, 0)),
             pl.BlockSpec((1, k_block, d), lambda bhi, ki, g_=groups: (bhi // g_, ki, 0)),
-            pl.BlockSpec((1, sk), lambda bhi, ki: (bhi, 0)),
+            _stats_spec(sk),
             pl.BlockSpec((1, sq, d), lambda bhi, ki: (bhi, 0, 0)),
-            pl.BlockSpec((1, sq), lambda bhi, ki: (bhi, 0)),
-            pl.BlockSpec((1, sq), lambda bhi, ki: (bhi, 0)),
+            _stats_spec(sq),
+            _stats_spec(sq),
         ],
         out_specs=[
             pl.BlockSpec((1, k_block, d), lambda bhi, ki: (bhi, ki, 0)),
@@ -315,7 +342,7 @@ def _flash_bwd(causal, q_block, k_block, interpret, res, g):
             jax.ShapeDtypeStruct((bh, sk, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, mask, g, lse, delta)
+    )(q, k, v, mask8, g, lse8, delta8)
 
     if groups > 1:
         dk = dk_per_head.reshape(bhkv, groups, sk, d).sum(axis=1)
@@ -345,16 +372,14 @@ def flash_attention(
         interpret = jax.default_backend() != "tpu"
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
-    groups = hq // hkv
 
     if mask is None:
         mask = jnp.ones((b, sk), jnp.int32)
     mask = mask.astype(jnp.int32)
 
-    q_block = min(q_block, sq) if sq % q_block else q_block
-    k_block = min(k_block, sk) if sk % k_block else k_block
-    q_block = min(q_block, 1 << (sq - 1).bit_length(), sq)
-    k_block = min(k_block, 1 << (sk - 1).bit_length(), sk)
+    # shrink blocks until they divide the sequence lengths (static shapes)
+    q_block = min(q_block, sq)
+    k_block = min(k_block, sk)
     while sq % q_block:
         q_block //= 2
     while sk % k_block:
@@ -363,7 +388,7 @@ def flash_attention(
     qf = _flatten_heads(q)
     kf = _flatten_heads(k)
     vf = _flatten_heads(v)
-    # per-(batch·query-head) mask rows so BlockSpec indexing stays trivial
+    # per-(batch·query-head) mask rows so stats indexing stays trivial
     mask_bh = jnp.repeat(mask, hq, axis=0)
 
     out = _flash(qf, kf, vf, mask_bh, causal, q_block, k_block, interpret)
