@@ -197,6 +197,34 @@ def test_random_negatives_cli(workspace):
     assert len(rows) == 8 and all(len(r["negatives"]) == 4 for r in rows)
 
 
+def test_iteration_pipeline(workspace, tmp_path):
+    """The stage-1 iteration driver: bootstrap -> train -> mine -> retrain."""
+    root, base_model = workspace
+    from rankpo_tpu.cli.run_pipeline import main as run_pipeline
+
+    out = str(tmp_path / "pipeline")
+    final = run_pipeline([
+        "--model_name_or_path", base_model,
+        "--tokenizer_name", TOK,
+        "--raw_data", str(root / "mining.jsonl"),
+        "--output_dir", out,
+        "--iterations", "2",
+        "--num_negatives", "2",
+        "--search_range", "0-8",
+        "--num_train_epochs", "1",
+        "--per_device_train_batch_size", "1",
+        "--learning_rate", "1e-3",
+        "--temperature", "0.05",
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--batch_size", "8",
+    ])
+    assert os.path.isfile(os.path.join(final, "model.safetensors"))
+    assert os.path.isfile(os.path.join(out, "train_iter0.jsonl"))
+    assert os.path.isdir(os.path.join(out, "mined_iter0"))
+    assert os.path.isdir(os.path.join(out, "iter1"))
+
+
 def test_output_dir_guard(workspace):
     root, base_model = workspace
     from rankpo_tpu.cli.run_contrastive import main as run_contrastive
