@@ -42,7 +42,7 @@ LANES = 128
 SUBLANES = 8
 
 DEFAULT_Q_BLOCK = 256
-DEFAULT_K_BLOCK = 512
+DEFAULT_K_BLOCK = 1024
 
 
 def _row(ref):
@@ -53,7 +53,7 @@ def _row(ref):
 def _fwd_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, causal, k_block
 ):
-    q = q_ref[0].astype(jnp.float32) * scale  # [Bq, D]
+    q = q_ref[0]  # [Bq, D] in input dtype — keep dots on the bf16 MXU path
     bq, d = q.shape
     sk = k_ref.shape[1]
     n_kb = sk // k_block
@@ -67,12 +67,12 @@ def _fwd_kernel(
 
     def body(kb, carry):
         m, l, acc = carry
-        k_blk = k_ref[0, pl.ds(kb * k_block, k_block), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * k_block, k_block), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
+        k_blk = k_ref[0, pl.ds(kb * k_block, k_block), :]
+        v_blk = v_ref[0, pl.ds(kb * k_block, k_block), :]
+        s = scale * jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [Bq, Bk]
+        )  # [Bq, Bk] fp32 accumulation off the bf16 MXU
         key_valid = mask_ref[mask_row, pl.ds(kb * k_block, k_block)]  # [Bk]
         valid = jnp.broadcast_to(key_valid[None, :] != 0, s.shape)
         if causal:
@@ -90,7 +90,7 @@ def _fwd_kernel(
         p = jnp.exp(s - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
@@ -113,8 +113,8 @@ def _dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
     *, scale, causal, k_block,
 ):
-    q = q_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    do = do_ref[0]
     bq, d = q.shape
     sk = k_ref.shape[1]
     n_kb = sk // k_block
@@ -126,8 +126,8 @@ def _dq_kernel(
     mask_row = _row(mask_ref)
 
     def body(kb, dq):
-        k_blk = k_ref[0, pl.ds(kb * k_block, k_block), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(kb * k_block, k_block), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(kb * k_block, k_block), :]
+        v_blk = v_ref[0, pl.ds(kb * k_block, k_block), :]
         s = scale * jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -146,7 +146,7 @@ def _dq_kernel(
         )
         ds = p * (dp - delta) * scale
         return dq + jax.lax.dot_general(
-            ds, k_blk, (((1,), (0,)), ((), ())),
+            ds.astype(k_blk.dtype), k_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -163,8 +163,8 @@ def _dkv_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     *, scale, causal, q_block,
 ):
-    k = k_ref[0].astype(jnp.float32)  # [Bk, D]
-    v = v_ref[0].astype(jnp.float32)
+    k = k_ref[0]  # [Bk, D]
+    v = v_ref[0]
     bk, d = k.shape
     sq = q_ref.shape[1]
     n_qb = sq // q_block
@@ -175,8 +175,8 @@ def _dkv_kernel(
 
     def body(qb, carry):
         dk, dv = carry
-        q_blk = q_ref[0, pl.ds(qb * q_block, q_block), :].astype(jnp.float32)
-        do_blk = do_ref[0, pl.ds(qb * q_block, q_block), :].astype(jnp.float32)
+        q_blk = q_ref[0, pl.ds(qb * q_block, q_block), :]
+        do_blk = do_ref[0, pl.ds(qb * q_block, q_block), :]
         lse = lse_ref[stats_row, pl.ds(qb * q_block, q_block)][:, None]
         delta = delta_ref[stats_row, pl.ds(qb * q_block, q_block)][:, None]
         s = scale * jax.lax.dot_general(
@@ -191,7 +191,7 @@ def _dkv_kernel(
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse)
         dv_new = dv + jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())),
+            p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
@@ -200,7 +200,7 @@ def _dkv_kernel(
         )
         ds = p * (dp - delta) * scale
         dk_new = dk + jax.lax.dot_general(
-            ds, q_blk, (((0,), (0,)), ((), ())),
+            ds.astype(q_blk.dtype), q_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return dk_new, dv_new
