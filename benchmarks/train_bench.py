@@ -1,0 +1,118 @@
+"""Contrastive train-step throughput on real hardware (samples/sec/chip).
+
+BASELINE.md tracks contrastive samples/sec/chip (no published reference number
+exists). Run: python benchmarks/train_bench.py [--attn xla|flash] [--seq N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--attn", default="auto", choices=["auto", "xla", "flash"])
+    parser.add_argument("--hidden", type=int, default=1024)
+    parser.add_argument("--layers", type=int, default=8)
+    parser.add_argument("--heads", type=int, default=16)
+    parser.add_argument("--kv_heads", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--group", type=int, default=4)  # 1 pos + 3 neg
+    parser.add_argument("--q_seq", type=int, default=512)
+    parser.add_argument("--p_seq", type=int, default=1024)
+    parser.add_argument("--steps", type=int, default=5)
+    parser.add_argument("--remat", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rankpo_tpu.core.mesh import local_mesh
+    from rankpo_tpu.models import EncoderConfig, init_params
+    from rankpo_tpu.train import TrainConfig, Trainer, make_contrastive_loss_fn
+
+    config = EncoderConfig(
+        model_type="llama",
+        vocab_size=32000,
+        hidden_size=args.hidden,
+        intermediate_size=args.hidden * 3,
+        num_hidden_layers=args.layers,
+        num_attention_heads=args.heads,
+        num_key_value_heads=args.kv_heads,
+        max_position_embeddings=8192,
+        rope_theta=500000.0,
+        pad_token_id=0,
+        architectures=("LlamaModel",),
+        pooling="last_token",
+    )
+    mesh = local_mesh()
+    n_dev = mesh.devices.size
+    params = init_params(jax.random.key(0), config)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+    loss_fn = make_contrastive_loss_fn(
+        config,
+        temperature=0.02,
+        compute_dtype=jnp.bfloat16,
+        remat=args.remat,
+        attn_impl=args.attn,
+    )
+    cfg = TrainConfig(
+        output_dir="/tmp/train_bench",
+        learning_rate=1e-5,
+        warmup_ratio=0.0,
+        lr_scheduler_type="constant",
+        per_device_train_batch_size=args.batch,
+        save_strategy="no",
+    )
+    trainer = Trainer(
+        loss_fn=loss_fn, params=params, mesh=mesh, config=cfg, total_steps=100
+    )
+
+    b = args.batch * n_dev
+    rng = np.random.RandomState(0)
+
+    def block(rows, seq):
+        return {
+            "input_ids": rng.randint(5, 32000, (1, rows, seq)).astype(np.int32),
+            "attention_mask": np.ones((1, rows, seq), np.int32),
+        }
+
+    batch = {
+        "query": block(b, args.q_seq),
+        "passage": block(b * args.group, args.p_seq),
+    }
+    key = jax.random.key(0)
+
+    metrics = trainer.train_step(batch, key)  # compile
+    _ = float(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        metrics = trainer.train_step(batch, key)
+    _ = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+
+    result = {
+        "metric": "contrastive_samples_per_sec_per_chip",
+        "value": round(b / dt / n_dev, 3),
+        "unit": "samples/sec/chip",
+        "step_time_s": round(dt, 4),
+        "params_m": round(n_params / 1e6, 1),
+        "attn": args.attn,
+        "config": {
+            "batch": b, "group": args.group,
+            "q_seq": args.q_seq, "p_seq": args.p_seq,
+            "hidden": args.hidden, "layers": args.layers, "remat": args.remat,
+        },
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
