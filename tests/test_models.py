@@ -176,6 +176,51 @@ class TestTorchParity:
         # only non-pad positions need to match (pad rows differ by mask conventions)
         np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], atol=2e-4)
 
+    def test_llama3_rope_scaling_parity(self, tmp_path):
+        """Llama-3.2 ships rope_scaling type 'llama3'; the wavelength-dependent
+        frequency rule must bit-match HF (SURVEY.md hard-part #3)."""
+        torch = pytest.importorskip("torch")
+        from transformers import LlamaConfig, LlamaModel
+
+        hf_cfg = LlamaConfig(
+            vocab_size=128,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=256,
+            rope_theta=500000.0,
+            rope_scaling={
+                "rope_type": "llama3",
+                "factor": 32.0,
+                "high_freq_factor": 4.0,
+                "low_freq_factor": 1.0,
+                "original_max_position_embeddings": 64,
+            },
+            pad_token_id=0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(1)
+        hf_model = LlamaModel(hf_cfg).eval()
+        hf_model.save_pretrained(str(tmp_path))
+
+        cfg, params = load_pretrained(str(tmp_path))
+        assert cfg.rope_scaling and cfg.rope_scaling.get("rope_type") == "llama3"
+        ids = np.array([[3, 5, 7, 9, 11, 13, 15, 17]])
+        mask = np.ones_like(ids)
+        with torch.no_grad():
+            ref = hf_model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        ours = np.asarray(
+            forward_hidden(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                compute_dtype=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
+
     def test_bert_parity(self, tmp_path):
         """BGE-small/base are BertModels — plain-arange positions, not the
         Roberta pad-offset rule."""
