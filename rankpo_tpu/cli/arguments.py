@@ -136,6 +136,14 @@ class RankPOArguments:
     loss_type: str = dataclasses.field(default="sigmoid")
     label_smoothing: float = dataclasses.field(default=0.0)
     disable_dropout: bool = dataclasses.field(default=True)
+    # optional PEFT path (reference rankpo_trainer.py:127-165)
+    use_lora: bool = dataclasses.field(default=False)
+    lora_r: int = dataclasses.field(default=8)
+    lora_alpha: float = dataclasses.field(default=16.0)
+    lora_target_modules: str = dataclasses.field(
+        default="q_proj,v_proj",
+        metadata={"help": "comma-joined stacked-kernel names to adapt"},
+    )
 
     def to_json_string(self):
         return _json_str(self)

@@ -77,7 +77,7 @@ def main(argv=None):
     )
 
     policy = policy_from_flags(train_cfg.bf16, train_cfg.pure_bf16)
-    loss_fn = make_rankpo_loss_fn(
+    inner_loss_fn = make_rankpo_loss_fn(
         config,
         beta=r_args.beta,
         gamma_beta_ratio=r_args.gamma_beta_ratio,
@@ -94,10 +94,40 @@ def main(argv=None):
         attn_impl=model_args.attn_impl,
     )
 
-    def save_params_fn(directory, host_params):
-        save_pretrained(directory, config, host_params)
-        if hasattr(tokenizer, "save_pretrained"):
-            tokenizer.save_pretrained(directory)
+    if r_args.use_lora:
+        from rankpo_tpu.models.lora import (
+            LoraConfig, count_params, init_lora_params, make_lora_loss_fn,
+            merge_lora,
+        )
+        from rankpo_tpu.utils.seed import set_seed as _seed
+
+        lora_cfg = LoraConfig(
+            r=r_args.lora_r,
+            alpha=r_args.lora_alpha,
+            target_modules=tuple(
+                m.strip() for m in r_args.lora_target_modules.split(",") if m.strip()
+            ),
+        )
+        base_params = params
+        params = init_lora_params(_seed(train_cfg.seed), base_params, lora_cfg)
+        loss_fn = make_lora_loss_fn(inner_loss_fn, base_params, lora_cfg)
+        logger.info(
+            "LoRA: training %.2fM adapter params over a frozen %.2fM base",
+            count_params(params) / 1e6, count_params(base_params) / 1e6,
+        )
+
+        def save_params_fn(directory, host_params):
+            merged = jax.device_get(merge_lora(base_params, host_params, lora_cfg))
+            save_pretrained(directory, config, merged)
+            if hasattr(tokenizer, "save_pretrained"):
+                tokenizer.save_pretrained(directory)
+    else:
+        loss_fn = inner_loss_fn
+
+        def save_params_fn(directory, host_params):
+            save_pretrained(directory, config, host_params)
+            if hasattr(tokenizer, "save_pretrained"):
+                tokenizer.save_pretrained(directory)
 
     from rankpo_tpu.utils.wandb_utils import maybe_init_wandb
 

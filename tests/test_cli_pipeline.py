@@ -182,6 +182,42 @@ def test_full_pipeline(workspace):
     assert os.path.isfile(os.path.join(out2, "model.safetensors"))
 
 
+def test_rankpo_with_lora(workspace, tmp_path):
+    root, base_model = workspace
+    from rankpo_tpu.cli.run_rankpo import main as run_rankpo
+    import json as _json
+
+    rows = [
+        {"query": f"q {i}", "passage1": f"good {i}", "passage2": f"bad {i}",
+         "preferred": "A"}
+        for i in range(16)
+    ]
+    pf = tmp_path / "pairs.jsonl"
+    pf.write_text("\n".join(_json.dumps(r) for r in rows))
+    out = str(tmp_path / "lora-run")
+    history = run_rankpo([
+        "--model_name_or_path", base_model,
+        "--tokenizer_name", TOK,
+        "--train_data", str(pf),
+        "--output_dir", out,
+        "--learning_rate", "1e-3",
+        "--num_train_epochs", "1",
+        "--per_device_train_batch_size", "1",
+        "--reference_free",
+        "--use_lora", "--lora_r", "2", "--lora_alpha", "4",
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--bf16", "False",
+        "--save_strategy", "no",
+    ])
+    assert history
+    # merged full model exported despite adapter-only training
+    assert os.path.isfile(os.path.join(out, "model.safetensors"))
+    from rankpo_tpu.models import load_pretrained
+    cfg2, params2 = load_pretrained(out)
+    assert params2["layers"]["q_proj"]["kernel"].shape[0] == cfg2.num_hidden_layers
+
+
 def test_random_negatives_cli(workspace):
     root, _ = workspace
     from rankpo_tpu.cli.get_random_negatives import main as run_rand
