@@ -41,7 +41,9 @@ NEG_INF = -1e30
 LANES = 128
 SUBLANES = 8
 
-DEFAULT_Q_BLOCK = 256
+# profiled on v5e at B4 S4096 H16/KV8 D128 causal: q512/k1024 = 6.3ms vs
+# XLA 33.3ms (5.3x) and jax's shipped TPU kernel 23.4ms (3.7x, zero-copy GQA)
+DEFAULT_Q_BLOCK = 512
 DEFAULT_K_BLOCK = 1024
 
 
