@@ -175,7 +175,9 @@ class FlatIPIndex:
             self._search_k = k
         queries = np.asarray(queries, np.float32)
         n_q = queries.shape[0]
-        all_scores, all_indices = [], []
+        # dispatch every batch asynchronously, fetch afterwards — hides
+        # host<->device latency behind device compute
+        pending = []
         for lo in range(0, n_q, batch_size):
             block = queries[lo : lo + batch_size]
             real = block.shape[0]
@@ -184,8 +186,9 @@ class FlatIPIndex:
                     [block, np.zeros((batch_size - real, self.dim), np.float32)]
                 )
             scores, idx = self._search_fn(self.corpus, jnp.asarray(block))
-            all_scores.append(np.asarray(scores[:real], np.float32))
-            all_indices.append(np.asarray(idx[:real], np.int32))
+            pending.append((scores, idx, real))
+        all_scores = [np.asarray(s[:r], np.float32) for s, _, r in pending]
+        all_indices = [np.asarray(i[:r], np.int32) for _, i, r in pending]
         return np.concatenate(all_scores), np.concatenate(all_indices)
 
     @property
