@@ -67,8 +67,12 @@ class FlatIPIndex:
         *,
         dtype=jnp.float32,
         use_pallas: Optional[bool] = None,
+        recall_target: float = 1.0,
     ):
+        """recall_target < 1.0 trades exactness for throughput via the TPU
+        PartialReduce top-k (serving mode); 1.0 keeps FAISS-exact semantics."""
         self.mesh = mesh
+        self.recall_target = recall_target
         self.n_total = int(embeddings.shape[0])
         self.dim = int(embeddings.shape[1])
         self.dtype = dtype
@@ -114,6 +118,7 @@ class FlatIPIndex:
                     k=k,
                     n_valid=n_total,
                     use_pallas=use_pallas,
+                    recall_target=self.recall_target,
                 )
 
             return jax.jit(single)
@@ -135,6 +140,7 @@ class FlatIPIndex:
                 index_offset=offset,
                 use_pallas=use_pallas,
                 vary_axes=(DATA_AXIS,),
+                recall_target=self.recall_target,
             )
             return scores, idx
 
