@@ -68,6 +68,8 @@ def main(argv=None):
     parser.add_argument("--max_query_length", type=int, default=512)
     parser.add_argument("--max_passage_length", type=int, default=512)
     parser.add_argument("--batch_size", type=int, default=256)
+    parser.add_argument("--recall_target", type=float, default=1.0,
+                        help="<1.0 = approx top-k serving mode (8x QPS @0.95)")
     parser.add_argument("--log_level", default="info")
     args = parser.parse_args(argv)
 
@@ -77,7 +79,8 @@ def main(argv=None):
     tokenizer = resolve_tokenizer(args.tokenizer_name, args.model_name_or_path)
     encoder = InferenceEncoder(config, params, tokenizer, mesh=mesh)
     service = RetrievalService(
-        encoder, mesh=mesh, max_query_length=args.max_query_length
+        encoder, mesh=mesh, max_query_length=args.max_query_length,
+        recall_target=args.recall_target,
     )
     corpus = load_eval_corpus(args.corpus_data)
     service.build_index(
