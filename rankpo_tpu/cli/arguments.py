@@ -76,6 +76,23 @@ def _json_str(obj) -> str:
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass
+class DistributedArguments:
+    """Multi-host bring-up (the torchrun-env analog; rankpo_tpu/core/mesh.py
+    initialize_distributed). All-None = single host."""
+
+    coordinator_address: Optional[str] = dataclasses.field(default=None)
+    num_processes: Optional[int] = dataclasses.field(default=None)
+    process_id: Optional[int] = dataclasses.field(default=None)
+
+    def initialize(self) -> None:
+        from rankpo_tpu.core.mesh import initialize_distributed
+
+        initialize_distributed(
+            self.coordinator_address, self.num_processes, self.process_id
+        )
+
+
+@dataclasses.dataclass
 class ModelArguments:
     model_name_or_path: str = dataclasses.field(
         default=None,

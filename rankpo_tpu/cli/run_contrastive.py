@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from rankpo_tpu.cli.arguments import (
+    DistributedArguments,
     ContrastiveArguments,
     ModelArguments,
     TrainDataArguments,
@@ -78,10 +79,12 @@ def setup_model_and_tokenizer(model_args: ModelArguments):
 
 
 def main(argv=None):
-    model_args, data_args, c_args, train_cfg = parse_dataclasses(
-        [ModelArguments, TrainDataArguments, ContrastiveArguments, TrainConfig],
+    model_args, data_args, c_args, dist_args, train_cfg = parse_dataclasses(
+        [ModelArguments, TrainDataArguments, ContrastiveArguments,
+         DistributedArguments, TrainConfig],
         argv,
     )
+    dist_args.initialize()
     setup_logging(train_cfg.log_level)
     guard_output_dir(train_cfg)
     logger.info("model args:\n%s", model_args.to_json_string())

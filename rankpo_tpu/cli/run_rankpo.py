@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from rankpo_tpu.cli.arguments import (
+    DistributedArguments,
     ModelArguments,
     RankPOArguments,
     TrainDataArguments,
@@ -36,9 +37,11 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None):
-    model_args, data_args, r_args, train_cfg = parse_dataclasses(
-        [ModelArguments, TrainDataArguments, RankPOArguments, TrainConfig], argv
+    model_args, data_args, r_args, dist_args, train_cfg = parse_dataclasses(
+        [ModelArguments, TrainDataArguments, RankPOArguments,
+         DistributedArguments, TrainConfig], argv
     )
+    dist_args.initialize()
     setup_logging(train_cfg.log_level)
     guard_output_dir(train_cfg)
     logger.info("model args:\n%s", model_args.to_json_string())
