@@ -21,7 +21,7 @@ N_CORPUS = 100_000
 DIM = 1024
 N_QUERIES = 4096
 K = 100
-BATCH = 1024  # large batches amortize dispatch; dense path [1024, 100k] = 400MB
+BATCH = 4096  # one dispatch: [4096, 100k] fp32 scores = 1.6GB, dense path
 CPU_QUERY_SAMPLE = 64  # measure CPU on a subset, scale QPS
 
 

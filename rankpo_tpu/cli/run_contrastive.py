@@ -18,11 +18,9 @@ from __future__ import annotations
 import json
 import logging
 import os
-import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
 from rankpo_tpu.cli.arguments import (
     DistributedArguments,

@@ -15,11 +15,9 @@ Input: mining-format jsonl ({"query": {"text"}, "positives": {"text": [...]}}).
 from __future__ import annotations
 
 import argparse
-import json
 import logging
 import os
 
-import jax
 import jax.numpy as jnp
 
 from rankpo_tpu.cli.arguments import resolve_tokenizer

@@ -15,7 +15,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 
 from rankpo_tpu.cli.arguments import (
     DistributedArguments,

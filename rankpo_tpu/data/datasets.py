@@ -11,7 +11,7 @@ static-shape collators.
 from __future__ import annotations
 
 import logging
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 from rankpo_tpu.utils.jsonl import iter_jsonl
 

@@ -18,7 +18,7 @@ implement the identical math (tested equal).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

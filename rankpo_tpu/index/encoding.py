@@ -17,7 +17,7 @@ TPU-native analog of the reference's ``ModelForInference.encode``
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Union
+from typing import List, Union
 
 import jax
 import jax.numpy as jnp

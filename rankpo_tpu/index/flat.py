@@ -22,8 +22,6 @@ is the fallback and the correctness oracle.
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import Optional, Tuple
 
 import jax

@@ -11,7 +11,6 @@ stacked-layer pytrees (and back), transposing Linear weights from torch's
 from __future__ import annotations
 
 import glob
-import json
 import os
 from typing import Dict
 

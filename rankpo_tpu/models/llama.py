@@ -18,9 +18,6 @@ Kernels are stored [in, out] (JAX convention); the HF import transposes.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

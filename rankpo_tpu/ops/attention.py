@@ -14,7 +14,6 @@ GQA when Hq > Hkv (Hq % Hkv == 0). ``mask`` is a [B, Sk] bool key-validity
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

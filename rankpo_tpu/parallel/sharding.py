@@ -20,7 +20,6 @@ All rules are expressed as PartitionSpec pytrees consumed by
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -19,10 +19,9 @@ RankPO training data (data/annotated_pair_data-sample.jsonl schema).
 from __future__ import annotations
 
 import itertools
-import json
 import logging
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

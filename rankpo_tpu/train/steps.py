@@ -8,8 +8,7 @@ train loop and two loss functions.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ Replaces the reference's 1,096-line vendored fork of HF Trainer
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import os
 import time
