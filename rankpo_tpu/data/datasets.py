@@ -18,6 +18,14 @@ from rankpo_tpu.utils.jsonl import iter_jsonl
 logger = logging.getLogger(__name__)
 
 
+def _batch_tokenize(tokenizer, texts: List[str], max_length: int) -> List[list]:
+    """One batched tokenizer call (lets Rust tokenizers parallelize) instead of
+    per-row calls — the throughput analog of the reference's num_proc map."""
+    if not texts:
+        return []
+    return tokenizer(texts, max_length=max_length, truncation=True)["input_ids"]
+
+
 class ContrastiveDataset:
     """Rows of {query, positives[], negatives[]} (reference
     run_contrastive.py:161-166 tokenize_row)."""
@@ -34,20 +42,28 @@ class ContrastiveDataset:
             if isinstance(path_or_rows, str)
             else list(path_or_rows)
         )
+        queries = _batch_tokenize(
+            tokenizer, [r["query"] for r in rows], max_query_length
+        )
+        flat_pos, flat_neg = [], []
+        pos_span, neg_span = [], []
+        for r in rows:
+            pos_span.append((len(flat_pos), len(r["positives"])))
+            flat_pos.extend(r["positives"])
+            neg_span.append((len(flat_neg), len(r["negatives"])))
+            flat_neg.extend(r["negatives"])
+        pos_ids = _batch_tokenize(tokenizer, flat_pos, max_passage_length)
+        neg_ids = _batch_tokenize(tokenizer, flat_neg, max_passage_length)
+
         self.rows: List[dict] = []
-        for row in rows:
-            q = tokenizer(row["query"], max_length=max_query_length, truncation=True)
-            pos = tokenizer(
-                row["positives"], max_length=max_passage_length, truncation=True
-            )
-            neg = tokenizer(
-                row["negatives"], max_length=max_passage_length, truncation=True
-            )
+        for i in range(len(rows)):
+            p_off, p_n = pos_span[i]
+            n_off, n_n = neg_span[i]
             self.rows.append(
                 {
-                    "query": q["input_ids"],
-                    "positives": pos["input_ids"],
-                    "negatives": neg["input_ids"],
+                    "query": queries[i],
+                    "positives": pos_ids[p_off : p_off + p_n],
+                    "negatives": neg_ids[n_off : n_off + n_n],
                 }
             )
 
@@ -77,7 +93,7 @@ class PairPreferenceDataset:
             if isinstance(path_or_rows, str)
             else list(path_or_rows)
         )
-        self.rows: List[dict] = []
+        chosen_texts, rejected_texts = [], []
         for row in rows:
             preferred = row["preferred"]
             if preferred == "A":
@@ -88,19 +104,17 @@ class PairPreferenceDataset:
                 raise ValueError(
                     f"Unsupported 'preferred' value {preferred!r}; expected 'A' or 'B'"
                 )
-            self.rows.append(
-                {
-                    "query": tokenizer(
-                        row["query"], max_length=max_query_length, truncation=True
-                    )["input_ids"],
-                    "chosen": tokenizer(
-                        chosen, max_length=max_passage_length, truncation=True
-                    )["input_ids"],
-                    "rejected": tokenizer(
-                        rejected, max_length=max_passage_length, truncation=True
-                    )["input_ids"],
-                }
-            )
+            chosen_texts.append(chosen)
+            rejected_texts.append(rejected)
+        queries = _batch_tokenize(
+            tokenizer, [r["query"] for r in rows], max_query_length
+        )
+        chosen_ids = _batch_tokenize(tokenizer, chosen_texts, max_passage_length)
+        rejected_ids = _batch_tokenize(tokenizer, rejected_texts, max_passage_length)
+        self.rows: List[dict] = [
+            {"query": q, "chosen": c, "rejected": r}
+            for q, c, r in zip(queries, chosen_ids, rejected_ids)
+        ]
 
     def __len__(self) -> int:
         return len(self.rows)
