@@ -378,16 +378,25 @@ class Trainer:
 
     def resume_from(self, directory: str) -> None:
         """Restore step counter (and optimizer state when present). Params are
-        the caller's responsibility (load via hf_io and rebuild the Trainer)."""
+        the caller's responsibility (load via hf_io and rebuild the Trainer).
+
+        When the checkpoint is model-only (``save_only_model=True``, the
+        reference's published recipe), the optimizer moments are gone but the
+        LR schedule must not restart: scalar integer counts inside the fresh
+        optax state are fast-forwarded to the resumed step."""
         tstate = ckpt.load_trainer_state(directory)
         opt_state = ckpt.load_opt_state(directory, self.state.opt_state)
-        step = jnp.asarray(tstate.get("global_step", 0), jnp.int32)
+        step_value = int(tstate.get("global_step", 0))
+        step = jnp.asarray(step_value, jnp.int32)
         if opt_state is not None:
             opt_state = jax.device_put(opt_state, self.state_shardings.opt_state)
-            self.state = TrainState(
-                step=step, params=self.state.params, opt_state=opt_state
-            )
         else:
-            self.state = TrainState(
-                step=step, params=self.state.params, opt_state=self.state.opt_state
-            )
+            def fast_forward(x):
+                if x.ndim == 0 and jnp.issubdtype(x.dtype, jnp.integer):
+                    return jnp.full_like(x, step_value)
+                return x
+
+            opt_state = jax.tree_util.tree_map(fast_forward, self.state.opt_state)
+        self.state = TrainState(
+            step=step, params=self.state.params, opt_state=opt_state
+        )

@@ -212,6 +212,24 @@ class TestTrainerContrastive:
             rtol=1e-6,
         )
 
+    def test_model_only_resume_fast_forwards_schedule(self, data_mesh, tmp_path, tok):
+        """save_only_model resume must not restart the LR schedule: optax
+        counts are fast-forwarded to the restored step."""
+        trainer, _ = _make_trainer(data_mesh, tmp_path, tok,
+                                   save_only_model=True)
+        ds = ContrastiveDataset(_contrastive_rows(16), tok, 16, 16)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                   max_query_length=16, max_passage_length=16)
+        trainer.train(ds, coll)
+        ckpt_dir = os.path.join(str(tmp_path), "checkpoint-2")
+        assert not os.path.isdir(os.path.join(ckpt_dir, "opt_state"))
+
+        trainer2, _ = _make_trainer(data_mesh, tmp_path / "r2", tok)
+        trainer2.resume_from(ckpt_dir)
+        assert int(trainer2.state.step) == 2
+        # adam count fast-forwarded (clip -> adamw chain: state[1][0] is adam)
+        assert int(jax.device_get(trainer2.state.opt_state[1][0].count)) == 2
+
     def test_rotation(self, data_mesh, tmp_path, tok):
         trainer, _ = _make_trainer(
             data_mesh, tmp_path, tok,
