@@ -181,6 +181,7 @@ class EvaluateArguments:
     k: int = dataclasses.field(default=100)
     cutoffs: str = dataclasses.field(default="1,5,10,20,100")
     bf16: bool = dataclasses.field(default=False)
+    wandb_project: str = dataclasses.field(default="")
     log_level: str = dataclasses.field(default="info")
 
     def to_json_string(self):

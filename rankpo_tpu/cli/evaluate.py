@@ -21,6 +21,9 @@ def main(argv=None):
 
     tokenizer = resolve_tokenizer(args.tokenizer_name, args.model_name_or_path)
     cutoffs = [int(c.strip()) for c in args.cutoffs.split(",")]
+    # optional wandb metric logging (reference evaluate.py:269-274)
+    from rankpo_tpu.utils.wandb_utils import maybe_init_wandb
+    wandb_log = maybe_init_wandb(getattr(args, "wandb_project", ""), "auto")
     results = evaluate_path(
         args.model_name_or_path,
         args.query_data,
@@ -40,6 +43,8 @@ def main(argv=None):
     for name, metrics in results.items():
         print(f"== {name} ==")
         print("\n".join(f"    {k:15} {v}" for k, v in metrics.items()))
+        if wandb_log is not None:
+            wandb_log({f"{name}/{k}": v for k, v in metrics.items()})
     return results
 
 
