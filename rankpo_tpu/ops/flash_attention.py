@@ -96,12 +96,15 @@ def _fwd_kernel(
         )
         return m_new, l_new, acc_new
 
+    # skip fully-masked key blocks: collators right-pad, so the valid key
+    # count bounds the loop (huge win when texts are far shorter than the
+    # static max length)
+    key_len = jnp.sum(mask_ref[mask_row, :])
+    n_iter = jnp.minimum((key_len + k_block - 1) // k_block, n_kb)
     if causal:
-        # skip key blocks entirely above the diagonal
+        # also skip blocks entirely above the diagonal
         last_kb = (q_offset + bq - 1) // k_block + 1
-        n_iter = jnp.minimum(last_kb, n_kb)
-    else:
-        n_iter = n_kb
+        n_iter = jnp.minimum(n_iter, last_kb)
     m, l, acc = jax.lax.fori_loop(0, n_iter, body, (m, l, acc))
 
     l_safe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros, not NaN
@@ -151,11 +154,11 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    key_len = jnp.sum(mask_ref[mask_row, :])
+    n_iter = jnp.minimum((key_len + k_block - 1) // k_block, n_kb)
     if causal:
         last_kb = (q_offset + bq - 1) // k_block + 1
-        n_iter = jnp.minimum(last_kb, n_kb)
-    else:
-        n_iter = n_kb
+        n_iter = jnp.minimum(n_iter, last_kb)
     dq = jax.lax.fori_loop(0, n_iter, body, jnp.zeros((bq, d), jnp.float32))
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
@@ -210,8 +213,11 @@ def _dkv_kernel(
         start = k_offset // q_block  # q blocks strictly above diagonal see no keys here
     else:
         start = 0
+    # a key block entirely beyond the valid key length contributes nothing
+    key_len = jnp.sum(mask_ref[_row(mask_ref), :])
+    end = jnp.where(k_offset < key_len, n_qb, start)
     dk, dv = jax.lax.fori_loop(
-        start, n_qb, body,
+        start, end, body,
         (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32)),
     )
     dk_ref[0] = dk.astype(dk_ref.dtype)
