@@ -30,6 +30,11 @@ def main():
     parser.add_argument("--p_seq", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--pure_bf16", action="store_true",
+                        help="bf16 params+moments: fits ~1B params on one v5e")
+    parser.add_argument("--vocab", type=int, default=32000)
+    parser.add_argument("--ffn", type=int, default=0)
+    parser.add_argument("--accum", type=int, default=1)
     args = parser.parse_args()
 
     import jax
@@ -41,9 +46,9 @@ def main():
 
     config = EncoderConfig(
         model_type="llama",
-        vocab_size=32000,
+        vocab_size=args.vocab,
         hidden_size=args.hidden,
-        intermediate_size=args.hidden * 3,
+        intermediate_size=args.ffn or args.hidden * 3,
         num_hidden_layers=args.layers,
         num_attention_heads=args.heads,
         num_key_value_heads=args.kv_heads,
@@ -55,7 +60,10 @@ def main():
     )
     mesh = local_mesh()
     n_dev = mesh.devices.size
-    params = init_params(jax.random.key(0), config)
+    params = init_params(
+        jax.random.key(0), config,
+        dtype=jnp.bfloat16 if args.pure_bf16 else jnp.float32,
+    )
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
 
     loss_fn = make_contrastive_loss_fn(
@@ -71,6 +79,7 @@ def main():
         warmup_ratio=0.0,
         lr_scheduler_type="constant",
         per_device_train_batch_size=args.batch,
+        gradient_accumulation_steps=args.accum,
         save_strategy="no",
     )
     trainer = Trainer(
@@ -82,8 +91,10 @@ def main():
 
     def block(rows, seq):
         return {
-            "input_ids": rng.randint(5, 32000, (1, rows, seq)).astype(np.int32),
-            "attention_mask": np.ones((1, rows, seq), np.int32),
+            "input_ids": rng.randint(
+                5, args.vocab, (args.accum, rows, seq)
+            ).astype(np.int32),
+            "attention_mask": np.ones((args.accum, rows, seq), np.int32),
         }
 
     batch = {
@@ -108,7 +119,8 @@ def main():
         "params_m": round(n_params / 1e6, 1),
         "attn": args.attn,
         "config": {
-            "batch": b, "group": args.group,
+            "batch": b, "group": args.group, "accum": args.accum,
+            "pure_bf16": args.pure_bf16,
             "q_seq": args.q_seq, "p_seq": args.p_seq,
             "hidden": args.hidden, "layers": args.layers, "remat": args.remat,
         },
