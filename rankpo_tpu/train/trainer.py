@@ -235,9 +235,20 @@ class Trainer:
             return {}
         return {f"eval_{k}": v / n for k, v in sums.items()}
 
+    def _globalize(self, batch):
+        """Multi-host: host-local [accum, B_local, ...] numpy arrays become
+        global jax.Arrays sharded over the data axis (each process contributes
+        its slice — the loader already shards rows per process)."""
+        if jax.process_count() == 1:
+            return batch
+        sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+        )
+
     def train_step(self, batch, rng) -> Dict[str, float]:
         """One optimizer step on a [accum, B_global, ...] microbatch stack."""
-        self.state, metrics = self._step_fn(self.state, batch, rng)
+        self.state, metrics = self._step_fn(self.state, self._globalize(batch), rng)
         return metrics
 
     def train(self, dataset, collator, *, start_epoch: int = 0) -> List[Dict]:
