@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# a sitecustomize in this image imports jax at interpreter start (before this
+# file), so the env vars above may be too late — override the cached config.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import pytest  # noqa: E402
 
 
