@@ -1,0 +1,44 @@
+"""Driver-contract tests for bench.py: the end-of-round benchmark must always
+produce its one JSON line. Runs the real functions on shrunken shapes."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_bench_functions_tiny(monkeypatch):
+    import bench
+
+    monkeypatch.setattr(bench, "N_CORPUS", 512)
+    monkeypatch.setattr(bench, "DIM", 64)
+    monkeypatch.setattr(bench, "N_QUERIES", 64)
+    monkeypatch.setattr(bench, "K", 10)
+    monkeypatch.setattr(bench, "BATCH", 32)
+    monkeypatch.setattr(bench, "CPU_QUERY_SAMPLE", 8)
+
+    corpus, queries = bench._make_data()
+    assert corpus.shape == (512, 64)
+    cpu_qps = bench._cpu_qps(corpus, queries)
+    assert cpu_qps > 0
+    qps, backend = bench._device_qps(corpus, queries)
+    assert qps > 0
+    assert backend in ("cpu", "tpu")
+
+
+def test_bench_main_prints_one_json_line(monkeypatch, capsys):
+    import bench
+
+    monkeypatch.setattr(bench, "N_CORPUS", 256)
+    monkeypatch.setattr(bench, "DIM", 32)
+    monkeypatch.setattr(bench, "N_QUERIES", 32)
+    monkeypatch.setattr(bench, "K", 5)
+    monkeypatch.setattr(bench, "BATCH", 32)
+    monkeypatch.setattr(bench, "CPU_QUERY_SAMPLE", 8)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
+    assert payload["value"] > 0
