@@ -133,8 +133,19 @@ def matmul_topk(
             jnp.int32, (q, block), dimension=1
         )
         s = jnp.where(local < n_valid, s, NEG_INF)
-        cat_scores = jnp.concatenate([best_scores, s], axis=1)
-        cat_idx = jnp.concatenate([best_idx, local], axis=1)
+        if recall_target < 1.0 and block > 4 * k:
+            # approx serving mode: PartialReduce the block to k candidates
+            # first (fast), then a tiny exact merge — avoids the per-block
+            # [Q, k+block] sort that dominates the exact path
+            blk_scores, blk_pos = jax.lax.approx_max_k(
+                s, k, recall_target=recall_target, aggregate_to_topk=True
+            )
+            blk_idx = jnp.take_along_axis(local, blk_pos, axis=1)
+            cat_scores = jnp.concatenate([best_scores, blk_scores], axis=1)
+            cat_idx = jnp.concatenate([best_idx, blk_idx], axis=1)
+        else:
+            cat_scores = jnp.concatenate([best_scores, s], axis=1)
+            cat_idx = jnp.concatenate([best_idx, local], axis=1)
         new_scores, pos = jax.lax.top_k(cat_scores, k)
         new_idx = jnp.take_along_axis(cat_idx, pos, axis=1)
         return (new_scores, new_idx), None
