@@ -24,8 +24,69 @@ def iter_jsonl(path: str) -> Iterator[dict]:
                 yield json.loads(line)
 
 
-def read_jsonl(path: str) -> List[dict]:
-    return list(iter_jsonl(path))
+def _parse_range(args) -> List[dict]:
+    path, start, end = args
+    out = []
+    with open(path, "rb") as f:
+        f.seek(start)
+        for raw in f.read(end - start).splitlines():
+            raw = raw.strip()
+            if raw:
+                out.append(json.loads(raw))
+    return out
+
+
+def read_jsonl(path: str, num_workers: int = 0) -> List[dict]:
+    """Read a jsonl file; ``num_workers > 1`` parses byte ranges in parallel
+    (line offsets from the C++ mmap scanner in rankpo_tpu/native when built,
+    else a python scan) — for multi-GB corpora where json parsing dominates."""
+    if num_workers <= 1:
+        return list(iter_jsonl(path))
+
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+
+    size = os.path.getsize(path)
+    if size == 0:
+        return []
+    try:
+        from rankpo_tpu.native import native_scan_jsonl
+
+        offsets = native_scan_jsonl(path)
+    except Exception:
+        offsets = None
+
+    if offsets is not None and len(offsets) > 1:
+        line_starts = offsets[:-1]
+        n = len(line_starts)
+        per = -(-n // num_workers)
+        ranges = []
+        for w in range(num_workers):
+            lo = w * per
+            if lo >= n:
+                break
+            hi = min((w + 1) * per, n)
+            end = int(offsets[hi]) if hi < len(offsets) else size
+            ranges.append((path, int(line_starts[lo]), end))
+    else:
+        # byte-range split snapped forward to newline boundaries
+        bounds = [0]
+        with open(path, "rb") as f:
+            for w in range(1, num_workers):
+                pos = size * w // num_workers
+                f.seek(pos)
+                f.readline()
+                bounds.append(min(f.tell(), size))
+        bounds.append(size)
+        ranges = [
+            (path, lo, hi)
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+            if hi > lo
+        ]
+
+    with ProcessPoolExecutor(max_workers=num_workers) as pool:
+        parts = list(pool.map(_parse_range, ranges))
+    return [row for part in parts for row in part]
 
 
 def write_jsonl(path: str, rows: Iterable[Any]) -> None:
