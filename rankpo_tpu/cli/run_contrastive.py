@@ -91,6 +91,12 @@ def main(argv=None):
 
     mesh = make_mesh(MeshConfig(model_parallel=train_cfg.model_parallel))
     logger.info("mesh: %s over %d devices", dict(mesh.shape), mesh.devices.size)
+    if train_cfg.model_parallel > 1 and model_args.attn_impl in ("auto", "flash"):
+        # GSPMD cannot yet partition the pallas flash kernel over the model
+        # (head) axis; fall back to XLA attention under tensor parallelism
+        logger.warning("model_parallel>1: forcing attn_impl=xla (pallas kernel "
+                       "is not GSPMD-partitioned over heads yet)")
+        model_args.attn_impl = "xla"
 
     config, params, tokenizer, pad_id = setup_model_and_tokenizer(model_args)
     config.normalize = c_args.normalize_embeddings
