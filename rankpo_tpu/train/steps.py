@@ -70,10 +70,14 @@ def make_contrastive_loss_fn(
             dropout_key=drop_p,
             attn_impl=attn_impl,
         )
+        b = q_reps.shape[0]
+        group_size = p_reps.shape[0] // b
         if use_inbatch_neg and not negatives_cross_device and num_data_shards > 1:
             loss, scores = info_nce_block_loss(
                 q_reps, p_reps, num_blocks=num_data_shards, temperature=temperature
             )
+            bw = b // num_data_shards
+            targets = (jnp.arange(b) % bw) * group_size
         else:
             loss, scores = info_nce_loss(
                 q_reps,
@@ -81,7 +85,15 @@ def make_contrastive_loss_fn(
                 temperature=temperature,
                 use_inbatch_neg=use_inbatch_neg,
             )
-        return loss, {}
+            targets = (
+                jnp.arange(b) * group_size
+                if use_inbatch_neg
+                else jnp.zeros(b, jnp.int32)
+            )
+        accuracy = jnp.mean(
+            (jnp.argmax(scores, axis=-1) == targets).astype(jnp.float32)
+        )
+        return loss, {"accuracy": accuracy}
 
     return loss_fn
 
