@@ -34,15 +34,41 @@ def load_trainer_state(directory: str) -> dict:
         return json.load(f)
 
 
-def save_opt_state(directory: str, opt_state) -> None:
+_async_checkpointer = None
+
+
+def _get_async_checkpointer():
+    import orbax.checkpoint as ocp
+
+    global _async_checkpointer
+    if _async_checkpointer is None:
+        _async_checkpointer = ocp.AsyncCheckpointer(
+            ocp.PyTreeCheckpointHandler()
+        )
+    return _async_checkpointer
+
+
+def save_opt_state(directory: str, opt_state, async_save: bool = False) -> None:
+    """Persist optimizer state via orbax. ``async_save=True`` returns while the
+    write proceeds in the background (preemption-friendly on TPU pods — the
+    step loop keeps running); call :func:`wait_for_saves` before rotating or
+    exiting."""
     import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, "opt_state"))
     if os.path.exists(path):
         shutil.rmtree(path)
+    if async_save:
+        _get_async_checkpointer().save(path, jax.device_get(opt_state))
+        return
     with ocp.PyTreeCheckpointer() as checkpointer:
         checkpointer.save(path, jax.device_get(opt_state))
+
+
+def wait_for_saves() -> None:
+    if _async_checkpointer is not None:
+        _async_checkpointer.wait_until_finished()
 
 
 def load_opt_state(directory: str, template):

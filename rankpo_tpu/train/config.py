@@ -57,6 +57,7 @@ class TrainConfig:
     save_steps: int = 500
     save_total_limit: Optional[int] = None
     save_only_model: bool = True
+    async_checkpointing: bool = False  # background orbax writes (pod preemption safety)
     resume_from_checkpoint: Optional[str] = None
     run_name: str = "auto"
     wandb_project: str = ""

@@ -353,6 +353,7 @@ class Trainer:
             if cfg.save_strategy == "epoch":
                 self.save_checkpoint(global_step, epoch)
 
+        ckpt.wait_for_saves()
         logger.info(
             "training done: %d steps in %.1fs", global_step, time.time() - t_start
         )
@@ -382,7 +383,13 @@ class Trainer:
         trainer_state = {"global_step": global_step, "epoch": epoch}
         ckpt.save_trainer_state(directory, trainer_state, self.config)
         if not self.config.save_only_model:
-            ckpt.save_opt_state(directory, self.state.opt_state)
+            ckpt.save_opt_state(
+                directory,
+                self.state.opt_state,
+                async_save=self.config.async_checkpointing,
+            )
+        if self.config.async_checkpointing:
+            ckpt.wait_for_saves()  # rotation must not delete an in-flight write
         ckpt.rotate_checkpoints(self.config.output_dir, self.config.save_total_limit)
         logger.info("saved checkpoint: %s", directory)
         return directory

@@ -230,6 +230,21 @@ class TestTrainerContrastive:
         # adam count fast-forwarded (clip -> adamw chain: state[1][0] is adam)
         assert int(jax.device_get(trainer2.state.opt_state[1][0].count)) == 2
 
+    def test_async_checkpointing(self, data_mesh, tmp_path, tok):
+        trainer, _ = _make_trainer(
+            data_mesh, tmp_path, tok, save_only_model=False,
+            cfg_extra={"async_checkpointing": True},
+        )
+        ds = ContrastiveDataset(_contrastive_rows(16), tok, 16, 16)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                   max_query_length=16, max_passage_length=16)
+        trainer.train(ds, coll)
+        from rankpo_tpu.train.checkpoint import load_opt_state, wait_for_saves
+        wait_for_saves()
+        ckpt_dir = os.path.join(str(tmp_path), "checkpoint-2")
+        restored = load_opt_state(ckpt_dir, trainer.state.opt_state)
+        assert restored is not None
+
     def test_rotation(self, data_mesh, tmp_path, tok):
         trainer, _ = _make_trainer(
             data_mesh, tmp_path, tok,
