@@ -136,6 +136,11 @@ class ContrastiveArguments:
     negatives_cross_device: bool = dataclasses.field(default=True)
     temperature: float = dataclasses.field(default=0.02)
     normalize_embeddings: bool = dataclasses.field(default=True)
+    grad_cache: bool = dataclasses.field(
+        default=False,
+        metadata={"help": "Gradient-cache accumulation: in-batch negatives "
+                          "span ALL accumulation steps at microbatch memory."},
+    )
 
     def to_json_string(self):
         return _json_str(self)

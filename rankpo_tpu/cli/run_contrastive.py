@@ -144,10 +144,27 @@ def main(argv=None):
         if hasattr(tokenizer, "save_pretrained"):
             tokenizer.save_pretrained(directory)
 
+    grad_fn = None
+    if c_args.grad_cache:
+        from rankpo_tpu.train.gradcache import make_contrastive_gradcache_grad_fn
+
+        grad_fn = make_contrastive_gradcache_grad_fn(
+            config,
+            temperature=c_args.temperature,
+            normalize_embeddings=c_args.normalize_embeddings,
+            use_inbatch_neg=c_args.use_inbatch_neg,
+            compute_dtype=policy.compute_dtype,
+            remat=train_cfg.gradient_checkpointing,
+            attn_impl=model_args.attn_impl,
+        )
+        logger.info("gradient-cache accumulation: negative pool spans all "
+                    "%d accumulation steps", train_cfg.gradient_accumulation_steps)
+
     from rankpo_tpu.utils.wandb_utils import maybe_init_wandb
 
     trainer = Trainer(
         loss_fn=loss_fn,
+        grad_fn=grad_fn,
         params=params,
         mesh=mesh,
         config=train_cfg,

@@ -68,14 +68,20 @@ class Trainer:
         total_steps: int,
         save_params_fn: Optional[Callable] = None,
         log_fn: Optional[Callable] = None,
+        grad_fn: Optional[Callable] = None,
     ):
         """loss_fn(params, batch, rng) -> (loss, metrics) on global arrays.
 
         save_params_fn(directory, params) writes the model in HF format (the
         caller owns model config/tokenizer); when None, checkpoint dirs contain
         only trainer state.
+
+        grad_fn(params, batch[accum,...], rng) -> (loss, metrics, grads), when
+        given, replaces the default per-microbatch value_and_grad + scan (used
+        by the gradient-cache contrastive path, train/gradcache.py).
         """
         self.loss_fn = loss_fn
+        self.grad_fn = grad_fn
         self.mesh = mesh
         self.config = config
         self.total_steps = total_steps
@@ -118,6 +124,8 @@ class Trainer:
         loss_fn = self.loss_fn
         tx = self.tx
 
+        grad_fn = self.grad_fn
+
         def step_fn(state: TrainState, batch, rng):
             params = state.params
 
@@ -129,7 +137,11 @@ class Trainer:
 
             rngs = jax.random.split(jax.random.fold_in(rng, state.step), accum)
 
-            if accum == 1:
+            if grad_fn is not None:
+                loss, metrics, grads = grad_fn(
+                    params, batch, jax.random.fold_in(rng, state.step)
+                )
+            elif accum == 1:
                 mb = jax.tree_util.tree_map(lambda x: x[0], batch)
                 loss, metrics, grads = micro(mb, rngs[0])
             else:
