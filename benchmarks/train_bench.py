@@ -35,6 +35,7 @@ def main():
     parser.add_argument("--vocab", type=int, default=32000)
     parser.add_argument("--ffn", type=int, default=0)
     parser.add_argument("--accum", type=int, default=1)
+    parser.add_argument("--grad_cache", action="store_true")
     args = parser.parse_args()
 
     import jax
@@ -82,8 +83,17 @@ def main():
         gradient_accumulation_steps=args.accum,
         save_strategy="no",
     )
+    grad_fn = None
+    if args.grad_cache:
+        from rankpo_tpu.train.gradcache import make_contrastive_gradcache_grad_fn
+
+        grad_fn = make_contrastive_gradcache_grad_fn(
+            config, temperature=0.02, compute_dtype=jnp.bfloat16,
+            remat=args.remat, attn_impl=args.attn,
+        )
     trainer = Trainer(
-        loss_fn=loss_fn, params=params, mesh=mesh, config=cfg, total_steps=100
+        loss_fn=loss_fn, grad_fn=grad_fn, params=params, mesh=mesh, config=cfg,
+        total_steps=100,
     )
 
     b = args.batch * n_dev
@@ -120,7 +130,7 @@ def main():
         "attn": args.attn,
         "config": {
             "batch": b, "group": args.group, "accum": args.accum,
-            "pure_bf16": args.pure_bf16,
+            "pure_bf16": args.pure_bf16, "grad_cache": args.grad_cache,
             "q_seq": args.q_seq, "p_seq": args.p_seq,
             "hidden": args.hidden, "layers": args.layers, "remat": args.remat,
         },
