@@ -123,7 +123,7 @@ def main():
 
     result = {
         "metric": "contrastive_samples_per_sec_per_chip",
-        "value": round(b / dt / n_dev, 3),
+        "value": round(b * args.accum / dt / n_dev, 3),
         "unit": "samples/sec/chip",
         "step_time_s": round(dt, 4),
         "params_m": round(n_params / 1e6, 1),
