@@ -123,6 +123,14 @@ def make_rankpo_loss_fn(
     is captured in the closure with stop_gradient (replaces the DeepSpeed
     stage-0/3 eval-mode engine of rankpo_trainer.py:295-324).
     """
+    if loss_type == "hinge" and label_smoothing > 0:
+        import warnings
+
+        # reference behavior (rankpo_trainer.py:215-218): warn and ignore
+        warnings.warn(
+            "loss_type='hinge' does not support label smoothing; ignoring "
+            "label_smoothing"
+        )
 
     def _scores(params, batch, rng, deterministic):
         dq, dp = jax.random.split(rng) if rng is not None else (None, None)

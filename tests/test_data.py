@@ -105,6 +105,24 @@ class TestContrastiveCollator:
         negs = [tuple(x) for x in batch["passage"]["input_ids"][1:].tolist()]
         assert len(set(negs)) == 5
 
+    def test_zero_negatives_pure_inbatch(self, tok):
+        """num_negatives=0: group size 1, pure in-batch negatives — a valid
+        configuration the loss must handle (targets = arange)."""
+        rows = self._rows(tok, n=3, n_pos=1, n_neg=2)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=0,
+                                   max_query_length=16, max_passage_length=20)
+        batch = coll(rows)
+        assert batch["passage"]["input_ids"].shape[0] == 3  # 1 positive each
+
+        import jax.numpy as jnp
+        from rankpo_tpu.losses import info_nce_loss
+        import numpy as _np
+        q = jnp.asarray(_np.random.RandomState(0).randn(3, 4), jnp.float32)
+        p = jnp.asarray(_np.random.RandomState(1).randn(3, 4), jnp.float32)
+        loss, scores = info_nce_loss(q, p, temperature=0.1)
+        assert scores.shape == (3, 3)
+        assert bool(jnp.isfinite(loss))
+
     def test_too_few_negatives_raises(self, tok):
         rows = self._rows(tok, n=1, n_neg=2)
         coll = ContrastiveCollator(num_negatives=5, max_passage_length=20)
