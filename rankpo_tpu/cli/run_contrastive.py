@@ -91,12 +91,8 @@ def main(argv=None):
 
     mesh = make_mesh(MeshConfig(model_parallel=train_cfg.model_parallel))
     logger.info("mesh: %s over %d devices", dict(mesh.shape), mesh.devices.size)
-    if train_cfg.model_parallel > 1 and model_args.attn_impl in ("auto", "flash"):
-        # GSPMD cannot yet partition the pallas flash kernel over the model
-        # (head) axis; fall back to XLA attention under tensor parallelism
-        logger.warning("model_parallel>1: forcing attn_impl=xla (pallas kernel "
-                       "is not GSPMD-partitioned over heads yet)")
-        model_args.attn_impl = "xla"
+    # under tensor parallelism the flash kernel runs in a shard_map with heads
+    # sharded over the model axis (ops/attention.py handles the wrap)
 
     config, params, tokenizer, pad_id = setup_model_and_tokenizer(model_args)
     config.normalize = c_args.normalize_embeddings
@@ -137,6 +133,7 @@ def main(argv=None):
         compute_dtype=policy.compute_dtype,
         remat=train_cfg.gradient_checkpointing,
         attn_impl=model_args.attn_impl,
+        mesh=mesh if train_cfg.model_parallel > 1 else None,
     )
 
     def save_params_fn(directory, host_params):

@@ -94,6 +94,7 @@ def main(argv=None):
         compute_dtype=policy.compute_dtype,
         remat=train_cfg.gradient_checkpointing,
         attn_impl=model_args.attn_impl,
+        mesh=mesh if train_cfg.model_parallel > 1 else None,
     )
 
     if r_args.use_lora:

@@ -37,6 +37,7 @@ def forward_hidden(
     deterministic: bool = True,
     dropout_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> jax.Array:
     if config.is_llama:
         return llama.apply(
@@ -47,6 +48,7 @@ def forward_hidden(
             compute_dtype=compute_dtype,
             remat=remat,
             attn_impl=attn_impl,
+            mesh=mesh,
         )
     return roberta.apply(
         params,
@@ -58,6 +60,7 @@ def forward_hidden(
         deterministic=deterministic,
         dropout_key=dropout_key,
         attn_impl=attn_impl,
+        mesh=mesh,
     )
 
 
@@ -72,6 +75,7 @@ def embed(
     deterministic: bool = True,
     dropout_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
+    mesh=None,
     output_dtype=jnp.float32,
 ) -> jax.Array:
     """Sentence embeddings [B, H] for {'input_ids', 'attention_mask'} inputs.
@@ -91,6 +95,7 @@ def embed(
         deterministic=deterministic,
         dropout_key=dropout_key,
         attn_impl=attn_impl,
+        mesh=mesh,
     )
     reps = pool(hidden, batch["attention_mask"], config.pooling)
     reps = reps.astype(output_dtype)

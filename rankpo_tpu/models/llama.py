@@ -136,6 +136,7 @@ def _layer(
     sin: jax.Array,
     mask: jax.Array,
     attn_impl: str,
+    mesh=None,
 ) -> jax.Array:
     b, s, h = x.shape
     d = config.head_dim
@@ -149,7 +150,9 @@ def _layer(
     v = (y @ lp["v_proj"]["kernel"]).reshape(b, s, hkv, d)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    attn = multi_head_attention(q, k, v, mask=mask, causal=True, impl=attn_impl)
+    attn = multi_head_attention(
+        q, k, v, mask=mask, causal=True, impl=attn_impl, mesh=mesh
+    )
     x = residual + attn.reshape(b, s, hq * d) @ lp["o_proj"]["kernel"]
 
     residual = x
@@ -170,6 +173,7 @@ def apply(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> jax.Array:
     """Returns last_hidden_state [B, S, H] in compute_dtype.
 
@@ -191,13 +195,14 @@ def apply(
     )
 
     def body(carry, lp):
-        fn = _layer
         if remat:
             fn = jax.checkpoint(
-                lambda c, p: _layer(config, c, p, cos, sin, key_mask, attn_impl)
+                lambda c, p: _layer(
+                    config, c, p, cos, sin, key_mask, attn_impl, mesh
+                )
             )
             return fn(carry, lp), None
-        return fn(config, carry, lp, cos, sin, key_mask, attn_impl), None
+        return _layer(config, carry, lp, cos, sin, key_mask, attn_impl, mesh), None
 
     x, _ = jax.lax.scan(body, x, layer_params)
     x = rms_norm(x, params["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)

@@ -92,6 +92,7 @@ def _layer(
     dropout_key: Optional[jax.Array],
     deterministic: bool,
     attn_impl: str,
+    mesh=None,
 ) -> jax.Array:
     b, s, h = x.shape
     nh = config.num_attention_heads
@@ -111,7 +112,9 @@ def _layer(
     q = (x @ lp["query"]["kernel"] + lp["query"]["bias"]).reshape(b, s, nh, d)
     k = (x @ lp["key"]["kernel"] + lp["key"]["bias"]).reshape(b, s, nh, d)
     v = (x @ lp["value"]["kernel"] + lp["value"]["bias"]).reshape(b, s, nh, d)
-    attn = multi_head_attention(q, k, v, mask=mask, causal=False, impl=attn_impl)
+    attn = multi_head_attention(
+        q, k, v, mask=mask, causal=False, impl=attn_impl, mesh=mesh
+    )
     attn = attn.reshape(b, s, h) @ lp["attn_output"]["kernel"] + lp["attn_output"]["bias"]
     attn = dropout(attn, k0)
     x = layer_norm(
@@ -143,6 +146,7 @@ def apply(
     deterministic: bool = True,
     dropout_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> jax.Array:
     """Returns last_hidden_state [B, S, H] in compute_dtype."""
     b, s = input_ids.shape
@@ -185,7 +189,9 @@ def apply(
             lp, lk = inputs
         else:
             lp, lk = inputs, None
-        fn = lambda c, p: _layer(config, c, p, key_mask, lk, deterministic, attn_impl)
+        fn = lambda c, p: _layer(
+            config, c, p, key_mask, lk, deterministic, attn_impl, mesh
+        )
         if remat:
             fn = jax.checkpoint(fn)
         return fn(carry, lp), None

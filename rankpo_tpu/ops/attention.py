@@ -69,15 +69,47 @@ def multi_head_attention(
     mask: Optional[jax.Array] = None,
     causal: bool = False,
     impl: str = "auto",
+    mesh=None,
 ) -> jax.Array:
     """Scaled dot-product attention with GQA, padding mask, optional causality.
 
     impl: "auto" (flash on TPU when profitable), "xla", or "flash".
+
+    ``mesh``: when given with a model axis > 1, the flash kernel is wrapped in
+    a shard_map with heads sharded over the model axis (GSPMD cannot partition
+    a pallas_call by itself) — batch stays sharded over the data axis. Falls
+    back to XLA attention when shapes don't divide the mesh.
     """
     if impl == "auto":
         impl = "flash" if _use_flash(q) else "xla"
     if impl == "flash":
         from rankpo_tpu.ops.flash_attention import flash_attention
 
+        mp = mesh.shape.get("model", 1) if mesh is not None else 1
+        if mesh is not None and mp > 1:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            dp = mesh.shape.get("data", 1)
+            b, _, hq, _ = q.shape
+            hkv = k.shape[2]
+            if b % dp == 0 and hq % mp == 0 and hkv % mp == 0:
+                spec = P("data", None, "model", None)
+                fn = shard_map(
+                    lambda q_, k_, v_, m_: flash_attention(
+                        q_, k_, v_, mask=m_, causal=causal
+                    ),
+                    mesh=mesh,
+                    in_specs=(spec, spec, spec, P("data", None)),
+                    out_specs=spec,
+                    # pallas_call outputs carry no varying-axis metadata yet
+                    check_vma=False,
+                )
+                if mask is None:
+                    mask = jnp.ones(
+                        (q.shape[0], k.shape[1]), jnp.int32
+                    )
+                return fn(q, k, v, mask)
+            return _xla_attention(q, k, v, mask, causal)
         return flash_attention(q, k, v, mask=mask, causal=causal)
     return _xla_attention(q, k, v, mask, causal)

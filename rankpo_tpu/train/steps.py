@@ -34,6 +34,7 @@ def make_contrastive_loss_fn(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> Callable:
     """Contrastive stage (src/modeling.py:254-314 forward + run_contrastive.py).
 
@@ -58,6 +59,7 @@ def make_contrastive_loss_fn(
             deterministic=rng is None,
             dropout_key=drop_q,
             attn_impl=attn_impl,
+            mesh=mesh,
         )
         p_reps = enc.embed(
             params,
@@ -69,6 +71,7 @@ def make_contrastive_loss_fn(
             deterministic=rng is None,
             dropout_key=drop_p,
             attn_impl=attn_impl,
+            mesh=mesh,
         )
         b = q_reps.shape[0]
         group_size = p_reps.shape[0] // b
@@ -114,6 +117,7 @@ def make_rankpo_loss_fn(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     attn_impl: str = "auto",
+    mesh=None,
 ) -> Callable:
     """RankPO stage (src/rankpo_trainer.py:447-568).
 
@@ -144,6 +148,7 @@ def make_rankpo_loss_fn(
             deterministic=deterministic,
             dropout_key=dq,
             attn_impl=attn_impl,
+            mesh=mesh,
         )
         p_reps = enc.embed(
             params,
@@ -155,6 +160,7 @@ def make_rankpo_loss_fn(
             deterministic=deterministic,
             dropout_key=dp,
             attn_impl=attn_impl,
+            mesh=mesh,
         )
         b = q_reps.shape[0]
         grouped = p_reps.reshape(b, 2, -1)  # [chosen, rejected] interleaved
