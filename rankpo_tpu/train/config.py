@@ -51,6 +51,10 @@ class TrainConfig:
     profile_steps: int = 0  # trace this many steps with jax.profiler
     profile_start_step: int = 10
 
+    # evaluation during training (reference: TrainingArguments eval surface)
+    eval_strategy: str = "no"  # no | epoch | steps
+    eval_steps: int = 0
+
     # logging / checkpointing
     logging_steps: int = 1
     save_strategy: str = "epoch"  # epoch | steps | no

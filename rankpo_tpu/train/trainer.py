@@ -263,10 +263,32 @@ class Trainer:
         self.state, metrics = self._step_fn(self.state, self._globalize(batch), rng)
         return metrics
 
-    def train(self, dataset, collator, *, start_epoch: int = 0) -> List[Dict]:
+    def _maybe_evaluate(self, global_step: int, epoch: int) -> None:
+        if self._eval_data is None:
+            return
+        eval_dataset, eval_collator = self._eval_data
+        metrics = self.evaluate(eval_dataset, eval_collator)
+        logs = {"global_step": global_step, "epoch": epoch, **metrics}
+        self._log(logs)
+
+    def train(
+        self,
+        dataset,
+        collator,
+        *,
+        start_epoch: int = 0,
+        eval_dataset=None,
+        eval_collator=None,
+    ) -> List[Dict]:
         """Full training loop over epochs (reference hot loop
-        contrastive_trainer.py:456-620)."""
+        contrastive_trainer.py:456-620). Optional eval_dataset triggers
+        no-grad evaluation per the config's eval_strategy/eval_steps."""
         cfg = self.config
+        self._eval_data = (
+            (eval_dataset, eval_collator or collator)
+            if eval_dataset is not None
+            else None
+        )
         n_proc = jax.process_count()
         micro_global = cfg.per_device_train_batch_size * self.mesh.devices.size
         accum = cfg.gradient_accumulation_steps
@@ -353,6 +375,12 @@ class Trainer:
                     self._log(logs)
 
                 if (
+                    cfg.eval_strategy == "steps"
+                    and cfg.eval_steps
+                    and global_step % cfg.eval_steps == 0
+                ):
+                    self._maybe_evaluate(global_step, epoch)
+                if (
                     cfg.save_strategy == "steps"
                     and cfg.save_steps
                     and global_step % cfg.save_steps == 0
@@ -362,6 +390,8 @@ class Trainer:
                     self.save_checkpoint(global_step, epoch)
                     return self._history
 
+            if cfg.eval_strategy == "epoch":
+                self._maybe_evaluate(global_step, epoch)
             if cfg.save_strategy == "epoch":
                 self.save_checkpoint(global_step, epoch)
 

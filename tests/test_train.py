@@ -296,3 +296,19 @@ class TestTrainerRankPO:
         assert "eval_loss" in eval_metrics
         assert "eval_rewards/accuracies" in eval_metrics
         assert np.isfinite(eval_metrics["eval_loss"])
+
+
+class TestInTrainingEval:
+    def test_eval_per_epoch(self, data_mesh, tmp_path, tok):
+        trainer, _ = _make_trainer(
+            data_mesh, tmp_path, tok,
+            cfg_extra={"eval_strategy": "epoch", "save_strategy": "no"},
+        )
+        ds = ContrastiveDataset(_contrastive_rows(16), tok, 16, 16)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                   max_query_length=16, max_passage_length=16)
+        eval_ds = ContrastiveDataset(_contrastive_rows(8), tok, 16, 16)
+        history = trainer.train(ds, coll, eval_dataset=eval_ds)
+        eval_logs = [h for h in history if "eval_loss" in h]
+        assert len(eval_logs) == 1  # one per epoch (1 epoch configured)
+        assert np.isfinite(eval_logs[0]["eval_loss"])
