@@ -116,6 +116,10 @@ class TrainDataArguments:
     train_data: str = dataclasses.field(
         default=None, metadata={"help": "Path to the training jsonl."}
     )
+    eval_data: Optional[str] = dataclasses.field(
+        default=None, metadata={"help": "Optional eval jsonl (same schema); "
+                                        "used per --eval_strategy."}
+    )
     num_negatives: int = dataclasses.field(
         default=5, metadata={"help": "Negatives sampled per query."}
     )

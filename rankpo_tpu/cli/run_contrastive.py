@@ -178,8 +178,17 @@ def main(argv=None):
             logger.info("resuming from %s", resume)
             trainer.resume_from(resume)
 
+    eval_dataset = None
+    if data_args.eval_data:
+        eval_dataset = ContrastiveDataset(
+            data_args.eval_data,
+            tokenizer,
+            max_query_length=data_args.max_query_length,
+            max_passage_length=data_args.max_passage_length,
+        )
+
     t0 = time.time()
-    history = trainer.train(dataset, collator)
+    history = trainer.train(dataset, collator, eval_dataset=eval_dataset)
 
     # final save at output_dir root (reference trainer.save_model(), :228)
     if jax.process_index() == 0:

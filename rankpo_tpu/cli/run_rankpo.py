@@ -151,8 +151,17 @@ def main(argv=None):
         if resume:
             trainer.resume_from(resume)
 
+    eval_dataset = None
+    if data_args.eval_data:
+        eval_dataset = PairPreferenceDataset(
+            data_args.eval_data,
+            tokenizer,
+            max_query_length=data_args.max_query_length,
+            max_passage_length=data_args.max_passage_length,
+        )
+
     t0 = time.time()
-    history = trainer.train(dataset, collator)
+    history = trainer.train(dataset, collator, eval_dataset=eval_dataset)
 
     if jax.process_index() == 0:
         save_params_fn(train_cfg.output_dir, jax.device_get(trainer.state.params))
