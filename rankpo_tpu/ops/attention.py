@@ -85,22 +85,24 @@ def multi_head_attention(
     if impl == "flash":
         from rankpo_tpu.ops.flash_attention import flash_attention
 
-        mp = mesh.shape.get("model", 1) if mesh is not None else 1
+        from rankpo_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+
+        mp = mesh.shape.get(MODEL_AXIS, 1) if mesh is not None else 1
         if mesh is not None and mp > 1:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
-            dp = mesh.shape.get("data", 1)
+            dp = mesh.shape.get(DATA_AXIS, 1)
             b, _, hq, _ = q.shape
             hkv = k.shape[2]
             if b % dp == 0 and hq % mp == 0 and hkv % mp == 0:
-                spec = P("data", None, "model", None)
+                spec = P(DATA_AXIS, None, MODEL_AXIS, None)
                 fn = shard_map(
                     lambda q_, k_, v_, m_: flash_attention(
                         q_, k_, v_, mask=m_, causal=causal
                     ),
                     mesh=mesh,
-                    in_specs=(spec, spec, spec, P("data", None)),
+                    in_specs=(spec, spec, spec, P(DATA_AXIS, None)),
                     out_specs=spec,
                     # pallas_call outputs carry no varying-axis metadata yet
                     check_vma=False,

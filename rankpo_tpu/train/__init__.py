@@ -5,6 +5,7 @@ from rankpo_tpu.train.steps import (
     make_contrastive_loss_fn,
     make_rankpo_loss_fn,
 )
+from rankpo_tpu.train.gradcache import make_contrastive_gradcache_grad_fn
 
 __all__ = [
     "TrainConfig",
@@ -12,4 +13,5 @@ __all__ = [
     "Trainer",
     "make_contrastive_loss_fn",
     "make_rankpo_loss_fn",
+    "make_contrastive_gradcache_grad_fn",
 ]
