@@ -81,6 +81,38 @@ class TestMatmulTopk:
                     seen_pairs[pair] = rank
 
 
+class TestRandomizedSweep:
+    def test_many_random_configs_match_oracle(self, data_mesh):
+        """Property sweep: random (n, d, q, k, shard) configs — indices must
+        exactly match the FAISS-semantics oracle every time."""
+        rng = np.random.RandomState(99)
+        for trial in range(12):
+            n = int(rng.randint(20, 1500))
+            d = int(rng.choice([8, 16, 31, 64]))
+            nq = int(rng.randint(1, 40))
+            k = int(rng.randint(1, min(n, 150) + 1))
+            sharded = bool(rng.randint(2))
+            corpus = rng.randn(n, d).astype(np.float32)
+            if rng.randint(2):  # sometimes inject duplicates for ties
+                dup = rng.randint(1, max(n // 2, 2))
+                corpus[-dup:] = corpus[:dup]
+            queries = rng.randn(nq, d).astype(np.float32)
+            index = FlatIPIndex(corpus, mesh=data_mesh if sharded else None)
+            s, i = index.search(queries, k=k, batch_size=int(rng.randint(1, nq + 1)))
+            es, ei = numpy_search(corpus, queries, k)
+            # indices must match EXCEPT where numpy-vs-XLA fp32 rounding flips
+            # a near-tie (score gap within 1e-5) — same tolerance FAISS-vs-GPU
+            # comparisons need
+            mismatch = i != ei
+            if mismatch.any():
+                gap = np.abs(s[mismatch] - es[mismatch])
+                assert gap.max() < 1e-5, (
+                    f"trial {trial}: n={n} d={d} q={nq} k={k} sharded={sharded}: "
+                    f"non-tie index mismatch, score gap {gap.max()}"
+                )
+            np.testing.assert_allclose(s, es, atol=1e-4)
+
+
 class TestFlatIPIndex:
     @pytest.mark.parametrize("n,k", [(100, 10), (1000, 100), (257, 64)])
     def test_parity_vs_numpy_oracle_single_device(self, n, k):
