@@ -117,7 +117,7 @@ class InferenceEncoder:
             batch_size = -(-batch_size // n_dev) * n_dev
 
         pad_id = self.config.pad_token_id or 0
-        out: List[np.ndarray] = []
+        pending = []  # async dispatch: fetch after all batches are in flight
         n = len(sentences)
         for lo in range(0, n, batch_size):
             chunk = sentences[lo : lo + batch_size]
@@ -138,11 +138,12 @@ class InferenceEncoder:
             reps = self._embed_fn(
                 self.params, {"input_ids": ids, "attention_mask": mask}
             )
-            out.append(np.asarray(reps[: len(chunk)], np.float32))
+            pending.append((reps, len(chunk)))
             if lo == 0:
                 logger.info(
                     "%s: %d texts, batch %d, bucket len %d", description, n,
                     batch_size, target,
                 )
+        out = [np.asarray(reps[:real], np.float32) for reps, real in pending]
         result = np.concatenate(out, axis=0) if out else np.zeros((0, 0), np.float32)
         return result[0] if single else result

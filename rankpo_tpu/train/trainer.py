@@ -115,6 +115,7 @@ class Trainer:
 
         self._step_fn = self._build_step()
         self._eval_fn = None
+        self._eval_data = None
         self._history: List[Dict] = []
         self._log_buffer: List[Dict] = []
 
