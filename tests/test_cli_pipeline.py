@@ -182,6 +182,41 @@ def test_full_pipeline(workspace):
     assert os.path.isfile(os.path.join(out2, "model.safetensors"))
 
 
+def test_rankpo_with_reference_model(workspace, tmp_path):
+    """Non-reference-free RankPO through the CLI: a frozen ref model's margin
+    is subtracted from the advantage (rankpo_trainer.py:545-548)."""
+    root, base_model = workspace
+    from rankpo_tpu.cli.run_rankpo import main as run_rankpo
+    import json as _json
+
+    rows = [
+        {"query": f"q {i}", "passage1": f"good {i}", "passage2": f"bad {i}",
+         "preferred": "A"}
+        for i in range(8)
+    ]
+    pf = tmp_path / "refpairs.jsonl"
+    pf.write_text("\n".join(_json.dumps(r) for r in rows))
+    out = str(tmp_path / "ref-run")
+    history = run_rankpo([
+        "--model_name_or_path", base_model,
+        "--tokenizer_name", TOK,
+        "--train_data", str(pf),
+        "--output_dir", out,
+        "--learning_rate", "1e-3",
+        "--num_train_epochs", "1",
+        "--per_device_train_batch_size", "1",
+        "--reference_free", "False",
+        "--ref_model_name_or_path", base_model,
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--bf16", "False",
+        "--save_strategy", "no",
+    ])
+    assert history and np.isfinite(history[0]["loss"])
+    # with ref == policy at init, the margin cancels: loss starts at -logσ(0)
+    assert abs(history[0]["loss"] - float(np.log(2))) < 0.05
+
+
 def test_rankpo_with_lora(workspace, tmp_path):
     root, base_model = workspace
     from rankpo_tpu.cli.run_rankpo import main as run_rankpo
