@@ -237,3 +237,19 @@ class TestEvalSchemas:
         rows, queries, corpus = load_mining_rows(str(mf))
         assert rows[0]["positives"] == ["p1", "p2"]
         assert corpus == ["p1", "p2", "n1"]  # deduped, order-preserving
+
+
+class TestHFDatasetsInput:
+    def test_contrastive_accepts_hf_dataset(self, tok):
+        """The reference loads via datasets.load_dataset('json'); our readers
+        accept any iterable of row dicts, so an HF Dataset drops straight in."""
+        datasets = pytest.importorskip("datasets")
+        rows = [
+            {"query": f"q {i}", "positives": [f"p {i}"],
+             "negatives": [f"n {i} {j}" for j in range(3)]}
+            for i in range(4)
+        ]
+        hf_ds = datasets.Dataset.from_list(rows)
+        ds = ContrastiveDataset(hf_ds, tok, 8, 8)
+        assert len(ds) == 4
+        assert isinstance(ds[0]["query"], list)
