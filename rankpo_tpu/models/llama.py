@@ -150,8 +150,10 @@ def _layer(
     v = (y @ lp["v_proj"]["kernel"]).reshape(b, s, hkv, d)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    # self-attention with everywhere-masked pad keys: pad q rows are skippable
     attn = multi_head_attention(
-        q, k, v, mask=mask, causal=True, impl=attn_impl, mesh=mesh
+        q, k, v, mask=mask, causal=True, impl=attn_impl, mesh=mesh,
+        skip_pad_q=True,
     )
     x = residual + attn.reshape(b, s, hq * d) @ lp["o_proj"]["kernel"]
 

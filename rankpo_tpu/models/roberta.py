@@ -112,8 +112,10 @@ def _layer(
     q = (x @ lp["query"]["kernel"] + lp["query"]["bias"]).reshape(b, s, nh, d)
     k = (x @ lp["key"]["kernel"] + lp["key"]["bias"]).reshape(b, s, nh, d)
     v = (x @ lp["value"]["kernel"] + lp["value"]["bias"]).reshape(b, s, nh, d)
+    # self-attention with everywhere-masked pad keys: pad q rows are skippable
     attn = multi_head_attention(
-        q, k, v, mask=mask, causal=False, impl=attn_impl, mesh=mesh
+        q, k, v, mask=mask, causal=False, impl=attn_impl, mesh=mesh,
+        skip_pad_q=True,
     )
     attn = attn.reshape(b, s, h) @ lp["attn_output"]["kernel"] + lp["attn_output"]["bias"]
     attn = dropout(attn, k0)

@@ -70,6 +70,7 @@ def multi_head_attention(
     causal: bool = False,
     impl: str = "auto",
     mesh=None,
+    skip_pad_q: bool = False,
 ) -> jax.Array:
     """Scaled dot-product attention with GQA, padding mask, optional causality.
 
@@ -99,7 +100,8 @@ def multi_head_attention(
                 spec = P(DATA_AXIS, None, MODEL_AXIS, None)
                 fn = shard_map(
                     lambda q_, k_, v_, m_: flash_attention(
-                        q_, k_, v_, mask=m_, causal=causal
+                        q_, k_, v_, mask=m_, causal=causal,
+                        skip_pad_q=skip_pad_q,
                     ),
                     mesh=mesh,
                     in_specs=(spec, spec, spec, P(DATA_AXIS, None)),
@@ -113,5 +115,7 @@ def multi_head_attention(
                     )
                 return fn(q, k, v, mask)
             return _xla_attention(q, k, v, mask, causal)
-        return flash_attention(q, k, v, mask=mask, causal=causal)
+        return flash_attention(
+            q, k, v, mask=mask, causal=causal, skip_pad_q=skip_pad_q
+        )
     return _xla_attention(q, k, v, mask, causal)

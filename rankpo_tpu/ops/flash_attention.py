@@ -52,7 +52,8 @@ def _row(ref):
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, causal, k_block
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, causal, k_block,
+    skip_pad_q,
 ):
     q = q_ref[0]  # [Bq, D] in input dtype — keep dots on the bf16 MXU path
     bq, d = q.shape
@@ -105,6 +106,11 @@ def _fwd_kernel(
         # also skip blocks entirely above the diagonal
         last_kb = (q_offset + bq - 1) // k_block + 1
         n_iter = jnp.minimum(n_iter, last_kb)
+    if skip_pad_q:
+        # self-attention opt-in: a q block past the valid length runs zero
+        # iterations — its rows output zeros, which masked keys make invisible
+        # to every valid row downstream
+        n_iter = jnp.where(q_offset < key_len, n_iter, 0)
     m, l, acc = jax.lax.fori_loop(0, n_iter, body, (m, l, acc))
 
     l_safe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros, not NaN
@@ -115,7 +121,7 @@ def _fwd_kernel(
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, causal, k_block,
+    *, scale, causal, k_block, skip_pad_q,
 ):
     q = q_ref[0]
     do = do_ref[0]
@@ -159,13 +165,15 @@ def _dq_kernel(
     if causal:
         last_kb = (q_offset + bq - 1) // k_block + 1
         n_iter = jnp.minimum(n_iter, last_kb)
+    if skip_pad_q:
+        n_iter = jnp.where(q_offset < key_len, n_iter, 0)
     dq = jax.lax.fori_loop(0, n_iter, body, jnp.zeros((bq, d), jnp.float32))
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, scale, causal, q_block,
+    *, scale, causal, q_block, skip_pad_q,
 ):
     k = k_ref[0]  # [Bk, D]
     v = v_ref[0]
@@ -215,7 +223,11 @@ def _dkv_kernel(
         start = 0
     # a key block entirely beyond the valid key length contributes nothing
     key_len = jnp.sum(mask_ref[_row(mask_ref), :])
-    end = jnp.where(k_offset < key_len, n_qb, start)
+    end_q = n_qb
+    if skip_pad_q:
+        # pad q rows carry zero cotangents in self-attention use; skip them
+        end_q = jnp.minimum((key_len + q_block - 1) // q_block, n_qb)
+    end = jnp.where(k_offset < key_len, end_q, start)
     dk, dv = jax.lax.fori_loop(
         start, end, body,
         (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32)),
@@ -254,13 +266,15 @@ def _stats_spec(s):
     return pl.BlockSpec((SUBLANES, s), lambda bhi, i: (bhi // SUBLANES, 0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, mask, causal, q_block, k_block, interpret):
-    out, _lse = _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q):
+    out, _lse = _flash_fwd_impl(
+        q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q
+    )
     return out
 
 
-def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret):
+def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q):
     bh, sq, d = q.shape
     bhkv, sk, _ = k.shape
     groups = bh // bhkv
@@ -268,7 +282,8 @@ def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret):
     n_qb = sq // q_block
 
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, k_block=k_block
+        _fwd_kernel, scale=scale, causal=causal, k_block=k_block,
+        skip_pad_q=skip_pad_q,
     )
     out, lse3 = pl.pallas_call(
         kernel,
@@ -292,12 +307,14 @@ def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret):
     return out, lse3[:, :, 0]
 
 
-def _flash_fwd(q, k, v, mask, causal, q_block, k_block, interpret):
-    out, lse = _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret)
+def _flash_fwd(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q):
+    out, lse = _flash_fwd_impl(
+        q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q
+    )
     return out, (q, k, v, mask, out, lse)
 
 
-def _flash_bwd(causal, q_block, k_block, interpret, res, g):
+def _flash_bwd(causal, q_block, k_block, interpret, skip_pad_q, res, g):
     q, k, v, mask, out, lse = res
     bh, sq, d = q.shape
     bhkv, sk, _ = k.shape
@@ -310,7 +327,8 @@ def _flash_bwd(causal, q_block, k_block, interpret, res, g):
     delta8 = _pad_rows8(delta)
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, causal=causal, k_block=k_block),
+        functools.partial(_dq_kernel, scale=scale, causal=causal,
+                          k_block=k_block, skip_pad_q=skip_pad_q),
         grid=(bh, sq // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
@@ -329,7 +347,8 @@ def _flash_bwd(causal, q_block, k_block, interpret, res, g):
     # dk/dv per (query head, key block); every query head in a GQA group
     # contributes, so the grid runs over query heads and results are summed.
     dk_per_head, dv_per_head = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, causal=causal, q_block=q_block),
+        functools.partial(_dkv_kernel, scale=scale, causal=causal,
+                          q_block=q_block, skip_pad_q=skip_pad_q),
         grid=(bh, sk // k_block),
         in_specs=[
             pl.BlockSpec((1, sq, d), lambda bhi, ki: (bhi, 0, 0)),
@@ -372,9 +391,17 @@ def flash_attention(
     q_block: int = DEFAULT_Q_BLOCK,
     k_block: int = DEFAULT_K_BLOCK,
     interpret: Optional[bool] = None,
+    skip_pad_q: bool = False,
 ) -> jax.Array:
     """q [B, Sq, Hq, D]; k/v [B, Sk, Hkv, D]; mask [B, Sk] key validity.
-    Returns [B, Sq, Hq, D] in q.dtype."""
+    Returns [B, Sq, Hq, D] in q.dtype.
+
+    ``skip_pad_q`` (self-attention opt-in): query blocks entirely past the
+    row's valid length are skipped — their outputs/gradients become zeros.
+    Safe whenever pad positions are masked as keys everywhere (then their
+    hidden states can never influence valid rows) and the loss ignores pad
+    outputs (our pooling reads one valid position). Big win for heavily
+    right-padded static-shape batches."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, sq, hq, d = q.shape
@@ -398,5 +425,7 @@ def flash_attention(
     # per-(batch·query-head) mask rows so stats indexing stays trivial
     mask_bh = jnp.repeat(mask, hq, axis=0)
 
-    out = _flash(qf, kf, vf, mask_bh, causal, q_block, k_block, interpret)
+    out = _flash(
+        qf, kf, vf, mask_bh, causal, q_block, k_block, interpret, skip_pad_q
+    )
     return _unflatten_heads(out, b, hq)

@@ -132,3 +132,36 @@ def test_tensor_parallel_gradients(mesh8):
     for a, b, n in zip(gt, gr, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
                                    err_msg=f"TP grad mismatch for {n}")
+
+
+def test_skip_pad_q_valid_rows_match_pad_rows_zero():
+    """skip_pad_q: valid rows bit-match the default path; pad q rows are zeros."""
+    q, k, v, mask = _inputs(b=2, sq=64, sk=64, mask_lens=[64, 24])
+    full = flash_attention(q, k, v, mask=mask, causal=True,
+                           q_block=16, k_block=16, interpret=True)
+    skipped = flash_attention(q, k, v, mask=mask, causal=True,
+                              q_block=16, k_block=16, interpret=True,
+                              skip_pad_q=True)
+    valid = np.asarray(mask).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(skipped)[valid], np.asarray(full)[valid], atol=1e-6
+    )
+    # whole q blocks past the length are zero (row 1: blocks from 32 on)
+    np.testing.assert_array_equal(np.asarray(skipped)[1, 32:], 0.0)
+
+
+def test_skip_pad_q_encoder_embeddings_unchanged():
+    """Through the llama encoder (which opts in), embeddings of padded batches
+    must equal the XLA path — pooling only reads valid positions."""
+    from rankpo_tpu.models import init_params, tiny_llama_config
+    from rankpo_tpu.models import encoder as enc
+
+    cfg = tiny_llama_config(vocab_size=64)
+    params = init_params(jax.random.key(0), cfg)
+    ids = jax.random.randint(jax.random.key(1), (3, 48), 5, 64)
+    mask = jnp.ones((3, 48), jnp.int32).at[1, 12:].set(0).at[2, 30:].set(0)
+    a = enc.embed(params, cfg, {"input_ids": ids, "attention_mask": mask},
+                  compute_dtype=jnp.float32, attn_impl="xla")
+    b = enc.embed(params, cfg, {"input_ids": ids, "attention_mask": mask},
+                  compute_dtype=jnp.float32, attn_impl="flash")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
