@@ -36,6 +36,8 @@ def main():
     parser.add_argument("--ffn", type=int, default=0)
     parser.add_argument("--accum", type=int, default=1)
     parser.add_argument("--grad_cache", action="store_true")
+    parser.add_argument("--pad_frac", type=float, default=0.0,
+                        help="fraction of each row that is padding (realistic batches)")
     args = parser.parse_args()
 
     import jax
@@ -100,11 +102,15 @@ def main():
     rng = np.random.RandomState(0)
 
     def block(rows, seq):
+        mask = np.ones((args.accum, rows, seq), np.int32)
+        if args.pad_frac > 0:
+            valid = max(1, int(seq * (1 - args.pad_frac)))
+            mask[..., valid:] = 0
         return {
             "input_ids": rng.randint(
                 5, args.vocab, (args.accum, rows, seq)
             ).astype(np.int32),
-            "attention_mask": np.ones((args.accum, rows, seq), np.int32),
+            "attention_mask": mask,
         }
 
     batch = {
