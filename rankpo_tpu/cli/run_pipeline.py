@@ -45,6 +45,11 @@ def main(argv=None):
     parser.add_argument("--max_passage_length", type=int, default=128)
     parser.add_argument("--batch_size", type=int, default=64,
                         help="inference batch size for mining")
+    parser.add_argument("--query_data", default=None,
+                        help="optional eval-format queries: generate stage-2 "
+                             "prediction pairs with the final model")
+    parser.add_argument("--corpus_data", default=None)
+    parser.add_argument("--num_predictions", type=int, default=5)
     parser.add_argument("--bf16", action="store_true")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--log_level", default="info")
@@ -116,6 +121,28 @@ def main(argv=None):
                 mesh=mesh,
             )
             train_file = next(iter(outputs.values()))
+
+    if args.query_data and args.corpus_data:
+        from rankpo_tpu.tools import generate_predictions
+
+        config, params = load_pretrained(model_path)
+        tokenizer = resolve_tokenizer(args.tokenizer_name, model_path)
+        encoder = InferenceEncoder(
+            config, params, tokenizer, mesh=mesh,
+            compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        )
+        preds_file = os.path.join(args.output_dir, "prediction_pairs.jsonl")
+        generate_predictions(
+            encoder, args.query_data, args.corpus_data, preds_file,
+            max_query_length=args.max_query_length,
+            max_passage_length=args.max_passage_length,
+            search_range=args.search_range,
+            num_predictions=args.num_predictions,
+            batch_size=args.batch_size,
+            seed=args.seed,
+            mesh=mesh,
+        )
+        logger.info("stage-2 prediction pairs at %s", preds_file)
 
     logger.info("pipeline finished; final model at %s", model_path)
     return model_path

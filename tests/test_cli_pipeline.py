@@ -289,11 +289,15 @@ def test_iteration_pipeline(workspace, tmp_path):
         "--max_query_length", "16",
         "--max_passage_length", "16",
         "--batch_size", "8",
+        "--query_data", str(root / "queries.jsonl"),
+        "--corpus_data", str(root / "corpus.jsonl"),
+        "--num_predictions", "3",
     ])
     assert os.path.isfile(os.path.join(final, "model.safetensors"))
     assert os.path.isfile(os.path.join(out, "train_iter0.jsonl"))
     assert os.path.isdir(os.path.join(out, "mined_iter0"))
     assert os.path.isdir(os.path.join(out, "iter1"))
+    assert os.path.isfile(os.path.join(out, "prediction_pairs.jsonl"))
 
 
 def test_output_dir_guard(workspace):
