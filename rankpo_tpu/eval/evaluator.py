@@ -159,8 +159,9 @@ def evaluate_path(
             json.dump(metrics, f, indent=4)
         if save_arrays:
             stem = save_path.rsplit(".", 1)[0]
-            np.save(stem + "-indices.npy", indices)
-            np.save(stem + "-scores.npy", scores)
+            # int64 to match the dtype FAISS search returns (npy drop-in compat)
+            np.save(stem + "-indices.npy", indices.astype(np.int64))
+            np.save(stem + "-scores.npy", scores.astype(np.float32))
         results[os.path.basename(save_path).split(".")[0]] = metrics
         logger.info("results: %s", metrics)
 
