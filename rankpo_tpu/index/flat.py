@@ -68,7 +68,11 @@ class FlatIPIndex:
         recall_target: float = 1.0,
     ):
         """recall_target < 1.0 trades exactness for throughput via the TPU
-        PartialReduce top-k (serving mode); 1.0 keeps FAISS-exact semantics."""
+        PartialReduce top-k (serving mode); 1.0 keeps FAISS-exact semantics.
+
+        dtype: fp32 (exact-parity default), bf16 (2x memory), or jnp.int8
+        (4x memory, symmetric per-row max-abs quantization — scores are
+        rescaled after the int8 matmul; a serving-mode accuracy trade)."""
         self.mesh = mesh
         self.recall_target = recall_target
         self.n_total = int(embeddings.shape[0])
@@ -87,11 +91,24 @@ class FlatIPIndex:
             emb = np.concatenate(
                 [emb, np.zeros((pad, self.dim), np.float32)], axis=0
             )
-        if mesh is not None:
-            sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+        row_sharding = (
+            NamedSharding(mesh, P(DATA_AXIS, None)) if mesh is not None else None
+        )
+        self.quantized = dtype == jnp.int8
+        if self.quantized:
+            scale = np.abs(emb).max(axis=1, keepdims=True) / 127.0
+            scale = np.maximum(scale, 1e-12)
+            q = np.clip(np.round(emb / scale), -127, 127).astype(np.int8)
+            self.corpus = jax.device_put(jnp.asarray(q), row_sharding)
+            scale_sharding = (
+                NamedSharding(mesh, P(DATA_AXIS)) if mesh is not None else None
+            )
+            self.row_scale = jax.device_put(
+                jnp.asarray(scale[:, 0], jnp.float32), scale_sharding
+            )
         else:
-            sharding = None
-        self.corpus = jax.device_put(jnp.asarray(emb, dtype=dtype), sharding)
+            self.corpus = jax.device_put(jnp.asarray(emb, dtype=dtype), row_sharding)
+            self.row_scale = None
         self._search_fn = None
         self._search_k = None
 
@@ -104,19 +121,27 @@ class FlatIPIndex:
         mesh = self.mesh
         use_pallas = self.use_pallas
 
+        # queries compute in the corpus dtype, except int8 storage where they
+        # stay bf16 and the corpus dequant fuses into the matmul
+        def q_cast(queries, corpus_arg):
+            if corpus_arg.dtype == jnp.int8:
+                return queries.astype(jnp.bfloat16)
+            return queries.astype(corpus_arg.dtype)
+
         # NOTE: the corpus is a jit ARGUMENT, never a closure capture — a
         # captured array becomes an HLO constant, which ships the whole index
         # to the compiler (and breaks remote-compile setups on >100MB corpora).
         if mesh is None:
 
-            def single(corpus_arg, queries):
+            def single(corpus_arg, col_scale, queries):
                 return matmul_topk(
-                    queries.astype(corpus_arg.dtype),
+                    q_cast(queries, corpus_arg),
                     corpus_arg,
                     k=k,
                     n_valid=n_total,
                     use_pallas=use_pallas,
                     recall_target=self.recall_target,
+                    col_scale=col_scale,
                 )
 
             return jax.jit(single)
@@ -125,13 +150,13 @@ class FlatIPIndex:
         shard_rows = self.n_padded // n_shards
         k_local = min(k, shard_rows)
 
-        def per_shard(corpus_local, queries):
+        def per_shard(corpus_local, scale_local, queries):
             # corpus_local: this shard's [n_padded/W, D] slice
             shard_id = jax.lax.axis_index(DATA_AXIS)
             offset = shard_id * shard_rows
             n_valid_local = jnp.clip(n_total - offset, 0, shard_rows)
             scores, idx = matmul_topk(
-                queries.astype(corpus_local.dtype),
+                q_cast(queries, corpus_local),
                 corpus_local,
                 k=k_local,
                 n_valid=n_valid_local,
@@ -139,20 +164,35 @@ class FlatIPIndex:
                 use_pallas=use_pallas,
                 vary_axes=(DATA_AXIS,),
                 recall_target=self.recall_target,
+                col_scale=scale_local,
             )
             return scores, idx
 
-        shard_fn = jax.shard_map(
-            per_shard,
-            mesh=mesh,
-            in_specs=(P(DATA_AXIS, None), P()),
-            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-        )
+        def per_shard_unscaled(corpus_local, queries):
+            return per_shard(corpus_local, None, queries)
 
-        def sharded(corpus_arg, queries):
+        if self.quantized:
+            shard_fn = jax.shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P()),
+                out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+            )
+        else:
+            shard_fn = jax.shard_map(
+                per_shard_unscaled,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P()),
+                out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+            )
+
+        def sharded(corpus_arg, col_scale, queries):
             # per-shard candidates concatenated in ascending-shard (ascending
             # global index) order: [Q, W*k_local]
-            cand_scores, cand_idx = shard_fn(corpus_arg, queries)
+            if self.quantized:
+                cand_scores, cand_idx = shard_fn(corpus_arg, col_scale, queries)
+            else:
+                cand_scores, cand_idx = shard_fn(corpus_arg, queries)
             final_scores, pos = jax.lax.top_k(cand_scores, k)
             final_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
             return final_scores, final_idx
@@ -161,6 +201,8 @@ class FlatIPIndex:
             sharded,
             in_shardings=(
                 NamedSharding(mesh, P(DATA_AXIS, None)),
+                NamedSharding(mesh, P(DATA_AXIS)) if self.quantized
+                else NamedSharding(mesh, P()),
                 NamedSharding(mesh, P()),
             ),
         )
@@ -189,7 +231,9 @@ class FlatIPIndex:
                 block = np.concatenate(
                     [block, np.zeros((batch_size - real, self.dim), np.float32)]
                 )
-            scores, idx = self._search_fn(self.corpus, jnp.asarray(block))
+            scores, idx = self._search_fn(
+                self.corpus, self.row_scale, jnp.asarray(block)
+            )
             pending.append((scores, idx, real))
         all_scores = [np.asarray(s[:r], np.float32) for s, _, r in pending]
         all_indices = [np.asarray(i[:r], np.int32) for _, i, r in pending]

@@ -36,6 +36,7 @@ def dense_matmul_topk(
     n_valid: int | jax.Array | None = None,
     index_offset: int | jax.Array = 0,
     recall_target: float = 1.0,
+    col_scale: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full [Q, N] score matrix + top_k. Fastest when it fits HBM.
 
@@ -45,9 +46,14 @@ def dense_matmul_topk(
     Exact mode keeps FAISS tie semantics; approx mode is for serving."""
     n = corpus.shape[0]
     k = min(k, n)
+    if corpus.dtype == jnp.int8:
+        # symmetric per-row quantized storage: dequant fuses into the matmul
+        corpus = corpus.astype(queries.dtype)
     scores = jnp.einsum(
         "qd,nd->qn", queries, corpus, preferred_element_type=jnp.float32
     )
+    if col_scale is not None:
+        scores = scores * col_scale[None, :]
     if n_valid is not None:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
         scores = jnp.where(col < n_valid, scores, NEG_INF)
@@ -72,6 +78,7 @@ def matmul_topk(
     vary_axes: tuple = (),
     allow_dense: bool = True,
     recall_target: float = 1.0,
+    col_scale: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """queries [Q, D], corpus [N, D] -> (scores [Q, k] fp32, indices [Q, k] int32).
 
@@ -100,7 +107,7 @@ def matmul_topk(
     if allow_dense and q * n * 4 <= DENSE_SCORE_BUDGET:
         return dense_matmul_topk(
             queries, corpus, k=k, n_valid=n_valid, index_offset=index_offset,
-            recall_target=recall_target,
+            recall_target=recall_target, col_scale=col_scale,
         )
 
     # beyond the budget: python-unrolled loop over budget-sized column CHUNKS,
@@ -130,6 +137,7 @@ def matmul_topk(
             n_valid=n_valid_local,
             index_offset=lo,
             recall_target=recall_target,
+            col_scale=None if col_scale is None else col_scale[lo:hi],
         )
         # chunks ascend in index; (previous best, current chunk) concat order
         # preserves lowest-index-first tie-breaking

@@ -201,3 +201,33 @@ class TestEndToEndRetrieval:
         scores, indices = index.search(q_emb, k=5)
         assert list(indices[:, 0]) == [3, 17, 29]
         np.testing.assert_allclose(scores[:, 0], 1.0, atol=1e-4)
+
+
+class TestQuantizedIndex:
+    def test_int8_recall_vs_fp32(self, data_mesh):
+        """4x-memory int8 storage: top-10 recall vs exact fp32 must stay high
+        on normalized embeddings (serving-mode trade)."""
+        rng = np.random.RandomState(7)
+        corpus = rng.randn(2000, 64).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        queries = rng.randn(32, 64).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=-1, keepdims=True)
+
+        exact = FlatIPIndex(corpus)
+        _, ie = exact.search(queries, k=10)
+        for mesh in (None, data_mesh):
+            q8 = FlatIPIndex(corpus, mesh=mesh, dtype=jnp.int8)
+            s8, i8 = q8.search(queries, k=10)
+            recall = np.mean([
+                len(set(i8[r]) & set(ie[r])) / 10 for r in range(len(queries))
+            ])
+            assert recall >= 0.9, f"int8 recall too low (mesh={mesh}): {recall}"
+            # scores approximate the true cosines
+            es, _ = exact.search(queries, k=10)
+            assert abs(float(s8[0, 0]) - float(es[0, 0])) < 0.02
+
+    def test_int8_memory_is_quarter(self):
+        corpus = np.random.RandomState(0).randn(256, 64).astype(np.float32)
+        idx8 = FlatIPIndex(corpus, dtype=jnp.int8)
+        assert idx8.corpus.dtype == jnp.int8
+        assert idx8.row_scale is not None and idx8.row_scale.shape == (256,)
