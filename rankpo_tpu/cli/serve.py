@@ -70,6 +70,9 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=256)
     parser.add_argument("--recall_target", type=float, default=1.0,
                         help="<1.0 = approx top-k serving mode (8x QPS @0.95)")
+    parser.add_argument("--index_dtype", default="float32",
+                        choices=["float32", "bfloat16", "int8"],
+                        help="index storage: fp32 exact / bf16 2x / int8 4x memory")
     parser.add_argument("--log_level", default="info")
     args = parser.parse_args(argv)
 
@@ -78,9 +81,13 @@ def main(argv=None):
     config, params = load_pretrained(args.model_name_or_path)
     tokenizer = resolve_tokenizer(args.tokenizer_name, args.model_name_or_path)
     encoder = InferenceEncoder(config, params, tokenizer, mesh=mesh)
+    import jax.numpy as jnp
+
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "int8": jnp.int8}[args.index_dtype]
     service = RetrievalService(
         encoder, mesh=mesh, max_query_length=args.max_query_length,
-        recall_target=args.recall_target,
+        recall_target=args.recall_target, index_dtype=dtype,
     )
     corpus = load_eval_corpus(args.corpus_data)
     service.build_index(

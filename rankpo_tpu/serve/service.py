@@ -31,14 +31,19 @@ class RetrievalService:
         max_query_length: int = 512,
         query_batch_size: int = 64,
         recall_target: float = 1.0,
+        index_dtype=None,
     ):
         """recall_target < 1.0 enables the approx serving mode (PartialReduce
-        top-k): 8x QPS at recall 0.95 on v5e; 1.0 = exact/FAISS-parity."""
+        top-k): 8x QPS at recall 0.95 on v5e; 1.0 = exact/FAISS-parity.
+        index_dtype: fp32 (default) / bf16 (2x memory) / int8 (4x memory)."""
+        import jax.numpy as jnp
+
         self.encoder = encoder
         self.mesh = mesh
         self.max_query_length = max_query_length
         self.query_batch_size = query_batch_size
         self.recall_target = recall_target
+        self.index_dtype = index_dtype if index_dtype is not None else jnp.float32
         self.index: Optional[FlatIPIndex] = None
         self.corpus_texts: List[str] = []
 
@@ -65,7 +70,10 @@ class RetrievalService:
             max_length=max_passage_length,
             description="Indexing corpus",
         )
-        self.index = FlatIPIndex(embeddings, mesh=self.mesh, recall_target=self.recall_target)
+        self.index = FlatIPIndex(
+            embeddings, mesh=self.mesh, recall_target=self.recall_target,
+            dtype=self.index_dtype,
+        )
         self.corpus_texts = list(corpus_texts)
         logger.info(
             "indexed %d passages in %.1fs", len(corpus_texts), time.time() - t0
@@ -73,7 +81,10 @@ class RetrievalService:
 
     def load_index(self, embeddings: np.ndarray, corpus_texts: Sequence[str]):
         """Attach a prebuilt embedding matrix (e.g. from an offline encode)."""
-        self.index = FlatIPIndex(embeddings, mesh=self.mesh, recall_target=self.recall_target)
+        self.index = FlatIPIndex(
+            embeddings, mesh=self.mesh, recall_target=self.recall_target,
+            dtype=self.index_dtype,
+        )
         self.corpus_texts = list(corpus_texts)
 
     # ------------------------------------------------------------------
