@@ -103,9 +103,20 @@ class ModelArguments:
         metadata={"help": "Tokenizer path if different from the model; "
                           "'hash:<vocab>' selects the hermetic test tokenizer."},
     )
-    attn_impl: str = dataclasses.field(
-        default="auto", metadata={"help": "Attention impl: auto|xla|flash."}
+    attn_implementation: str = dataclasses.field(
+        default="auto",
+        metadata={"help": "Attention impl: auto|xla|flash; the reference's "
+                          "'flash_attention_2' maps to the pallas flash kernel, "
+                          "'eager'/'sdpa' to the XLA path."},
     )
+
+    @property
+    def attn_impl(self) -> str:
+        return {
+            "flash_attention_2": "flash",
+            "eager": "xla",
+            "sdpa": "xla",
+        }.get(self.attn_implementation, self.attn_implementation)
 
     def to_json_string(self):
         return _json_str(self)

@@ -312,3 +312,11 @@ def test_output_dir_guard(workspace):
             "--train_data", str(root / "train.jsonl"),
             "--output_dir", out1,
         ])
+
+
+def test_reference_attn_flag_values():
+    from rankpo_tpu.cli.arguments import ModelArguments
+
+    assert ModelArguments(attn_implementation="flash_attention_2").attn_impl == "flash"
+    assert ModelArguments(attn_implementation="eager").attn_impl == "xla"
+    assert ModelArguments(attn_implementation="auto").attn_impl == "auto"
