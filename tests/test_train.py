@@ -298,6 +298,25 @@ class TestTrainerRankPO:
         assert np.isfinite(eval_metrics["eval_loss"])
 
 
+class TestDeterminism:
+    def test_identical_seeds_identical_history(self, data_mesh, tmp_path, tok):
+        """Full-run determinism: same seed → bit-identical loss sequence
+        (JAX + seeded collator/loader; the reference's set_seed analog)."""
+        ds = ContrastiveDataset(_contrastive_rows(16), tok, 16, 16)
+
+        def run(subdir):
+            trainer, _ = _make_trainer(data_mesh, tmp_path / subdir, tok,
+                                       cfg_extra={"save_strategy": "no"})
+            coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                       max_query_length=16,
+                                       max_passage_length=16, seed=5)
+            return [h["loss"] for h in trainer.train(ds, coll)]
+
+        a = run("a")
+        b = run("b")
+        assert a == b, f"nondeterministic training: {a} vs {b}"
+
+
 class TestInTrainingEval:
     def test_eval_per_epoch(self, data_mesh, tmp_path, tok):
         trainer, _ = _make_trainer(
