@@ -338,9 +338,16 @@ class Trainer:
                     jax.profiler.start_trace(
                         os.path.join(cfg.output_dir, "profile")
                     )
+                will_log = bool(
+                    cfg.logging_steps
+                    and (global_step + 1) % cfg.logging_steps == 0
+                )
                 t_step = time.time()
                 metrics = self.train_step(batch, rng)
-                metrics = {k: float(v) for k, v in metrics.items()}  # block
+                if will_log:
+                    # sync only when logging: at logging_steps > 1 the host
+                    # keeps collating while the device runs ahead
+                    metrics = {k: float(v) for k, v in metrics.items()}
                 step_time = time.time() - t_step
                 if (
                     cfg.profile_steps
@@ -354,7 +361,7 @@ class Trainer:
                 global_step += 1
                 step_in_epoch += 1
 
-                if cfg.logging_steps and global_step % cfg.logging_steps == 0:
+                if will_log:
                     logs = {
                         "global_step": global_step,
                         "loss": float(metrics["loss"]),
