@@ -1,6 +1,7 @@
 from rankpo_tpu.data.collators import ContrastiveCollator, RankPOCollator
 from rankpo_tpu.data.datasets import (
     ContrastiveDataset,
+    StreamingContrastiveDataset,
     PairPreferenceDataset,
     load_eval_corpus,
     load_eval_queries,
@@ -18,6 +19,7 @@ __all__ = [
     "ContrastiveCollator",
     "RankPOCollator",
     "ContrastiveDataset",
+    "StreamingContrastiveDataset",
     "PairPreferenceDataset",
     "load_eval_corpus",
     "load_eval_queries",

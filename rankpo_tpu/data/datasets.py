@@ -123,6 +123,68 @@ class PairPreferenceDataset:
         return self.rows[i]
 
 
+class StreamingContrastiveDataset:
+    """Lazy variant for corpora larger than host RAM: rows stay on disk (line
+    offsets via the C++ mmap scanner when built, else a python scan) and are
+    parsed + tokenized per access. The DataLoader's prefetch thread overlaps
+    this host work with device compute, so the train loop sees the same
+    interface as the eager dataset at O(1) resident memory."""
+
+    def __init__(
+        self,
+        path: str,
+        tokenizer,
+        max_query_length: int = 32,
+        max_passage_length: int = 128,
+    ):
+        import json as _json
+
+        self.path = path
+        self.tokenizer = tokenizer
+        self.max_query_length = max_query_length
+        self.max_passage_length = max_passage_length
+        self._json = _json
+        try:
+            from rankpo_tpu.native import native_scan_jsonl
+
+            self.offsets = native_scan_jsonl(path)
+        except Exception:
+            offsets = [0]
+            with open(path, "rb") as f:
+                for line in f:
+                    offsets.append(offsets[-1] + len(line))
+            import numpy as _np
+
+            self.offsets = _np.asarray(offsets, dtype=_np.int64)
+        self._file = open(path, "rb")
+
+    def __len__(self) -> int:
+        return len(self.offsets) - 1
+
+    def __getitem__(self, i: int) -> dict:
+        lo, hi = int(self.offsets[i]), int(self.offsets[i + 1])
+        self._file.seek(lo)
+        row = self._json.loads(self._file.read(hi - lo))
+        tok = self.tokenizer
+        return {
+            "query": tok(row["query"], max_length=self.max_query_length,
+                         truncation=True)["input_ids"],
+            "positives": tok(row["positives"], max_length=self.max_passage_length,
+                             truncation=True)["input_ids"],
+            "negatives": tok(row["negatives"], max_length=self.max_passage_length,
+                             truncation=True)["input_ids"],
+        }
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_file"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._file = open(self.path, "rb")
+
+
 def load_eval_queries(path: str) -> Tuple[List[str], List[List[int]]]:
     """Eval query file: {"query": {"text"}, "positives": {"index"}}
     (reference evaluate.py:144-151). Returns (query texts, label index lists)."""

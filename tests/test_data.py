@@ -253,3 +253,41 @@ class TestHFDatasetsInput:
         ds = ContrastiveDataset(hf_ds, tok, 8, 8)
         assert len(ds) == 4
         assert isinstance(ds[0]["query"], list)
+
+
+class TestStreamingDataset:
+    def test_matches_eager(self, tok, tmp_path):
+        import json as _json
+        from rankpo_tpu.data import StreamingContrastiveDataset
+
+        rows = [
+            {"query": f"q {i}", "positives": [f"p {i} a", f"p {i} b"],
+             "negatives": [f"n {i} {j}" for j in range(4)]}
+            for i in range(12)
+        ]
+        path = tmp_path / "stream.jsonl"
+        path.write_text("\n".join(_json.dumps(r) for r in rows))
+        eager = ContrastiveDataset(str(path), tok, 8, 8)
+        lazy = StreamingContrastiveDataset(str(path), tok, 8, 8)
+        assert len(lazy) == len(eager) == 12
+        for i in (0, 5, 11):
+            assert lazy[i] == eager[i]
+
+    def test_works_with_loader_and_collator(self, tok, tmp_path):
+        import json as _json
+        from rankpo_tpu.data import StreamingContrastiveDataset
+
+        rows = [
+            {"query": f"q {i}", "positives": [f"p {i}"],
+             "negatives": [f"n {i} {j}" for j in range(4)]}
+            for i in range(16)
+        ]
+        path = tmp_path / "s2.jsonl"
+        path.write_text("\n".join(_json.dumps(r) for r in rows))
+        ds = StreamingContrastiveDataset(str(path), tok, 8, 8)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=2,
+                                   max_query_length=8, max_passage_length=8)
+        dl = DataLoader(ds, coll, batch_size=8)
+        batches = list(dl.epoch(0))
+        assert len(batches) == 2
+        assert batches[0]["passage"]["input_ids"].shape == (24, 8)
