@@ -140,6 +140,10 @@ class TrainDataArguments:
         default=None,
         metadata={"help": "Bucketed padding multiple (None = fixed max length)."},
     )
+    streaming: bool = dataclasses.field(
+        default=False,
+        metadata={"help": "Lazy mmap-backed dataset for >RAM corpora."},
+    )
 
     def to_json_string(self):
         return _json_str(self)

@@ -97,7 +97,10 @@ def main(argv=None):
     config, params, tokenizer, pad_id = setup_model_and_tokenizer(model_args)
     config.normalize = c_args.normalize_embeddings
 
-    dataset = ContrastiveDataset(
+    dataset_cls = ContrastiveDataset
+    if data_args.streaming:
+        from rankpo_tpu.data import StreamingContrastiveDataset as dataset_cls
+    dataset = dataset_cls(
         data_args.train_data,
         tokenizer,
         max_query_length=data_args.max_query_length,
