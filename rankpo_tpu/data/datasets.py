@@ -157,14 +157,19 @@ class StreamingContrastiveDataset:
 
             self.offsets = _np.asarray(offsets, dtype=_np.int64)
         self._file = open(path, "rb")
+        import threading
+
+        self._lock = threading.Lock()  # seek+read must be atomic across threads
 
     def __len__(self) -> int:
         return len(self.offsets) - 1
 
     def __getitem__(self, i: int) -> dict:
         lo, hi = int(self.offsets[i]), int(self.offsets[i + 1])
-        self._file.seek(lo)
-        row = self._json.loads(self._file.read(hi - lo))
+        with self._lock:
+            self._file.seek(lo)
+            raw = self._file.read(hi - lo)
+        row = self._json.loads(raw)
         tok = self.tokenizer
         return {
             "query": tok(row["query"], max_length=self.max_query_length,
@@ -178,11 +183,15 @@ class StreamingContrastiveDataset:
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_file"] = None
+        state["_lock"] = None
         return state
 
     def __setstate__(self, state):
+        import threading
+
         self.__dict__.update(state)
         self._file = open(self.path, "rb")
+        self._lock = threading.Lock()
 
 
 def load_eval_queries(path: str) -> Tuple[List[str], List[List[int]]]:
