@@ -169,7 +169,9 @@ def main(argv=None):
             "train_samples": len(dataset),
             "train_runtime": round(time.time() - t0, 2),
             "train_steps": int(trainer.state.step),
-            "final_loss": history[-1]["loss"] if history else None,
+            "final_loss": next(
+                (h["loss"] for h in reversed(history) if "loss" in h), None
+            ),  # last TRAIN row; eval-only rows carry no "loss"
         }
         with open(os.path.join(train_cfg.output_dir, "train_results.json"), "w") as f:
             json.dump(metrics, f, indent=2)

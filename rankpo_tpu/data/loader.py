@@ -59,15 +59,25 @@ class DataLoader:
             return rng.permutation(n)
         return np.arange(n)
 
-    def epoch(self, epoch: int = 0, start_step: int = 0) -> Iterator[dict]:
+    def epoch(
+        self, epoch: int = 0, start_step: int = 0, stack: int = 0
+    ) -> Iterator[dict]:
         """Iterate this process's batches for one epoch. ``start_step`` skips
         already-consumed batches (resume support, the analog of the reference's
-        batch-skipping on resume, contrastive_trainer.py:472-481)."""
+        batch-skipping on resume, contrastive_trainer.py:472-481).
+
+        ``stack`` > 0 groups that many consecutive microbatches and np.stacks
+        them into one [stack, B, ...] array INSIDE the worker thread, so the
+        whole accumulation group's collation + stacking overlaps device compute
+        (the reference's prepared-DataLoader overlap,
+        contrastive_trainer.py:92-146); a trailing partial group is dropped,
+        matching the train loop's drop semantics."""
         order = self._epoch_order(epoch)
         steps = self.steps_per_epoch()
 
         def produce(out_q: queue.Queue):
             try:
+                group = []
                 for step in range(start_step, steps):
                     lo = step * self.batch_size
                     global_ids = order[lo : lo + self.batch_size]
@@ -75,7 +85,19 @@ class DataLoader:
                         self.process_index :: self.process_count
                     ]
                     rows = [self.dataset[int(i)] for i in local_ids]
-                    out_q.put(("batch", self.collator(rows)))
+                    collated = self.collator(rows)
+                    if stack <= 0:
+                        out_q.put(("batch", collated))
+                        continue
+                    group.append(collated)
+                    if len(group) == stack:
+                        import jax
+
+                        stacked = jax.tree_util.tree_map(
+                            lambda *xs: np.stack(xs, axis=0), *group
+                        )
+                        group = []
+                        out_q.put(("batch", stacked))
                 out_q.put(("done", None))
             except Exception as e:  # surface worker errors in the consumer
                 out_q.put(("error", e))

@@ -14,10 +14,13 @@ global-index order, so the final ranking also prefers the lowest global index â€
 matching FAISS's deterministic heap behavior closely enough for bit-identical
 metrics (verified in tests against a numpy oracle).
 
-On TPU the inner matmul+top-k runs as a fused Pallas kernel
-(rankpo_tpu/ops/topk.py) that streams corpus blocks through VMEM with a running
-top-k, never materializing the [Q, N] score matrix in HBM; the XLA path below
-is the fallback and the correctness oracle.
+The compute core is the XLA path in rankpo_tpu/ops/topk.py: a dense
+matmul under a score-matrix memory budget (chunked above it), with exact
+top-k via the two-pass block-max prefilter (exact_topk_blockmax) and a
+``recall_target`` knob for the approx serving mode. A fused Pallas kernel was
+implemented, PROFILED, and rejected â€” Mosaic has no sort/top_k lowering and
+XLA's approx path is already matmul-bound; the measured decision record and
+the (closed) gate live in rankpo_tpu/ops/topk_pallas.py.
 """
 
 from __future__ import annotations
@@ -42,13 +45,13 @@ def numpy_search(
     as the CPU baseline in benchmarks."""
     scores = queries.astype(np.float32) @ corpus.astype(np.float32).T
     k = min(k, corpus.shape[0])
-    # stable descending sort by (-score, index)
-    part = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]
-    part_scores = np.take_along_axis(scores, part, axis=1)
-    order = np.lexsort((part, -part_scores), axis=1)
-    indices = np.take_along_axis(part, order, axis=1)
-    out_scores = np.take_along_axis(part_scores, order, axis=1)
-    return out_scores, indices
+    # stable descending sort: equal scores keep ascending-index order â€” the
+    # FAISS boundary-tie rule. (An argpartition prefilter is NOT tie-safe:
+    # it admits an arbitrary subset of a tie group straddling the k boundary,
+    # dropping lower-index members the final sort can never recover.)
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    out_scores = np.take_along_axis(scores, order, axis=1)
+    return out_scores, order.astype(np.int64)
 
 
 class FlatIPIndex:

@@ -37,12 +37,21 @@ def similarity_scores(q_reps: jax.Array, p_reps: jax.Array) -> jax.Array:
     )
 
 
-def _cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
-    """Mean CE over rows, fp32 log-softmax."""
+def _cross_entropy(
+    logits: jax.Array,
+    targets: jax.Array,
+    row_valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Mean CE over rows, fp32 log-softmax. ``row_valid`` [B] (0/1) restricts
+    the mean to real rows (eval batches padded to static shape)."""
     logits = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     picked = jnp.take_along_axis(logits, targets[:, None], axis=-1)[:, 0]
-    return jnp.mean(logz - picked)
+    per_row = logz - picked
+    if row_valid is None:
+        return jnp.mean(per_row)
+    w = row_valid.astype(jnp.float32)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def info_nce_loss(
@@ -52,8 +61,15 @@ def info_nce_loss(
     temperature: float = 0.02,
     use_inbatch_neg: bool = True,
     axis_name: Optional[str] = None,
+    row_valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (mean loss, scores).
+
+    ``row_valid`` [B] (0/1): rows marked 0 are static-shape eval padding —
+    they are excluded from the loss mean AND their passages are masked out of
+    the in-batch negative pool (scores -inf), so padded rows cannot perturb
+    real rows' metrics (the analog of the reference's gather_for_metrics
+    de-duplication, rankpo_trainer.py:508-520).
 
     q_reps: [B, H]; p_reps: [B*G, H]. When ``axis_name`` is set (inside
     shard_map/pmap over the data axis) this is the
@@ -74,10 +90,29 @@ def info_nce_loss(
             # at global passage index (shard_index*B + i) * G (modeling.py:301-302)
             offset = jax.lax.axis_index(axis_name) * b
             targets = (jnp.arange(b, dtype=jnp.int32) + offset) * group_size
+            col_valid = (
+                None
+                if row_valid is None
+                else _gather_concat(
+                    jnp.repeat(row_valid.astype(jnp.float32), group_size), axis_name
+                )
+            )
         else:
             p_global = p_reps
             targets = jnp.arange(b, dtype=jnp.int32) * group_size
+            col_valid = (
+                None
+                if row_valid is None
+                else jnp.repeat(row_valid.astype(jnp.float32), group_size)
+            )
         scores = similarity_scores(q_reps, p_global) / temperature  # [B, Bg*G]
+        if col_valid is not None:
+            # padded rows' passages must not act as negatives for real rows;
+            # each row keeps its own target column so the (discarded) CE of
+            # padded rows stays finite
+            col = jnp.arange(scores.shape[1], dtype=jnp.int32)
+            keep = (col_valid[None, :] > 0) | (col[None, :] == targets[:, None])
+            scores = jnp.where(keep, scores, -jnp.inf)
     else:
         # grouped scores never cross shards (modeling.py:305-311)
         grouped = p_reps.reshape(b, group_size, -1)
@@ -89,7 +124,19 @@ def info_nce_loss(
         )
         targets = jnp.zeros((b,), dtype=jnp.int32)
 
-    loss = _cross_entropy(scores, targets)
+    if axis_name is not None and row_valid is not None:
+        # shards may hold different valid counts: combine as a global
+        # weighted mean (psum of sums), not a pmean of per-shard means
+        logits = scores.astype(jnp.float32)
+        per_row = jax.nn.logsumexp(logits, axis=-1) - jnp.take_along_axis(
+            logits, targets[:, None], axis=-1
+        )[:, 0]
+        w = row_valid.astype(jnp.float32)
+        num = jax.lax.psum(jnp.sum(per_row * w), axis_name)
+        den = jax.lax.psum(jnp.sum(w), axis_name)
+        return num / jnp.maximum(den, 1.0), scores
+
+    loss = _cross_entropy(scores, targets, row_valid)
     if axis_name is not None:
         loss = jax.lax.pmean(loss, axis_name)
     return loss, scores
@@ -101,6 +148,7 @@ def info_nce_block_loss(
     *,
     num_blocks: int,
     temperature: float = 0.02,
+    row_valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """In-batch InfoNCE restricted to per-device blocks — the
     ``negatives_cross_device=False`` + ``use_inbatch_neg=True`` semantics
@@ -122,12 +170,28 @@ def info_nce_block_loss(
         / temperature
     )  # [W, B/W, (B/W)*G]
     targets = jnp.arange(bw, dtype=jnp.int32) * group_size
+    if row_valid is not None:
+        # mask padded rows' passages out of each block's negative pool,
+        # keeping every row's own target column (see info_nce_loss)
+        col_valid = jnp.repeat(
+            row_valid.astype(jnp.float32).reshape(num_blocks, bw), group_size, axis=1
+        )  # [W, (B/W)*G]
+        col = jnp.arange(bw * group_size, dtype=jnp.int32)
+        keep = (col_valid[:, None, :] > 0) | (
+            col[None, None, :] == targets[None, :, None]
+        )
+        scores = jnp.where(keep, scores, -jnp.inf)
     logits = scores.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits, axis=-1)  # [W, B/W]
     picked = jnp.take_along_axis(
         logits, jnp.broadcast_to(targets[None, :, None], (num_blocks, bw, 1)), axis=-1
     )[..., 0]
-    loss = jnp.mean(logz - picked)
+    per_row = logz - picked
+    if row_valid is None:
+        loss = jnp.mean(per_row)
+    else:
+        w = row_valid.astype(jnp.float32).reshape(num_blocks, bw)
+        loss = jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
     return loss, scores.reshape(b, -1)
 
 

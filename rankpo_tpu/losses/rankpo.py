@@ -55,12 +55,27 @@ def rankpo_loss(
     raise ValueError(f"Unknown loss_type: {loss_type}; one of ['sigmoid', 'hinge']")
 
 
-def sft_loss(scores: jax.Array, temperature: float) -> jax.Array:
+def sft_loss(
+    scores: jax.Array,
+    temperature: float,
+    row_valid: Optional[jax.Array] = None,
+) -> jax.Array:
     """2-way contrastive regularizer: CE([s_c, s_r]/T, target 0)
     (rankpo_trainer.py:499-505)."""
     logits = scores.astype(jnp.float32) / temperature
     logz = jax.nn.logsumexp(logits, axis=-1)
-    return jnp.mean(logz - logits[:, 0])
+    return _masked_mean(logz - logits[:, 0], row_valid)
+
+
+def _masked_mean(x: jax.Array, row_valid: Optional[jax.Array]) -> jax.Array:
+    """Mean over rows, restricted to ``row_valid`` (0/1) rows when given —
+    static-shape eval padding must not bias batch means (the analog of the
+    reference's gather_for_metrics de-dup, rankpo_trainer.py:508-520)."""
+    x = x.astype(jnp.float32)
+    if row_valid is None:
+        return jnp.mean(x)
+    w = row_valid.astype(jnp.float32)
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def rankpo_batch_loss(
@@ -74,6 +89,7 @@ def rankpo_batch_loss(
     label_smoothing: float = 0.0,
     rankpo_weight: float = 1.0,
     sft_weight: float = 0.0,
+    row_valid: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Combined loss + metrics from a [B, 2] (chosen, rejected) score matrix.
 
@@ -104,12 +120,12 @@ def rankpo_batch_loss(
             loss_type=loss_type,
             label_smoothing=label_smoothing,
         )
-        l_rankpo = jnp.mean(per_example)
+        l_rankpo = _masked_mean(per_example, row_valid)
         total = total + rankpo_weight * l_rankpo
         metrics["rankpo_loss"] = l_rankpo
 
     if sft_weight > 0.0:
-        l_sft = sft_loss(scores, temperature)
+        l_sft = sft_loss(scores, temperature, row_valid)
         total = total + sft_weight * l_sft
         metrics["sft_loss"] = l_sft
 
@@ -117,14 +133,16 @@ def rankpo_batch_loss(
     rr = jnp.float32(0.0) if ref_rejected is None else ref_rejected
     chosen_rewards = beta * (chosen - rc)
     rejected_rewards = beta * (rejected - rr)
-    metrics["rewards/chosen"] = jnp.mean(chosen_rewards)
-    metrics["rewards/rejected"] = jnp.mean(rejected_rewards)
-    metrics["rewards/accuracies"] = jnp.mean(
-        (chosen_rewards > rejected_rewards).astype(jnp.float32)
+    metrics["rewards/chosen"] = _masked_mean(chosen_rewards, row_valid)
+    metrics["rewards/rejected"] = _masked_mean(rejected_rewards, row_valid)
+    metrics["rewards/accuracies"] = _masked_mean(
+        (chosen_rewards > rejected_rewards).astype(jnp.float32), row_valid
     )
-    metrics["rewards/margins"] = jnp.mean(chosen_rewards - rejected_rewards)
-    metrics["scores/chosen"] = jnp.mean(chosen)
-    metrics["scores/rejected"] = jnp.mean(rejected)
-    metrics["scores/margins"] = jnp.mean(chosen - rejected)
+    metrics["rewards/margins"] = _masked_mean(
+        chosen_rewards - rejected_rewards, row_valid
+    )
+    metrics["scores/chosen"] = _masked_mean(chosen, row_valid)
+    metrics["scores/rejected"] = _masked_mean(rejected, row_valid)
+    metrics["scores/margins"] = _masked_mean(chosen - rejected, row_valid)
 
     return total, metrics

@@ -27,6 +27,80 @@ NEG_INF = jnp.float32(-jnp.inf)
 # dense 14.5ms vs scan 26ms for [256, 100k]); above it, stream blocks.
 DENSE_SCORE_BUDGET = 1 << 31  # 2 GB
 
+# two-pass exact top-k (block-max prefilter): lane-width column blocks; the
+# candidate pool keeps k + slack blocks so benign near-boundary ties stay on
+# the fast path (mass ties are caught by the exactness check and fall back)
+BLOCKMAX_BLOCK = 128
+BLOCKMAX_SLACK = 16
+
+
+def exact_topk_blockmax(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over [Q, N] fp32 scores without sorting all N columns.
+
+    The full sort is what makes exact brute-force search slow on TPU (profiled
+    v5e, [1024, 100k] k=100: matmul 4.9ms vs matmul+lax.top_k 37ms — see
+    ops/topk_pallas.py's decision record). Two passes fix it:
+
+      1. block maxes M[Q, N/128] (one cheap VPU reduction over the scores);
+         top-(k+slack) blocks by max. Every block containing a true top-k
+         element has max >= the k-th value, and at most k blocks can (one per
+         element), so the selected blocks cover the true top-k.
+      2. gather the selected blocks' columns (ascending global index) and
+         lax.top_k over the ~(k+slack)*128 candidates instead of N.
+
+    Exactness under ties is VERIFIED, not assumed: with theta = the k-th
+    candidate score, the result is exact iff every block with max >= theta was
+    selected (an unselected one could hold a tied element with a lower global
+    index, which FAISS tie order must prefer). On mismatch — only mass
+    duplicate scores can cause it — fall back to the full sort via lax.cond.
+    Candidate columns are laid out in ascending global-index order and
+    lax.top_k breaks ties by earliest position, so FAISS's lowest-index tie
+    rule (reference src/utils.py:58-80) is preserved bit-exactly.
+    """
+    q, n = scores.shape
+    block = BLOCKMAX_BLOCK
+    b_full = n // block
+    c = min(b_full, k + BLOCKMAX_SLACK)
+    # not enough blocks for the prefilter to pay for itself
+    if b_full < 32 or c * block * 2 >= n:
+        return jax.lax.top_k(scores, k)
+    tail = n - b_full * block
+
+    main = scores[:, : b_full * block].reshape(q, b_full, block)
+    m = jnp.max(main, axis=-1)  # [Q, B]
+    bm, bi = jax.lax.top_k(m, c)
+    bi_sorted = jnp.sort(bi, axis=1)  # ascending block index: FAISS tie order
+    # gather whole 128-wide blocks (contiguous minor dim -> efficient gather)
+    cand = jax.vmap(lambda s3, idx: jnp.take(s3, idx, axis=0))(
+        main, bi_sorted
+    ).reshape(q, c * block)
+    cols = (
+        bi_sorted[:, :, None] * block
+        + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+    ).reshape(q, c * block)
+    if tail:
+        # the ragged tail (< 1 block) is always a candidate; its indices are
+        # the largest, so appending keeps ascending order
+        cand = jnp.concatenate([cand, scores[:, b_full * block :]], axis=1)
+        tail_cols = jnp.broadcast_to(
+            jnp.arange(b_full * block, n, dtype=jnp.int32)[None, :], (q, tail)
+        )
+        cols = jnp.concatenate([cols, tail_cols], axis=1)
+
+    top_scores, pos = jax.lax.top_k(cand, k)
+    top_idx = jnp.take_along_axis(cols, pos, axis=1)
+
+    theta = top_scores[:, k - 1 : k]  # [Q, 1] k-th candidate score
+    exact = jnp.all(
+        jnp.sum(m >= theta, axis=1) == jnp.sum(bm >= theta, axis=1)
+    )
+    return jax.lax.cond(
+        exact,
+        lambda _: (top_scores, top_idx),
+        lambda s: tuple(jax.lax.top_k(s, k)),
+        scores,
+    )
+
 
 def dense_matmul_topk(
     queries: jax.Array,
@@ -62,7 +136,7 @@ def dense_matmul_topk(
             scores, k, recall_target=recall_target, aggregate_to_topk=True
         )
     else:
-        top_scores, idx = jax.lax.top_k(scores, k)
+        top_scores, idx = exact_topk_blockmax(scores, k)
     return top_scores, idx + jnp.int32(index_offset)
 
 

@@ -20,7 +20,12 @@ class TrainConfig:
 
     # optimization
     learning_rate: float = 1e-5
-    lr_scheduler_type: str = "cosine"  # cosine | linear | constant
+    # cosine | linear | constant | constant_with_warmup | polynomial
+    # (the TrainingArguments schedule surface a reference user would reach
+    # for, src/arguments.py:146-248 via transformers SchedulerType)
+    lr_scheduler_type: str = "cosine"
+    lr_end: float = 1e-7  # polynomial only (HF lr_scheduler_kwargs["lr_end"])
+    lr_power: float = 1.0  # polynomial only (HF lr_scheduler_kwargs["power"])
     warmup_ratio: float = 0.1
     warmup_steps: int = 0
     weight_decay: float = 0.0
@@ -33,6 +38,9 @@ class TrainConfig:
     num_train_epochs: int = 3
     max_steps: int = -1
     per_device_train_batch_size: int = 8
+    # eval batch size; None falls back to the train batch size (HF default is
+    # a separate field, TrainingArguments.per_device_eval_batch_size)
+    per_device_eval_batch_size: Optional[int] = None
     gradient_accumulation_steps: int = 1
     dataloader_drop_last: bool = True
     seed: int = 42
@@ -56,6 +64,7 @@ class TrainConfig:
     eval_steps: int = 0
 
     # logging / checkpointing
+    logging_strategy: str = "steps"  # no | steps | epoch (TrainingArguments)
     logging_steps: int = 1
     save_strategy: str = "epoch"  # epoch | steps | no
     save_steps: int = 500

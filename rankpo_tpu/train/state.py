@@ -34,11 +34,18 @@ class TrainState:
 
 
 def make_schedule(config: TrainConfig, total_steps: int) -> optax.Schedule:
-    """warmup + {cosine, linear, constant} decay — the schedule surface the
-    reference recipes use (--lr_scheduler_type cosine --warmup_ratio 0.1)."""
+    """warmup + {cosine, linear, constant, constant_with_warmup, polynomial}
+    — the TrainingArguments schedule surface (reference src/arguments.py:146-248
+    inherits transformers SchedulerType; recipes use --lr_scheduler_type cosine
+    --warmup_ratio 0.1). Matching HF semantics: plain "constant" has NO warmup
+    (use constant_with_warmup for the warmed-up variant); "polynomial" decays
+    peak -> lr_end with exponent lr_power."""
     warmup = config.warmup_steps or int(total_steps * config.warmup_ratio)
     peak = config.learning_rate
-    if config.lr_scheduler_type == "constant":
+    kind = config.lr_scheduler_type
+    if kind == "constant":
+        return optax.constant_schedule(peak)
+    if kind == "constant_with_warmup":
         if warmup == 0:
             return optax.constant_schedule(peak)
         return optax.join_schedules(
@@ -46,12 +53,19 @@ def make_schedule(config: TrainConfig, total_steps: int) -> optax.Schedule:
             [warmup],
         )
     decay_steps = max(total_steps - warmup, 1)
-    if config.lr_scheduler_type == "linear":
+    if kind == "linear":
         decay = optax.linear_schedule(peak, 0.0, decay_steps)
-    elif config.lr_scheduler_type == "cosine":
+    elif kind == "cosine":
         decay = optax.cosine_decay_schedule(peak, decay_steps)
+    elif kind == "polynomial":
+        decay = optax.polynomial_schedule(
+            init_value=peak,
+            end_value=config.lr_end,
+            power=config.lr_power,
+            transition_steps=decay_steps,
+        )
     else:
-        raise ValueError(f"unknown lr_scheduler_type {config.lr_scheduler_type!r}")
+        raise ValueError(f"unknown lr_scheduler_type {kind!r}")
     if warmup == 0:
         return decay
     return optax.join_schedules(

@@ -75,9 +75,14 @@ def make_contrastive_loss_fn(
         )
         b = q_reps.shape[0]
         group_size = p_reps.shape[0] // b
+        row_valid = batch.get("row_valid")  # static-shape eval padding mask
         if use_inbatch_neg and not negatives_cross_device and num_data_shards > 1:
             loss, scores = info_nce_block_loss(
-                q_reps, p_reps, num_blocks=num_data_shards, temperature=temperature
+                q_reps,
+                p_reps,
+                num_blocks=num_data_shards,
+                temperature=temperature,
+                row_valid=row_valid,
             )
             bw = b // num_data_shards
             targets = (jnp.arange(b) % bw) * group_size
@@ -87,15 +92,19 @@ def make_contrastive_loss_fn(
                 p_reps,
                 temperature=temperature,
                 use_inbatch_neg=use_inbatch_neg,
+                row_valid=row_valid,
             )
             targets = (
                 jnp.arange(b) * group_size
                 if use_inbatch_neg
                 else jnp.zeros(b, jnp.int32)
             )
-        accuracy = jnp.mean(
-            (jnp.argmax(scores, axis=-1) == targets).astype(jnp.float32)
-        )
+        hits = (jnp.argmax(scores, axis=-1) == targets).astype(jnp.float32)
+        if row_valid is None:
+            accuracy = jnp.mean(hits)
+        else:
+            w = row_valid.astype(jnp.float32)
+            accuracy = jnp.sum(hits * w) / jnp.maximum(jnp.sum(w), 1.0)
         return loss, {"accuracy": accuracy}
 
     return loss_fn
@@ -186,6 +195,7 @@ def make_rankpo_loss_fn(
             label_smoothing=label_smoothing,
             rankpo_weight=rankpo_weight,
             sft_weight=sft_weight,
+            row_valid=batch.get("row_valid"),
         )
 
     return loss_fn

@@ -44,6 +44,28 @@ from rankpo_tpu.utils.seed import set_seed
 
 logger = logging.getLogger(__name__)
 
+def _pad_eval_batch(batch, rows: int, static_rows: int):
+    """Pad a (possibly partial) host eval batch to the static per-process row
+    count and attach a ``row_valid`` mask. Leaves whose leading dim is a
+    multiple of ``rows`` (e.g. the passage block at rows*group_size) are padded
+    proportionally by repeating their first row — valid model input whose
+    outputs the mask discards."""
+
+    def pad(x):
+        ratio = x.shape[0] // rows
+        target = ratio * static_rows
+        if x.shape[0] == target:
+            return x
+        filler = np.broadcast_to(x[:1], (target - x.shape[0],) + x.shape[1:])
+        return np.concatenate([x, filler], axis=0)
+
+    out = jax.tree_util.tree_map(pad, dict(batch))
+    valid = np.zeros((static_rows,), np.float32)
+    valid[:rows] = 1.0
+    out["row_valid"] = valid
+    return out
+
+
 # ordered log keys, matching the reference's log stream
 # (contrastive_trainer.py:1059-1067)
 _LOG_KEY_ORDER = [
@@ -225,28 +247,35 @@ class Trainer:
                 out_shardings=rep,
             )
         cfg = self.config
-        micro_global = batch_size or (
-            cfg.per_device_train_batch_size * self.mesh.devices.size
-        )
+        per_device = cfg.per_device_eval_batch_size or cfg.per_device_train_batch_size
+        micro_global = batch_size or (per_device * self.mesh.devices.size)
         loader = DataLoader(
             dataset,
             collator,
             batch_size=micro_global,
             shuffle=False,
-            drop_last=True,
+            drop_last=False,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
+        static_rows = micro_global // jax.process_count()
         sums: Dict[str, float] = {}
-        n = 0
+        n_rows = 0
         for batch in loader.epoch(0):
+            rows = batch["query"]["input_ids"].shape[0]
+            batch = _pad_eval_batch(batch, rows, static_rows)
             metrics = self._eval_fn(self.state.params, batch)
+            # loss_fn means are over VALID rows only (row_valid mask); combine
+            # batches as a row-weighted mean so a padded final batch cannot
+            # bias the result (reference analog: gather_for_metrics de-dup,
+            # rankpo_trainer.py:508-520). Fixes the round-1 defect where an
+            # eval set smaller than the global batch returned {} silently.
             for key, value in metrics.items():
-                sums[key] = sums.get(key, 0.0) + float(value)
-            n += 1
-        if n == 0:
+                sums[key] = sums.get(key, 0.0) + float(value) * rows
+            n_rows += rows
+        if n_rows == 0:
             return {}
-        return {f"eval_{k}": v / n for k, v in sums.items()}
+        return {f"eval_{k}": v / n_rows for k, v in sums.items()}
 
     def _globalize(self, batch):
         """Multi-host: host-local [accum, B_local, ...] numpy arrays become
@@ -258,6 +287,18 @@ class Trainer:
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(sharding, x), batch
         )
+
+    def _stage(self, batch):
+        """Start the H2D transfer for a host batch NOW (async device_put onto
+        the step's input sharding). Called right after the previous step is
+        dispatched, so the copy rides under device compute instead of on the
+        next dispatch's critical path."""
+        if batch is None:
+            return None
+        if jax.process_count() > 1:
+            return self._globalize(batch)
+        sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        return jax.device_put(batch, sharding)
 
     def train_step(self, batch, rng) -> Dict[str, float]:
         """One optimizer step on a [accum, B_global, ...] microbatch stack."""
@@ -305,6 +346,13 @@ class Trainer:
         )
         rng = set_seed(cfg.seed)
         steps_per_epoch = loader.steps_per_epoch() // accum
+        if steps_per_epoch == 0:
+            logger.warning(
+                "dataset (%d rows) is smaller than one optimizer step "
+                "(global batch %d x accum %d = %d rows): ZERO training steps "
+                "will run. Shrink the batch/accum or add data.",
+                len(dataset), micro_global, accum, micro_global * accum,
+            )
         global_step = int(self.state.step)
 
         # resume: skip whole epochs already done
@@ -313,23 +361,19 @@ class Trainer:
 
         t_start = time.time()
         for epoch in range(max(start_epoch, resume_epoch), cfg.num_train_epochs):
-            micro_iter = loader.epoch(
+            # the loader thread collates AND stacks whole [accum, B, ...]
+            # groups; the loop keeps one staged (device_put in flight) ahead,
+            # so host collation and H2D both overlap device compute
+            batch_iter = loader.epoch(
                 epoch,
                 start_step=(resume_step_in_epoch * accum if epoch == resume_epoch else 0),
+                stack=accum,
             )
             step_in_epoch = resume_step_in_epoch if epoch == resume_epoch else 0
-            while True:
-                micros = []
-                for _ in range(accum):
-                    nxt = next(micro_iter, None)
-                    if nxt is None:
-                        break
-                    micros.append(nxt)
-                if len(micros) < accum:
-                    break  # drop trailing partial accumulation group
-                batch = jax.tree_util.tree_map(
-                    lambda *xs: np.stack(xs, axis=0), *micros
-                )
+            metrics = None  # set by the first step; guards epoch-end logging
+            staged = self._stage(next(batch_iter, None))
+            while staged is not None:
+                batch = staged
                 if (
                     cfg.profile_steps
                     and global_step == cfg.profile_start_step
@@ -338,12 +382,15 @@ class Trainer:
                     jax.profiler.start_trace(
                         os.path.join(cfg.output_dir, "profile")
                     )
-                will_log = bool(
-                    cfg.logging_steps
+                will_log = (
+                    cfg.logging_strategy == "steps"
+                    and bool(cfg.logging_steps)
                     and (global_step + 1) % cfg.logging_steps == 0
                 )
                 t_step = time.time()
                 metrics = self.train_step(batch, rng)
+                # stage the NEXT group while the device runs this step
+                staged = self._stage(next(batch_iter, None))
                 if will_log:
                     # sync only when logging: at logging_steps > 1 the host
                     # keeps collating while the device runs ahead
@@ -398,6 +445,17 @@ class Trainer:
                     self.save_checkpoint(global_step, epoch)
                     return self._history
 
+            if cfg.logging_strategy == "epoch" and metrics is not None:
+                logs = {
+                    "global_step": global_step,
+                    "loss": float(metrics["loss"]),
+                    "learning_rate": float(self.schedule(global_step - 1)),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    "global_epoch": epoch + 1,
+                    "epoch": epoch,
+                    "step": step_in_epoch,
+                }
+                self._log(logs)
             if cfg.eval_strategy == "epoch":
                 self._maybe_evaluate(global_step, epoch)
             if cfg.save_strategy == "epoch":

@@ -81,6 +81,60 @@ class TestMatmulTopk:
                     seen_pairs[pair] = rank
 
 
+class TestBlockmaxExactTopk:
+    """Two-pass exact top-k (block-max prefilter, ops/topk.py
+    exact_topk_blockmax): engages only above ~8k columns, so these corpora are
+    sized to actually exercise it (the small-corpus sweeps below take the
+    plain-sort path)."""
+
+    def test_engages_and_matches_oracle(self):
+        corpus = _random_corpus(20_000, 16, 10)  # 156 blocks + ragged tail
+        queries = _random_corpus(8, 16, 11)
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=10)
+        es, ei = numpy_search(corpus, queries, 10)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+        np.testing.assert_allclose(np.asarray(s), es, atol=1e-5)
+
+    def test_exact_multiple_of_block(self):
+        corpus = _random_corpus(128 * 100, 8, 12)  # no tail
+        queries = _random_corpus(4, 8, 13)
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=37)
+        es, ei = numpy_search(corpus, queries, 37)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+    def test_mass_ties_fall_back_and_stay_exact(self):
+        # every vector duplicated 8x: far more tied blocks than the slack can
+        # hold -> the verification must trip the full-sort fallback, and FAISS
+        # lowest-index tie order must still hold bit-exactly
+        base = _random_corpus(2048, 8, 14)
+        corpus = np.concatenate([base] * 8, axis=0)  # 16384 rows
+        queries = _random_corpus(4, 8, 15)
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=50)
+        es, ei = numpy_search(corpus, queries, 50)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+        np.testing.assert_allclose(np.asarray(s), es, atol=1e-5)
+
+    def test_top1_hits_in_tail(self):
+        corpus = _random_corpus(128 * 80 + 77, 8, 16)  # ragged 77-col tail
+        queries = _random_corpus(3, 8, 17)
+        # plant the global best in the tail for every query
+        corpus[-1] = 10.0 * queries[0] / np.linalg.norm(queries[0])
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=5)
+        assert int(np.asarray(i)[0, 0]) == corpus.shape[0] - 1
+        es, ei = numpy_search(corpus, queries, 5)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+    def test_n_valid_padding_with_blockmax(self):
+        corpus = np.full((16384, 8), 100.0, np.float32)
+        corpus[:9000] = _random_corpus(9000, 8, 18)
+        queries = _random_corpus(4, 8, 19)
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=20,
+                           n_valid=9000)
+        assert int(np.asarray(i).max()) < 9000
+        es, ei = numpy_search(corpus[:9000], queries, 20)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+
 class TestRandomizedSweep:
     def test_many_random_configs_match_oracle(self, data_mesh):
         """Property sweep: random (n, d, q, k, shard) configs — indices must

