@@ -6,7 +6,12 @@ import logging
 
 import jax.numpy as jnp
 
-from rankpo_tpu.cli.arguments import EvaluateArguments, parse_dataclasses, resolve_tokenizer
+from rankpo_tpu.cli.arguments import (
+    DistributedArguments,
+    EvaluateArguments,
+    parse_dataclasses,
+    resolve_tokenizer,
+)
 from rankpo_tpu.core.mesh import local_mesh
 from rankpo_tpu.eval import evaluate_path
 from rankpo_tpu.utils.logging import setup_logging
@@ -15,7 +20,10 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None):
-    (args,) = parse_dataclasses([EvaluateArguments], argv)
+    args, dist_args = parse_dataclasses(
+        [EvaluateArguments, DistributedArguments], argv
+    )
+    dist_args.initialize()  # multi-host: local_mesh() then spans all hosts
     setup_logging(args.log_level)
     logger.info("evaluation arguments:\n%s", args.to_json_string())
 

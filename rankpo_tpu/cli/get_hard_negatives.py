@@ -7,7 +7,12 @@ import os
 
 import jax.numpy as jnp
 
-from rankpo_tpu.cli.arguments import HardNegativeArguments, parse_dataclasses, resolve_tokenizer
+from rankpo_tpu.cli.arguments import (
+    DistributedArguments,
+    HardNegativeArguments,
+    parse_dataclasses,
+    resolve_tokenizer,
+)
 from rankpo_tpu.core.mesh import local_mesh
 from rankpo_tpu.index import InferenceEncoder
 from rankpo_tpu.models import load_pretrained
@@ -19,7 +24,10 @@ logger = logging.getLogger(__name__)
 
 
 def main(argv=None):
-    (args,) = parse_dataclasses([HardNegativeArguments], argv)
+    args, dist_args = parse_dataclasses(
+        [HardNegativeArguments, DistributedArguments], argv
+    )
+    dist_args.initialize()  # multi-host: local_mesh() then spans all hosts
     setup_logging(args.log_level)
     logger.info("hard-negative arguments:\n%s", args.to_json_string())
     set_seed(args.seed)

@@ -110,6 +110,35 @@ def shard_batch(mesh: Mesh, tree):
     return jax.tree_util.tree_map(_put, tree)
 
 
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Place a host pytree fully replicated on the mesh. Single-process this is
+    a plain device_put; multi-process (every host holds identical values, e.g.
+    params loaded from the same checkpoint) it builds global arrays via
+    make_array_from_callback — device_put cannot target shardings that span
+    other processes' devices."""
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def _put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(_put, tree)
+
+
+def shard_rows_to_mesh(array: np.ndarray, mesh: Mesh) -> jax.Array:
+    """Place a host array on the mesh sharded over the data axis on dim 0,
+    working across processes (every host holds the full array)."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.device_put(array, sharding)
+    array = np.asarray(array)
+    return jax.make_array_from_callback(
+        array.shape, sharding, lambda idx: array[idx]
+    )
+
+
 def process_count() -> int:
     return jax.process_count()
 

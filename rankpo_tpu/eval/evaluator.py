@@ -155,6 +155,11 @@ def evaluate_path(
             cutoffs=cutoffs,
             compute_dtype=compute_dtype,
         )
+        import jax
+
+        if jax.process_index() != 0:  # multi-host: rank 0 owns the artifacts
+            results[os.path.basename(save_path).split(".")[0]] = metrics
+            continue
         with open(save_path, "w") as f:
             json.dump(metrics, f, indent=4)
         if save_arrays:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from rankpo_tpu.core.mesh import DATA_AXIS
+from rankpo_tpu.core.mesh import DATA_AXIS, replicate_to_mesh
 from rankpo_tpu.models import encoder as enc
 from rankpo_tpu.models.config import EncoderConfig
 
@@ -52,9 +52,13 @@ class InferenceEncoder:
         self.attn_impl = attn_impl
         self.length_multiple = length_multiple
 
+        # multi-host: every process runs the SAME encode() over a global mesh
+        # (each tokenizes the full chunk, contributes its contiguous row
+        # slice); the reference merely scaffolds this (utils.py:165-285)
+        self.process_count = jax.process_count()
+        self.process_index = jax.process_index()
         if mesh is not None:
-            param_sharding = NamedSharding(mesh, P())
-            self.params = jax.device_put(params, param_sharding)
+            self.params = replicate_to_mesh(params, mesh)
             batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
         else:
             self.params = params
@@ -72,15 +76,19 @@ class InferenceEncoder:
             )
 
         if batch_sharding is not None:
+            # outputs replicated so every process can fetch full batches
             self._embed_fn = jax.jit(
                 _embed,
                 in_shardings=(
                     NamedSharding(mesh, P()),
                     {"input_ids": batch_sharding, "attention_mask": batch_sharding},
                 ),
+                out_shardings=NamedSharding(mesh, P()),
             )
+            self._batch_sharding = batch_sharding
         else:
             self._embed_fn = jax.jit(_embed)
+            self._batch_sharding = None
 
     @classmethod
     def from_pretrained(cls, path: str, tokenizer=None, **kwargs) -> "InferenceEncoder":
@@ -135,9 +143,20 @@ class InferenceEncoder:
             # least one attended token, give them one pad token attended
             for i in range(len(chunk), batch_size):
                 mask[i, 0] = 1
-            reps = self._embed_fn(
-                self.params, {"input_ids": ids, "attention_mask": mask}
-            )
+            batch = {"input_ids": ids, "attention_mask": mask}
+            if self.process_count > 1:
+                # every process tokenized the full chunk; contribute this
+                # process's contiguous row slice to the global sharded batch
+                local = batch_size // self.process_count
+                sl = slice(self.process_index * local,
+                           (self.process_index + 1) * local)
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.make_array_from_process_local_data(
+                        self._batch_sharding, np.ascontiguousarray(x[sl])
+                    ),
+                    batch,
+                )
+            reps = self._embed_fn(self.params, batch)
             pending.append((reps, len(chunk)))
             if lo == 0:
                 logger.info(

@@ -32,9 +32,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from rankpo_tpu.core.mesh import DATA_AXIS
+from rankpo_tpu.core.mesh import DATA_AXIS, replicate_to_mesh, shard_rows_to_mesh
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # plain python: a module-level jnp scalar would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize in CLIs
 
 
 def numpy_search(
@@ -94,23 +95,22 @@ class FlatIPIndex:
             emb = np.concatenate(
                 [emb, np.zeros((pad, self.dim), np.float32)], axis=0
             )
-        row_sharding = (
-            NamedSharding(mesh, P(DATA_AXIS, None)) if mesh is not None else None
-        )
+        def put_rows(x):
+            # row-sharded placement that also works when the mesh spans
+            # multiple processes (every host holds the full array)
+            if mesh is None:
+                return jax.device_put(jnp.asarray(x))
+            return shard_rows_to_mesh(np.asarray(x), mesh)
+
         self.quantized = dtype == jnp.int8
         if self.quantized:
             scale = np.abs(emb).max(axis=1, keepdims=True) / 127.0
             scale = np.maximum(scale, 1e-12)
             q = np.clip(np.round(emb / scale), -127, 127).astype(np.int8)
-            self.corpus = jax.device_put(jnp.asarray(q), row_sharding)
-            scale_sharding = (
-                NamedSharding(mesh, P(DATA_AXIS)) if mesh is not None else None
-            )
-            self.row_scale = jax.device_put(
-                jnp.asarray(scale[:, 0], jnp.float32), scale_sharding
-            )
+            self.corpus = put_rows(q)
+            self.row_scale = put_rows(scale[:, 0].astype(np.float32))
         else:
-            self.corpus = jax.device_put(jnp.asarray(emb, dtype=dtype), row_sharding)
+            self.corpus = put_rows(emb.astype(np.dtype(dtype)))
             self.row_scale = None
         self._search_fn = None
         self._search_k = None
@@ -208,6 +208,8 @@ class FlatIPIndex:
                 else NamedSharding(mesh, P()),
                 NamedSharding(mesh, P()),
             ),
+            # replicated results: every process fetches the full [Q, k] arrays
+            out_shardings=NamedSharding(mesh, P()),
         )
 
     def search(
@@ -234,8 +236,12 @@ class FlatIPIndex:
                 block = np.concatenate(
                     [block, np.zeros((batch_size - real, self.dim), np.float32)]
                 )
+            if self.mesh is not None and jax.process_count() > 1:
+                block_dev = replicate_to_mesh(block, self.mesh)
+            else:
+                block_dev = jnp.asarray(block)
             scores, idx = self._search_fn(
-                self.corpus, self.row_scale, jnp.asarray(block)
+                self.corpus, self.row_scale, block_dev
             )
             pending.append((scores, idx, real))
         all_scores = [np.asarray(s[:r], np.float32) for s, _, r in pending]

@@ -20,7 +20,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # plain python: a module-level jnp scalar would initialize
+# the XLA backend at import time, breaking jax.distributed.initialize in CLIs
 
 # below this score-matrix footprint (bytes) the dense path wins: one big MXU
 # matmul + a single top_k beats the sequential block scan (profiled on v5e:

@@ -1,0 +1,109 @@
+"""True multi-process distributed inference: 2 JAX processes x 4 CPU devices
+form one global 8-device mesh; evaluate_checkpoint must produce metrics and
+indices IDENTICAL to a single-process run (the capability the reference only
+scaffolds, src/utils.py:165-285 split_between_processes, never wired —
+SURVEY.md §2.3 'distributed inference').
+
+Spawned as real subprocesses: jax.distributed.initialize cannot run twice in
+one process, and the conftest already initialized a single-process backend.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+
+import jax
+import jax.numpy as jnp
+
+from rankpo_tpu.data.tokenization import HashTokenizer
+
+_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, "/root/repo")
+pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
+model = sys.argv[4]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+import jax.numpy as jnp
+from rankpo_tpu.core.mesh import MeshConfig, make_mesh
+from rankpo_tpu.data.tokenization import HashTokenizer
+from rankpo_tpu.eval.evaluator import evaluate_checkpoint
+
+mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+tok = HashTokenizer(vocab_size=256)
+queries = [f"job opening about subject {i} methods" for i in range(8)]
+labels = [[i] for i in range(8)]
+corpus = [f"field {i} research on subject {i} methods" for i in range(40)]
+metrics, indices, scores = evaluate_checkpoint(
+    model, queries, labels, corpus, tokenizer=tok, mesh=mesh,
+    batch_size=16, max_query_length=16, max_passage_length=16,
+    k=10, cutoffs=(1, 5, 10), compute_dtype=jnp.float32,
+)
+with open(os.path.join(outdir, f"metrics_{pid}.json"), "w") as f:
+    json.dump({"metrics": metrics, "indices": indices.tolist()}, f)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_eval_matches_single(tmp_path):
+    from rankpo_tpu.models import init_params, save_pretrained, tiny_llama_config
+
+    cfg = tiny_llama_config(vocab_size=256)
+    params = init_params(jax.random.key(0), cfg)
+    model_dir = tmp_path / "model"
+    save_pretrained(str(model_dir), cfg, params)
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), port, str(tmp_path), str(model_dir)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+
+    multi0 = json.loads((tmp_path / "metrics_0.json").read_text())
+    multi1 = json.loads((tmp_path / "metrics_1.json").read_text())
+    assert multi0 == multi1, "processes disagree"
+
+    # single-process reference on the conftest's own 8-device backend
+    from rankpo_tpu.core.mesh import MeshConfig, make_mesh
+    from rankpo_tpu.eval.evaluator import evaluate_checkpoint
+
+    mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+    tok = HashTokenizer(vocab_size=256)
+    queries = [f"job opening about subject {i} methods" for i in range(8)]
+    labels = [[i] for i in range(8)]
+    corpus = [f"field {i} research on subject {i} methods" for i in range(40)]
+    metrics, indices, _ = evaluate_checkpoint(
+        str(model_dir), queries, labels, corpus, tokenizer=tok, mesh=mesh,
+        batch_size=16, max_query_length=16, max_passage_length=16,
+        k=10, cutoffs=(1, 5, 10), compute_dtype=jnp.float32,
+    )
+    assert indices.tolist() == multi0["indices"], "indices differ from single-process"
+    for key, value in metrics.items():
+        assert abs(value - multi0["metrics"][key]) < 1e-9, key
