@@ -46,18 +46,23 @@ def _cpu_qps(corpus: np.ndarray, queries: np.ndarray) -> float:
         order = np.argsort(-ps, axis=1, kind="stable")
         np.take_along_axis(part, order, axis=1)
 
-    t0 = time.perf_counter()
-    numpy_path()
-    qps_numpy = len(sub) / (time.perf_counter() - t0)
+    # best-of-3 per path: the honest baseline is the CPU at its FASTEST
+    # (thread scheduling makes single-shot numbers swing several x)
+    qps_numpy = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        numpy_path()
+        qps_numpy = max(qps_numpy, len(sub) / (time.perf_counter() - t0))
 
     qps_native = 0.0
     try:
         from rankpo_tpu.native import native_topk_ip
 
         native_topk_ip(corpus[:1000], sub[:4], K)  # warm build
-        t0 = time.perf_counter()
-        native_topk_ip(corpus, sub, K)
-        qps_native = len(sub) / (time.perf_counter() - t0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            native_topk_ip(corpus, sub, K)
+            qps_native = max(qps_native, len(sub) / (time.perf_counter() - t0))
     except Exception:
         pass
     return max(qps_numpy, qps_native)
@@ -65,6 +70,7 @@ def _cpu_qps(corpus: np.ndarray, queries: np.ndarray) -> float:
 
 def _device_qps(corpus: np.ndarray, queries: np.ndarray) -> tuple:
     import jax
+    import jax.numpy as jnp
 
     from rankpo_tpu.index import FlatIPIndex
 
@@ -72,15 +78,32 @@ def _device_qps(corpus: np.ndarray, queries: np.ndarray) -> tuple:
     # warmup + correctness spot check
     s, i = index.search(queries[:BATCH], k=K, batch_size=BATCH)
     assert np.all(np.isfinite(s))
+    # best-of-3: e2e includes host<->device transfers, which through the
+    # remote-TPU tunnel have multi-x run-to-run variance (measured 0.66-1.6s
+    # for the same call); the minimum is the honest steady-state figure
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        index.search(queries, k=K, batch_size=BATCH)
+        dt = min(dt, time.perf_counter() - t0)
+
+    # engine-only throughput: queries pre-staged, scalar-sync (through the
+    # remote tunnel, host<->device transfers dominate e2e — ~300ms H2D +
+    # ~90ms D2H for this workload — which a real v5e host pays over PCIe at
+    # GB/s instead; see docs/BENCHMARKS.md)
+    q_dev = jax.device_put(jnp.asarray(queries[:BATCH]))
+    sd, _ = index._search_fn(index.corpus, index.row_scale, q_dev)
+    float(jnp.sum(sd[0]))
     t0 = time.perf_counter()
-    index.search(queries, k=K, batch_size=BATCH)
-    dt = time.perf_counter() - t0
-    return len(queries) / dt, jax.default_backend()
+    sd, _ = index._search_fn(index.corpus, index.row_scale, q_dev)
+    float(jnp.sum(sd[0]))
+    dt_dev = time.perf_counter() - t0
+    return len(queries) / dt, BATCH / dt_dev, jax.default_backend()
 
 
 def main():
     corpus, queries = _make_data()
-    qps, backend = _device_qps(corpus, queries)
+    qps, qps_on_device, backend = _device_qps(corpus, queries)
     cpu_qps = _cpu_qps(corpus, queries)
     print(
         json.dumps(
@@ -90,6 +113,7 @@ def main():
                 "unit": "queries/sec",
                 "vs_baseline": round(qps / cpu_qps, 2),
                 "baseline_cpu_qps": round(cpu_qps, 2),
+                "on_device_qps": round(qps_on_device, 2),
                 "backend": backend,
             }
         )

@@ -70,6 +70,7 @@ class FlatIPIndex:
         dtype=jnp.float32,
         use_pallas: Optional[bool] = None,
         recall_target: float = 1.0,
+        precision: Optional[str] = None,
     ):
         """recall_target < 1.0 trades exactness for throughput via the TPU
         PartialReduce top-k (serving mode); 1.0 keeps FAISS-exact semantics.
@@ -79,6 +80,9 @@ class FlatIPIndex:
         rescaled after the int8 matmul; a serving-mode accuracy trade)."""
         self.mesh = mesh
         self.recall_target = recall_target
+        # None: fp32-faithful scores in exact mode, fast bf16-pass in approx
+        # serving mode (see ops/topk.py dense_matmul_topk)
+        self.precision = precision
         self.n_total = int(embeddings.shape[0])
         self.dim = int(embeddings.shape[1])
         self.dtype = dtype
@@ -145,6 +149,7 @@ class FlatIPIndex:
                     use_pallas=use_pallas,
                     recall_target=self.recall_target,
                     col_scale=col_scale,
+                    precision=self.precision,
                 )
 
             return jax.jit(single)
@@ -168,6 +173,7 @@ class FlatIPIndex:
                 vary_axes=(DATA_AXIS,),
                 recall_target=self.recall_target,
                 col_scale=scale_local,
+                precision=self.precision,
             )
             return scores, idx
 
@@ -244,8 +250,11 @@ class FlatIPIndex:
                 self.corpus, self.row_scale, block_dev
             )
             pending.append((scores, idx, real))
-        all_scores = [np.asarray(s[:r], np.float32) for s, _, r in pending]
-        all_indices = [np.asarray(i[:r], np.int32) for _, i, r in pending]
+        for s, i, _ in pending:  # start all D2H copies before any blocking read
+            s.copy_to_host_async()
+            i.copy_to_host_async()
+        all_scores = [np.asarray(s)[:r].astype(np.float32, copy=False) for s, _, r in pending]
+        all_indices = [np.asarray(i)[:r].astype(np.int32, copy=False) for _, i, r in pending]
         return np.concatenate(all_scores), np.concatenate(all_indices)
 
     @property

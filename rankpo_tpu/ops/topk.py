@@ -19,6 +19,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = float("-inf")  # plain python: a module-level jnp scalar would initialize
 # the XLA backend at import time, breaking jax.distributed.initialize in CLIs
@@ -28,11 +29,24 @@ NEG_INF = float("-inf")  # plain python: a module-level jnp scalar would initial
 # dense 14.5ms vs scan 26ms for [256, 100k]); above it, stream blocks.
 DENSE_SCORE_BUDGET = 1 << 31  # 2 GB
 
-# two-pass exact top-k (block-max prefilter): lane-width column blocks; the
-# candidate pool keeps k + slack blocks so benign near-boundary ties stay on
-# the fast path (mass ties are caught by the exactness check and fall back)
-BLOCKMAX_BLOCK = 128
+# two-pass exact top-k (block-max prefilter): the candidate pool keeps
+# k + slack blocks so benign near-boundary ties stay on the fast path (mass
+# ties are caught by the exactness check and fall back)
 BLOCKMAX_SLACK = 16
+
+
+def _pick_block(n: int, c: int) -> int:
+    """Sort work is ~linear in width on TPU (measured v5e: top_k [4096, W]
+    4.3ms @1k / 12.3ms @4k / 33.7ms @8k), so total cost ~ B + c*block with
+    B = n/block — minimized at block = sqrt(n/c). Clamp to [32, 512]:
+    below 32 the gather slices fall under 128 bytes, above 512 the candidate
+    sort dominates. Measured e2e at [4096, 100k] k=100: block 32 = 48ms,
+    64 = 62ms, 128 = 90ms, plain sort = 141ms."""
+    ideal = int(np.sqrt(max(n // max(c, 1), 1)))
+    block = 32
+    while block * 2 <= ideal and block < 512:
+        block *= 2
+    return block
 
 
 def exact_topk_blockmax(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
@@ -42,12 +56,16 @@ def exact_topk_blockmax(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array
     v5e, [1024, 100k] k=100: matmul 4.9ms vs matmul+lax.top_k 37ms — see
     ops/topk_pallas.py's decision record). Two passes fix it:
 
-      1. block maxes M[Q, N/128] (one cheap VPU reduction over the scores);
+      1. block maxes M[Q, N/block] (one cheap VPU reduction over the scores);
          top-(k+slack) blocks by max. Every block containing a true top-k
          element has max >= the k-th value, and at most k blocks can (one per
          element), so the selected blocks cover the true top-k.
       2. gather the selected blocks' columns (ascending global index) and
-         lax.top_k over the ~(k+slack)*128 candidates instead of N.
+         lax.top_k over the ~(k+slack)*block candidates instead of N.
+
+    Block size balances the two sorts (see _pick_block); measured on v5e at
+    [4096, 100k] k=100 this is 48ms vs 141ms for the plain full sort (2.9x),
+    on top of the score matmul.
 
     Exactness under ties is VERIFIED, not assumed: with theta = the k-th
     candidate score, the result is exact iff every block with max >= theta was
@@ -59,9 +77,10 @@ def exact_topk_blockmax(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array
     rule (reference src/utils.py:58-80) is preserved bit-exactly.
     """
     q, n = scores.shape
-    block = BLOCKMAX_BLOCK
+    c = k + BLOCKMAX_SLACK
+    block = _pick_block(n, c)
     b_full = n // block
-    c = min(b_full, k + BLOCKMAX_SLACK)
+    c = min(b_full, c)
     # not enough blocks for the prefilter to pay for itself
     if b_full < 32 or c * block * 2 >= n:
         return jax.lax.top_k(scores, k)
@@ -112,20 +131,35 @@ def dense_matmul_topk(
     index_offset: int | jax.Array = 0,
     recall_target: float = 1.0,
     col_scale: jax.Array | None = None,
+    precision: str | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full [Q, N] score matrix + top_k. Fastest when it fits HBM.
 
     ``recall_target < 1.0`` switches to the TPU-native PartialReduce path
-    (``lax.approx_max_k``) — profiled on v5e at [1024, 100k] k=100:
-    exact 37ms, recall 0.99 → 14ms, recall 0.95 → 4.5ms (matmul-bound).
-    Exact mode keeps FAISS tie semantics; approx mode is for serving."""
+    (``lax.approx_max_k``); exact mode keeps FAISS tie semantics via the
+    two-pass blockmax selection.
+
+    ``precision``: matmul precision. None means fp32-faithful ("float32",
+    bf16x3 passes) for exact mode and "default" (single bf16 pass) for the
+    approx serving mode — on TPU the DEFAULT einsum rounds fp32 inputs to
+    bf16 for the MXU, which perturbs near-tie score ORDER vs the fp32
+    reference (FAISS computes fp32). Measured v5e [4096, 100k, d1024]:
+    default 8ms, float32 31ms."""
     n = corpus.shape[0]
     k = min(k, n)
     if corpus.dtype == jnp.int8:
         # symmetric per-row quantized storage: dequant fuses into the matmul
         corpus = corpus.astype(queries.dtype)
+    if precision is None:
+        precision = "float32" if recall_target >= 1.0 else "default"
+    if queries.dtype != jnp.float32 or corpus.dtype != jnp.float32:
+        precision = "default"  # bf16/int8 storage: inputs are already rounded
     scores = jnp.einsum(
-        "qd,nd->qn", queries, corpus, preferred_element_type=jnp.float32
+        "qd,nd->qn",
+        queries,
+        corpus,
+        preferred_element_type=jnp.float32,
+        precision=precision,
     )
     if col_scale is not None:
         scores = scores * col_scale[None, :]
@@ -154,6 +188,7 @@ def matmul_topk(
     allow_dense: bool = True,
     recall_target: float = 1.0,
     col_scale: jax.Array | None = None,
+    precision: str | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """queries [Q, D], corpus [N, D] -> (scores [Q, k] fp32, indices [Q, k] int32).
 
@@ -183,6 +218,7 @@ def matmul_topk(
         return dense_matmul_topk(
             queries, corpus, k=k, n_valid=n_valid, index_offset=index_offset,
             recall_target=recall_target, col_scale=col_scale,
+            precision=precision,
         )
 
     # beyond the budget: python-unrolled loop over budget-sized column CHUNKS,
@@ -213,6 +249,7 @@ def matmul_topk(
             index_offset=lo,
             recall_target=recall_target,
             col_scale=None if col_scale is None else col_scale[lo:hi],
+            precision=precision,
         )
         # chunks ascend in index; (previous best, current chunk) concat order
         # preserves lowest-index-first tie-breaking
