@@ -30,6 +30,7 @@ def main():
     parser.add_argument("--p_seq", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--remat", action="store_true")
+    parser.add_argument("--remat_policy", default="full", choices=["full", "dots"])
     parser.add_argument("--pure_bf16", action="store_true",
                         help="bf16 params+moments: fits ~1B params on one v5e")
     parser.add_argument("--vocab", type=int, default=32000)
@@ -74,6 +75,7 @@ def main():
         temperature=0.02,
         compute_dtype=jnp.bfloat16,
         remat=args.remat,
+        remat_policy=args.remat_policy,
         attn_impl=args.attn,
     )
     cfg = TrainConfig(

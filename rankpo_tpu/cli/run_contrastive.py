@@ -135,6 +135,7 @@ def main(argv=None):
         num_data_shards=mesh.shape[DATA_AXIS],
         compute_dtype=policy.compute_dtype,
         remat=train_cfg.gradient_checkpointing,
+        remat_policy=train_cfg.gradient_checkpointing_policy,
         attn_impl=model_args.attn_impl,
         mesh=mesh if train_cfg.model_parallel > 1 else None,
     )
@@ -155,6 +156,7 @@ def main(argv=None):
             use_inbatch_neg=c_args.use_inbatch_neg,
             compute_dtype=policy.compute_dtype,
             remat=train_cfg.gradient_checkpointing,
+            remat_policy=train_cfg.gradient_checkpointing_policy,
             attn_impl=model_args.attn_impl,
         )
         logger.info("gradient-cache accumulation: negative pool spans all "

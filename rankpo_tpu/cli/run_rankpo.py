@@ -93,6 +93,7 @@ def main(argv=None):
         disable_dropout=r_args.disable_dropout,
         compute_dtype=policy.compute_dtype,
         remat=train_cfg.gradient_checkpointing,
+        remat_policy=train_cfg.gradient_checkpointing_policy,
         attn_impl=model_args.attn_impl,
         mesh=mesh if train_cfg.model_parallel > 1 else None,
     )

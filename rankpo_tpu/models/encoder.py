@@ -34,6 +34,7 @@ def forward_hidden(
     *,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    remat_policy: str = "full",
     deterministic: bool = True,
     dropout_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
@@ -47,6 +48,7 @@ def forward_hidden(
             attention_mask,
             compute_dtype=compute_dtype,
             remat=remat,
+            remat_policy=remat_policy,
             attn_impl=attn_impl,
             mesh=mesh,
         )
@@ -72,6 +74,7 @@ def embed(
     normalize: Optional[bool] = None,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    remat_policy: str = "full",
     deterministic: bool = True,
     dropout_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
@@ -92,6 +95,7 @@ def embed(
         batch["attention_mask"],
         compute_dtype=compute_dtype,
         remat=remat,
+        remat_policy=remat_policy,
         deterministic=deterministic,
         dropout_key=dropout_key,
         attn_impl=attn_impl,

@@ -174,10 +174,16 @@ def apply(
     *,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    remat_policy: str = "full",
     attn_impl: str = "auto",
     mesh=None,
 ) -> jax.Array:
     """Returns last_hidden_state [B, S, H] in compute_dtype.
+
+    ``remat_policy``: "full" recomputes everything in the layer on the
+    backward pass (min memory); "dots" saves matmul outputs
+    (jax dots_with_no_batch_dims_saveable) — trades HBM for skipping the
+    MXU-heavy recompute, worth it when the model still fits.
 
     Positions are ``arange`` regardless of padding (HF LlamaModel default when
     position_ids is None); with right padding + causal attention pad positions
@@ -198,10 +204,20 @@ def apply(
 
     def body(carry, lp):
         if remat:
+            if remat_policy not in ("full", "dots"):
+                raise ValueError(
+                    f"unknown remat_policy {remat_policy!r}; one of ['full', 'dots']"
+                )
+            kwargs = {}
+            if remat_policy == "dots":
+                kwargs["policy"] = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                )
             fn = jax.checkpoint(
                 lambda c, p: _layer(
                     config, c, p, cos, sin, key_mask, attn_impl, mesh
-                )
+                ),
+                **kwargs,
             )
             return fn(carry, lp), None
         return _layer(config, carry, lp, cos, sin, key_mask, attn_impl, mesh), None

@@ -145,12 +145,14 @@ def apply(
     *,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    remat_policy: str = "full",
     deterministic: bool = True,
     dropout_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     mesh=None,
 ) -> jax.Array:
-    """Returns last_hidden_state [B, S, H] in compute_dtype."""
+    """Returns last_hidden_state [B, S, H] in compute_dtype.
+    ``remat_policy``: see llama.apply."""
     b, s = input_ids.shape
     emb = params["embeddings"]
     if config.model_type == "bert":
@@ -195,7 +197,16 @@ def apply(
             config, c, p, key_mask, lk, deterministic, attn_impl, mesh
         )
         if remat:
-            fn = jax.checkpoint(fn)
+            if remat_policy not in ("full", "dots"):
+                raise ValueError(
+                    f"unknown remat_policy {remat_policy!r}; one of ['full', 'dots']"
+                )
+            kwargs = {}
+            if remat_policy == "dots":
+                kwargs["policy"] = (
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                )
+            fn = jax.checkpoint(fn, **kwargs)
         return fn(carry, lp), None
 
     xs = (layer_params, layer_keys) if layer_keys is not None else layer_params

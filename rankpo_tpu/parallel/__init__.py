@@ -1,7 +1,17 @@
+from rankpo_tpu.parallel.ring_attention import (
+    context_parallel_attention,
+    ring_attention_local,
+)
 from rankpo_tpu.parallel.sharding import (
     param_partition_specs,
     zero1_partition_specs,
     make_shardings,
 )
 
-__all__ = ["param_partition_specs", "zero1_partition_specs", "make_shardings"]
+__all__ = [
+    "context_parallel_attention",
+    "ring_attention_local",
+    "param_partition_specs",
+    "zero1_partition_specs",
+    "make_shardings",
+]

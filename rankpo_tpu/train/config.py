@@ -49,6 +49,9 @@ class TrainConfig:
     bf16: bool = True
     pure_bf16: bool = False
     gradient_checkpointing: bool = False
+    # "full" (recompute everything, min memory) | "dots" (save matmul
+    # outputs — skips the MXU recompute when the model still fits HBM)
+    gradient_checkpointing_policy: str = "full"
 
     # parallelism (replaces configs/*.json DeepSpeed ZeRO)
     model_parallel: int = 1

@@ -41,6 +41,7 @@ def make_contrastive_gradcache_grad_fn(
     use_inbatch_neg: bool = True,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    remat_policy: str = "full",
     attn_impl: str = "auto",
 ) -> Callable:
     """Returns grad_fn(params, batch, rng) -> (loss, metrics, grads) for the
@@ -55,6 +56,7 @@ def make_contrastive_gradcache_grad_fn(
             normalize=normalize_embeddings,
             compute_dtype=compute_dtype,
             remat=remat,
+            remat_policy=remat_policy,
             attn_impl=attn_impl,
         )
         q = enc.embed(

@@ -33,6 +33,7 @@ def make_contrastive_loss_fn(
     num_data_shards: int = 1,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    remat_policy: str = "full",
     attn_impl: str = "auto",
     mesh=None,
 ) -> Callable:
@@ -56,6 +57,7 @@ def make_contrastive_loss_fn(
             normalize=normalize_embeddings,
             compute_dtype=compute_dtype,
             remat=remat,
+            remat_policy=remat_policy,
             deterministic=rng is None,
             dropout_key=drop_q,
             attn_impl=attn_impl,
@@ -68,6 +70,7 @@ def make_contrastive_loss_fn(
             normalize=normalize_embeddings,
             compute_dtype=compute_dtype,
             remat=remat,
+            remat_policy=remat_policy,
             deterministic=rng is None,
             dropout_key=drop_p,
             attn_impl=attn_impl,
@@ -125,6 +128,7 @@ def make_rankpo_loss_fn(
     disable_dropout: bool = True,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    remat_policy: str = "full",
     attn_impl: str = "auto",
     mesh=None,
 ) -> Callable:
@@ -154,6 +158,7 @@ def make_rankpo_loss_fn(
             normalize=True,
             compute_dtype=compute_dtype,
             remat=remat,
+            remat_policy=remat_policy,
             deterministic=deterministic,
             dropout_key=dq,
             attn_impl=attn_impl,
@@ -166,6 +171,7 @@ def make_rankpo_loss_fn(
             normalize=True,
             compute_dtype=compute_dtype,
             remat=remat,
+            remat_policy=remat_policy,
             deterministic=deterministic,
             dropout_key=dp,
             attn_impl=attn_impl,

@@ -23,7 +23,7 @@ def test_bench_functions_tiny(monkeypatch):
     assert corpus.shape == (512, 64)
     cpu_qps = bench._cpu_qps(corpus, queries)
     assert cpu_qps > 0
-    qps, backend = bench._device_qps(corpus, queries)
+    qps, qps_dev, backend = bench._device_qps(corpus, queries)
     assert qps > 0
     assert backend in ("cpu", "tpu")
 
