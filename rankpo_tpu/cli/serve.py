@@ -62,7 +62,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_name_or_path", required=True)
     parser.add_argument("--tokenizer_name", default=None)
-    parser.add_argument("--corpus_data", required=True)
+    parser.add_argument("--corpus_data", default=None,
+                        help="jsonl corpus; optional when --index_file exists")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--max_query_length", type=int, default=512)
@@ -73,6 +74,9 @@ def main(argv=None):
     parser.add_argument("--index_dtype", default="float32",
                         choices=["float32", "bfloat16", "int8"],
                         help="index storage: fp32 exact / bf16 2x / int8 4x memory")
+    parser.add_argument("--index_file", default=None,
+                        help="persisted index (.npz): loaded if it exists, "
+                             "else built from --corpus_data and saved here")
     parser.add_argument("--log_level", default="info")
     args = parser.parse_args(argv)
 
@@ -89,11 +93,18 @@ def main(argv=None):
         encoder, mesh=mesh, max_query_length=args.max_query_length,
         recall_target=args.recall_target, index_dtype=dtype,
     )
-    corpus = load_eval_corpus(args.corpus_data)
-    service.build_index(
-        corpus, max_passage_length=args.max_passage_length,
-        batch_size=args.batch_size,
-    )
+    import os
+
+    if args.index_file and os.path.exists(args.index_file):
+        service.load_index_file(args.index_file)  # restart path: skip encode
+    else:
+        corpus = load_eval_corpus(args.corpus_data)
+        service.build_index(
+            corpus, max_passage_length=args.max_passage_length,
+            batch_size=args.batch_size,
+        )
+        if args.index_file:
+            service.save_index(args.index_file)
     server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
     logger.info("serving %d passages on %s:%d", service.ntotal, args.host, args.port)
     server.serve_forever()

@@ -314,19 +314,16 @@ def _flash_fwd(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q):
     return out, (q, k, v, mask, out, lse)
 
 
-def _flash_bwd(causal, q_block, k_block, interpret, skip_pad_q, res, g):
-    q, k, v, mask, out, lse = res
+def flash_dq(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
+             interpret, skip_pad_q):
+    """dq for flattened [BH, S, D] inputs given upstream g and the forward's
+    lse/delta stats [BH, S]. Reused by both the custom_vjp below and the ring
+    attention backward (parallel/ring_attention.py)."""
     bh, sq, d = q.shape
-    bhkv, sk, _ = k.shape
-    groups = bh // bhkv
+    sk = k.shape[1]
+    groups = bh // k.shape[0]
     scale = 1.0 / (d**0.5)
-    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
-
-    mask8 = _pad_rows8(mask)
-    lse8 = _pad_rows8(lse)
-    delta8 = _pad_rows8(delta)
-
-    dq = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           k_block=k_block, skip_pad_q=skip_pad_q),
         grid=(bh, sq // q_block),
@@ -342,10 +339,18 @@ def _flash_bwd(causal, q_block, k_block, interpret, skip_pad_q, res, g):
         out_specs=pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
         interpret=interpret,
-    )(q, k, v, mask8, g, lse8, delta8)
+    )(q, k, v, _pad_rows8(mask), g, _pad_rows8(lse), _pad_rows8(delta))
 
-    # dk/dv per (query head, key block); every query head in a GQA group
-    # contributes, so the grid runs over query heads and results are summed.
+
+def flash_dkv(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
+              interpret, skip_pad_q):
+    """dk/dv (fp32, GQA-summed to [BHKV, S, D]) for flattened inputs; see
+    flash_dq. dk/dv are computed per (query head, key block) and summed over
+    each GQA group."""
+    bh, sq, d = q.shape
+    bhkv, sk, _ = k.shape
+    groups = bh // bhkv
+    scale = 1.0 / (d**0.5)
     dk_per_head, dv_per_head = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
                           q_block=q_block, skip_pad_q=skip_pad_q),
@@ -368,13 +373,23 @@ def _flash_bwd(causal, q_block, k_block, interpret, skip_pad_q, res, g):
             jax.ShapeDtypeStruct((bh, sk, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, mask8, g, lse8, delta8)
+    )(q, k, v, _pad_rows8(mask), g, _pad_rows8(lse), _pad_rows8(delta))
 
     if groups > 1:
         dk = dk_per_head.reshape(bhkv, groups, sk, d).sum(axis=1)
         dv = dv_per_head.reshape(bhkv, groups, sk, d).sum(axis=1)
     else:
         dk, dv = dk_per_head, dv_per_head
+    return dk, dv
+
+
+def _flash_bwd(causal, q_block, k_block, interpret, skip_pad_q, res, g):
+    q, k, v, mask, out, lse = res
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    kwargs = dict(causal=causal, q_block=q_block, k_block=k_block,
+                  interpret=interpret, skip_pad_q=skip_pad_q)
+    dq = flash_dq(q, k, v, mask, g, lse, delta, **kwargs)
+    dk, dv = flash_dkv(q, k, v, mask, g, lse, delta, **kwargs)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
 
 

@@ -87,6 +87,31 @@ class RetrievalService:
         )
         self.corpus_texts = list(corpus_texts)
 
+    def save_index(self, path: str) -> None:
+        """Persist embeddings + passages so a restart skips the corpus encode
+        (the expensive step; FAISS users get this via write_index)."""
+        if self.index is None:
+            raise RuntimeError("no index built; call build_index first")
+        emb = np.asarray(
+            self.index.corpus[: self.index.n_total], np.float32
+        )
+        if self.index.quantized:  # stored int8: persist the dequantized fp32
+            emb = emb * np.asarray(
+                self.index.row_scale[: self.index.n_total], np.float32
+            )[:, None]
+        np.savez_compressed(
+            path, embeddings=emb,
+            corpus_texts=np.asarray(self.corpus_texts, dtype=object),
+        )
+        logger.info("saved index (%d passages) to %s", self.ntotal, path)
+
+    def load_index_file(self, path: str) -> None:
+        data = np.load(path, allow_pickle=True)
+        self.load_index(
+            data["embeddings"], [str(t) for t in data["corpus_texts"]]
+        )
+        logger.info("loaded index (%d passages) from %s", self.ntotal, path)
+
     # ------------------------------------------------------------------
     def query(
         self,

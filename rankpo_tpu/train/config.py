@@ -20,12 +20,14 @@ class TrainConfig:
 
     # optimization
     learning_rate: float = 1e-5
-    # cosine | linear | constant | constant_with_warmup | polynomial
+    # cosine | linear | constant | constant_with_warmup | polynomial |
+    # cosine_with_restarts | cosine_with_min_lr | inverse_sqrt
     # (the TrainingArguments schedule surface a reference user would reach
     # for, src/arguments.py:146-248 via transformers SchedulerType)
     lr_scheduler_type: str = "cosine"
-    lr_end: float = 1e-7  # polynomial only (HF lr_scheduler_kwargs["lr_end"])
+    lr_end: float = 1e-7  # polynomial / cosine_with_min_lr floor
     lr_power: float = 1.0  # polynomial only (HF lr_scheduler_kwargs["power"])
+    lr_num_cycles: int = 1  # cosine_with_restarts only
     warmup_ratio: float = 0.1
     warmup_steps: int = 0
     weight_decay: float = 0.0

@@ -52,11 +52,33 @@ def make_schedule(config: TrainConfig, total_steps: int) -> optax.Schedule:
             [optax.linear_schedule(0.0, peak, warmup), optax.constant_schedule(peak)],
             [warmup],
         )
+    if kind == "inverse_sqrt":
+        # HF: lr = peak / sqrt(max(step, warmup) / warmup) after linear warmup
+        timescale = max(warmup, 1)
+
+        def inv_sqrt(step):
+            step = jnp.asarray(step, jnp.float32)
+            warm = peak * step / timescale
+            decay_v = peak / jnp.sqrt(jnp.maximum(step, timescale) / timescale)
+            return jnp.where(step < timescale, warm, decay_v)
+
+        return inv_sqrt
     decay_steps = max(total_steps - warmup, 1)
     if kind == "linear":
         decay = optax.linear_schedule(peak, 0.0, decay_steps)
     elif kind == "cosine":
         decay = optax.cosine_decay_schedule(peak, decay_steps)
+    elif kind == "cosine_with_restarts":
+        cycles = max(int(config.lr_num_cycles), 1)
+        cycle_len = max(decay_steps // cycles, 1)
+        decay = optax.join_schedules(
+            [optax.cosine_decay_schedule(peak, cycle_len) for _ in range(cycles)],
+            [cycle_len * (i + 1) for i in range(cycles - 1)],
+        )
+    elif kind == "cosine_with_min_lr":
+        decay = optax.cosine_decay_schedule(
+            peak, decay_steps, alpha=config.lr_end / peak if peak else 0.0
+        )
     elif kind == "polynomial":
         decay = optax.polynomial_schedule(
             init_value=peak,

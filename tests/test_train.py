@@ -422,6 +422,34 @@ class TestScheduleSurface:
         np.testing.assert_allclose(float(sched(50)), 0.25, rtol=1e-5)
         np.testing.assert_allclose(float(sched(100)), 0.0, atol=1e-7)
 
+    def test_inverse_sqrt(self):
+        cfg = TrainConfig(learning_rate=1.0, warmup_steps=4,
+                          lr_scheduler_type="inverse_sqrt")
+        sched = make_schedule(cfg, total_steps=100)
+        np.testing.assert_allclose(float(sched(2)), 0.5, rtol=1e-6)  # warmup
+        np.testing.assert_allclose(float(sched(4)), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(16)), 0.5, rtol=1e-6)  # 1/sqrt(4)
+
+    def test_cosine_with_restarts(self):
+        cfg = TrainConfig(learning_rate=1.0, warmup_steps=0, warmup_ratio=0.0,
+                          lr_scheduler_type="cosine_with_restarts",
+                          lr_num_cycles=2)
+        sched = make_schedule(cfg, total_steps=100)
+        np.testing.assert_allclose(float(sched(0)), 1.0, rtol=1e-6)
+        assert float(sched(49)) < 0.01  # end of cycle 1
+        np.testing.assert_allclose(float(sched(50)), 1.0, rtol=1e-5)  # restart
+
+    def test_cosine_with_min_lr(self):
+        cfg = TrainConfig(learning_rate=1.0, warmup_steps=0, warmup_ratio=0.0,
+                          lr_scheduler_type="cosine_with_min_lr", lr_end=0.1)
+        sched = make_schedule(cfg, total_steps=100)
+        np.testing.assert_allclose(float(sched(100)), 0.1, rtol=1e-5)
+
+    def test_unknown_scheduler_rejected(self):
+        cfg = TrainConfig(lr_scheduler_type="warmup_stable_decaay")
+        with pytest.raises(ValueError, match="unknown lr_scheduler_type"):
+            make_schedule(cfg, total_steps=100)
+
 
 class TestInTrainingEval:
     def test_eval_per_epoch(self, data_mesh, tmp_path, tok):
