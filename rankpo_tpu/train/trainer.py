@@ -123,11 +123,18 @@ class Trainer:
         self.state_specs = TrainState(step=P(), params=param_specs, opt_state=opt_specs)
         self.state_shardings = make_shardings(mesh, self.state_specs)
 
-        # place params on the mesh, init optimizer state directly into its shards
+        # place params on the mesh, init optimizer state directly into its
+        # shards. Multi-process: device_put cannot target shardings that span
+        # other hosts' devices — build global arrays from the (identical)
+        # host copies instead.
+        def put_global(x, s):
+            if jax.process_count() == 1:
+                return jax.device_put(x, s)
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
         params = jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(x, s),
-            params,
-            self.state_shardings.params,
+            put_global, params, self.state_shardings.params
         )
         init_fn = jax.jit(
             lambda p: TrainState.create(p, self.tx),
@@ -284,9 +291,13 @@ class Trainer:
         if jax.process_count() == 1:
             return batch
         sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(sharding, x), batch
-        )
+
+        def put(x):
+            if isinstance(x, jax.Array):
+                return x  # already staged as a global array (_stage)
+            return jax.make_array_from_process_local_data(sharding, x)
+
+        return jax.tree_util.tree_map(put, batch)
 
     def _stage(self, batch):
         """Start the H2D transfer for a host batch NOW (async device_put onto
@@ -515,7 +526,15 @@ class Trainer:
         step_value = int(tstate.get("global_step", 0))
         step = jnp.asarray(step_value, jnp.int32)
         if opt_state is not None:
-            opt_state = jax.device_put(opt_state, self.state_shardings.opt_state)
+            def put_global(x, s):
+                if jax.process_count() == 1:
+                    return jax.device_put(x, s)
+                x = np.asarray(x)
+                return jax.make_array_from_callback(x.shape, s, lambda i: x[i])
+
+            opt_state = jax.tree_util.tree_map(
+                put_global, opt_state, self.state_shardings.opt_state
+            )
         else:
             def fast_forward(x):
                 if x.ndim == 0 and jnp.issubdtype(x.dtype, jnp.integer):
