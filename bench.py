@@ -21,7 +21,11 @@ N_CORPUS = 100_000
 DIM = 1024
 N_QUERIES = 4096
 K = 100
-BATCH = 4096  # one dispatch: [4096, 100k] fp32 scores = 1.6GB, dense path
+BATCH = 4096  # engine-only measurement: one dispatch, dense path
+# e2e dispatch granularity: FlatIPIndex.search dispatches batches async, so
+# chunking pipelines H2D/compute/D2H (measured: 4 x 1024 beats one 4096
+# dispatch by ~35% through the remote tunnel, docs/BENCHMARKS.md)
+E2E_BATCH = 1024
 CPU_QUERY_SAMPLE = 64  # measure CPU on a subset, scale QPS
 
 
@@ -76,15 +80,15 @@ def _device_qps(corpus: np.ndarray, queries: np.ndarray) -> tuple:
 
     index = FlatIPIndex(corpus)
     # warmup + correctness spot check
-    s, i = index.search(queries[:BATCH], k=K, batch_size=BATCH)
+    s, i = index.search(queries[:E2E_BATCH], k=K, batch_size=E2E_BATCH)
     assert np.all(np.isfinite(s))
-    # best-of-3: e2e includes host<->device transfers, which through the
+    # best-of-5: e2e includes host<->device transfers, which through the
     # remote-TPU tunnel have multi-x run-to-run variance (measured 0.66-1.6s
     # for the same call); the minimum is the honest steady-state figure
     dt = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        index.search(queries, k=K, batch_size=BATCH)
+        index.search(queries, k=K, batch_size=E2E_BATCH)
         dt = min(dt, time.perf_counter() - t0)
 
     # engine-only throughput: queries pre-staged, scalar-sync (through the
