@@ -30,7 +30,7 @@ def main():
     parser.add_argument("--p_seq", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=5)
     parser.add_argument("--remat", action="store_true")
-    parser.add_argument("--remat_policy", default="full", choices=["full", "dots"])
+    parser.add_argument("--remat_policy", default="full", choices=["full", "dots", "attn"])
     parser.add_argument("--pure_bf16", action="store_true",
                         help="bf16 params+moments: fits ~1B params on one v5e")
     parser.add_argument("--vocab", type=int, default=32000)

@@ -59,6 +59,7 @@ def forward_hidden(
         attention_mask,
         compute_dtype=compute_dtype,
         remat=remat,
+        remat_policy=remat_policy,
         deterministic=deterministic,
         dropout_key=dropout_key,
         attn_impl=attn_impl,

@@ -2,7 +2,11 @@
 
 Capability parity with the reference's ``AutoModel.from_pretrained('meta-llama/
 Llama-3.2-1B')`` backbone (src/modeling.py:175-178, src/run_contrastive.py:86-98)
-but built TPU-first:
+but built TPU-first. One body serves the whole decoder family the reference's
+``AutoModel`` would accept as a retrieval backbone: llama (optional
+attention_bias), qwen2 (q/k/v biases — gte-Qwen2-style embedders), and
+mistral (e5-mistral-style embedders; sliding window guarded, exact within the
+window):
 
   - Parameters are a plain pytree with layers STACKED on a leading axis and the
     transformer body run with ``lax.scan`` — one compiled layer regardless of
@@ -121,12 +125,58 @@ def init_params(key: jax.Array, config: EncoderConfig, dtype=jnp.float32) -> dic
         },
         "norm": {"weight": jnp.ones((h,), dtype)},
     }
+    if config.attention_qkv_bias:  # qwen2 (always) / llama attention_bias
+        params["layers"]["q_proj"]["bias"] = jnp.zeros((L, hq * d), dtype)
+        params["layers"]["k_proj"]["bias"] = jnp.zeros((L, hkv * d), dtype)
+        params["layers"]["v_proj"]["bias"] = jnp.zeros((L, hkv * d), dtype)
+    if config.attention_o_bias:
+        params["layers"]["o_proj"]["bias"] = jnp.zeros((L, h), dtype)
     return params
 
 
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
+
+def _layer_qkv(
+    config: EncoderConfig,
+    x: jax.Array,
+    lp: dict,
+    cos: jax.Array,
+    sin: jax.Array,
+) -> tuple:
+    b, s, h = x.shape
+    d = config.head_dim
+    hq = config.num_attention_heads
+    hkv = config.num_key_value_heads
+    y = rms_norm(x, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+
+    def proj(name):
+        out = y @ lp[name]["kernel"]
+        if "bias" in lp[name]:  # qwen2 q/k/v biases, llama attention_bias
+            out = out + lp[name]["bias"]
+        return out
+
+    q = proj("q_proj").reshape(b, s, hq, d)
+    k = proj("k_proj").reshape(b, s, hkv, d)
+    v = proj("v_proj").reshape(b, s, hkv, d)
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+
+
+def _layer_post(config: EncoderConfig, x: jax.Array, attn: jax.Array, lp: dict):
+    b, s, h = x.shape
+    o = attn.reshape(b, s, -1) @ lp["o_proj"]["kernel"]
+    if "bias" in lp["o_proj"]:
+        o = o + lp["o_proj"]["bias"]
+    x = x + o
+    residual = x
+    y = rms_norm(x, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+    act = _ACTS[config.hidden_act]
+    mlp = (act(y @ lp["gate_proj"]["kernel"]) * (y @ lp["up_proj"]["kernel"])) @ lp[
+        "down_proj"
+    ]["kernel"]
+    return residual + mlp
+
 
 def _layer(
     config: EncoderConfig,
@@ -138,32 +188,13 @@ def _layer(
     attn_impl: str,
     mesh=None,
 ) -> jax.Array:
-    b, s, h = x.shape
-    d = config.head_dim
-    hq = config.num_attention_heads
-    hkv = config.num_key_value_heads
-
-    residual = x
-    y = rms_norm(x, lp["input_layernorm"]["weight"], config.rms_norm_eps)
-    q = (y @ lp["q_proj"]["kernel"]).reshape(b, s, hq, d)
-    k = (y @ lp["k_proj"]["kernel"]).reshape(b, s, hkv, d)
-    v = (y @ lp["v_proj"]["kernel"]).reshape(b, s, hkv, d)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
+    q, k, v = _layer_qkv(config, x, lp, cos, sin)
     # self-attention with everywhere-masked pad keys: pad q rows are skippable
     attn = multi_head_attention(
         q, k, v, mask=mask, causal=True, impl=attn_impl, mesh=mesh,
         skip_pad_q=True,
     )
-    x = residual + attn.reshape(b, s, hq * d) @ lp["o_proj"]["kernel"]
-
-    residual = x
-    y = rms_norm(x, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
-    act = _ACTS[config.hidden_act]
-    mlp = (act(y @ lp["gate_proj"]["kernel"]) * (y @ lp["up_proj"]["kernel"])) @ lp[
-        "down_proj"
-    ]["kernel"]
-    return residual + mlp
+    return _layer_post(config, x, attn, lp)
 
 
 def apply(
@@ -183,13 +214,26 @@ def apply(
     ``remat_policy``: "full" recomputes everything in the layer on the
     backward pass (min memory); "dots" saves matmul outputs
     (jax dots_with_no_batch_dims_saveable) — trades HBM for skipping the
-    MXU-heavy recompute, worth it when the model still fits.
+    MXU-heavy recompute, worth it when the model still fits; "attn" keeps
+    only the attention call outside the rematted regions, so the flash
+    kernel's VJP residuals (q, k, v, out, lse) are saved and the attention
+    forward — the single most expensive recompute — never re-runs, at
+    ~B·S·(2·Hq+2·Hkv)·D bytes/layer (far below "dots", which also saves the
+    4x-wide MLP intermediates).
 
     Positions are ``arange`` regardless of padding (HF LlamaModel default when
     position_ids is None); with right padding + causal attention pad positions
     never influence non-pad tokens, so this matches the reference numerics.
     """
     b, s = input_ids.shape
+    if config.sliding_window is not None and s > config.sliding_window:
+        # mistral/qwen2 sliding-window attention only differs from full causal
+        # attention beyond the window; refuse rather than silently diverge
+        raise NotImplementedError(
+            f"sequence length {s} exceeds sliding_window={config.sliding_window}; "
+            "sliding-window attention is not implemented (sequences within the "
+            "window are exact)"
+        )
     x = params["embed_tokens"]["weight"][input_ids].astype(compute_dtype)
     positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
     cos, sin = rope_cos_sin(config, positions)
@@ -204,10 +248,27 @@ def apply(
 
     def body(carry, lp):
         if remat:
-            if remat_policy not in ("full", "dots"):
+            if remat_policy not in ("full", "dots", "attn"):
                 raise ValueError(
-                    f"unknown remat_policy {remat_policy!r}; one of ['full', 'dots']"
+                    f"unknown remat_policy {remat_policy!r}; "
+                    "one of ['full', 'dots', 'attn']"
                 )
+            if remat_policy == "attn":
+                # attention stays OUTSIDE the checkpointed regions: its VJP
+                # residuals (incl. the flash kernel's out/lse stats) are saved,
+                # so the backward pass never re-runs the attention forward
+                qkv_fn = jax.checkpoint(
+                    lambda c, p: _layer_qkv(config, c, p, cos, sin)
+                )
+                q, k, v = qkv_fn(carry, lp)
+                attn = multi_head_attention(
+                    q, k, v, mask=key_mask, causal=True, impl=attn_impl,
+                    mesh=mesh, skip_pad_q=True,
+                )
+                post_fn = jax.checkpoint(
+                    lambda c, a, p: _layer_post(config, c, a, p)
+                )
+                return post_fn(carry, attn, lp), None
             kwargs = {}
             if remat_policy == "dots":
                 kwargs["policy"] = (

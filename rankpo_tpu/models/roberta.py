@@ -84,19 +84,25 @@ def init_params(key: jax.Array, config: EncoderConfig, dtype=jnp.float32) -> dic
     }
 
 
-def _layer(
-    config: EncoderConfig,
-    x: jax.Array,
-    lp: dict,
-    mask: jax.Array,
-    dropout_key: Optional[jax.Array],
-    deterministic: bool,
-    attn_impl: str,
-    mesh=None,
-) -> jax.Array:
+def _layer_qkv(config: EncoderConfig, x: jax.Array, lp: dict) -> tuple:
     b, s, h = x.shape
     nh = config.num_attention_heads
     d = h // nh
+    q = (x @ lp["query"]["kernel"] + lp["query"]["bias"]).reshape(b, s, nh, d)
+    k = (x @ lp["key"]["kernel"] + lp["key"]["bias"]).reshape(b, s, nh, d)
+    v = (x @ lp["value"]["kernel"] + lp["value"]["bias"]).reshape(b, s, nh, d)
+    return q, k, v
+
+
+def _layer_post(
+    config: EncoderConfig,
+    x: jax.Array,
+    attn: jax.Array,
+    lp: dict,
+    dropout_key,
+    deterministic: bool,
+) -> jax.Array:
+    b, s, h = x.shape
     eps = config.layer_norm_eps
 
     def dropout(y, key):
@@ -109,14 +115,6 @@ def _layer(
     if dropout_key is not None:
         k0, k1 = jax.random.split(dropout_key)
 
-    q = (x @ lp["query"]["kernel"] + lp["query"]["bias"]).reshape(b, s, nh, d)
-    k = (x @ lp["key"]["kernel"] + lp["key"]["bias"]).reshape(b, s, nh, d)
-    v = (x @ lp["value"]["kernel"] + lp["value"]["bias"]).reshape(b, s, nh, d)
-    # self-attention with everywhere-masked pad keys: pad q rows are skippable
-    attn = multi_head_attention(
-        q, k, v, mask=mask, causal=False, impl=attn_impl, mesh=mesh,
-        skip_pad_q=True,
-    )
     attn = attn.reshape(b, s, h) @ lp["attn_output"]["kernel"] + lp["attn_output"]["bias"]
     attn = dropout(attn, k0)
     x = layer_norm(
@@ -135,6 +133,25 @@ def _layer(
     return layer_norm(
         x + out, lp["output_layer_norm"]["weight"], lp["output_layer_norm"]["bias"], eps
     )
+
+
+def _layer(
+    config: EncoderConfig,
+    x: jax.Array,
+    lp: dict,
+    mask: jax.Array,
+    dropout_key: Optional[jax.Array],
+    deterministic: bool,
+    attn_impl: str,
+    mesh=None,
+) -> jax.Array:
+    q, k, v = _layer_qkv(config, x, lp)
+    # self-attention with everywhere-masked pad keys: pad q rows are skippable
+    attn = multi_head_attention(
+        q, k, v, mask=mask, causal=False, impl=attn_impl, mesh=mesh,
+        skip_pad_q=True,
+    )
+    return _layer_post(config, x, attn, lp, dropout_key, deterministic)
 
 
 def apply(
@@ -197,10 +214,26 @@ def apply(
             config, c, p, key_mask, lk, deterministic, attn_impl, mesh
         )
         if remat:
-            if remat_policy not in ("full", "dots"):
+            if remat_policy not in ("full", "dots", "attn"):
                 raise ValueError(
-                    f"unknown remat_policy {remat_policy!r}; one of ['full', 'dots']"
+                    f"unknown remat_policy {remat_policy!r}; "
+                    "one of ['full', 'dots', 'attn']"
                 )
+            if remat_policy == "attn":
+                # attention outside the checkpointed regions: its VJP
+                # residuals are saved, the attention fwd never re-runs
+                qkv_fn = jax.checkpoint(lambda c, p: _layer_qkv(config, c, p))
+                q, k, v = qkv_fn(carry, lp)
+                attn = multi_head_attention(
+                    q, k, v, mask=key_mask, causal=False, impl=attn_impl,
+                    mesh=mesh, skip_pad_q=True,
+                )
+                post_fn = jax.checkpoint(
+                    lambda c, a, p: _layer_post(
+                        config, c, a, p, lk, deterministic
+                    )
+                )
+                return post_fn(carry, attn, lp), None
             kwargs = {}
             if remat_policy == "dots":
                 kwargs["policy"] = (

@@ -52,7 +52,9 @@ class TrainConfig:
     pure_bf16: bool = False
     gradient_checkpointing: bool = False
     # "full" (recompute everything, min memory) | "dots" (save matmul
-    # outputs — skips the MXU recompute when the model still fits HBM)
+    # outputs — skips the MXU recompute when the model still fits HBM) |
+    # "attn" (save only attention outputs + flash lse stats — the attention
+    # forward never re-runs in backward, at ~B·S·hidden·4 bytes/layer)
     gradient_checkpointing_policy: str = "full"
 
     # parallelism (replaces configs/*.json DeepSpeed ZeRO)

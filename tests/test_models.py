@@ -16,6 +16,7 @@ from rankpo_tpu.models import (
     resize_token_embeddings,
     save_pretrained,
     tiny_llama_config,
+    tiny_qwen2_config,
     tiny_roberta_config,
 )
 from rankpo_tpu.models.pooling import cls_pool, l2_normalize, last_token_pool, mean_pool
@@ -106,6 +107,48 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(short), np.asarray(long), atol=1e-5)
 
 
+class TestRematPolicies:
+    """Rematerialization must be numerically invisible: same loss and same
+    grads for every policy, both model families (incl. 'attn', which keeps
+    the attention call outside the checkpointed regions)."""
+
+    @pytest.mark.parametrize("cfg_fn", [tiny_llama_config, tiny_roberta_config])
+    @pytest.mark.parametrize("policy", ["full", "dots", "attn"])
+    def test_grads_match_no_remat(self, cfg_fn, policy):
+        cfg = cfg_fn()
+        params = init_params(jax.random.key(0), cfg)
+        ids = jax.random.randint(jax.random.key(1), (2, 16), 5, cfg.vocab_size)
+        mask = jnp.ones((2, 16), jnp.int32).at[0, 11:].set(0)
+        ids = ids * mask + cfg.pad_token_id * (1 - mask)
+        batch = {"input_ids": ids, "attention_mask": mask}
+        target = jax.random.normal(jax.random.key(2), (2, cfg.hidden_size))
+
+        def loss(p, **kw):
+            reps = embed(p, cfg, batch, compute_dtype=jnp.float32, **kw)
+            return jnp.sum((reps - target) ** 2)
+
+        base, base_grads = jax.value_and_grad(loss)(params)
+        got, got_grads = jax.value_and_grad(loss)(
+            params, remat=True, remat_policy=policy
+        )
+        np.testing.assert_allclose(float(base), float(got), rtol=1e-6)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            ),
+            base_grads,
+            got_grads,
+        )
+
+    def test_unknown_policy_raises(self):
+        cfg = tiny_llama_config()
+        params = init_params(jax.random.key(0), cfg)
+        ids = jnp.ones((1, 8), jnp.int32)
+        batch = {"input_ids": ids, "attention_mask": jnp.ones_like(ids)}
+        with pytest.raises(ValueError, match="remat_policy"):
+            embed(params, cfg, batch, remat=True, remat_policy="nope")
+
+
 class TestResize:
     def test_resize_grows_with_mean_init(self):
         cfg = tiny_llama_config(vocab_size=100)
@@ -119,7 +162,9 @@ class TestResize:
 
 
 class TestHFRoundTrip:
-    @pytest.mark.parametrize("cfg_fn", [tiny_llama_config, tiny_roberta_config])
+    @pytest.mark.parametrize(
+        "cfg_fn", [tiny_llama_config, tiny_qwen2_config, tiny_roberta_config]
+    )
     def test_save_load_identity(self, tmp_path, cfg_fn):
         cfg = cfg_fn()
         params = init_params(jax.random.key(0), cfg)
@@ -220,6 +265,99 @@ class TestTorchParity:
             )
         )
         np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+    def test_qwen2_parity(self, tmp_path):
+        """gte-Qwen2-style backbones: llama body + q/k/v projection biases."""
+        torch = pytest.importorskip("torch")
+        from transformers import Qwen2Config, Qwen2Model
+
+        hf_cfg = Qwen2Config(
+            vocab_size=128,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=128,
+            rope_theta=10000.0,
+            pad_token_id=0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(2)
+        hf_model = Qwen2Model(hf_cfg).eval()
+        # random biases so the parity actually exercises the bias path
+        with torch.no_grad():
+            for layer in hf_model.layers:
+                for proj in (
+                    layer.self_attn.q_proj,
+                    layer.self_attn.k_proj,
+                    layer.self_attn.v_proj,
+                ):
+                    proj.bias.normal_(std=0.1)
+        hf_model.save_pretrained(str(tmp_path))
+
+        cfg, params = load_pretrained(str(tmp_path))
+        assert cfg.model_type == "qwen2"
+        assert cfg.attention_qkv_bias and not cfg.attention_o_bias
+        assert cfg.pooling == "last_token"
+        ids = np.array([[5, 6, 7, 8, 0, 0], [9, 10, 11, 12, 13, 14]])
+        mask = np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]])
+        with torch.no_grad():
+            ref = hf_model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        ours = np.asarray(
+            forward_hidden(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                compute_dtype=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], atol=2e-4)
+
+    def test_mistral_parity(self, tmp_path):
+        """e5-mistral-style backbones: llama body, no biases, sliding window
+        carried through the config and exact within the window."""
+        torch = pytest.importorskip("torch")
+        from transformers import MistralConfig, MistralModel
+
+        hf_cfg = MistralConfig(
+            vocab_size=128,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            max_position_embeddings=128,
+            rope_theta=10000.0,
+            sliding_window=64,
+            pad_token_id=0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(3)
+        hf_model = MistralModel(hf_cfg).eval()
+        hf_model.save_pretrained(str(tmp_path))
+
+        cfg, params = load_pretrained(str(tmp_path))
+        assert cfg.model_type == "mistral"
+        assert cfg.sliding_window == 64
+        ids = np.array([[5, 6, 7, 8, 9, 10, 11, 0]])
+        mask = np.array([[1, 1, 1, 1, 1, 1, 1, 0]])
+        with torch.no_grad():
+            ref = hf_model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        ours = np.asarray(
+            forward_hidden(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                compute_dtype=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], atol=2e-4)
+
+        # beyond the window we refuse rather than silently diverge
+        long_ids = jnp.ones((1, 80), jnp.int32)
+        with pytest.raises(NotImplementedError, match="sliding_window"):
+            forward_hidden(params, cfg, long_ids, jnp.ones_like(long_ids))
 
     def test_bert_parity(self, tmp_path):
         """BGE-small/base are BertModels — plain-arange positions, not the
