@@ -18,7 +18,9 @@ from typing import Optional
 
 @dataclasses.dataclass
 class EncoderConfig:
-    model_type: str = "llama"  # "llama" | "xlm-roberta" (covers bert/roberta/bge)
+    # "llama" | "qwen2" | "mistral" (decoder family, one body) |
+    # "xlm-roberta" | "bert" (encoder family, covers BGE)
+    model_type: str = "llama"
     vocab_size: int = 128256
     hidden_size: int = 2048
     intermediate_size: int = 8192
@@ -40,6 +42,11 @@ class EncoderConfig:
     pooling: str = "last_token"  # "last_token" | "cls" | "mean"
     normalize: bool = True
     architectures: tuple = ()
+    # decoder-family attention biases: Qwen2 uses q/k/v bias (never o);
+    # Llama's `attention_bias` flag turns on all four projections' biases
+    attention_qkv_bias: bool = False
+    attention_o_bias: bool = False
+    sliding_window: Optional[int] = None  # mistral/qwen2; guard-only (see llama.apply)
 
     def __post_init__(self):
         if self.head_dim is None:
@@ -49,16 +56,25 @@ class EncoderConfig:
 
     @property
     def is_llama(self) -> bool:
-        return self.model_type == "llama"
+        """True for the decoder family sharing the llama body (llama/qwen2/mistral)."""
+        return self.model_type in ("llama", "qwen2", "mistral")
 
     @classmethod
     def from_hf_dict(cls, d: dict) -> "EncoderConfig":
         """Build from a HuggingFace ``config.json`` dict (keeps checkpoint interop)."""
         model_type = d.get("model_type", "llama")
         archs = tuple(d.get("architectures") or ())
-        if model_type == "llama":
+        if model_type in ("llama", "qwen2", "mistral"):
+            # Qwen2 always has q/k/v biases (HF Qwen2Attention hardcodes them);
+            # Llama's optional attention_bias covers all four projections
+            attention_bias = bool(d.get("attention_bias", False))
+            qkv_bias = attention_bias or model_type == "qwen2"
+            o_bias = attention_bias and model_type != "qwen2"
+            sliding = d.get("sliding_window")
+            if model_type == "qwen2" and not d.get("use_sliding_window", False):
+                sliding = None  # qwen2 configs carry the field but disable it
             cfg = cls(
-                model_type="llama",
+                model_type=model_type,
                 vocab_size=d["vocab_size"],
                 hidden_size=d["hidden_size"],
                 intermediate_size=d["intermediate_size"],
@@ -77,6 +93,9 @@ class EncoderConfig:
                 hidden_act=d.get("hidden_act", "silu"),
                 pooling="last_token",
                 architectures=archs,
+                attention_qkv_bias=qkv_bias,
+                attention_o_bias=o_bias,
+                sliding_window=sliding,
             )
         elif model_type in ("xlm-roberta", "roberta", "bert"):
             cfg = cls(
@@ -113,9 +132,14 @@ class EncoderConfig:
 
     def to_hf_dict(self) -> dict:
         if self.is_llama:
-            return {
-                "model_type": "llama",
-                "architectures": list(self.architectures) or ["LlamaModel"],
+            default_arch = {
+                "llama": "LlamaModel",
+                "qwen2": "Qwen2Model",
+                "mistral": "MistralModel",
+            }[self.model_type]
+            d = {
+                "model_type": self.model_type,
+                "architectures": list(self.architectures) or [default_arch],
                 "vocab_size": self.vocab_size,
                 "hidden_size": self.hidden_size,
                 "intermediate_size": self.intermediate_size,
@@ -132,6 +156,13 @@ class EncoderConfig:
                 "hidden_act": self.hidden_act,
                 "torch_dtype": "float32",
             }
+            if self.model_type == "llama" and self.attention_o_bias:
+                d["attention_bias"] = True
+            if self.sliding_window is not None:
+                d["sliding_window"] = self.sliding_window
+                if self.model_type == "qwen2":
+                    d["use_sliding_window"] = True
+            return d
         default_arch = "BertModel" if self.model_type == "bert" else "XLMRobertaModel"
         return {
             "model_type": self.model_type,
@@ -157,10 +188,14 @@ class EncoderConfig:
 
 def default_pooling(architectures, model_type: str) -> str:
     """Reference rule (src/modeling.py:224-232): 'Llama' in architectures[0] →
-    last-non-pad-token pooling; otherwise CLS/first token."""
-    if architectures and "Llama" in architectures[0]:
+    last-non-pad-token pooling; otherwise CLS/first token. Extended to the
+    other causal-decoder families (qwen2/mistral), where CLS pooling would
+    read position 0 of a causal model — always wrong."""
+    if architectures and any(
+        fam in architectures[0] for fam in ("Llama", "Qwen2", "Mistral")
+    ):
         return "last_token"
-    if model_type == "llama":
+    if model_type in ("llama", "qwen2", "mistral"):
         return "last_token"
     return "cls"
 
@@ -181,6 +216,25 @@ def tiny_llama_config(vocab_size: int = 512) -> EncoderConfig:
         pad_token_id=0,
         architectures=("LlamaModel",),
         pooling="last_token",
+    )
+
+
+def tiny_qwen2_config(vocab_size: int = 512) -> EncoderConfig:
+    """Small qwen2-family config (q/k/v biases on the llama body)."""
+    return EncoderConfig(
+        model_type="qwen2",
+        vocab_size=vocab_size,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=2048,
+        rope_theta=10000.0,
+        pad_token_id=0,
+        architectures=("Qwen2Model",),
+        pooling="last_token",
+        attention_qkv_bias=True,
     )
 
 

@@ -84,6 +84,15 @@ def load_llama_params(path: str, config: EncoderConfig) -> dict:
         },
         "norm": {"weight": jnp.asarray(state["norm.weight"])},
     }
+    if config.attention_qkv_bias:  # qwen2 / llama attention_bias checkpoints
+        for p in ("q_proj", "k_proj", "v_proj"):
+            params["layers"][p]["bias"] = _stack(
+                state, lyr + f"self_attn.{p}.bias", L, False
+            )
+    if config.attention_o_bias:
+        params["layers"]["o_proj"]["bias"] = _stack(
+            state, lyr + "self_attn.o_proj.bias", L, False
+        )
     return params
 
 
@@ -176,6 +185,9 @@ def save_pretrained(path: str, config: EncoderConfig, params: dict) -> None:
             ("mlp.up_proj.weight", ls["up_proj"]["kernel"], True),
             ("mlp.down_proj.weight", ls["down_proj"]["kernel"], True),
         ]
+        for proj in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            if "bias" in ls[proj]:
+                mapping.append((f"self_attn.{proj}.bias", ls[proj]["bias"], False))
         for name, stacked, tr in mapping:
             for i, a in enumerate(_unstack(stacked, tr)):
                 state[f"layers.{i}.{name}"] = a.astype(np.float32)
