@@ -1,0 +1,119 @@
+"""Serving latency under concurrent load: direct threaded dispatch vs the
+dynamic micro-batcher (rankpo_tpu/serve/batching.py).
+
+T client threads each issue N sequential single-query requests; we report
+per-request latency percentiles and aggregate QPS. "direct" is what a naive
+threaded HTTP server does (every request thread dispatches its own encode +
+search); "microbatch" groups requests arriving within the wait window into
+one device dispatch.
+
+Run on the real TPU (default env) or CPU-forced for a smoke test.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def pct(xs, p):
+    return float(np.percentile(np.asarray(xs), p))
+
+
+def run_load(fn, n_threads: int, n_per_thread: int):
+    lat = []
+    lock = threading.Lock()
+
+    def client(tid):
+        mine = []
+        for i in range(n_per_thread):
+            t0 = time.perf_counter()
+            fn(f"document {(tid * 131 + i * 17) % 10000} on some topic", 10)
+            mine.append(time.perf_counter() - t0)
+        with lock:
+            lat.extend(mine)
+
+    threads = [threading.Thread(target=client, args=(t,)) for t in range(n_threads)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    return {
+        "p50_ms": round(pct(lat, 50) * 1e3, 1),
+        "p95_ms": round(pct(lat, 95) * 1e3, 1),
+        "p99_ms": round(pct(lat, 99) * 1e3, 1),
+        "qps": round(len(lat) / wall, 1),
+    }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n_corpus", type=int, default=10000)
+    parser.add_argument("--threads", type=int, default=16)
+    parser.add_argument("--per_thread", type=int, default=20)
+    parser.add_argument("--wait_ms", type=float, default=3.0)
+    parser.add_argument("--hidden", type=int, default=512)
+    parser.add_argument("--layers", type=int, default=4)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rankpo_tpu.core.mesh import local_mesh
+    from rankpo_tpu.data import HashTokenizer
+    from rankpo_tpu.index import InferenceEncoder
+    from rankpo_tpu.models import EncoderConfig, init_params
+    from rankpo_tpu.serve import MicroBatcher, RetrievalService
+
+    cfg = EncoderConfig(
+        model_type="llama", vocab_size=32000, hidden_size=args.hidden,
+        intermediate_size=args.hidden * 3, num_hidden_layers=args.layers,
+        num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=4096, rope_theta=10000.0, pad_token_id=0,
+        architectures=("LlamaModel",), pooling="last_token",
+    )
+    params = init_params(jax.random.key(0), cfg)
+    mesh = local_mesh()
+    tok = HashTokenizer(vocab_size=32000)
+    encoder = InferenceEncoder(cfg, params, tok, mesh=mesh, length_multiple=64)
+    service = RetrievalService(encoder, mesh=mesh, max_query_length=64,
+                               query_batch_size=64)
+    corpus = [f"document {i} on some topic number {i}" for i in range(args.n_corpus)]
+    service.build_index(corpus, max_passage_length=64, batch_size=256)
+
+    # warm every batch bucket (each distinct batch shape is an XLA compile);
+    # k_max matches the direct path's k so the two share the search program
+    service.warmup(k=10)
+    mb = MicroBatcher(service, max_batch=64, max_wait_ms=args.wait_ms, k_max=10)
+    mb.query("warmup", k=10)
+
+    direct = run_load(
+        lambda q, k: service.query(q, k=k), args.threads, args.per_thread
+    )
+    batched = run_load(lambda q, k: mb.query(q, k=k), args.threads, args.per_thread)
+    out = {
+        "metric": "serve_latency_concurrent",
+        "threads": args.threads,
+        "n_corpus": args.n_corpus,
+        "direct": direct,
+        "microbatch": batched,
+        "dispatches_microbatch": mb.n_dispatches,
+        "queries_microbatch": mb.n_queries,
+        "backend": jax.default_backend(),
+    }
+    mb.close()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

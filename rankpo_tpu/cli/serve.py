@@ -22,7 +22,11 @@ from rankpo_tpu.utils.logging import setup_logging
 logger = logging.getLogger(__name__)
 
 
-def make_handler(service: RetrievalService):
+def make_handler(service: RetrievalService, batcher=None):
+    """``batcher``: a MicroBatcher; single-query requests route through it so
+    concurrent clients share device dispatches (multi-query requests are
+    already batched by construction and go straight to the service)."""
+
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
             body = json.dumps(payload).encode()
@@ -47,7 +51,10 @@ def make_handler(service: RetrievalService):
                 req = json.loads(self.rfile.read(length))
                 queries = req["queries"]
                 k = int(req.get("k", 10))
-                results = service.query(queries, k=k)
+                if batcher is not None and len(queries) == 1:
+                    results = [batcher.query(queries[0], k=k)]
+                else:
+                    results = service.query(queries, k=k)
                 self._reply(200, {"results": results})
             except Exception as e:  # surface errors as JSON
                 self._reply(400, {"error": str(e)})
@@ -77,10 +84,27 @@ def main(argv=None):
     parser.add_argument("--index_file", default=None,
                         help="persisted index (.npz): loaded if it exists, "
                              "else built from --corpus_data and saved here")
+    parser.add_argument("--microbatch_wait_ms", type=float, default=3.0,
+                        help="dynamic micro-batching window for concurrent "
+                             "single-query requests; 0 disables")
+    parser.add_argument("--microbatch_max", type=int, default=64)
+    parser.add_argument("--serving_k_max", type=int, default=100,
+                        help="micro-batched requests search once at this k "
+                             "and slice (k is a compiled static shape)")
     parser.add_argument("--log_level", default="info")
+    # multi-host pod serving: every process runs this CLI with the same
+    # corpus/index; rank 0 binds HTTP, ranks 1.. replay dispatches
+    parser.add_argument("--coordinator_address", default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
 
     setup_logging(args.log_level)
+    from rankpo_tpu.core.mesh import initialize_distributed
+
+    initialize_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
     mesh = local_mesh()
     config, params = load_pretrained(args.model_name_or_path)
     tokenizer = resolve_tokenizer(args.tokenizer_name, args.model_name_or_path)
@@ -105,7 +129,40 @@ def main(argv=None):
         )
         if args.index_file:
             service.save_index(args.index_file)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(service))
+    import jax
+
+    frontend = service
+    if jax.process_count() > 1:
+        from rankpo_tpu.serve.multihost import MultihostFrontend
+
+        frontend = MultihostFrontend(service)
+        if jax.process_index() != 0:
+            frontend.follower_loop()  # blocks until rank 0 broadcasts stop
+            return
+        # warm batch buckets THROUGH the frontend: a bare service.query on
+        # rank 0 would hang waiting for the other processes' array shards
+        b = 8
+        while True:
+            frontend.query(["warmup"] * min(b, service.query_batch_size),
+                           k=min(args.serving_k_max, service.ntotal),
+                           return_passages=False)
+            if b >= service.query_batch_size:
+                break
+            b *= 2
+    else:
+        service.warmup(k=min(args.serving_k_max, service.ntotal))
+
+    batcher = None
+    if args.microbatch_wait_ms > 0:
+        from rankpo_tpu.serve.batching import MicroBatcher
+
+        batcher = MicroBatcher(
+            frontend, max_batch=args.microbatch_max,
+            max_wait_ms=args.microbatch_wait_ms, k_max=args.serving_k_max,
+        )
+    server = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(frontend, batcher)
+    )
     logger.info("serving %d passages on %s:%d", service.ntotal, args.host, args.port)
     server.serve_forever()
 

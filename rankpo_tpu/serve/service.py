@@ -113,6 +113,27 @@ class RetrievalService:
         logger.info("loaded index (%d passages) from %s", self.ntotal, path)
 
     # ------------------------------------------------------------------
+    def _batch_bucket(self, n: int) -> int:
+        """Power-of-two batch buckets (capped at query_batch_size): every
+        distinct batch shape is a separate XLA compile, so serving variable
+        group sizes raw causes compile storms (measured: 8s p99 through the
+        remote-compile tunnel). Buckets bound the compile count to ~log2."""
+        b = 8
+        while b < n and b < self.query_batch_size:
+            b *= 2
+        return min(b, self.query_batch_size)
+
+    def warmup(self, k: int = 10) -> None:
+        """Pre-compile every batch bucket so first requests don't pay XLA
+        compiles. Call once after build_index/load_index."""
+        b = 8
+        while True:
+            self.query(["warmup"] * min(b, self.query_batch_size), k=k,
+                       return_passages=False)
+            if b >= self.query_batch_size:
+                break
+            b *= 2
+
     def query(
         self,
         texts: Sequence[str] | str,
@@ -128,7 +149,7 @@ class RetrievalService:
             texts = [texts]
         q_emb = self.encoder.encode(
             list(texts),
-            batch_size=min(self.query_batch_size, max(len(texts), 1)),
+            batch_size=self._batch_bucket(max(len(texts), 1)),
             max_length=self.max_query_length,
             description="Encoding queries",
         )

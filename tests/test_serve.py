@@ -87,3 +87,84 @@ class TestHTTPServer:
             assert body["results"][0]["hits"][0]["index"] == 5
         finally:
             server.shutdown()
+
+
+class TestMicroBatcher:
+    def test_results_match_direct_query(self, service):
+        from rankpo_tpu.serve.batching import MicroBatcher
+
+        mb = MicroBatcher(service, max_batch=8, max_wait_ms=20, k_max=10)
+        try:
+            direct = service.query("document 3 on distinct topic 3", k=3)
+            batched = mb.query("document 3 on distinct topic 3", k=3)
+            assert [h["index"] for h in batched["hits"]] == [
+                h["index"] for h in direct["hits"]
+            ]
+            np.testing.assert_allclose(
+                [h["score"] for h in batched["hits"]],
+                [h["score"] for h in direct["hits"]],
+                rtol=1e-6,
+            )
+            assert batched["hits"][0]["passage"] == direct["hits"][0]["passage"]
+        finally:
+            mb.close()
+
+    def test_concurrent_requests_share_dispatches(self, service):
+        from rankpo_tpu.serve.batching import MicroBatcher
+
+        # long window so all concurrent requests land in one group
+        mb = MicroBatcher(service, max_batch=16, max_wait_ms=300, k_max=10)
+        try:
+            results = [None] * 12
+            def call(i):
+                results[i] = mb.query(f"document {i} on distinct topic {i}", k=2)
+            threads = [threading.Thread(target=call, args=(i,)) for i in range(12)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for i, res in enumerate(results):
+                assert res["hits"][0]["index"] == i, (i, res["hits"][:2])
+                assert len(res["hits"]) == 2
+            assert mb.n_queries == 12
+            assert mb.n_dispatches <= 2  # grouped, not per-request
+        finally:
+            mb.close()
+
+    def test_k_above_k_max_rejected(self, service):
+        from rankpo_tpu.serve.batching import MicroBatcher
+
+        mb = MicroBatcher(service, k_max=5)
+        try:
+            with pytest.raises(ValueError, match="k_max"):
+                mb.query("anything", k=50)
+        finally:
+            mb.close()
+
+    def test_http_single_query_routes_through_batcher(self, service):
+        from http.server import ThreadingHTTPServer
+        from rankpo_tpu.cli.serve import make_handler
+        from rankpo_tpu.serve.batching import MicroBatcher
+
+        mb = MicroBatcher(service, max_batch=8, max_wait_ms=10, k_max=10)
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(service, mb)
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps(
+                    {"queries": ["document 5 on distinct topic 5"], "k": 2}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            assert body["results"][0]["hits"][0]["index"] == 5
+            assert mb.n_queries >= 1
+        finally:
+            server.shutdown()
+            mb.close()
