@@ -92,10 +92,12 @@ def main():
     service.build_index(corpus, max_passage_length=64, batch_size=256)
 
     # warm every batch bucket (each distinct batch shape is an XLA compile);
-    # k_max matches the direct path's k so the two share the search program
-    service.warmup(k=10)
+    # k_max matches the direct path's k so the two share the search program.
+    # All bench queries land in the shortest length bucket -> lengths=(64,)
+    service.warmup(k=10, lengths=(64,))
     mb = MicroBatcher(service, max_batch=64, max_wait_ms=args.wait_ms, k_max=10)
     mb.query("warmup", k=10)
+    mb.n_dispatches = mb.n_queries = 0  # don't count warmup in grouping stats
 
     direct = run_load(
         lambda q, k: service.query(q, k=k), args.threads, args.per_thread

@@ -93,7 +93,7 @@ def main():
 
         grad_fn = make_contrastive_gradcache_grad_fn(
             config, temperature=0.02, compute_dtype=jnp.bfloat16,
-            remat=args.remat, attn_impl=args.attn,
+            remat=args.remat, remat_policy=args.remat_policy, attn_impl=args.attn,
         )
     trainer = Trainer(
         loss_fn=loss_fn, grad_fn=grad_fn, params=params, mesh=mesh, config=cfg,

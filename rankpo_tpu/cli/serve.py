@@ -22,10 +22,13 @@ from rankpo_tpu.utils.logging import setup_logging
 logger = logging.getLogger(__name__)
 
 
-def make_handler(service: RetrievalService, batcher=None):
+def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
     """``batcher``: a MicroBatcher; single-query requests route through it so
     concurrent clients share device dispatches (multi-query requests are
-    already batched by construction and go straight to the service)."""
+    already batched by construction). Every path searches at the single
+    compiled ``k_max`` and slices to the client's k — per-request k values
+    are static shapes, so honoring them raw would recompile on each new k
+    (and the limit must be uniform: one cap for 1-query and N-query posts)."""
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
@@ -51,10 +54,22 @@ def make_handler(service: RetrievalService, batcher=None):
                 req = json.loads(self.rfile.read(length))
                 queries = req["queries"]
                 k = int(req.get("k", 10))
+                if k > k_max:
+                    self._reply(400, {
+                        "error": f"k={k} exceeds serving k_max={k_max} "
+                                 "(start the server with --serving_k_max)"
+                    })
+                    return
                 if batcher is not None and len(queries) == 1:
                     results = [batcher.query(queries[0], k=k)]
                 else:
-                    results = service.query(queries, k=k)
+                    k_eff = min(k_max, service.ntotal or k_max)
+                    results = service.query(queries, k=k_eff,
+                                            return_passages=False)
+                    for res in results:
+                        res["hits"] = res["hits"][:k]
+                        for h in res["hits"]:
+                            h["passage"] = service.corpus_texts[h["index"]]
                 self._reply(200, {"results": results})
             except Exception as e:  # surface errors as JSON
                 self._reply(400, {"error": str(e)})
@@ -89,8 +104,14 @@ def main(argv=None):
                              "single-query requests; 0 disables")
     parser.add_argument("--microbatch_max", type=int, default=64)
     parser.add_argument("--serving_k_max", type=int, default=100,
-                        help="micro-batched requests search once at this k "
-                             "and slice (k is a compiled static shape)")
+                        help="all requests search once at this k and slice "
+                             "to the client's k (k is a compiled static "
+                             "shape); requests above it get a 400")
+    parser.add_argument("--warmup", default="full",
+                        choices=["full", "fast", "off"],
+                        help="pre-compile serving programs at startup: "
+                             "'full' = every (batch, length) bucket, "
+                             "'fast' = shortest length bucket only")
     parser.add_argument("--log_level", default="info")
     # multi-host pod serving: every process runs this CLI with the same
     # corpus/index; rank 0 binds HTTP, ranks 1.. replay dispatches
@@ -139,18 +160,18 @@ def main(argv=None):
         if jax.process_index() != 0:
             frontend.follower_loop()  # blocks until rank 0 broadcasts stop
             return
-        # warm batch buckets THROUGH the frontend: a bare service.query on
+
+    if args.warmup != "off":
+        # multi-host: warm THROUGH the frontend — a bare service.query on
         # rank 0 would hang waiting for the other processes' array shards
-        b = 8
-        while True:
-            frontend.query(["warmup"] * min(b, service.query_batch_size),
-                           k=min(args.serving_k_max, service.ntotal),
-                           return_passages=False)
-            if b >= service.query_batch_size:
-                break
-            b *= 2
-    else:
-        service.warmup(k=min(args.serving_k_max, service.ntotal))
+        service.warmup(
+            k=min(args.serving_k_max, service.ntotal),
+            query_fn=frontend.query if frontend is not service else None,
+            lengths=(
+                (getattr(service.encoder, "length_multiple", 64),)
+                if args.warmup == "fast" else None
+            ),
+        )
 
     batcher = None
     if args.microbatch_wait_ms > 0:
@@ -161,7 +182,8 @@ def main(argv=None):
             max_wait_ms=args.microbatch_wait_ms, k_max=args.serving_k_max,
         )
     server = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(frontend, batcher)
+        (args.host, args.port),
+        make_handler(frontend, batcher, k_max=args.serving_k_max),
     )
     logger.info("serving %d passages on %s:%d", service.ntotal, args.host, args.port)
     server.serve_forever()

@@ -25,6 +25,7 @@ the (closed) gate live in rankpo_tpu/ops/topk_pallas.py.
 
 from __future__ import annotations
 
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -116,8 +117,10 @@ class FlatIPIndex:
         else:
             self.corpus = put_rows(emb.astype(np.dtype(dtype)))
             self.row_scale = None
-        self._search_fn = None
-        self._search_k = None
+        # compiled search per k (serving mixes k values across threads; a
+        # single-slot cache would both recompile on every flip and race)
+        self._search_fns: dict = {}
+        self._search_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     def _build_search(self, k: int):
@@ -227,9 +230,10 @@ class FlatIPIndex:
         """Batched exact top-k (analog of utils.py:58-80 faiss_search).
         Returns fp32 scores and int32 indices, shapes [Q, k]."""
         k = min(k, self.n_total)
-        if self._search_fn is None or self._search_k != k:
-            self._search_fn = self._build_search(k)
-            self._search_k = k
+        with self._search_lock:
+            search_fn = self._search_fns.get(k)
+            if search_fn is None:
+                search_fn = self._search_fns[k] = self._build_search(k)
         queries = np.asarray(queries, np.float32)
         n_q = queries.shape[0]
         # dispatch every batch asynchronously, fetch afterwards — hides
@@ -246,7 +250,7 @@ class FlatIPIndex:
                 block_dev = replicate_to_mesh(block, self.mesh)
             else:
                 block_dev = jnp.asarray(block)
-            scores, idx = self._search_fn(
+            scores, idx = search_fn(
                 self.corpus, self.row_scale, block_dev
             )
             pending.append((scores, idx, real))

@@ -71,8 +71,14 @@ class EncoderConfig:
             qkv_bias = attention_bias or model_type == "qwen2"
             o_bias = attention_bias and model_type != "qwen2"
             sliding = d.get("sliding_window")
-            if model_type == "qwen2" and not d.get("use_sliding_window", False):
-                sliding = None  # qwen2 configs carry the field but disable it
+            if model_type == "qwen2":
+                # qwen2 configs carry the field but usually disable it — and
+                # SWA only applies to layers >= max_window_layers, so when
+                # every layer is below that the model is full-attention
+                if not d.get("use_sliding_window", False) or (
+                    d.get("max_window_layers", 0) >= d["num_hidden_layers"]
+                ):
+                    sliding = None
             cfg = cls(
                 model_type=model_type,
                 vocab_size=d["vocab_size"],

@@ -76,17 +76,33 @@ class MicroBatcher:
         """Single-query call; blocks until its group's dispatch completes."""
         if k > self.k_max:
             raise ValueError(f"k={k} exceeds serving k_max={self.k_max}")
+        if self._stopping:
+            raise RuntimeError("MicroBatcher is closed")
         req = _Pending(text, k, return_passages)
         self._queue.put(req)
         req.event.wait()
         if req.error is not None:
             raise req.error
+        if req.result is None:  # drained by close() without dispatching
+            raise RuntimeError("MicroBatcher closed while request was queued")
         return req.result
 
     def close(self) -> None:
         self._stopping = True
         self._queue.put(None)  # wake the worker
         self._worker.join(timeout=5)
+        self._drain()
+
+    def _drain(self) -> None:
+        """Release any requests still queued (enqueued around close(), or
+        behind the sentinel) so their callers never block forever."""
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if req is not None:
+                req.event.set()
 
     # ------------------------------------------------------------------
     def _collect(self) -> List[_Pending]:
@@ -113,6 +129,10 @@ class MicroBatcher:
             group = self._collect()
             if not group:
                 continue
+            if self._stopping:  # closed mid-collect: release, don't dispatch
+                for req in group:
+                    req.event.set()
+                return
             try:
                 k_eff = min(self.k_max, self.service.ntotal or self.k_max)
                 results = self.service.query(

@@ -87,6 +87,14 @@ class MultihostFrontend:
             raise RuntimeError("query() is rank-0 only; followers run follower_loop()")
         single = isinstance(texts, str)
         batch = [texts] if single else list(texts)
+        # validate BEFORE broadcasting: once the dispatch is announced, every
+        # process must be able to run it identically — a request that fails
+        # validation only on rank 0 (bad types, no index) would otherwise
+        # diverge the collective and wedge the pod
+        if not all(isinstance(t, str) for t in batch):
+            raise ValueError("Input items should be text.")
+        if self.service.index is None:
+            raise RuntimeError("no index built; call build_index first")
         with self._lock:
             self._broadcast({"op": "query", "texts": batch, "k": int(k)})
             result = self.service.query(
@@ -111,5 +119,13 @@ class MultihostFrontend:
             if msg["op"] == "stop":
                 logger.info("follower %d stopping", self.process_index)
                 return
-            # same texts/k on every process -> identical jitted dispatch
-            self.service.query(msg["texts"], k=msg["k"], return_passages=False)
+            try:
+                # same texts/k on every process -> identical jitted dispatch
+                self.service.query(msg["texts"], k=msg["k"], return_passages=False)
+            except Exception:
+                # rank 0 catches its own copy of the failure and keeps
+                # serving; a follower must survive too — dying here leaves
+                # the next collective one participant short (pod wedge)
+                logger.exception(
+                    "follower %d: dispatch failed, continuing", self.process_index
+                )

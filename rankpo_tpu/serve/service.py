@@ -123,16 +123,30 @@ class RetrievalService:
             b *= 2
         return min(b, self.query_batch_size)
 
-    def warmup(self, k: int = 10) -> None:
-        """Pre-compile every batch bucket so first requests don't pay XLA
-        compiles. Call once after build_index/load_index."""
-        b = 8
-        while True:
-            self.query(["warmup"] * min(b, self.query_batch_size), k=k,
-                       return_passages=False)
-            if b >= self.query_batch_size:
-                break
-            b *= 2
+    def warmup(self, k: int = 10, *, query_fn=None, lengths=None) -> None:
+        """Pre-compile serving programs so requests never pay XLA compiles.
+
+        Every (batch bucket, sequence-length bucket) pair is a distinct XLA
+        program; real traffic varies BOTH, so by default this walks the full
+        cross product (through a remote-compile setup that is minutes of
+        one-time startup for a long-lived server). ``lengths`` narrows the
+        length buckets (e.g. ``(64,)`` when all queries are short);
+        ``query_fn`` substitutes the dispatch entry (the multi-host frontend
+        passes its broadcast-wrapped query so followers replay the warmups).
+        Length targeting is tokenizer-approximate (one word ≈ one token)."""
+        q_fn = query_fn or self.query
+        m = getattr(self.encoder, "length_multiple", 64)
+        if lengths is None:
+            lengths = range(m, self.max_query_length + 1, m)
+        for length in lengths:
+            text = "warm " * max(1, length - m // 2)
+            b = 8
+            while True:
+                q_fn([text] * min(b, self.query_batch_size), k=k,
+                     return_passages=False)
+                if b >= self.query_batch_size:
+                    break
+                b *= 2
 
     def query(
         self,

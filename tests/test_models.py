@@ -433,3 +433,21 @@ class TestTorchParity:
             )
         )
         np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], atol=2e-4)
+
+
+class TestQwen2SlidingWindowConfig:
+    def test_disabled_when_all_layers_full_attention(self):
+        # HF applies SWA only to layers >= max_window_layers; the common
+        # qwen2 config (mwl >= L) is full attention everywhere and must not
+        # trip the sliding-window guard
+        d = {
+            "model_type": "qwen2", "vocab_size": 64, "hidden_size": 32,
+            "intermediate_size": 64, "num_hidden_layers": 4,
+            "num_attention_heads": 4, "use_sliding_window": True,
+            "sliding_window": 128, "max_window_layers": 4,
+        }
+        assert EncoderConfig.from_hf_dict(d).sliding_window is None
+        d["max_window_layers"] = 2  # some layers genuinely use SWA -> keep
+        assert EncoderConfig.from_hf_dict(d).sliding_window == 128
+        d["use_sliding_window"] = False
+        assert EncoderConfig.from_hf_dict(d).sliding_window is None

@@ -168,3 +168,78 @@ class TestMicroBatcher:
         finally:
             server.shutdown()
             mb.close()
+
+
+class TestReviewRegressions:
+    """Round-2 review findings (serving robustness)."""
+
+    def test_mixed_k_concurrent_searches_are_correct(self, service):
+        # per-k compiled-search cache: concurrent different-k callers must
+        # each get exactly their k columns (single-slot cache raced here)
+        errors = []
+
+        def call(k):
+            try:
+                for _ in range(5):
+                    res = service.query("document 4 on distinct topic 4", k=k)
+                    assert len(res["hits"]) == k, (k, len(res["hits"]))
+            except Exception as e:
+                errors.append(e)
+
+        threads = [threading.Thread(target=call, args=(k,)) for k in (3, 7) * 3]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+
+    def test_query_after_close_raises(self, service):
+        from rankpo_tpu.serve.batching import MicroBatcher
+
+        mb = MicroBatcher(service, k_max=10)
+        mb.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            mb.query("anything", k=2)
+
+    def test_handler_uniform_k_limit(self, service):
+        import urllib.error
+        from http.server import ThreadingHTTPServer
+        from rankpo_tpu.cli.serve import make_handler
+        from rankpo_tpu.serve.batching import MicroBatcher
+
+        mb = MicroBatcher(service, max_batch=8, max_wait_ms=5, k_max=5)
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(service, mb, k_max=5)
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            def post(payload):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/search",
+                    data=json.dumps(payload).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    with urllib.request.urlopen(req) as r:
+                        return r.status, json.loads(r.read())
+                except urllib.error.HTTPError as e:
+                    return e.code, json.loads(e.read())
+
+            # over-limit k rejected on BOTH the 1-query and N-query paths
+            for queries in (["q one"], ["q one", "q two"]):
+                code, body = post({"queries": queries, "k": 50})
+                assert code == 400 and "k_max" in body["error"]
+            # in-limit multi-query path slices to the requested k
+            code, body = post(
+                {"queries": ["document 5 on distinct topic 5",
+                             "document 6 on distinct topic 6"], "k": 2}
+            )
+            assert code == 200
+            assert all(len(r["hits"]) == 2 for r in body["results"])
+            assert body["results"][0]["hits"][0]["index"] == 5
+            assert "passage" in body["results"][0]["hits"][0]
+        finally:
+            server.shutdown()
+            mb.close()
