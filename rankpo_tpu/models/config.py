@@ -18,7 +18,7 @@ from typing import Optional
 
 @dataclasses.dataclass
 class EncoderConfig:
-    # "llama" | "qwen2" | "mistral" (decoder family, one body) |
+    # "llama" | "qwen2" | "mistral" | "gemma" (decoder family, one body) |
     # "xlm-roberta" | "bert" (encoder family, covers BGE)
     model_type: str = "llama"
     vocab_size: int = 128256
@@ -56,15 +56,22 @@ class EncoderConfig:
 
     @property
     def is_llama(self) -> bool:
-        """True for the decoder family sharing the llama body (llama/qwen2/mistral)."""
-        return self.model_type in ("llama", "qwen2", "mistral")
+        """True for the decoder family sharing the llama body
+        (llama/qwen2/mistral/gemma)."""
+        return self.model_type in ("llama", "qwen2", "mistral", "gemma")
+
+    @property
+    def is_gemma(self) -> bool:
+        """Gemma variations on the llama body: (1+w) RMSNorm weights and
+        sqrt(hidden)-scaled embeddings (matches HF GemmaModel)."""
+        return self.model_type == "gemma"
 
     @classmethod
     def from_hf_dict(cls, d: dict) -> "EncoderConfig":
         """Build from a HuggingFace ``config.json`` dict (keeps checkpoint interop)."""
         model_type = d.get("model_type", "llama")
         archs = tuple(d.get("architectures") or ())
-        if model_type in ("llama", "qwen2", "mistral"):
+        if model_type in ("llama", "qwen2", "mistral", "gemma"):
             # Qwen2 always has q/k/v biases (HF Qwen2Attention hardcodes them);
             # Llama's optional attention_bias covers all four projections
             attention_bias = bool(d.get("attention_bias", False))
@@ -96,7 +103,8 @@ class EncoderConfig:
                 rope_scaling=d.get("rope_scaling"),
                 pad_token_id=d.get("pad_token_id"),
                 tie_word_embeddings=d.get("tie_word_embeddings", True),
-                hidden_act=d.get("hidden_act", "silu"),
+                # newer gemma configs use "hidden_activation"
+                hidden_act=d.get("hidden_activation") or d.get("hidden_act", "silu"),
                 pooling="last_token",
                 architectures=archs,
                 attention_qkv_bias=qkv_bias,
@@ -142,6 +150,7 @@ class EncoderConfig:
                 "llama": "LlamaModel",
                 "qwen2": "Qwen2Model",
                 "mistral": "MistralModel",
+                "gemma": "GemmaModel",
             }[self.model_type]
             d = {
                 "model_type": self.model_type,
@@ -198,10 +207,10 @@ def default_pooling(architectures, model_type: str) -> str:
     other causal-decoder families (qwen2/mistral), where CLS pooling would
     read position 0 of a causal model — always wrong."""
     if architectures and any(
-        fam in architectures[0] for fam in ("Llama", "Qwen2", "Mistral")
+        fam in architectures[0] for fam in ("Llama", "Qwen2", "Mistral", "Gemma")
     ):
         return "last_token"
-    if model_type in ("llama", "qwen2", "mistral"):
+    if model_type in ("llama", "qwen2", "mistral", "gemma"):
         return "last_token"
     return "cls"
 

@@ -4,9 +4,9 @@ Capability parity with the reference's ``AutoModel.from_pretrained('meta-llama/
 Llama-3.2-1B')`` backbone (src/modeling.py:175-178, src/run_contrastive.py:86-98)
 but built TPU-first. One body serves the whole decoder family the reference's
 ``AutoModel`` would accept as a retrieval backbone: llama (optional
-attention_bias), qwen2 (q/k/v biases — gte-Qwen2-style embedders), and
-mistral (e5-mistral-style embedders; sliding window guarded, exact within the
-window):
+attention_bias), qwen2 (q/k/v biases — gte-Qwen2-style embedders), mistral
+(e5-mistral-style embedders; sliding window guarded, exact within the
+window), and gemma ((1+w) RMSNorm, sqrt(hidden)-scaled embeddings, GeGLU):
 
   - Parameters are a plain pytree with layers STACKED on a leading axis and the
     transformer body run with ``lax.scan`` — one compiled layer regardless of
@@ -80,16 +80,28 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 # Norm / MLP
 # ---------------------------------------------------------------------------
 
-def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
-    """fp32 accumulation, weight applied in input dtype (matches HF LlamaRMSNorm)."""
+def rms_norm(
+    x: jax.Array, weight: jax.Array, eps: float, *, gemma: bool = False
+) -> jax.Array:
+    """fp32 accumulation. Llama applies the weight in the input dtype (HF
+    LlamaRMSNorm); Gemma stores weight-1 and applies (1+w) in fp32 before
+    casting back (HF GemmaRMSNorm) — both matched exactly."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     xf = xf * jax.lax.rsqrt(var + eps)
+    if gemma:
+        return ((1.0 + weight.astype(jnp.float32)) * xf).astype(dtype)
     return weight * xf.astype(dtype)
 
 
-_ACTS = {"silu": jax.nn.silu, "gelu": jax.nn.gelu}
+_ACTS = {
+    "silu": jax.nn.silu,
+    "gelu": lambda x: jax.nn.gelu(x, approximate=False),
+    # gemma GeGLU: HF PytorchGELUTanh
+    "gelu_pytorch_tanh": lambda x: jax.nn.gelu(x, approximate=True),
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+}
 
 
 # ---------------------------------------------------------------------------
@@ -110,11 +122,13 @@ def init_params(key: jax.Array, config: EncoderConfig, dtype=jnp.float32) -> dic
     def norm(k, shape, scale=0.02):
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
 
+    # gemma stores RMSNorm weights as offsets from 1 -> identity init is zeros
+    ln_init = jnp.zeros if config.is_gemma else jnp.ones
     params = {
         "embed_tokens": {"weight": norm(keys[0], (config.vocab_size, h))},
         "layers": {
-            "input_layernorm": {"weight": jnp.ones((L, h), dtype)},
-            "post_attention_layernorm": {"weight": jnp.ones((L, h), dtype)},
+            "input_layernorm": {"weight": ln_init((L, h), dtype)},
+            "post_attention_layernorm": {"weight": ln_init((L, h), dtype)},
             "q_proj": {"kernel": norm(keys[1], (L, h, hq * d))},
             "k_proj": {"kernel": norm(keys[2], (L, h, hkv * d))},
             "v_proj": {"kernel": norm(keys[3], (L, h, hkv * d))},
@@ -123,7 +137,7 @@ def init_params(key: jax.Array, config: EncoderConfig, dtype=jnp.float32) -> dic
             "up_proj": {"kernel": norm(keys[6], (L, h, f))},
             "down_proj": {"kernel": norm(keys[7], (L, f, h))},
         },
-        "norm": {"weight": jnp.ones((h,), dtype)},
+        "norm": {"weight": ln_init((h,), dtype)},
     }
     if config.attention_qkv_bias:  # qwen2 (always) / llama attention_bias
         params["layers"]["q_proj"]["bias"] = jnp.zeros((L, hq * d), dtype)
@@ -149,7 +163,10 @@ def _layer_qkv(
     d = config.head_dim
     hq = config.num_attention_heads
     hkv = config.num_key_value_heads
-    y = rms_norm(x, lp["input_layernorm"]["weight"], config.rms_norm_eps)
+    y = rms_norm(
+        x, lp["input_layernorm"]["weight"], config.rms_norm_eps,
+        gemma=config.is_gemma,
+    )
 
     def proj(name):
         out = y @ lp[name]["kernel"]
@@ -170,7 +187,10 @@ def _layer_post(config: EncoderConfig, x: jax.Array, attn: jax.Array, lp: dict):
         o = o + lp["o_proj"]["bias"]
     x = x + o
     residual = x
-    y = rms_norm(x, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps)
+    y = rms_norm(
+        x, lp["post_attention_layernorm"]["weight"], config.rms_norm_eps,
+        gemma=config.is_gemma,
+    )
     act = _ACTS[config.hidden_act]
     mlp = (act(y @ lp["gate_proj"]["kernel"]) * (y @ lp["up_proj"]["kernel"])) @ lp[
         "down_proj"
@@ -235,6 +255,10 @@ def apply(
             "window are exact)"
         )
     x = params["embed_tokens"]["weight"][input_ids].astype(compute_dtype)
+    if config.is_gemma:
+        # HF GemmaModel scales embeddings by sqrt(hidden), with the
+        # normalizer rounded to the compute dtype first
+        x = x * jnp.asarray(config.hidden_size**0.5, compute_dtype)
     positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
     cos, sin = rope_cos_sin(config, positions)
     key_mask = attention_mask.astype(bool)
@@ -284,5 +308,8 @@ def apply(
         return _layer(config, carry, lp, cos, sin, key_mask, attn_impl, mesh), None
 
     x, _ = jax.lax.scan(body, x, layer_params)
-    x = rms_norm(x, params["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps)
+    x = rms_norm(
+        x, params["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps,
+        gemma=config.is_gemma,
+    )
     return x

@@ -359,6 +359,55 @@ class TestTorchParity:
         with pytest.raises(NotImplementedError, match="sliding_window"):
             forward_hidden(params, cfg, long_ids, jnp.ones_like(long_ids))
 
+    def test_gemma_parity(self, tmp_path):
+        """Gemma embedders: (1+w) RMSNorm, sqrt(hidden)-scaled embeddings,
+        GeGLU MLP, head_dim independent of hidden/heads."""
+        torch = pytest.importorskip("torch")
+        from transformers import GemmaConfig, GemmaModel
+
+        hf_cfg = GemmaConfig(
+            vocab_size=128,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=1,
+            head_dim=16,  # gemma: explicit, != hidden/heads
+            max_position_embeddings=128,
+            rope_theta=10000.0,
+            hidden_act="gelu_pytorch_tanh",
+            hidden_activation="gelu_pytorch_tanh",
+            pad_token_id=0,
+            attn_implementation="eager",
+        )
+        torch.manual_seed(4)
+        hf_model = GemmaModel(hf_cfg).eval()
+        # perturb norm weights away from the zero init so (1+w) is exercised
+        with torch.no_grad():
+            for layer in hf_model.layers:
+                layer.input_layernorm.weight.normal_(std=0.1)
+                layer.post_attention_layernorm.weight.normal_(std=0.1)
+            hf_model.norm.weight.normal_(std=0.1)
+        hf_model.save_pretrained(str(tmp_path))
+
+        cfg, params = load_pretrained(str(tmp_path))
+        assert cfg.model_type == "gemma" and cfg.is_gemma
+        assert cfg.pooling == "last_token"
+        assert cfg.head_dim == 16
+        ids = np.array([[5, 6, 7, 8, 0, 0], [9, 10, 11, 12, 13, 14]])
+        mask = np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 1, 1]])
+        with torch.no_grad():
+            ref = hf_model(
+                input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+            ).last_hidden_state.numpy()
+        ours = np.asarray(
+            forward_hidden(
+                params, cfg, jnp.asarray(ids), jnp.asarray(mask),
+                compute_dtype=jnp.float32,
+            )
+        )
+        np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], atol=2e-4)
+
     def test_bert_parity(self, tmp_path):
         """BGE-small/base are BertModels — plain-arange positions, not the
         Roberta pad-offset rule."""
