@@ -212,7 +212,7 @@ def _layer(
     # self-attention with everywhere-masked pad keys: pad q rows are skippable
     attn = multi_head_attention(
         q, k, v, mask=mask, causal=True, impl=attn_impl, mesh=mesh,
-        skip_pad_q=True,
+        skip_pad_q=True, window=config.sliding_window,
     )
     return _layer_post(config, x, attn, lp)
 
@@ -246,14 +246,6 @@ def apply(
     never influence non-pad tokens, so this matches the reference numerics.
     """
     b, s = input_ids.shape
-    if config.sliding_window is not None and s > config.sliding_window:
-        # mistral/qwen2 sliding-window attention only differs from full causal
-        # attention beyond the window; refuse rather than silently diverge
-        raise NotImplementedError(
-            f"sequence length {s} exceeds sliding_window={config.sliding_window}; "
-            "sliding-window attention is not implemented (sequences within the "
-            "window are exact)"
-        )
     x = params["embed_tokens"]["weight"][input_ids].astype(compute_dtype)
     if config.is_gemma:
         # HF GemmaModel scales embeddings by sqrt(hidden), with the

@@ -28,6 +28,7 @@ def _xla_attention(
     v: jax.Array,
     mask: Optional[jax.Array],
     causal: bool,
+    window: Optional[int] = None,
 ) -> jax.Array:
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
@@ -45,9 +46,21 @@ def _xla_attention(
         logits = jnp.where(key_mask, logits, NEG_INF)
     if causal:
         causal_mask = jnp.tril(jnp.ones((sq, sk), dtype=bool), k=sk - sq)
+        if window is not None:
+            # sliding window (HF mistral rule): q attends keys with
+            # q_pos - k_pos < window
+            band = jnp.triu(
+                jnp.ones((sq, sk), dtype=bool), k=sk - sq - window + 1
+            )
+            causal_mask = jnp.logical_and(causal_mask, band)
         logits = jnp.where(causal_mask[None, None, None, :, :], logits, NEG_INF)
 
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    # rows with NO attendable key (fully pad-masked, or a sliding window past
+    # every valid key) output zeros — softmax over all-NEG_INF logits is a
+    # meaningless uniform average; the flash kernel uses the same convention
+    any_valid = jnp.max(logits, axis=-1, keepdims=True) > NEG_INF * 0.5
+    probs = jnp.where(any_valid, probs, 0.0).astype(v.dtype)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
     return out.reshape(b, sq, hq, d)
 
@@ -71,6 +84,7 @@ def multi_head_attention(
     impl: str = "auto",
     mesh=None,
     skip_pad_q: bool = False,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """Scaled dot-product attention with GQA, padding mask, optional causality.
 
@@ -101,7 +115,7 @@ def multi_head_attention(
                 fn = shard_map(
                     lambda q_, k_, v_, m_: flash_attention(
                         q_, k_, v_, mask=m_, causal=causal,
-                        skip_pad_q=skip_pad_q,
+                        skip_pad_q=skip_pad_q, window=window,
                     ),
                     mesh=mesh,
                     in_specs=(spec, spec, spec, P(DATA_AXIS, None)),
@@ -114,8 +128,9 @@ def multi_head_attention(
                         (q.shape[0], k.shape[1]), jnp.int32
                     )
                 return fn(q, k, v, mask)
-            return _xla_attention(q, k, v, mask, causal)
+            return _xla_attention(q, k, v, mask, causal, window)
         return flash_attention(
-            q, k, v, mask=mask, causal=causal, skip_pad_q=skip_pad_q
+            q, k, v, mask=mask, causal=causal, skip_pad_q=skip_pad_q,
+            window=window,
         )
-    return _xla_attention(q, k, v, mask, causal)
+    return _xla_attention(q, k, v, mask, causal, window)

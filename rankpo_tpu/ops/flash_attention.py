@@ -53,7 +53,7 @@ def _row(ref):
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, causal, k_block,
-    skip_pad_q,
+    skip_pad_q, window,
 ):
     q = q_ref[0]  # [Bq, D] in input dtype — keep dots on the bf16 MXU path
     bq, d = q.shape
@@ -85,11 +85,18 @@ def _fwd_kernel(
                 jnp.int32, s.shape, dimension=1
             )
             valid = jnp.logical_and(valid, k_pos <= q_pos)
+            if window is not None:
+                # sliding window (HF mistral rule): q attends keys with
+                # q_pos - k_pos < window
+                valid = jnp.logical_and(valid, k_pos > q_pos - window)
         s = jnp.where(valid, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        # rows where every key is masked have m_new == NEG_INF and would get
+        # p == exp(0) == 1 uniformly; force masked entries to 0 so such rows
+        # keep l == 0 and fall into the zeros path
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
             p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
@@ -102,16 +109,20 @@ def _fwd_kernel(
     # static max length)
     key_len = jnp.sum(mask_ref[mask_row, :])
     n_iter = jnp.minimum((key_len + k_block - 1) // k_block, n_kb)
+    start = 0
     if causal:
         # also skip blocks entirely above the diagonal
         last_kb = (q_offset + bq - 1) // k_block + 1
         n_iter = jnp.minimum(n_iter, last_kb)
+        if window is not None:
+            # blocks entirely below the window see no valid keys
+            start = jnp.maximum(0, q_offset - window + 1) // k_block
     if skip_pad_q:
         # self-attention opt-in: a q block past the valid length runs zero
         # iterations — its rows output zeros, which masked keys make invisible
         # to every valid row downstream
         n_iter = jnp.where(q_offset < key_len, n_iter, 0)
-    m, l, acc = jax.lax.fori_loop(0, n_iter, body, (m, l, acc))
+    m, l, acc = jax.lax.fori_loop(start, n_iter, body, (m, l, acc))
 
     l_safe = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros, not NaN
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
@@ -121,7 +132,7 @@ def _fwd_kernel(
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, causal, k_block, skip_pad_q,
+    *, scale, causal, k_block, skip_pad_q, window,
 ):
     q = q_ref[0]
     do = do_ref[0]
@@ -148,8 +159,12 @@ def _dq_kernel(
             q_pos = q_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             k_pos = kb * k_block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             valid = jnp.logical_and(valid, k_pos <= q_pos)
+            if window is not None:
+                valid = jnp.logical_and(valid, k_pos > q_pos - window)
         s = jnp.where(valid, s, NEG_INF)
-        p = jnp.exp(s - lse)  # [Bq, Bk]
+        # masked entries stay exactly 0 (rows with no valid key have
+        # lse == NEG_INF, where exp(s - lse) would be 1)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # [Bq, Bk]
         dp = jax.lax.dot_general(
             do, v_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -162,18 +177,21 @@ def _dq_kernel(
 
     key_len = jnp.sum(mask_ref[mask_row, :])
     n_iter = jnp.minimum((key_len + k_block - 1) // k_block, n_kb)
+    start = 0
     if causal:
         last_kb = (q_offset + bq - 1) // k_block + 1
         n_iter = jnp.minimum(n_iter, last_kb)
+        if window is not None:
+            start = jnp.maximum(0, q_offset - window + 1) // k_block
     if skip_pad_q:
         n_iter = jnp.where(q_offset < key_len, n_iter, 0)
-    dq = jax.lax.fori_loop(0, n_iter, body, jnp.zeros((bq, d), jnp.float32))
+    dq = jax.lax.fori_loop(start, n_iter, body, jnp.zeros((bq, d), jnp.float32))
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, scale, causal, q_block, skip_pad_q,
+    *, scale, causal, q_block, skip_pad_q, window,
 ):
     k = k_ref[0]  # [Bk, D]
     v = v_ref[0]
@@ -200,8 +218,10 @@ def _dkv_kernel(
             q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             k_pos = k_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             valid = jnp.logical_and(valid, k_pos <= q_pos)
+            if window is not None:
+                valid = jnp.logical_and(valid, k_pos > q_pos - window)
         s = jnp.where(valid, s, NEG_INF)
-        p = jnp.exp(s - lse)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
         dv_new = dv + jax.lax.dot_general(
             p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -224,9 +244,12 @@ def _dkv_kernel(
     # a key block entirely beyond the valid key length contributes nothing
     key_len = jnp.sum(mask_ref[_row(mask_ref), :])
     end_q = n_qb
+    if causal and window is not None:
+        # q rows beyond k_pos + window - 1 cannot see this key block
+        end_q = jnp.minimum((k_offset + bk + window - 2) // q_block + 1, n_qb)
     if skip_pad_q:
         # pad q rows carry zero cotangents in self-attention use; skip them
-        end_q = jnp.minimum((key_len + q_block - 1) // q_block, n_qb)
+        end_q = jnp.minimum((key_len + q_block - 1) // q_block, end_q)
     end = jnp.where(k_offset < key_len, end_q, start)
     dk, dv = jax.lax.fori_loop(
         start, end, body,
@@ -266,15 +289,17 @@ def _stats_spec(s):
     return pl.BlockSpec((SUBLANES, s), lambda bhi, i: (bhi // SUBLANES, 0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q,
+           window):
     out, _lse = _flash_fwd_impl(
-        q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q
+        q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q, window
     )
     return out
 
 
-def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q):
+def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret,
+                    skip_pad_q, window):
     bh, sq, d = q.shape
     bhkv, sk, _ = k.shape
     groups = bh // bhkv
@@ -283,7 +308,7 @@ def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, k_block=k_block,
-        skip_pad_q=skip_pad_q,
+        skip_pad_q=skip_pad_q, window=window,
     )
     out, lse3 = pl.pallas_call(
         kernel,
@@ -307,15 +332,16 @@ def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad
     return out, lse3[:, :, 0]
 
 
-def _flash_fwd(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q):
+def _flash_fwd(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q,
+               window):
     out, lse = _flash_fwd_impl(
-        q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q
+        q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q, window
     )
     return out, (q, k, v, mask, out, lse)
 
 
 def flash_dq(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
-             interpret, skip_pad_q):
+             interpret, skip_pad_q, window=None):
     """dq for flattened [BH, S, D] inputs given upstream g and the forward's
     lse/delta stats [BH, S]. Reused by both the custom_vjp below and the ring
     attention backward (parallel/ring_attention.py)."""
@@ -325,7 +351,8 @@ def flash_dq(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
     scale = 1.0 / (d**0.5)
     return pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
-                          k_block=k_block, skip_pad_q=skip_pad_q),
+                          k_block=k_block, skip_pad_q=skip_pad_q,
+                          window=window),
         grid=(bh, sq // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
@@ -343,7 +370,7 @@ def flash_dq(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
 
 
 def flash_dkv(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
-              interpret, skip_pad_q):
+              interpret, skip_pad_q, window=None):
     """dk/dv (fp32, GQA-summed to [BHKV, S, D]) for flattened inputs; see
     flash_dq. dk/dv are computed per (query head, key block) and summed over
     each GQA group."""
@@ -353,7 +380,8 @@ def flash_dkv(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
     scale = 1.0 / (d**0.5)
     dk_per_head, dv_per_head = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
-                          q_block=q_block, skip_pad_q=skip_pad_q),
+                          q_block=q_block, skip_pad_q=skip_pad_q,
+                          window=window),
         grid=(bh, sk // k_block),
         in_specs=[
             pl.BlockSpec((1, sq, d), lambda bhi, ki: (bhi, 0, 0)),
@@ -383,11 +411,11 @@ def flash_dkv(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
     return dk, dv
 
 
-def _flash_bwd(causal, q_block, k_block, interpret, skip_pad_q, res, g):
+def _flash_bwd(causal, q_block, k_block, interpret, skip_pad_q, window, res, g):
     q, k, v, mask, out, lse = res
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     kwargs = dict(causal=causal, q_block=q_block, k_block=k_block,
-                  interpret=interpret, skip_pad_q=skip_pad_q)
+                  interpret=interpret, skip_pad_q=skip_pad_q, window=window)
     dq = flash_dq(q, k, v, mask, g, lse, delta, **kwargs)
     dk, dv = flash_dkv(q, k, v, mask, g, lse, delta, **kwargs)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
@@ -407,9 +435,15 @@ def flash_attention(
     k_block: int = DEFAULT_K_BLOCK,
     interpret: Optional[bool] = None,
     skip_pad_q: bool = False,
+    window: Optional[int] = None,
 ) -> jax.Array:
     """q [B, Sq, Hq, D]; k/v [B, Sk, Hkv, D]; mask [B, Sk] key validity.
     Returns [B, Sq, Hq, D] in q.dtype.
+
+    ``window`` (requires ``causal``): sliding-window attention, the HF
+    mistral/qwen2 rule — row q attends keys with q_pos - k_pos < window.
+    Whole key blocks outside the band are skipped in fwd/dq (and the
+    symmetric q-block bound in dkv), so cost is O(S·window) not O(S²).
 
     ``skip_pad_q`` (self-attention opt-in): query blocks entirely past the
     row's valid length are skipped — their outputs/gradients become zeros.
@@ -417,6 +451,10 @@ def flash_attention(
     hidden states can never influence valid rows) and the loss ignores pad
     outputs (our pooling reads one valid position). Big win for heavily
     right-padded static-shape batches."""
+    if window is not None and not causal:
+        raise ValueError("window requires causal attention (HF SWA rule)")
+    if window is not None and window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, sq, hq, d = q.shape
@@ -441,6 +479,7 @@ def flash_attention(
     mask_bh = jnp.repeat(mask, hq, axis=0)
 
     out = _flash(
-        qf, kf, vf, mask_bh, causal, q_block, k_block, interpret, skip_pad_q
+        qf, kf, vf, mask_bh, causal, q_block, k_block, interpret, skip_pad_q,
+        window,
     )
     return _unflatten_heads(out, b, hq)

@@ -161,13 +161,13 @@ def _ring_flash_fwd(qf, kf, vf, mask_bh, axis_name, axis_size, causal, interpret
         if i == 0:
             # diagonal block: standard (local-position) causal masking
             o_i, lse_i = _flash_fwd_impl(
-                qf, k_rot, v_rot, m_rot, causal, qb, kb, interpret, False
+                qf, k_rot, v_rot, m_rot, causal, qb, kb, interpret, False, None
             )
         else:
             def live(ops):
                 q_, k_, v_, m_ = ops
                 return _flash_fwd_impl(
-                    q_, k_, v_, m_, False, qb, kb, interpret, False
+                    q_, k_, v_, m_, False, qb, kb, interpret, False, None
                 )
 
             def dead(ops):

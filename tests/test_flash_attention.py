@@ -165,3 +165,82 @@ def test_skip_pad_q_encoder_embeddings_unchanged():
     b = enc.embed(params, cfg, {"input_ids": ids, "attention_mask": mask},
                   compute_dtype=jnp.float32, attn_impl="flash")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+class TestSlidingWindow:
+    """Sliding-window (HF mistral rule: q_pos - k_pos < window) vs the XLA
+    oracle — values and grads, windows crossing/straddling block boundaries."""
+
+    @pytest.mark.parametrize("window", [1, 5, 16, 33, 64])
+    def test_forward_matches_xla(self, window):
+        q, k, v, mask = _inputs(mask_lens=[64, 40])
+        ref = _xla_attention(q, k, v, mask, True, window)
+        out = flash_attention(q, k, v, mask=mask, causal=True, window=window,
+                              q_block=16, k_block=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_forward_gqa_window(self):
+        q, k, v, mask = _inputs(hq=8, hkv=2, mask_lens=[64, 30])
+        ref = _xla_attention(q, k, v, mask, True, 20)
+        out = flash_attention(q, k, v, mask=mask, causal=True, window=20,
+                              q_block=32, k_block=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    @pytest.mark.parametrize("window", [7, 32])
+    def test_gradients_match_xla(self, window):
+        q, k, v, mask = _inputs(mask_lens=[64, 45])
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, mask=mask, causal=True,
+                                  window=window, q_block=16, k_block=32,
+                                  interpret=True)
+            return jnp.sum(out * out)
+
+        def loss_ref(q, k, v):
+            out = _xla_attention(q, k, v, mask, True, window)
+            return jnp.sum(out * out)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_flash, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+    def test_window_larger_than_seq_is_full_causal(self):
+        q, k, v, mask = _inputs(mask_lens=[64, 40])
+        full = flash_attention(q, k, v, mask=mask, causal=True,
+                               q_block=16, k_block=32, interpret=True)
+        windowed = flash_attention(q, k, v, mask=mask, causal=True,
+                                   window=500, q_block=16, k_block=32,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(windowed), np.asarray(full),
+                                   atol=1e-6)
+
+    def test_window_requires_causal(self):
+        q, k, v, mask = _inputs()
+        with pytest.raises(ValueError, match="causal"):
+            flash_attention(q, k, v, mask=mask, causal=False, window=8,
+                            interpret=True)
+
+    def test_mistral_model_uses_window(self):
+        """End-to-end: a mistral-family config routes the window through
+        multi_head_attention and changes the hidden states."""
+        from rankpo_tpu.models import EncoderConfig, forward_hidden, init_params
+
+        cfg = EncoderConfig(
+            model_type="mistral", vocab_size=64, hidden_size=32,
+            intermediate_size=64, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=64,
+            rope_theta=10000.0, pad_token_id=0,
+            architectures=("MistralModel",), pooling="last_token",
+            sliding_window=4,
+        )
+        params = init_params(jax.random.key(0), cfg)
+        ids = jax.random.randint(jax.random.key(1), (1, 16), 5, 64)
+        mask = jnp.ones_like(ids)
+        windowed = forward_hidden(params, cfg, ids, mask,
+                                  compute_dtype=jnp.float32)
+        import dataclasses
+        cfg_full = dataclasses.replace(cfg, sliding_window=None)
+        full = forward_hidden(params, cfg_full, ids, mask,
+                              compute_dtype=jnp.float32)
+        assert float(jnp.abs(windowed - full).max()) > 1e-4

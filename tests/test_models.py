@@ -1,6 +1,8 @@
 """Model-layer unit tests: pooling semantics, forward shapes, HF round-trip,
 and activation parity against torch/transformers reference implementations."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -315,8 +317,8 @@ class TestTorchParity:
         np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], atol=2e-4)
 
     def test_mistral_parity(self, tmp_path):
-        """e5-mistral-style backbones: llama body, no biases, sliding window
-        carried through the config and exact within the window."""
+        """e5-mistral-style backbones: llama body, no biases, sliding-window
+        attention ACTIVE (seq > window) matching HF's eager SWA mask."""
         torch = pytest.importorskip("torch")
         from transformers import MistralConfig, MistralModel
 
@@ -329,7 +331,7 @@ class TestTorchParity:
             num_key_value_heads=2,
             max_position_embeddings=128,
             rope_theta=10000.0,
-            sliding_window=64,
+            sliding_window=5,  # << seq length: the window genuinely bites
             pad_token_id=0,
             attn_implementation="eager",
         )
@@ -339,9 +341,9 @@ class TestTorchParity:
 
         cfg, params = load_pretrained(str(tmp_path))
         assert cfg.model_type == "mistral"
-        assert cfg.sliding_window == 64
-        ids = np.array([[5, 6, 7, 8, 9, 10, 11, 0]])
-        mask = np.array([[1, 1, 1, 1, 1, 1, 1, 0]])
+        assert cfg.sliding_window == 5
+        ids = np.array([[5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 0]])
+        mask = np.array([[1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0]])
         with torch.no_grad():
             ref = hf_model(
                 input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
@@ -353,11 +355,15 @@ class TestTorchParity:
             )
         )
         np.testing.assert_allclose(ours[mask == 1], ref[mask == 1], atol=2e-4)
-
-        # beyond the window we refuse rather than silently diverge
-        long_ids = jnp.ones((1, 80), jnp.int32)
-        with pytest.raises(NotImplementedError, match="sliding_window"):
-            forward_hidden(params, cfg, long_ids, jnp.ones_like(long_ids))
+        # sanity: the window actually changes the result
+        cfg_full = dataclasses.replace(cfg, sliding_window=None)
+        full = np.asarray(
+            forward_hidden(
+                params, cfg_full, jnp.asarray(ids), jnp.asarray(mask),
+                compute_dtype=jnp.float32,
+            )
+        )
+        assert np.abs(full[mask == 1] - ref[mask == 1]).max() > 1e-3
 
     def test_gemma_parity(self, tmp_path):
         """Gemma embedders: (1+w) RMSNorm, sqrt(hidden)-scaled embeddings,
