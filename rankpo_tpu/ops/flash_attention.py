@@ -464,6 +464,15 @@ def flash_attention(
         mask = jnp.ones((b, sk), jnp.int32)
     mask = mask.astype(jnp.int32)
 
+    # windowed runs want key blocks ~window/2: block-granular skipping can't
+    # act inside a block (measured v5e S4096: window 1024 @ k_block 1024 =
+    # 7.9 ms vs @512 = 6.1 ms; window 512: 6.6 -> 5.9 ms @256)
+    if window is not None:
+        kb = 256
+        while kb * 2 <= window // 2:
+            kb *= 2
+        k_block = min(k_block, kb)
+
     # shrink blocks until they divide the sequence lengths (static shapes)
     q_block = min(q_block, sq)
     k_block = min(k_block, sk)
