@@ -25,7 +25,6 @@ def timed(fn, *args):
     out = fn(*args)
     jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
     # amortize tunnel dispatch: loop inside jit
-    import functools
     @jax.jit
     def loop(s):
         def body(i, carry):

@@ -63,13 +63,14 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
                 if batcher is not None and len(queries) == 1:
                     results = [batcher.query(queries[0], k=k)]
                 else:
+                    from rankpo_tpu.serve.service import finalize_hits
+
                     k_eff = min(k_max, service.ntotal or k_max)
-                    results = service.query(queries, k=k_eff,
-                                            return_passages=False)
-                    for res in results:
-                        res["hits"] = res["hits"][:k]
-                        for h in res["hits"]:
-                            h["passage"] = service.corpus_texts[h["index"]]
+                    results = [
+                        finalize_hits(r, k, service.corpus_texts, True)
+                        for r in service.query(queries, k=k_eff,
+                                               return_passages=False)
+                    ]
                 self._reply(200, {"results": results})
             except Exception as e:  # surface errors as JSON
                 self._reply(400, {"error": str(e)})

@@ -46,7 +46,7 @@ class EncoderConfig:
     # Llama's `attention_bias` flag turns on all four projections' biases
     attention_qkv_bias: bool = False
     attention_o_bias: bool = False
-    sliding_window: Optional[int] = None  # mistral/qwen2; guard-only (see llama.apply)
+    sliding_window: Optional[int] = None  # mistral/qwen2 SWA (ops/attention.py window=)
 
     def __post_init__(self):
         if self.head_dim is None:

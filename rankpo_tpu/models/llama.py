@@ -5,8 +5,8 @@ Llama-3.2-1B')`` backbone (src/modeling.py:175-178, src/run_contrastive.py:86-98
 but built TPU-first. One body serves the whole decoder family the reference's
 ``AutoModel`` would accept as a retrieval backbone: llama (optional
 attention_bias), qwen2 (q/k/v biases — gte-Qwen2-style embedders), mistral
-(e5-mistral-style embedders; sliding window guarded, exact within the
-window), and gemma ((1+w) RMSNorm, sqrt(hidden)-scaled embeddings, GeGLU):
+(e5-mistral-style embedders; real sliding-window attention), and gemma
+((1+w) RMSNorm, sqrt(hidden)-scaled embeddings, GeGLU):
 
   - Parameters are a plain pytree with layers STACKED on a leading axis and the
     transformer body run with ``lax.scan`` — one compiled layer regardless of

@@ -140,12 +140,13 @@ class MicroBatcher:
                 )
                 self.n_dispatches += 1
                 self.n_queries += len(group)
+                from rankpo_tpu.serve.service import finalize_hits
+
                 for req, res in zip(group, results):
-                    hits = res["hits"][: req.k]
-                    if req.return_passages:
-                        for h in hits:
-                            h["passage"] = self.service.corpus_texts[h["index"]]
-                    req.result = {"query": req.text, "hits": hits}
+                    req.result = finalize_hits(
+                        res, req.k, self.service.corpus_texts,
+                        req.return_passages,
+                    )
             except BaseException as e:  # propagate to every waiter in the group
                 for req in group:
                     req.error = e

@@ -22,6 +22,17 @@ from rankpo_tpu.index import FlatIPIndex, InferenceEncoder
 logger = logging.getLogger(__name__)
 
 
+def finalize_hits(result: Dict, k: int, corpus_texts, return_passages: bool) -> Dict:
+    """Slice a search-at-k_max result down to the client's k and optionally
+    attach passage texts. Shared by the HTTP handler and the micro-batcher,
+    which both search once at a fixed compiled k and slice per request."""
+    result["hits"] = result["hits"][:k]
+    if return_passages:
+        for h in result["hits"]:
+            h["passage"] = corpus_texts[h["index"]]
+    return result
+
+
 class RetrievalService:
     def __init__(
         self,
