@@ -117,12 +117,20 @@ def _device_qps(corpus: np.ndarray, queries: np.ndarray) -> tuple:
     # ~90ms D2H for this workload — which a real v5e host pays over PCIe at
     # GB/s instead; see docs/BENCHMARKS.md)
     q_dev = jax.device_put(jnp.asarray(queries[:BATCH]))
-    sd, _ = index._search_fns[K](index.corpus, index.row_scale, q_dev)
-    float(jnp.sum(sd[0]))
+    search_fn = index._search_fns[K]
+    REPS = 4  # amortize the ~25-30ms tunnel dispatch floor inside jit
+
+    @jax.jit
+    def loop(corpus_arg, scale, q):
+        def body(i, carry):
+            s, _ = search_fn(corpus_arg, scale, q + carry * 0.0)
+            return carry + s[0, 0] * 1e-20
+        return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+    float(loop(index.corpus, index.row_scale, q_dev))  # compile
     t0 = time.perf_counter()
-    sd, _ = index._search_fns[K](index.corpus, index.row_scale, q_dev)
-    float(jnp.sum(sd[0]))
-    dt_dev = time.perf_counter() - t0
+    float(loop(index.corpus, index.row_scale, q_dev))
+    dt_dev = (time.perf_counter() - t0) / REPS
     return len(queries) / dt, BATCH / dt_dev, jax.default_backend()
 
 

@@ -68,14 +68,22 @@ def main():
     print(f"[Q={args.q}, N={args.n}, D={args.d}, k={args.k}] "
           f"backend={jax.default_backend()}")
     results = {}
+    REPS = 8  # amortize the ~25-30ms tunnel dispatch floor inside jit
     for name, fn in variants.items():
-        out = fn(q_dev, c_dev)
-        float(out)  # compile + sync via scalar
+
+        def loop(q, c, fn=fn):
+            def body(i, carry):
+                # data-dependent carry so XLA cannot hoist the op out
+                return carry + fn(q + carry * 0.0, c) * 1e-20
+            return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+        loop_fn = jax.jit(loop)
+        float(loop_fn(q_dev, c_dev))  # compile + sync via scalar
         times = []
         for _ in range(args.iters):
             t0 = time.perf_counter()
-            float(fn(q_dev, c_dev))
-            times.append(time.perf_counter() - t0)
+            float(loop_fn(q_dev, c_dev))
+            times.append((time.perf_counter() - t0) / REPS)
         best = min(times)
         results[name] = best
         print(f"  {name:15} {best*1e3:8.2f} ms   "

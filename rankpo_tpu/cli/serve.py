@@ -141,9 +141,19 @@ def main(argv=None):
     )
     import os
 
+    if args.index_file and not args.index_file.endswith(".npz"):
+        # np.savez_compressed always appends .npz; without this the restart
+        # os.path.exists check would never match and the server would silently
+        # re-encode the corpus on every start
+        args.index_file += ".npz"
     if args.index_file and os.path.exists(args.index_file):
         service.load_index_file(args.index_file)  # restart path: skip encode
     else:
+        if args.corpus_data is None:
+            parser.error(
+                "--corpus_data is required unless --index_file points at an "
+                "existing persisted index"
+            )
         corpus = load_eval_corpus(args.corpus_data)
         service.build_index(
             corpus, max_passage_length=args.max_passage_length,

@@ -127,6 +127,22 @@ def replicate_to_mesh(tree, mesh: Mesh):
     return jax.tree_util.tree_map(_put, tree)
 
 
+def place_global(tree, shardings):
+    """Place a host pytree onto per-leaf shardings, working across processes
+    (every host must hold the full value for each leaf). Single-process this
+    is a plain device_put; multi-process, device_put cannot target shardings
+    that span other hosts' devices, so global arrays are built from the
+    identical host copies via make_array_from_callback."""
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(jax.device_put, tree, shardings)
+
+    def put(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(put, tree, shardings)
+
+
 def shard_rows_to_mesh(array: np.ndarray, mesh: Mesh) -> jax.Array:
     """Place a host array on the mesh sharded over the data axis on dim 0,
     working across processes (every host holds the full array)."""

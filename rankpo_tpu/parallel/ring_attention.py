@@ -217,10 +217,12 @@ def _ring_flash_bwd(axis_name, axis_size, causal, interpret, res, g):
     for i in range(axis_size):
         k_i, v_i, m_i, dk_i, dv_i = bundle
         if i == 0:
+            # diagonal (own-shard) block: local-position causal masking iff
+            # the ring itself is causal — matching _ring_flash_fwd's i==0 step
             dq_c = flash_dq(qf, k_i, v_i, m_i, g, lse, delta,
-                            causal=True, **kwargs)
+                            causal=causal, **kwargs)
             dk_c, dv_c = flash_dkv(qf, k_i, v_i, m_i, g, lse, delta,
-                                   causal=True, **kwargs)
+                                   causal=causal, **kwargs)
         else:
             def live(ops):
                 q_, k_, v_, m_, g_, lse_, delta_ = ops

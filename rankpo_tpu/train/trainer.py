@@ -30,7 +30,12 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from rankpo_tpu.core.mesh import DATA_AXIS, MODEL_AXIS
+from rankpo_tpu.core.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    place_global,
+    shard_rows_to_mesh,
+)
 from rankpo_tpu.data.loader import DataLoader
 from rankpo_tpu.parallel.sharding import (
     make_shardings,
@@ -124,18 +129,8 @@ class Trainer:
         self.state_shardings = make_shardings(mesh, self.state_specs)
 
         # place params on the mesh, init optimizer state directly into its
-        # shards. Multi-process: device_put cannot target shardings that span
-        # other hosts' devices — build global arrays from the (identical)
-        # host copies instead.
-        def put_global(x, s):
-            if jax.process_count() == 1:
-                return jax.device_put(x, s)
-            x = np.asarray(x)
-            return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
-
-        params = jax.tree_util.tree_map(
-            put_global, params, self.state_shardings.params
-        )
+        # shards (process-spanning placement handled by place_global)
+        params = place_global(params, self.state_shardings.params)
         init_fn = jax.jit(
             lambda p: TrainState.create(p, self.tx),
             out_shardings=self.state_shardings,
@@ -256,21 +251,31 @@ class Trainer:
         cfg = self.config
         per_device = cfg.per_device_eval_batch_size or cfg.per_device_train_batch_size
         micro_global = batch_size or (per_device * self.mesh.devices.size)
+        # every process iterates the FULL eval set (process_count=1 split):
+        # identical batches everywhere means (a) no process can end up with
+        # zero rows on a partial final batch (the interleaved train split
+        # can), and (b) the global placement below is a simple row-shard of
+        # data every host already holds — the gather_for_metrics analog
+        # (reference rankpo_trainer.py:508-520)
         loader = DataLoader(
             dataset,
             collator,
             batch_size=micro_global,
             shuffle=False,
             drop_last=False,
-            process_index=jax.process_index(),
-            process_count=jax.process_count(),
         )
-        static_rows = micro_global // jax.process_count()
+        multiproc = jax.process_count() > 1
         sums: Dict[str, float] = {}
         n_rows = 0
         for batch in loader.epoch(0):
             rows = batch["query"]["input_ids"].shape[0]
-            batch = _pad_eval_batch(batch, rows, static_rows)
+            batch = _pad_eval_batch(batch, rows, micro_global)
+            if multiproc:
+                # jit in_shardings span all processes; numpy inputs only work
+                # single-process (the train path uses _globalize likewise)
+                batch = jax.tree_util.tree_map(
+                    lambda x: shard_rows_to_mesh(x, self.mesh), batch
+                )
             metrics = self._eval_fn(self.state.params, batch)
             # loss_fn means are over VALID rows only (row_valid mask); combine
             # batches as a row-weighted mean so a padded final batch cannot
@@ -526,15 +531,7 @@ class Trainer:
         step_value = int(tstate.get("global_step", 0))
         step = jnp.asarray(step_value, jnp.int32)
         if opt_state is not None:
-            def put_global(x, s):
-                if jax.process_count() == 1:
-                    return jax.device_put(x, s)
-                x = np.asarray(x)
-                return jax.make_array_from_callback(x.shape, s, lambda i: x[i])
-
-            opt_state = jax.tree_util.tree_map(
-                put_global, opt_state, self.state_shardings.opt_state
-            )
+            opt_state = place_global(opt_state, self.state_shardings.opt_state)
         else:
             def fast_forward(x):
                 if x.ndim == 0 and jnp.issubdtype(x.dtype, jnp.integer):

@@ -110,18 +110,21 @@ class TestRingFlash:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5, rtol=2e-5)
 
-    def test_gradients_match_oracle(self, data_mesh):
+    @pytest.mark.parametrize("causal", [True, False])
+    def test_gradients_match_oracle(self, data_mesh, causal):
+        # causal=False regression: the bwd's diagonal (i==0) ring step once
+        # hardcoded causal=True, silently masking within-shard grad pairs
         q, k, v, mask = _data(5, pad=7, hkv=2)
 
         def loss_ring(q, k, v):
             out = context_parallel_attention(
-                q, k, v, mesh=data_mesh, axis="data", mask=mask, causal=True,
+                q, k, v, mesh=data_mesh, axis="data", mask=mask, causal=causal,
                 impl="flash",
             )
             return jnp.sum(out.astype(jnp.float32) ** 2)
 
         def loss_full(q, k, v):
-            return jnp.sum(_oracle(q, k, v, mask, True).astype(jnp.float32) ** 2)
+            return jnp.sum(_oracle(q, k, v, mask, causal).astype(jnp.float32) ** 2)
 
         g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
         g_full = jax.grad(loss_full, argnums=(0, 1, 2))(q, k, v)
