@@ -42,6 +42,17 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok", "ntotal": service.ntotal})
+            elif self.path == "/statsz":
+                stats = {"ntotal": service.ntotal, "k_max": k_max}
+                if batcher is not None:
+                    n_d = batcher.n_dispatches
+                    stats.update(
+                        microbatch_dispatches=n_d,
+                        microbatch_queries=batcher.n_queries,
+                        avg_group_size=round(batcher.n_queries / n_d, 2)
+                        if n_d else None,
+                    )
+                self._reply(200, stats)
             else:
                 self._reply(404, {"error": "not found"})
 

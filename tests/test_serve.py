@@ -243,3 +243,25 @@ class TestReviewRegressions:
         finally:
             server.shutdown()
             mb.close()
+
+
+def test_statsz_endpoint(service):
+    from http.server import ThreadingHTTPServer
+    from rankpo_tpu.cli.serve import make_handler
+    from rankpo_tpu.serve.batching import MicroBatcher
+
+    mb = MicroBatcher(service, max_batch=8, max_wait_ms=5, k_max=10)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service, mb, k_max=10))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        mb.query("document 2 on distinct topic 2", k=2)
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/statsz") as r:
+            stats = json.loads(r.read())
+        assert stats["ntotal"] == 32 and stats["k_max"] == 10
+        assert stats["microbatch_queries"] >= 1
+        assert stats["avg_group_size"] >= 1
+    finally:
+        server.shutdown()
+        mb.close()
