@@ -132,12 +132,14 @@ def main(argv=None):
     parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
 
-    setup_logging(args.log_level)
     from rankpo_tpu.core.mesh import initialize_distributed
 
+    # BEFORE setup_logging: rank-aware logging calls jax.process_index(),
+    # which initializes the backend — too late for jax.distributed
     initialize_distributed(
         args.coordinator_address, args.num_processes, args.process_id
     )
+    setup_logging(args.log_level)
     mesh = local_mesh()
     config, params = load_pretrained(args.model_name_or_path)
     tokenizer = resolve_tokenizer(args.tokenizer_name, args.model_name_or_path)
