@@ -65,6 +65,10 @@ class TrainConfig:
     skip_nonfinite_updates: bool = True  # hold params when loss/grads go NaN/Inf
     profile_steps: int = 0  # trace this many steps with jax.profiler
     profile_start_step: int = 10
+    # SIGTERM (pod preemption notice) -> checkpoint after the current step,
+    # exit the loop cleanly. Multi-host: signal every process.
+    save_on_preemption: bool = True
+    debug_nans: bool = False  # jax_debug_nans: fail AT the op producing NaN
 
     # evaluation during training (reference: TrainingArguments eval surface)
     eval_strategy: str = "no"  # no | epoch | steps

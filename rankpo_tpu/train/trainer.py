@@ -20,6 +20,8 @@ Replaces the reference's 1,096-line vendored fork of HF Trainer
 from __future__ import annotations
 
 import logging
+import signal
+import threading
 import os
 import time
 from typing import Callable, Dict, List, Optional
@@ -342,11 +344,33 @@ class Trainer:
         contrastive_trainer.py:456-620). Optional eval_dataset triggers
         no-grad evaluation per the config's eval_strategy/eval_steps."""
         cfg = self.config
+        if cfg.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self._eval_data = (
             (eval_dataset, eval_collator or collator)
             if eval_dataset is not None
             else None
         )
+        # preemption safety: on SIGTERM (the pod preemption notice), finish
+        # the in-flight step, checkpoint, and return cleanly. Per-process —
+        # a multi-host preemption signals every host's process anyway.
+        self._preempted = False
+        old_sigterm = None
+        if cfg.save_on_preemption and threading.current_thread() is threading.main_thread():
+            def _on_term(signum, frame):
+                self._preempted = True
+                logger.warning(
+                    "SIGTERM received: checkpointing after the current step"
+                )
+            old_sigterm = signal.signal(signal.SIGTERM, _on_term)
+        try:
+            return self._train_loop(dataset, collator, start_epoch)
+        finally:
+            if old_sigterm is not None:
+                signal.signal(signal.SIGTERM, old_sigterm)
+
+    def _train_loop(self, dataset, collator, start_epoch: int) -> List[Dict]:
+        cfg = self.config
         n_proc = jax.process_count()
         micro_global = cfg.per_device_train_batch_size * self.mesh.devices.size
         accum = cfg.gradient_accumulation_steps
@@ -459,6 +483,14 @@ class Trainer:
                     self.save_checkpoint(global_step, epoch)
                 if cfg.max_steps > 0 and global_step >= cfg.max_steps:
                     self.save_checkpoint(global_step, epoch)
+                    return self._history
+                if self._preempted:
+                    self.save_checkpoint(global_step, epoch)
+                    ckpt.wait_for_saves()
+                    logger.warning(
+                        "preempted: checkpoint-%d written, exiting training",
+                        global_step,
+                    )
                     return self._history
 
             if cfg.logging_strategy == "epoch" and metrics is not None:

@@ -1,6 +1,7 @@
 """Trainer tests on the virtual 8-device mesh: end-to-end smoke for both
 stages, grad-accumulation equivalence, ZeRO-1 sharding, schedules, resume."""
 
+import json
 import os
 
 import numpy as np
@@ -465,3 +466,90 @@ class TestInTrainingEval:
         eval_logs = [h for h in history if "eval_loss" in h]
         assert len(eval_logs) == 1  # one per epoch (1 epoch configured)
         assert np.isfinite(eval_logs[0]["eval_loss"])
+
+
+_PREEMPT_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, "/root/repo")
+outdir = sys.argv[1]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np
+import jax.numpy as jnp
+from rankpo_tpu.core.mesh import MeshConfig, make_mesh
+from rankpo_tpu.models import init_params, tiny_llama_config
+from rankpo_tpu.train import TrainConfig, Trainer, make_contrastive_loss_fn
+
+mesh = make_mesh(MeshConfig(data_parallel=8))
+cfg_m = tiny_llama_config(vocab_size=128)
+params = init_params(jax.random.key(0), cfg_m)
+loss_fn = make_contrastive_loss_fn(
+    cfg_m, temperature=0.05, use_inbatch_neg=True, negatives_cross_device=True,
+    num_data_shards=8, compute_dtype=jnp.float32)
+cfg = TrainConfig(
+    output_dir=outdir, learning_rate=1e-3, lr_scheduler_type="constant",
+    warmup_ratio=0.0, per_device_train_batch_size=1,
+    gradient_accumulation_steps=1, num_train_epochs=10000,
+    save_strategy="epoch", logging_steps=0, logging_strategy="no")
+trainer = Trainer(loss_fn=loss_fn, params=params, mesh=mesh, config=cfg,
+                  total_steps=100000)
+
+class DS:
+    def __len__(self):
+        return 64
+    def __getitem__(self, i):
+        return i
+
+rng = np.random.RandomState(0)
+def collator(rows):
+    n = len(rows)
+    def block(r):
+        return {"input_ids": rng.randint(5, 128, (r, 8)).astype(np.int32),
+                "attention_mask": np.ones((r, 8), np.int32)}
+    time.sleep(0.02)  # slow steps so SIGTERM lands mid-epoch
+    return {"query": block(n), "passage": block(n * 2)}
+
+print("READY", flush=True)
+trainer.train(DS(), collator)
+print("EXITED_CLEANLY", flush=True)
+"""
+
+
+def test_sigterm_preemption_checkpoints_and_exits(tmp_path):
+    """SIGTERM mid-training (the pod preemption notice) must produce a
+    checkpoint and a clean exit, not a killed process."""
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(_PREEMPT_WORKER)
+    out = tmp_path / "run"
+    env = {**os.environ, "PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu"}
+    p = subprocess.Popen(
+        [_sys.executable, str(worker), str(out)], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    # wait for steady-state training, then send the preemption notice
+    deadline = _time.time() + 180
+    line = ""
+    while _time.time() < deadline:
+        line = p.stdout.readline().decode()
+        if "READY" in line:
+            break
+    assert "READY" in line, "worker never reached training"
+    _time.sleep(6)  # some steps elapse (first includes compile)
+    p.send_signal(_signal.SIGTERM)
+    stdout = p.communicate(timeout=120)[0].decode()
+    assert p.returncode == 0, stdout[-2000:]
+    assert "EXITED_CLEANLY" in stdout, stdout[-2000:]
+    assert "preempted: checkpoint" in stdout, stdout[-2000:]
+    ckpts = sorted(out.glob("checkpoint-*"))
+    assert ckpts, f"no checkpoint written; contents: {list(out.iterdir())}"
+    with open(ckpts[-1] / "trainer_state.json") as f:
+        state = json.load(f)
+    assert state["global_step"] >= 1
