@@ -27,7 +27,10 @@ NEG_INF = float("-inf")  # plain python: a module-level jnp scalar would initial
 # below this score-matrix footprint (bytes) the dense path wins: one big MXU
 # matmul + a single top_k beats the sequential block scan (profiled on v5e:
 # dense 14.5ms vs scan 26ms for [256, 100k]); above it, stream blocks.
-DENSE_SCORE_BUDGET = 1 << 31  # 2 GB
+# 4 GB (not 2): at [1024 x 1M] the single dense pass (one blockmax, no merge)
+# measured 76.1 ms vs 93.4 ms for 2 x 500k chunks; 8 GB gains nothing more
+# and risks OOM next to an fp32-resident corpus on a 16 GB chip.
+DENSE_SCORE_BUDGET = 1 << 32  # 4 GB
 
 # two-pass exact top-k (block-max prefilter): the candidate pool keeps
 # k + slack blocks so benign near-boundary ties stay on the fast path (mass
