@@ -137,13 +137,10 @@ class StreamingContrastiveDataset:
         max_query_length: int = 32,
         max_passage_length: int = 128,
     ):
-        import json as _json
-
         self.path = path
         self.tokenizer = tokenizer
         self.max_query_length = max_query_length
         self.max_passage_length = max_passage_length
-        self._json = _json
         try:
             from rankpo_tpu.native import native_scan_jsonl
 
@@ -169,7 +166,9 @@ class StreamingContrastiveDataset:
         with self._lock:
             self._file.seek(lo)
             raw = self._file.read(hi - lo)
-        row = self._json.loads(raw)
+        import json
+
+        row = json.loads(raw)
         tok = self.tokenizer
         return {
             "query": tok(row["query"], max_length=self.max_query_length,
@@ -181,6 +180,8 @@ class StreamingContrastiveDataset:
         }
 
     def __getstate__(self):
+        # only the file handle and lock are process-local (the json module
+        # once lived here too, making the dataset unpicklable)
         state = self.__dict__.copy()
         state["_file"] = None
         state["_lock"] = None

@@ -72,13 +72,37 @@ class DataLoader:
         (the reference's prepared-DataLoader overlap,
         contrastive_trainer.py:92-146); a trailing partial group is dropped,
         matching the train loop's drop semantics."""
+        if stack > 0 and not self.drop_last:
+            # stacked groups require every batch at the full static shape;
+            # a ragged final batch would np.stack-crash (and in multi-process
+            # give ranks unequal row counts). Training always stacks and the
+            # TPU needs static shapes anyway — drop the partial tail.
+            raise ValueError(
+                "drop_last=False is incompatible with stacked accumulation "
+                "groups (static shapes); set dataloader_drop_last=True"
+            )
         order = self._epoch_order(epoch)
         steps = self.steps_per_epoch()
+        stop = threading.Event()
 
         def produce(out_q: queue.Queue):
+            def put(item) -> bool:
+                # bounded put that gives up when the consumer abandoned the
+                # generator (otherwise this thread blocks forever on a full
+                # queue, pinning collated batches in memory)
+                while not stop.is_set():
+                    try:
+                        out_q.put(item, timeout=0.1)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             try:
                 group = []
                 for step in range(start_step, steps):
+                    if stop.is_set():
+                        return
                     lo = step * self.batch_size
                     global_ids = order[lo : lo + self.batch_size]
                     local_ids = global_ids[
@@ -87,7 +111,8 @@ class DataLoader:
                     rows = [self.dataset[int(i)] for i in local_ids]
                     collated = self.collator(rows)
                     if stack <= 0:
-                        out_q.put(("batch", collated))
+                        if not put(("batch", collated)):
+                            return
                         continue
                     group.append(collated)
                     if len(group) == stack:
@@ -97,18 +122,24 @@ class DataLoader:
                             lambda *xs: np.stack(xs, axis=0), *group
                         )
                         group = []
-                        out_q.put(("batch", stacked))
-                out_q.put(("done", None))
+                        if not put(("batch", stacked)):
+                            return
+                put(("done", None))
             except Exception as e:  # surface worker errors in the consumer
-                out_q.put(("error", e))
+                put(("error", e))
 
         q: queue.Queue = queue.Queue(maxsize=max(1, self.prefetch))
         t = threading.Thread(target=produce, args=(q,), daemon=True)
         t.start()
-        while True:
-            kind, payload = q.get()
-            if kind == "done":
-                return
-            if kind == "error":
-                raise payload
-            yield payload
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "done":
+                    return
+                if kind == "error":
+                    raise payload
+                yield payload
+        finally:
+            # consumer done or abandoned (max_steps, preemption, exception):
+            # release the producer thread
+            stop.set()

@@ -133,11 +133,22 @@ def evaluate_path(
         logger.error("no checkpoint found under %s", model_path)
         return {}
 
+    import jax
+
+    multiproc = jax.process_count() > 1
     results: Dict[str, Dict[str, float]] = {}
     save_path = None
     for model in models:
         save_path = get_save_path(model, output_dir, can_overwrite=True)
-        if os.path.isfile(save_path) and not overwrite_output_dir:
+        skip = os.path.isfile(save_path) and not overwrite_output_dir
+        if multiproc:
+            # rank 0's filesystem decides for everyone: only rank 0 writes
+            # metrics files, so with host-local disks the ranks would disagree
+            # and deadlock the collective encode (some skipping, some not)
+            from jax.experimental import multihost_utils
+
+            skip = bool(multihost_utils.broadcast_one_to_all(np.int32(skip)))
+        if skip:
             logger.warning("skip %s: results exist at %s", model, save_path)
             continue
         logger.info("evaluating %s", model)
@@ -155,8 +166,6 @@ def evaluate_path(
             cutoffs=cutoffs,
             compute_dtype=compute_dtype,
         )
-        import jax
-
         if jax.process_index() != 0:  # multi-host: rank 0 owns the artifacts
             results[os.path.basename(save_path).split(".")[0]] = metrics
             continue
@@ -170,8 +179,21 @@ def evaluate_path(
         results[os.path.basename(save_path).split(".")[0]] = metrics
         logger.info("results: %s", metrics)
 
-    if save_path is not None and len(results) == len(models):
-        agg = os.path.join(os.path.dirname(save_path), "all_eval_results.json")
-        with open(agg, "w") as f:
-            json.dump(results, f, indent=4)
+    # aggregate (reference evaluate.py:281-287): rank 0 only (concurrent 'w'
+    # opens from N processes interleave/truncate), rebuilt from the on-disk
+    # per-checkpoint metrics so previously-skipped checkpoints are included
+    # and the file never goes stale after an incremental re-run
+    if save_path is not None and jax.process_index() == 0:
+        agg_results: Dict[str, Dict[str, float]] = {}
+        for model in models:
+            sp = get_save_path(model, output_dir, can_overwrite=True)
+            if os.path.isfile(sp):
+                with open(sp) as f:
+                    agg_results[os.path.basename(sp).split(".")[0]] = json.load(f)
+        if agg_results:
+            agg = os.path.join(
+                os.path.dirname(save_path), "all_eval_results.json"
+            )
+            with open(agg, "w") as f:
+                json.dump(agg_results, f, indent=4)
     return results

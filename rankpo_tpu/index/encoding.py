@@ -25,6 +25,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from rankpo_tpu.core.mesh import DATA_AXIS, replicate_to_mesh
+from rankpo_tpu.data.collators import _pad_block
 from rankpo_tpu.models import encoder as enc
 from rankpo_tpu.models.config import EncoderConfig
 
@@ -103,7 +104,10 @@ class InferenceEncoder:
     # ------------------------------------------------------------------
     def _bucket_length(self, longest: int, max_length: int) -> int:
         m = self.length_multiple
-        return max(m, min(-(-longest // m) * m, max_length))
+        # the max_length cap wins over the multiple floor: with
+        # max_query_length=32 and multiple 64 the old max(m, ...) padded every
+        # query to 64 tokens, ~doubling encode FLOPs for truncated-to-32 text
+        return min(max_length, max(m, -(-longest // m) * m))
 
     def encode(
         self,
@@ -125,7 +129,14 @@ class InferenceEncoder:
             batch_size = -(-batch_size // n_dev) * n_dev
 
         pad_id = self.config.pad_token_id or 0
-        pending = []  # async dispatch: fetch after all batches are in flight
+        # async dispatch with a BOUNDED in-flight window: outputs stay on
+        # device until the window fills, then the oldest is fetched while the
+        # device keeps running newer batches. Unbounded pending replicated
+        # every [batch, H] output on every device for the whole corpus —
+        # O(N*H) HBM at corpus scale (a 4M-text encode OOMed a 16G chip).
+        max_in_flight = 16
+        out: list = []
+        pending: list = []
         n = len(sentences)
         for lo in range(0, n, batch_size):
             chunk = sentences[lo : lo + batch_size]
@@ -133,16 +144,16 @@ class InferenceEncoder:
             ids_list = encoded["input_ids"]
             longest = max(len(x) for x in ids_list)
             target = self._bucket_length(longest, max_length)
-            ids = np.full((batch_size, target), pad_id, np.int32)
-            mask = np.zeros((batch_size, target), np.int32)
-            for i, seq in enumerate(ids_list):
-                seq = seq[:target]
-                ids[i, : len(seq)] = seq
-                mask[i, : len(seq)] = 1
+            # row padding shares the collators' right-pad helper (the
+            # last-token-pooling invariant lives in exactly one place)
+            block = _pad_block(ids_list, pad_id, target, None)
+            pad_rows = batch_size - len(chunk)
+            ids = np.pad(block["input_ids"], ((0, pad_rows), (0, 0)),
+                         constant_values=pad_id)
+            mask = np.pad(block["attention_mask"], ((0, pad_rows), (0, 0)))
             # fully-padded filler rows keep static shape; pooling needs at
             # least one attended token, give them one pad token attended
-            for i in range(len(chunk), batch_size):
-                mask[i, 0] = 1
+            mask[len(chunk):, 0] = 1
             batch = {"input_ids": ids, "attention_mask": mask}
             if self.process_count > 1:
                 # every process tokenized the full chunk; contribute this
@@ -158,11 +169,16 @@ class InferenceEncoder:
                 )
             reps = self._embed_fn(self.params, batch)
             pending.append((reps, len(chunk)))
+            if len(pending) > max_in_flight:
+                reps0, real0 = pending.pop(0)
+                out.append(np.asarray(reps0[:real0], np.float32))
             if lo == 0:
                 logger.info(
                     "%s: %d texts, batch %d, bucket len %d", description, n,
                     batch_size, target,
                 )
-        out = [np.asarray(reps[:real], np.float32) for reps, real in pending]
+        for reps, real in pending:  # start remaining D2H before blocking reads
+            reps.copy_to_host_async()
+        out.extend(np.asarray(reps[:real], np.float32) for reps, real in pending)
         result = np.concatenate(out, axis=0) if out else np.zeros((0, 0), np.float32)
         return result[0] if single else result

@@ -173,7 +173,6 @@ class FlatIPIndex:
                 n_valid=n_valid_local,
                 index_offset=offset,
                 use_pallas=use_pallas,
-                vary_axes=(DATA_AXIS,),
                 recall_target=self.recall_target,
                 col_scale=scale_local,
                 precision=self.precision,

@@ -187,7 +187,6 @@ def matmul_topk(
     index_offset: int | jax.Array = 0,
     block_size: int = 4096,
     use_pallas: bool = False,
-    vary_axes: tuple = (),
     allow_dense: bool = True,
     recall_target: float = 1.0,
     col_scale: jax.Array | None = None,

@@ -31,6 +31,16 @@ def find_random_negatives(
     out_rows = []
     for row in train_rows:
         positives = set(row["positives"])
+        n_eligible = sum(
+            1 for c in corpus if c not in positives and c != row["query"]
+        )
+        if n_eligible < num_negatives:
+            raise ValueError(
+                f"cannot sample {num_negatives} random negatives: only "
+                f"{n_eligible} corpus items are neither a positive of nor "
+                f"equal to the query {row['query']!r} (reference would also "
+                "fail here; shrink --num_negatives or grow the corpus)"
+            )
         chosen: List[int] = []
         chosen_set = set()
         while len(chosen) < num_negatives:
