@@ -291,3 +291,49 @@ class TestStreamingDataset:
         batches = list(dl.epoch(0))
         assert len(batches) == 2
         assert batches[0]["passage"]["input_ids"].shape == (24, 8)
+
+
+def test_loader_abandoned_epoch_releases_producer_thread():
+    """Abandoning epoch() mid-iteration (max_steps, preemption) must stop the
+    producer thread instead of leaving it blocked on the bounded queue."""
+    import threading
+    import time as _time
+
+    from rankpo_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return i
+
+    def collator(rows):
+        return {"x": np.asarray(rows, np.int32)}
+
+    before = threading.active_count()
+    loader = DataLoader(DS(), collator, batch_size=4, shuffle=False,
+                        drop_last=True, prefetch=1)
+    it = loader.epoch(0)
+    next(it)
+    it.close()  # abandon mid-epoch
+    deadline = _time.time() + 5
+    while _time.time() < deadline and threading.active_count() > before:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "producer thread still alive"
+
+
+def test_loader_rejects_ragged_stack():
+    from rankpo_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return i
+
+    loader = DataLoader(DS(), lambda r: {"x": np.asarray(r)}, batch_size=4,
+                        shuffle=False, drop_last=False)
+    with pytest.raises(ValueError, match="drop_last"):
+        next(loader.epoch(0, stack=2))

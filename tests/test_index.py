@@ -285,3 +285,18 @@ class TestQuantizedIndex:
         idx8 = FlatIPIndex(corpus, dtype=jnp.int8)
         assert idx8.corpus.dtype == jnp.int8
         assert idx8.row_scale is not None and idx8.row_scale.shape == (256,)
+
+
+def test_bucket_length_respects_max_length_below_multiple():
+    """max_query_length below the length multiple must cap the bucket (the
+    old max(multiple, ...) padded 32-token queries to 64)."""
+    from rankpo_tpu.data import HashTokenizer
+    from rankpo_tpu.index import InferenceEncoder
+    from rankpo_tpu.models import init_params, tiny_llama_config
+
+    cfg = tiny_llama_config(vocab_size=64)
+    enc = InferenceEncoder(cfg, init_params(jax.random.key(0), cfg),
+                           HashTokenizer(64), length_multiple=64)
+    assert enc._bucket_length(10, 32) == 32
+    assert enc._bucket_length(100, 512) == 128
+    assert enc._bucket_length(1000, 512) == 512
