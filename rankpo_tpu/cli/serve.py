@@ -57,6 +57,17 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
+            if self.path == "/add":
+                # FAISS index.add analog: encode + extend the live index.
+                # In-flight searches finish on the old index (atomic swap).
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length))
+                    service.add_passages(req["passages"])
+                    self._reply(200, {"status": "ok", "ntotal": service.ntotal})
+                except Exception as e:
+                    self._reply(400, {"error": str(e)})
+                return
             if self.path != "/search":
                 self._reply(404, {"error": "not found"})
                 return

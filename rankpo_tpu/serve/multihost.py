@@ -102,6 +102,16 @@ class MultihostFrontend:
             )
         return result[0] if single else result
 
+    def add_passages(self, texts: Sequence[str], **kwargs) -> None:
+        """Broadcast an index-extension (collective encode) to every process."""
+        if self.process_index != 0:
+            raise RuntimeError("add_passages() is rank-0 only")
+        with self._lock:
+            # kwargs ride the broadcast: encode shapes must match on every
+            # process or the collective diverges
+            self._broadcast({"op": "add", "texts": list(texts), "kwargs": kwargs})
+            self.service.add_passages(list(texts), **kwargs)
+
     def stop(self) -> None:
         """Release followers (rank 0)."""
         if self.process_index == 0:
@@ -121,7 +131,14 @@ class MultihostFrontend:
                 return
             try:
                 # same texts/k on every process -> identical jitted dispatch
-                self.service.query(msg["texts"], k=msg["k"], return_passages=False)
+                if msg["op"] == "add":
+                    self.service.add_passages(
+                        msg["texts"], **msg.get("kwargs", {})
+                    )
+                else:
+                    self.service.query(
+                        msg["texts"], k=msg["k"], return_passages=False
+                    )
             except Exception:
                 # rank 0 catches its own copy of the failure and keeps
                 # serving; a follower must survive too — dying here leaves

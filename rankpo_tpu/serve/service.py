@@ -98,20 +98,61 @@ class RetrievalService:
         )
         self.corpus_texts = list(corpus_texts)
 
+    def _stored_embeddings(self) -> np.ndarray:
+        """Fetch the index's fp32 embedding matrix back to the host
+        (dequantized for int8 storage). Multi-process: the corpus is sharded
+        across hosts, so gather it (np.asarray alone cannot read
+        non-addressable shards)."""
+        import jax
+
+        def fetch(arr):
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                arr = multihost_utils.process_allgather(arr, tiled=True)
+            return np.asarray(arr, np.float32)
+
+        emb = fetch(self.index.corpus)[: self.index.n_total]
+        if self.index.quantized:
+            emb = emb * fetch(self.index.row_scale)[: self.index.n_total, None]
+        return emb
+
+    def add_passages(
+        self,
+        texts: Sequence[str],
+        *,
+        max_passage_length: int = 512,
+        batch_size: int = 256,
+    ) -> None:
+        """Append passages to a built index (FAISS ``index.add`` analog).
+
+        New texts are encoded on the mesh and the index is rebuilt from the
+        concatenated matrix — brute-force search has no incremental
+        structure to maintain, so "add" is concat + re-place in HBM (the
+        encode of the NEW passages is the only model work). New passages get
+        the next corpus indices, preserving existing ids."""
+        if self.index is None:
+            raise RuntimeError("no index built; call build_index first")
+        new_emb = self.encoder.encode(
+            list(texts),
+            batch_size=batch_size,
+            max_length=max_passage_length,
+            description="Encoding added passages",
+        )
+        merged = np.concatenate([self._stored_embeddings(), new_emb], axis=0)
+        texts_all = self.corpus_texts + list(texts)
+        self.load_index(merged, texts_all)
+        logger.info(
+            "added %d passages (index now %d)", len(texts), self.ntotal
+        )
+
     def save_index(self, path: str) -> None:
         """Persist embeddings + passages so a restart skips the corpus encode
         (the expensive step; FAISS users get this via write_index)."""
         if self.index is None:
             raise RuntimeError("no index built; call build_index first")
-        emb = np.asarray(
-            self.index.corpus[: self.index.n_total], np.float32
-        )
-        if self.index.quantized:  # stored int8: persist the dequantized fp32
-            emb = emb * np.asarray(
-                self.index.row_scale[: self.index.n_total], np.float32
-            )[:, None]
         np.savez_compressed(
-            path, embeddings=emb,
+            path, embeddings=self._stored_embeddings(),
             corpus_texts=np.asarray(self.corpus_texts, dtype=object),
         )
         logger.info("saved index (%d passages) to %s", self.ntotal, path)

@@ -265,3 +265,87 @@ def test_statsz_endpoint(service):
     finally:
         server.shutdown()
         mb.close()
+
+
+class TestAddPassages:
+    def test_add_extends_index_preserving_ids(self, data_mesh):
+        from rankpo_tpu.index import InferenceEncoder
+        from rankpo_tpu.models import init_params, tiny_llama_config
+
+        cfg = tiny_llama_config(vocab_size=256)
+        enc = InferenceEncoder(cfg, init_params(jax.random.key(0), cfg),
+                               HashTokenizer(vocab_size=256), mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+        svc = RetrievalService(enc, mesh=data_mesh, max_query_length=16,
+                               query_batch_size=8)
+        corpus = [f"document {i} on distinct topic {i}" for i in range(16)]
+        svc.build_index(corpus, max_passage_length=16, batch_size=8)
+        before = svc.query("document 7 on distinct topic 7", k=1)
+
+        svc.add_passages(
+            [f"document {i} on distinct topic {i}" for i in (90, 91)],
+            max_passage_length=16, batch_size=8,
+        )
+        assert svc.ntotal == 18
+        # old ids unchanged
+        after = svc.query("document 7 on distinct topic 7", k=1)
+        assert after["hits"][0]["index"] == before["hits"][0]["index"] == 7
+        # new passages get the next ids and are retrievable
+        new = svc.query("document 91 on distinct topic 91", k=1)
+        assert new["hits"][0]["index"] == 17
+        assert new["hits"][0]["passage"] == "document 91 on distinct topic 91"
+
+    def test_add_int8_storage(self, data_mesh):
+        from rankpo_tpu.index import InferenceEncoder
+        from rankpo_tpu.models import init_params, tiny_llama_config
+
+        cfg = tiny_llama_config(vocab_size=256)
+        enc = InferenceEncoder(cfg, init_params(jax.random.key(0), cfg),
+                               HashTokenizer(vocab_size=256), mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+        svc = RetrievalService(enc, mesh=data_mesh, max_query_length=16,
+                               query_batch_size=8, index_dtype=jnp.int8)
+        corpus = [f"document {i} on distinct topic {i}" for i in range(16)]
+        svc.build_index(corpus, max_passage_length=16, batch_size=8)
+        svc.add_passages(["document 55 on distinct topic 55"],
+                         max_passage_length=16, batch_size=8)
+        got = svc.query("document 55 on distinct topic 55", k=1)
+        assert got["hits"][0]["index"] == 16
+
+    def test_http_add_endpoint(self, service):
+        # NB: module-scoped `service` fixture — restore its index afterwards
+        from http.server import ThreadingHTTPServer
+        from rankpo_tpu.cli.serve import make_handler
+
+        emb_before = service._stored_embeddings()
+        texts_before = list(service.corpus_texts)
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(service, None, k_max=10)
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/add",
+                data=json.dumps(
+                    {"passages": ["document 77 on distinct topic 77"]}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            assert body["ntotal"] == 33
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps(
+                    {"queries": ["document 77 on distinct topic 77"], "k": 1}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                got = json.loads(r.read())
+            assert got["results"][0]["hits"][0]["index"] == 32
+        finally:
+            server.shutdown()
+            service.load_index(emb_before, texts_before)

@@ -58,10 +58,14 @@ batch = frontend.query(
     [f"document {i} on distinct topic {i}" for i in (3, 11, 30)], k=4,
     return_passages=False,
 )
+# index extension is a collective too (followers replay the encode)
+frontend.add_passages(["document 70 on distinct topic 70"],
+                      max_passage_length=16, batch_size=16)
+added = frontend.query("document 70 on distinct topic 70", k=1)
 mb.close()
 frontend.stop()
 with open(os.path.join(outdir, "results.json"), "w") as f:
-    json.dump({"single": single, "batch": batch}, f)
+    json.dump({"single": single, "batch": batch, "added": added}, f)
 """
 
 
@@ -131,3 +135,7 @@ def test_two_process_serving_matches_single(tmp_path):
     assert [[h["index"] for h in r["hits"]] for r in got["batch"]] == [
         [h["index"] for h in r["hits"]] for r in ref_batch
     ]
+    # the passage added through the broadcast got the next id (32) and is
+    # retrievable from the shard-extended index
+    assert got["added"]["hits"][0]["index"] == 32
+    assert got["added"]["hits"][0]["passage"] == "document 70 on distinct topic 70"
