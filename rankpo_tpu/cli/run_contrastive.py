@@ -95,6 +95,18 @@ def main(argv=None):
     # sharded over the model axis (ops/attention.py handles the wrap)
 
     config, params, tokenizer, pad_id = setup_model_and_tokenizer(model_args)
+
+    # resolve resume BEFORE building anything model-dependent: the trainer's
+    # resume_from only restores step/optimizer state — the WEIGHTS must come
+    # from the checkpoint, or training silently continues from fresh base
+    # weights at a mid-schedule LR
+    resume = train_cfg.resume_from_checkpoint
+    if resume in ("true", "True", "latest"):
+        resume = latest_checkpoint(train_cfg.output_dir)
+    if resume:
+        logger.info("resume: loading weights from %s", resume)
+        config, params = load_pretrained(resume)
+
     config.normalize = c_args.normalize_embeddings
 
     dataset_cls = ContrastiveDataset
@@ -175,13 +187,9 @@ def main(argv=None):
         log_fn=maybe_init_wandb(train_cfg.wandb_project, train_cfg.run_name),
     )
 
-    resume = train_cfg.resume_from_checkpoint
     if resume:
-        if resume in ("true", "True", "latest"):
-            resume = latest_checkpoint(train_cfg.output_dir)
-        if resume:
-            logger.info("resuming from %s", resume)
-            trainer.resume_from(resume)
+        logger.info("resuming trainer state from %s", resume)
+        trainer.resume_from(resume)
 
     eval_dataset = None
     if data_args.eval_data:
@@ -196,8 +204,9 @@ def main(argv=None):
     history = trainer.train(dataset, collator, eval_dataset=eval_dataset)
 
     # final save at output_dir root (reference trainer.save_model(), :228)
+    host_params = trainer.host_state(trainer.state.params)  # collective
     if jax.process_index() == 0:
-        save_params_fn(train_cfg.output_dir, jax.device_get(trainer.state.params))
+        save_params_fn(train_cfg.output_dir, host_params)
         metrics = {
             "train_samples": len(dataset),
             "train_runtime": round(time.time() - t0, 2),

@@ -49,6 +49,17 @@ def main(argv=None):
     mesh = make_mesh(MeshConfig(model_parallel=train_cfg.model_parallel))
     config, params, tokenizer, pad_id = setup_model_and_tokenizer(model_args)
 
+    # resolve resume BEFORE building anything model-dependent: the trainer's
+    # resume_from only restores step/optimizer state — the WEIGHTS must come
+    # from the checkpoint, or training silently continues from fresh base
+    # weights at a mid-schedule LR
+    resume = train_cfg.resume_from_checkpoint
+    if resume in ("true", "True", "latest"):
+        resume = latest_checkpoint(train_cfg.output_dir)
+    if resume:
+        logger.info("resume: loading weights from %s", resume)
+        config, params = load_pretrained(resume)
+
     ref_params = None
     if not r_args.reference_free:
         ref_path = r_args.ref_model_name_or_path or model_args.model_name_or_path
@@ -89,7 +100,6 @@ def main(argv=None):
         rankpo_weight=r_args.rankpo_weight,
         sft_weight=r_args.sft_weight,
         reference_free=r_args.reference_free,
-        ref_params=ref_params,
         disable_dropout=r_args.disable_dropout,
         compute_dtype=policy.compute_dtype,
         remat=train_cfg.gradient_checkpointing,
@@ -135,6 +145,14 @@ def main(argv=None):
 
     from rankpo_tpu.utils.wandb_utils import maybe_init_wandb
 
+    # frozen (non-trainable) weight trees ride the jitted step as ARGUMENTS —
+    # closing over them would bake full models into the HLO as constants
+    frozen = {}
+    if ref_params is not None:
+        frozen["ref"] = ref_params
+    if r_args.use_lora:
+        frozen["base"] = base_params
+
     trainer = Trainer(
         loss_fn=loss_fn,
         params=params,
@@ -143,14 +161,12 @@ def main(argv=None):
         total_steps=max(total_steps, 1),
         save_params_fn=save_params_fn,
         log_fn=maybe_init_wandb(train_cfg.wandb_project, train_cfg.run_name),
+        frozen_params=frozen or None,
     )
 
-    resume = train_cfg.resume_from_checkpoint
     if resume:
-        if resume in ("true", "True", "latest"):
-            resume = latest_checkpoint(train_cfg.output_dir)
-        if resume:
-            trainer.resume_from(resume)
+        logger.info("resuming trainer state from %s", resume)
+        trainer.resume_from(resume)
 
     eval_dataset = None
     if data_args.eval_data:
@@ -164,8 +180,9 @@ def main(argv=None):
     t0 = time.time()
     history = trainer.train(dataset, collator, eval_dataset=eval_dataset)
 
+    host_params = trainer.host_state(trainer.state.params)  # collective
     if jax.process_index() == 0:
-        save_params_fn(train_cfg.output_dir, jax.device_get(trainer.state.params))
+        save_params_fn(train_cfg.output_dir, host_params)
         metrics = {
             "train_samples": len(dataset),
             "train_runtime": round(time.time() - t0, 2),

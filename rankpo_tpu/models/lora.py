@@ -79,11 +79,26 @@ def merge_lora(params: dict, lora_params: dict, config: LoraConfig) -> dict:
 
 
 def make_lora_loss_fn(inner_loss_fn, base_params, config: LoraConfig):
-    """Wrap a loss_fn(params, batch, rng) so the trainable tree is the adapter
-    pytree; the base stays frozen in the closure."""
+    """Wrap a loss_fn so the trainable tree is the adapter pytree.
 
-    def loss_fn(lora_params, batch, rng):
-        merged = merge_lora(base_params, lora_params, config)
+    The frozen base should be passed at CALL time as ``frozen={"base": ...}``
+    (the Trainer's frozen_params argument: closed-over weight trees become
+    HLO constants); the ``base_params`` closure fallback remains for direct
+    library use. Any further ``frozen`` entries (e.g. a RankPO "ref" model)
+    are forwarded to the inner loss when it accepts a 4th argument."""
+    import inspect
+
+    inner_takes_frozen = len(
+        inspect.signature(inner_loss_fn).parameters
+    ) >= 4
+
+    def loss_fn(lora_params, batch, rng, frozen=None):
+        base = (frozen or {}).get("base") if isinstance(frozen, dict) else None
+        if base is None:
+            base = base_params  # closure fallback (library use)
+        merged = merge_lora(base, lora_params, config)
+        if inner_takes_frozen:
+            return inner_loss_fn(merged, batch, rng, frozen)
         return inner_loss_fn(merged, batch, rng)
 
     return loss_fn

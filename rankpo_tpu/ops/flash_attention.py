@@ -53,14 +53,16 @@ def _row(ref):
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, causal, k_block,
-    skip_pad_q, window,
+    skip_pad_q, window, q_shift,
 ):
     q = q_ref[0]  # [Bq, D] in input dtype — keep dots on the bf16 MXU path
     bq, d = q.shape
     sk = k_ref.shape[1]
     n_kb = sk // k_block
     qi = pl.program_id(1)
-    q_offset = qi * bq
+    # bottom-right causal alignment for sq != sk (matches the XLA fallback's
+    # tril(k=sk-sq) and HF): query row r has global position r + q_shift
+    q_offset = qi * bq + q_shift
     mask_row = _row(mask_ref)
 
     m = jnp.full((bq, 1), NEG_INF, jnp.float32)
@@ -132,7 +134,7 @@ def _fwd_kernel(
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, causal, k_block, skip_pad_q, window,
+    *, scale, causal, k_block, skip_pad_q, window, q_shift,
 ):
     q = q_ref[0]
     do = do_ref[0]
@@ -140,10 +142,11 @@ def _dq_kernel(
     sk = k_ref.shape[1]
     n_kb = sk // k_block
     qi = pl.program_id(1)
-    q_offset = qi * bq
+    q_offset = qi * bq + q_shift  # bottom-right causal alignment (see fwd)
+    lse_offset = qi * bq  # stats are indexed by LOCAL query row
     row = _row(lse_ref)
-    lse = lse_ref[row, pl.ds(q_offset, bq)][:, None]
-    delta = delta_ref[row, pl.ds(q_offset, bq)][:, None]
+    lse = lse_ref[row, pl.ds(lse_offset, bq)][:, None]
+    delta = delta_ref[row, pl.ds(lse_offset, bq)][:, None]
     mask_row = _row(mask_ref)
 
     def body(kb, dq):
@@ -191,7 +194,7 @@ def _dq_kernel(
 
 def _dkv_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, scale, causal, q_block, skip_pad_q, window,
+    *, scale, causal, q_block, skip_pad_q, window, q_shift,
 ):
     k = k_ref[0]  # [Bk, D]
     v = v_ref[0]
@@ -215,7 +218,10 @@ def _dkv_kernel(
         )  # [Bq, Bk]
         valid = jnp.broadcast_to(key_valid[None, :] != 0, s.shape)
         if causal:
-            q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            q_pos = (
+                qb * q_block + q_shift
+                + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            )
             k_pos = k_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             valid = jnp.logical_and(valid, k_pos <= q_pos)
             if window is not None:
@@ -238,7 +244,8 @@ def _dkv_kernel(
         return dk_new, dv_new
 
     if causal:
-        start = k_offset // q_block  # q blocks strictly above diagonal see no keys here
+        # q blocks strictly above the (shifted) diagonal see no keys here
+        start = jnp.maximum(0, k_offset - q_shift) // q_block
     else:
         start = 0
     # a key block entirely beyond the valid key length contributes nothing
@@ -246,7 +253,10 @@ def _dkv_kernel(
     end_q = n_qb
     if causal and window is not None:
         # q rows beyond k_pos + window - 1 cannot see this key block
-        end_q = jnp.minimum((k_offset + bk + window - 2) // q_block + 1, n_qb)
+        end_q = jnp.minimum(
+            jnp.maximum(k_offset + bk + window - 2 - q_shift, 0) // q_block + 1,
+            n_qb,
+        )
     if skip_pad_q:
         # pad q rows carry zero cotangents in self-attention use; skip them
         end_q = jnp.minimum((key_len + q_block - 1) // q_block, end_q)
@@ -272,6 +282,19 @@ def _flatten_heads(x):
 def _unflatten_heads(x, b, h):
     bh, s, d = x.shape
     return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
+def fit_blocks(sq: int, sk: int, q_block: int = DEFAULT_Q_BLOCK,
+               k_block: int = DEFAULT_K_BLOCK):
+    """Shrink requested block sizes until they divide the sequence lengths
+    (static shapes). Shared by flash_attention and the ring-attention tier."""
+    q_block = min(q_block, sq)
+    k_block = min(k_block, sk)
+    while sq % q_block:
+        q_block //= 2
+    while sk % k_block:
+        k_block //= 2
+    return q_block, k_block
 
 
 def _pad_rows8(x):
@@ -308,7 +331,7 @@ def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret,
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, k_block=k_block,
-        skip_pad_q=skip_pad_q, window=window,
+        skip_pad_q=skip_pad_q, window=window, q_shift=sk - sq,
     )
     out, lse3 = pl.pallas_call(
         kernel,
@@ -352,7 +375,7 @@ def flash_dq(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
     return pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           k_block=k_block, skip_pad_q=skip_pad_q,
-                          window=window),
+                          window=window, q_shift=sk - sq),
         grid=(bh, sq // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
@@ -381,7 +404,7 @@ def flash_dkv(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
     dk_per_head, dv_per_head = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
                           q_block=q_block, skip_pad_q=skip_pad_q,
-                          window=window),
+                          window=window, q_shift=sk - sq),
         grid=(bh, sk // k_block),
         in_specs=[
             pl.BlockSpec((1, sq, d), lambda bhi, ki: (bhi, 0, 0)),
@@ -473,13 +496,7 @@ def flash_attention(
             kb *= 2
         k_block = min(k_block, kb)
 
-    # shrink blocks until they divide the sequence lengths (static shapes)
-    q_block = min(q_block, sq)
-    k_block = min(k_block, sk)
-    while sq % q_block:
-        q_block //= 2
-    while sk % k_block:
-        k_block //= 2
+    q_block, k_block = fit_blocks(sq, sk, q_block, k_block)
 
     qf = _flatten_heads(q)
     kf = _flatten_heads(k)

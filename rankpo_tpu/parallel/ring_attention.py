@@ -82,7 +82,11 @@ def ring_attention_local(
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new[..., None])
+        # rows that have seen NO valid key keep m_new == NEG_INF, where
+        # exp(s - m_new) == 1 uniformly — force masked entries to 0 so such
+        # rows keep l == 0 and output zeros (same convention as the flash
+        # kernel and the XLA oracle)
+        p = jnp.where(valid, jnp.exp(s - m_new[..., None]), 0.0)
         l = l * alpha + jnp.sum(p, axis=-1)
         acc = acc * alpha[..., None] + jnp.einsum(
             "bhqk,bkhd->bhqd", p, v_full.astype(jnp.float32),
@@ -108,24 +112,16 @@ def ring_attention_local(
 # ---------------------------------------------------------------------------
 
 
-def _flatten(x):
-    b, s, h, d = x.shape
-    return x.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-
-
-def _unflatten(x, b, h):
-    bh, s, d = x.shape
-    return x.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+# layout/tiling helpers shared with the flash kernel (single source of truth)
+from rankpo_tpu.ops.flash_attention import (  # noqa: E402
+    _flatten_heads as _flatten,
+    _unflatten_heads as _unflatten,
+    fit_blocks,
+)
 
 
 def _blocks(s, q_block=512, k_block=1024):
-    q_block = min(q_block, s)
-    k_block = min(k_block, s)
-    while s % q_block:
-        q_block //= 2
-    while s % k_block:
-        k_block //= 2
-    return q_block, k_block
+    return fit_blocks(s, s, q_block, k_block)
 
 
 def _merge(out_acc, lse_acc, o_i, lse_i):

@@ -57,8 +57,13 @@ def save_opt_state(directory: str, opt_state, async_save: bool = False) -> None:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, "opt_state"))
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    if jax.process_index() == 0 and os.path.exists(path):
+        shutil.rmtree(path)  # only the writer clears; others sync below
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # rmtree must complete before any process enters the orbax save
+        multihost_utils.sync_global_devices("rankpo_opt_state_clear")
     if async_save:
         _get_async_checkpointer().save(path, jax.device_get(opt_state))
         return
@@ -73,15 +78,21 @@ def wait_for_saves() -> None:
 
 def load_opt_state(directory: str, template):
     import jax
+    import numpy as np
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(os.path.join(directory, "opt_state"))
     if not os.path.isdir(path):
         return None
+    # restore template from SHAPES only — device_get on the live template
+    # raises for cross-process-sharded state (ZeRO-1 moments)
+    host_template = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, getattr(x, "dtype", np.float32))
+        if hasattr(x, "shape") else x,
+        template,
+    )
     with ocp.PyTreeCheckpointer() as checkpointer:
-        restored = checkpointer.restore(
-            path, item=jax.tree_util.tree_map(lambda x: x, jax.device_get(template))
-        )
+        restored = checkpointer.restore(path, item=host_template)
     return restored
 
 

@@ -183,13 +183,16 @@ def make_rankpo_loss_fn(
             "bh,bgh->bg", q_reps, grouped, preferred_element_type=jnp.float32
         )
 
-    def loss_fn(params, batch, rng):
+    def loss_fn(params, batch, rng, frozen=None):
         step_rng = None if disable_dropout else rng
         scores = _scores(params, batch, step_rng, deterministic=disable_dropout)
         ref_scores = None
-        if not reference_free and ref_params is not None:
+        ref = (frozen or {}).get("ref") if isinstance(frozen, dict) else None
+        if ref is None:
+            ref = ref_params  # closure fallback (library use)
+        if not reference_free and ref is not None:
             ref_scores = jax.lax.stop_gradient(
-                _scores(ref_params, batch, None, deterministic=True)
+                _scores(ref, batch, None, deterministic=True)
             )
         return rankpo_batch_loss(
             scores,

@@ -98,8 +98,15 @@ class Trainer:
         save_params_fn: Optional[Callable] = None,
         log_fn: Optional[Callable] = None,
         grad_fn: Optional[Callable] = None,
+        frozen_params=None,
     ):
         """loss_fn(params, batch, rng) -> (loss, metrics) on global arrays.
+
+        frozen_params: an optional non-trainable pytree (frozen RankPO
+        reference model, LoRA base weights) passed to the loss as a FOURTH
+        argument — loss_fn(params, batch, rng, frozen). It must ride through
+        jit as an argument: closed-over weight trees become HLO constants,
+        which blow up remote compiles (CLAUDE.md) and bypass mesh sharding.
 
         save_params_fn(directory, params) writes the model in HF format (the
         caller owns model config/tokenizer); when None, checkpoint dirs contain
@@ -130,6 +137,15 @@ class Trainer:
         self.state_specs = TrainState(step=P(), params=param_specs, opt_state=opt_specs)
         self.state_shardings = make_shardings(mesh, self.state_specs)
 
+        self.frozen_params = None
+        self._frozen_shardings = None
+        if frozen_params is not None:
+            frozen_specs = param_partition_specs(frozen_params, mp)
+            self._frozen_shardings = make_shardings(mesh, frozen_specs)
+            self.frozen_params = place_global(
+                frozen_params, self._frozen_shardings
+            )
+
         # place params on the mesh, init optimizer state directly into its
         # shards (process-spanning placement handled by place_global)
         params = place_global(params, self.state_shardings.params)
@@ -153,13 +169,20 @@ class Trainer:
 
         grad_fn = self.grad_fn
 
-        def step_fn(state: TrainState, batch, rng):
+        has_frozen = self.frozen_params is not None
+
+        def step_fn(state: TrainState, batch, rng, frozen=None):
             params = state.params
 
             def micro(mb, r):
-                (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, mb, r
-                )
+                if has_frozen:
+                    (loss, metrics), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, mb, r, frozen)
+                else:
+                    (loss, metrics), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True
+                    )(params, mb, r)
                 return loss, metrics, grads
 
             rngs = jax.random.split(jax.random.fold_in(rng, state.step), accum)
@@ -222,9 +245,12 @@ class Trainer:
 
         batch_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
         rep = NamedSharding(self.mesh, P())
+        in_shardings = [self.state_shardings, batch_sharding, rep]
+        if has_frozen:
+            in_shardings.append(self._frozen_shardings)
         return jax.jit(
             step_fn,
-            in_shardings=(self.state_shardings, batch_sharding, rep),
+            in_shardings=tuple(in_shardings),
             out_shardings=(self.state_shardings, rep),
             donate_argnums=(0,),
         )
@@ -238,16 +264,23 @@ class Trainer:
             loss_fn = self.loss_fn
             rep = NamedSharding(self.mesh, P())
             batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+            has_frozen = self.frozen_params is not None
 
-            def eval_step(params, batch):
-                loss, metrics = loss_fn(params, batch, None)
+            def eval_step(params, batch, frozen=None):
+                if has_frozen:
+                    loss, metrics = loss_fn(params, batch, None, frozen)
+                else:
+                    loss, metrics = loss_fn(params, batch, None)
                 out = dict(metrics)
                 out["loss"] = loss
                 return out
 
+            eval_in = [self.state_shardings.params, batch_sharding]
+            if has_frozen:
+                eval_in.append(self._frozen_shardings)
             self._eval_fn = jax.jit(
                 eval_step,
-                in_shardings=(self.state_shardings.params, batch_sharding),
+                in_shardings=tuple(eval_in),
                 out_shardings=rep,
             )
         cfg = self.config
@@ -278,7 +311,12 @@ class Trainer:
                 batch = jax.tree_util.tree_map(
                     lambda x: shard_rows_to_mesh(x, self.mesh), batch
                 )
-            metrics = self._eval_fn(self.state.params, batch)
+            if self.frozen_params is not None:
+                metrics = self._eval_fn(
+                    self.state.params, batch, self.frozen_params
+                )
+            else:
+                metrics = self._eval_fn(self.state.params, batch)
             # loss_fn means are over VALID rows only (row_valid mask); combine
             # batches as a row-weighted mean so a padded final batch cannot
             # bias the result (reference analog: gather_for_metrics de-dup,
@@ -320,7 +358,14 @@ class Trainer:
 
     def train_step(self, batch, rng) -> Dict[str, float]:
         """One optimizer step on a [accum, B_global, ...] microbatch stack."""
-        self.state, metrics = self._step_fn(self.state, self._globalize(batch), rng)
+        if self.frozen_params is not None:
+            self.state, metrics = self._step_fn(
+                self.state, self._globalize(batch), rng, self.frozen_params
+            )
+        else:
+            self.state, metrics = self._step_fn(
+                self.state, self._globalize(batch), rng
+            )
         return metrics
 
     def _maybe_evaluate(self, global_step: int, epoch: int) -> None:
@@ -416,6 +461,18 @@ class Trainer:
                 batch = staged
                 if (
                     cfg.profile_steps
+                    and global_step == cfg.profile_start_step + cfg.profile_steps
+                    and jax.process_index() == 0
+                ):
+                    # BEFORE this step's dispatch: the trace then spans
+                    # exactly profile_steps steps (stopping after the
+                    # post-step increment traced one extra)
+                    jax.profiler.stop_trace()
+                    logger.info(
+                        "profiler trace written to %s/profile", cfg.output_dir
+                    )
+                if (
+                    cfg.profile_steps
                     and global_step == cfg.profile_start_step
                     and jax.process_index() == 0
                 ):
@@ -436,15 +493,6 @@ class Trainer:
                     # keeps collating while the device runs ahead
                     metrics = {k: float(v) for k, v in metrics.items()}
                 step_time = time.time() - t_step
-                if (
-                    cfg.profile_steps
-                    and global_step == cfg.profile_start_step + cfg.profile_steps
-                    and jax.process_index() == 0
-                ):
-                    jax.profiler.stop_trace()
-                    logger.info(
-                        "profiler trace written to %s/profile", cfg.output_dir
-                    )
                 global_step += 1
                 step_in_epoch += 1
 
@@ -524,28 +572,53 @@ class Trainer:
         if self.log_fn is not None:
             self.log_fn(ordered)
 
+    def host_state(self, tree):
+        """Fetch a (possibly cross-process-sharded) device pytree to the
+        host. Multi-process this is a COLLECTIVE (process_allgather): every
+        process must call it, even though only rank 0 writes artifacts —
+        plain device_get raises on arrays whose shards live on other hosts
+        (ZeRO-1 moments, TP params)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(tree, tiled=True)
+        return jax.device_get(tree)
+
     def save_checkpoint(self, global_step: int, epoch: int) -> Optional[str]:
         if self.config.save_strategy == "no":
             return None
-        if jax.process_index() != 0:
-            return None
+        # host copies FIRST (collective — all processes), rank 0 writes after
+        params_host = None
+        if self.save_params_fn is not None:
+            params_host = self.host_state(self.state.params)
+        opt_host = None
+        if not self.config.save_only_model:
+            if self.config.async_checkpointing:
+                # only the PREVIOUS in-flight write needs to finish (it
+                # protects rotation below and directory reuse); waiting on
+                # the current save here would make async a no-op
+                ckpt.wait_for_saves()
+            opt_host = self.host_state(self.state.opt_state)
         directory = os.path.join(
             self.config.output_dir, f"checkpoint-{global_step}"
         )
-        os.makedirs(directory, exist_ok=True)
-        if self.save_params_fn is not None:
-            params_host = jax.device_get(self.state.params)
-            self.save_params_fn(directory, params_host)
-        trainer_state = {"global_step": global_step, "epoch": epoch}
-        ckpt.save_trainer_state(directory, trainer_state, self.config)
-        if not self.config.save_only_model:
+        if jax.process_index() == 0:
+            os.makedirs(directory, exist_ok=True)
+            if params_host is not None:
+                self.save_params_fn(directory, params_host)
+            trainer_state = {"global_step": global_step, "epoch": epoch}
+            ckpt.save_trainer_state(directory, trainer_state, self.config)
+        if opt_host is not None:
+            # orbax saves are COLLECTIVE (internal cross-process sync):
+            # every process calls, the primary writes
             ckpt.save_opt_state(
-                directory,
-                self.state.opt_state,
+                directory, opt_host,
                 async_save=self.config.async_checkpointing,
             )
-        if self.config.async_checkpointing:
-            ckpt.wait_for_saves()  # rotation must not delete an in-flight write
+        if jax.process_index() != 0:
+            return None
+        # the current checkpoint is the newest dir: rotation (oldest-first)
+        # never touches it, and all older writes completed above
         ckpt.rotate_checkpoints(self.config.output_dir, self.config.save_total_limit)
         logger.info("saved checkpoint: %s", directory)
         return directory

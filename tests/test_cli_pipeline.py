@@ -320,3 +320,50 @@ def test_reference_attn_flag_values():
     assert ModelArguments(attn_implementation="flash_attention_2").attn_impl == "flash"
     assert ModelArguments(attn_implementation="eager").attn_impl == "xla"
     assert ModelArguments(attn_implementation="auto").attn_impl == "auto"
+
+
+def test_resume_restores_checkpoint_weights(workspace, tmp_path):
+    """--resume_from_checkpoint must continue from the CHECKPOINT's weights,
+    not silently re-start from the base model (trainer.resume_from only
+    restores step/opt state). With epochs already complete, the resumed run
+    trains 0 steps, so its final save must equal the checkpoint weights."""
+    from safetensors.numpy import load_file
+
+    from rankpo_tpu.cli.run_contrastive import main as run_contrastive
+
+    root, base_model = workspace
+    out = str(tmp_path / "resume-run")
+    args = [
+        "--model_name_or_path", base_model,
+        "--tokenizer_name", TOK,
+        "--train_data", str(root / "train.jsonl"),
+        "--output_dir", out,
+        "--learning_rate", "1e-3",
+        "--num_train_epochs", "1",
+        "--per_device_train_batch_size", "1",
+        "--num_negatives", "3",
+        "--use_inbatch_neg",
+        "--temperature", "0.05",
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--bf16", "False",
+        "--save_strategy", "epoch",
+        "--logging_steps", "0",
+    ]
+    run_contrastive(args)
+    ckpts = sorted(
+        (p for p in os.listdir(out) if p.startswith("checkpoint-")),
+        key=lambda p: int(p.split("-")[1]),
+    )
+    assert ckpts
+    ckpt_state = load_file(os.path.join(out, ckpts[-1], "model.safetensors"))
+
+    run_contrastive(args + ["--resume_from_checkpoint", "latest",
+                            "--overwrite_output_dir", "True"])
+    final_state = load_file(os.path.join(out, "model.safetensors"))
+    base_state = load_file(os.path.join(base_model, "model.safetensors"))
+
+    key = "layers.0.self_attn.q_proj.weight"
+    # resumed-final == checkpoint (0 further steps ran), and trained != base
+    np.testing.assert_allclose(final_state[key], ckpt_state[key], atol=1e-6)
+    assert np.abs(ckpt_state[key] - base_state[key]).max() > 1e-6

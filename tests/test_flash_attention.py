@@ -244,3 +244,40 @@ class TestSlidingWindow:
         full = forward_hidden(params, cfg_full, ids, mask,
                               compute_dtype=jnp.float32)
         assert float(jnp.abs(windowed - full).max()) > 1e-4
+
+
+class TestCrossLengthCausal:
+    """sq != sk with causal=True: both impls must use bottom-right diagonal
+    alignment (XLA tril(k=sk-sq) / HF convention) — the kernel once used
+    top-left, silently diverging from the fallback."""
+
+    @pytest.mark.parametrize("sq,sk", [(32, 64), (16, 80), (64, 64)])
+    def test_forward_matches_xla(self, sq, sk):
+        q, k, v, mask = _inputs(sq=sq, sk=sk, mask_lens=[sk, sk - 10])
+        ref = _xla_attention(q, k, v, mask, True)
+        out = flash_attention(q, k, v, mask=mask, causal=True,
+                              q_block=16, k_block=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_match_xla(self):
+        q, k, v, mask = _inputs(sq=32, sk=64, mask_lens=[64, 50])
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, mask=mask, causal=True,
+                                  q_block=16, k_block=16, interpret=True)
+            return jnp.sum(out * out)
+
+        def loss_ref(q, k, v):
+            return jnp.sum(_xla_attention(q, k, v, mask, True) ** 2)
+
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g_flash, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+    def test_window_with_cross_length(self):
+        q, k, v, mask = _inputs(sq=32, sk=64, mask_lens=[64, 64])
+        ref = _xla_attention(q, k, v, mask, True, 8)
+        out = flash_attention(q, k, v, mask=mask, causal=True, window=8,
+                              q_block=16, k_block=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

@@ -52,7 +52,7 @@ cfg = TrainConfig(
     output_dir=os.path.join(outdir, "ckpt"), learning_rate=1e-3,
     warmup_steps=0, warmup_ratio=0.0, lr_scheduler_type="constant",
     per_device_train_batch_size=1, num_train_epochs=1, zero1=True,
-    save_strategy="epoch", seed=7,
+    save_strategy="epoch", save_only_model=False, seed=7,
 )
 trainer = Trainer(loss_fn=loss_fn, params=params, mesh=mesh, config=cfg,
                   total_steps=4)
@@ -97,6 +97,11 @@ def test_two_process_training_matches_single(tmp_path):
     # rank 0 owns the checkpoint; rank 1 must not have raced it
     ckpts = [d for d in os.listdir(tmp_path / "ckpt") if d.startswith("checkpoint-")]
     assert len(ckpts) == 1, ckpts
+    # full-state save: the ZeRO-1 moments are cross-process-sharded, so this
+    # proves the collective gather path (device_get alone raises there)
+    assert os.path.isdir(tmp_path / "ckpt" / ckpts[0] / "opt_state"), (
+        "optimizer state missing from multi-host checkpoint"
+    )
 
     # single-process reference on the conftest backend: same data, seed,
     # global batch -> same loss sequence (batch-mean order tolerance only)
