@@ -182,8 +182,10 @@ class RankPOArguments:
     lora_r: int = dataclasses.field(default=8)
     lora_alpha: float = dataclasses.field(default=16.0)
     lora_target_modules: str = dataclasses.field(
-        default="q_proj,v_proj",
-        metadata={"help": "comma-joined stacked-kernel names to adapt"},
+        default="auto",
+        metadata={"help": "comma-joined stacked-kernel names to adapt; "
+                          "'auto' = q_proj,v_proj (decoder family) or "
+                          "query,value (bert/roberta family)"},
     )
 
     def to_json_string(self):

@@ -115,11 +115,15 @@ def main(argv=None):
         )
         from rankpo_tpu.utils.seed import set_seed as _seed
 
+        targets = r_args.lora_target_modules
+        if targets == "auto":
+            # kernel names differ by family (llama body vs bert/roberta body)
+            targets = "q_proj,v_proj" if config.is_llama else "query,value"
         lora_cfg = LoraConfig(
             r=r_args.lora_r,
             alpha=r_args.lora_alpha,
             target_modules=tuple(
-                m.strip() for m in r_args.lora_target_modules.split(",") if m.strip()
+                m.strip() for m in targets.split(",") if m.strip()
             ),
         )
         base_params = params

@@ -46,14 +46,16 @@ def _target_kernels(params: dict, config: LoraConfig):
 
 
 def init_lora_params(key: jax.Array, params: dict, config: LoraConfig) -> dict:
-    """A ~ N(0, 1/r) (kaiming-ish), B = 0 — adapters start as identity."""
+    """A ~ N(0, 1/d_in) (fan-in scaled, matching PEFT's kaiming-style init),
+    B = 0 — adapters start as identity. A 1/r scale here would couple the
+    effective adapter learning rate quadratically to the rank hyperparameter."""
     lora: Dict[str, dict] = {}
     targets = list(_target_kernels(params, config))
     keys = jax.random.split(key, len(targets))
     for k_i, (name, kernel) in zip(keys, targets):
         L, d_in, d_out = kernel.shape
         a = jax.random.normal(k_i, (L, d_in, config.r), jnp.float32) * (
-            1.0 / config.r
+            1.0 / float(d_in) ** 0.5
         )
         b = jnp.zeros((L, config.r, d_out), jnp.float32)
         lora[name] = {"lora_a": a.astype(kernel.dtype), "lora_b": b.astype(kernel.dtype)}

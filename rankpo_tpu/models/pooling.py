@@ -36,10 +36,12 @@ def cls_pool(last_hidden: jax.Array, attention_mask: jax.Array) -> jax.Array:
 
 
 def mean_pool(last_hidden: jax.Array, attention_mask: jax.Array) -> jax.Array:
-    m = attention_mask[..., None].astype(last_hidden.dtype)
-    summed = jnp.sum(last_hidden * m, axis=1)
+    # fp32 accumulation: a bf16-typed sequence-sum at S=4096 rounds to an
+    # 8-bit mantissa (the repo's reductions are fp32 throughout, precision.py)
+    m = attention_mask[..., None].astype(jnp.float32)
+    summed = jnp.sum(last_hidden.astype(jnp.float32) * m, axis=1)
     counts = jnp.maximum(jnp.sum(m, axis=1), 1.0)
-    return summed / counts
+    return (summed / counts).astype(last_hidden.dtype)
 
 
 _POOLERS = {

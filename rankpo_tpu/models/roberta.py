@@ -20,6 +20,13 @@ from rankpo_tpu.models.config import EncoderConfig
 from rankpo_tpu.ops.attention import multi_head_attention
 
 
+def _dropout(y: jax.Array, rate: float, key) -> jax.Array:
+    if rate == 0.0 or key is None:
+        return y
+    keep = jax.random.bernoulli(key, 1.0 - rate, y.shape)
+    return jnp.where(keep, y / (1.0 - rate), 0.0).astype(y.dtype)
+
+
 def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
     dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -40,13 +47,10 @@ def init_params(key: jax.Array, config: EncoderConfig, dtype=jnp.float32) -> dic
     h = config.hidden_size
     f = config.intermediate_size
     L = config.num_hidden_layers
-    keys = jax.random.split(key, 12)
+    keys = jax.random.split(key, 12)  # 9 consumed; 12 kept for key stability
 
     def norm(k, shape, scale=0.02):
         return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
-
-    def dense(kk, shape):
-        return {"kernel": norm(kk, shape), "bias": jnp.zeros(shape[1:][-1:], dtype)}
 
     def dense_l(kk, shape):
         return {
@@ -106,10 +110,9 @@ def _layer_post(
     eps = config.layer_norm_eps
 
     def dropout(y, key):
-        if deterministic or config.hidden_dropout == 0.0 or key is None:
+        if deterministic:
             return y
-        keep = jax.random.bernoulli(key, 1.0 - config.hidden_dropout, y.shape)
-        return jnp.where(keep, y / (1.0 - config.hidden_dropout), 0.0).astype(y.dtype)
+        return _dropout(y, config.hidden_dropout, key)
 
     k0 = k1 = None
     if dropout_key is not None:
@@ -146,12 +149,19 @@ def _layer(
     mesh=None,
 ) -> jax.Array:
     q, k, v = _layer_qkv(config, x, lp)
-    # self-attention with everywhere-masked pad keys: pad q rows are skippable
+    attn_key = post_key = None
+    if dropout_key is not None and not deterministic:
+        attn_key, post_key = jax.random.split(dropout_key)
+    # self-attention with everywhere-masked pad keys: pad q rows are skippable.
+    # attention-probs dropout (HF attention_probs_dropout_prob) routes the
+    # dispatcher to the XLA path when active
     attn = multi_head_attention(
         q, k, v, mask=mask, causal=False, impl=attn_impl, mesh=mesh,
         skip_pad_q=True,
+        dropout_rate=0.0 if deterministic else config.attention_dropout,
+        dropout_key=attn_key,
     )
-    return _layer_post(config, x, attn, lp, dropout_key, deterministic)
+    return _layer_post(config, x, attn, lp, post_key, deterministic)
 
 
 def apply(
@@ -192,6 +202,11 @@ def apply(
     )
     key_mask = attention_mask.astype(bool)
 
+    if dropout_key is not None and not deterministic:
+        # HF applies hidden dropout to the embedding output too
+        emb_key, dropout_key = jax.random.split(dropout_key)
+        x = _dropout(x, config.hidden_dropout, emb_key)
+
     layer_params = jax.tree_util.tree_map(
         lambda p: p.astype(compute_dtype)
         if jnp.issubdtype(p.dtype, jnp.floating)
@@ -224,13 +239,18 @@ def apply(
                 # residuals are saved, the attention fwd never re-runs
                 qkv_fn = jax.checkpoint(lambda c, p: _layer_qkv(config, c, p))
                 q, k, v = qkv_fn(carry, lp)
+                attn_key = post_key = None
+                if lk is not None and not deterministic:
+                    attn_key, post_key = jax.random.split(lk)
                 attn = multi_head_attention(
                     q, k, v, mask=key_mask, causal=False, impl=attn_impl,
                     mesh=mesh, skip_pad_q=True,
+                    dropout_rate=0.0 if deterministic else config.attention_dropout,
+                    dropout_key=attn_key,
                 )
                 post_fn = jax.checkpoint(
                     lambda c, a, p: _layer_post(
-                        config, c, a, p, lk, deterministic
+                        config, c, a, p, post_key, deterministic
                     )
                 )
                 return post_fn(carry, attn, lp), None

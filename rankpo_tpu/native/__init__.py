@@ -1,5 +1,5 @@
 from rankpo_tpu.native.lib import (
-    NATIVE_AVAILABLE,
+    is_available,
     native_pad_batch,
     native_scan_jsonl,
     native_topk_ip,
@@ -7,7 +7,7 @@ from rankpo_tpu.native.lib import (
 )
 
 __all__ = [
-    "NATIVE_AVAILABLE",
+    "is_available",
     "native_pad_batch",
     "native_scan_jsonl",
     "native_topk_ip",

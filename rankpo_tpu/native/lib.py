@@ -126,6 +126,13 @@ def native_pad_batch(
     return out_ids, out_mask
 
 
+def is_available() -> bool:
+    """Whether the C++ helper library is (or can be) built. Prefer this over
+    importing NATIVE_AVAILABLE: a from-import snapshots the pre-build value
+    (None) and never sees ensure_built()'s rebind."""
+    return bool(ensure_built())
+
+
 def native_scan_jsonl(path: str, max_lines: int = 1 << 26) -> np.ndarray:
     """Line-start offsets of a jsonl file (mmap scan); offsets[-1] = file size."""
     if not ensure_built():
@@ -134,4 +141,11 @@ def native_scan_jsonl(path: str, max_lines: int = 1 << 26) -> np.ndarray:
     count = _lib.scan_jsonl_offsets(path.encode(), _i64ptr(offsets), max_lines)
     if count < 0:
         raise IOError(f"failed to scan {path}")
-    return offsets[: count + 1]
+    if count >= max_lines:
+        # silently truncating would shorten the dataset AND leave the last
+        # row's byte range spanning to EOF (json decode error mid-training)
+        raise ValueError(
+            f"{path} has more than {max_lines} lines; raise max_lines"
+        )
+    # copy: the slice is otherwise a view pinning the full scan buffer
+    return offsets[: count + 1].copy()

@@ -29,6 +29,8 @@ def _xla_attention(
     mask: Optional[jax.Array],
     causal: bool,
     window: Optional[int] = None,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
@@ -61,6 +63,10 @@ def _xla_attention(
     # meaningless uniform average; the flash kernel uses the same convention
     any_valid = jnp.max(logits, axis=-1, keepdims=True) > NEG_INF * 0.5
     probs = jnp.where(any_valid, probs, 0.0).astype(v.dtype)
+    if dropout_rate > 0.0 and dropout_key is not None:
+        # attention-probs dropout (HF attention_probs_dropout_prob site)
+        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0).astype(v.dtype)
     out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, v)
     return out.reshape(b, sq, hq, d)
 
@@ -85,6 +91,8 @@ def multi_head_attention(
     mesh=None,
     skip_pad_q: bool = False,
     window: Optional[int] = None,
+    dropout_rate: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Scaled dot-product attention with GQA, padding mask, optional causality.
 
@@ -95,6 +103,12 @@ def multi_head_attention(
     a pallas_call by itself) — batch stays sharded over the data axis. Falls
     back to XLA attention when shapes don't divide the mesh.
     """
+    if dropout_rate > 0.0 and dropout_key is not None:
+        # attention-probs dropout is training-only and not implemented in the
+        # Pallas kernel; the XLA path handles it (GSPMD shards the einsums)
+        return _xla_attention(
+            q, k, v, mask, causal, window, dropout_rate, dropout_key
+        )
     if impl == "auto":
         impl = "flash" if _use_flash(q) else "xla"
     if impl == "flash":

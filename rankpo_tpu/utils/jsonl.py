@@ -12,6 +12,7 @@ Schemas (reference formats preserved for drop-in compatibility):
 
 from __future__ import annotations
 
+import os
 import json
 from typing import Any, Iterable, Iterator, List
 
@@ -84,8 +85,21 @@ def read_jsonl(path: str, num_workers: int = 0) -> List[dict]:
             if hi > lo
         ]
 
-    with ProcessPoolExecutor(max_workers=num_workers) as pool:
-        parts = list(pool.map(_parse_range, ranges))
+    # worker processes must NOT re-run the remote-TPU sitecustomize (it
+    # hangs minutes on the tunnel handshake under spawn — CLAUDE.md); env is
+    # inherited at worker start, so scrub it around pool creation
+    saved = {k: os.environ.get(k) for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")}
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        with ProcessPoolExecutor(max_workers=num_workers) as pool:
+            parts = list(pool.map(_parse_range, ranges))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     return [row for part in parts for row in part]
 
 

@@ -506,3 +506,46 @@ class TestQwen2SlidingWindowConfig:
         assert EncoderConfig.from_hf_dict(d).sliding_window == 128
         d["use_sliding_window"] = False
         assert EncoderConfig.from_hf_dict(d).sliding_window is None
+
+
+class TestRobertaDropoutParity:
+    """All four HF dropout sites must be live in training mode: embeddings
+    output, attention probs, and the two residual dropouts."""
+
+    def _embed(self, cfg, params, det, key=None):
+        ids = jnp.arange(2 * 12).reshape(2, 12) % 64 + 5
+        mask = jnp.ones((2, 12), jnp.int32)
+        return forward_hidden(
+            params, cfg, ids, mask, compute_dtype=jnp.float32,
+            deterministic=det, dropout_key=key,
+        )
+
+    def test_attention_dropout_site_is_live(self):
+        cfg = dataclasses.replace(
+            tiny_roberta_config(vocab_size=64),
+            hidden_dropout=0.0, attention_dropout=0.5,
+        )
+        params = init_params(jax.random.key(0), cfg)
+        det = self._embed(cfg, params, True)
+        stoch = self._embed(cfg, params, False, jax.random.key(1))
+        assert float(jnp.abs(det - stoch).max()) > 1e-4
+
+    def test_hidden_dropout_site_is_live(self):
+        cfg = dataclasses.replace(
+            tiny_roberta_config(vocab_size=64),
+            hidden_dropout=0.5, attention_dropout=0.0,
+        )
+        params = init_params(jax.random.key(0), cfg)
+        det = self._embed(cfg, params, True)
+        stoch = self._embed(cfg, params, False, jax.random.key(1))
+        assert float(jnp.abs(det - stoch).max()) > 1e-4
+
+    def test_deterministic_ignores_rates(self):
+        cfg = dataclasses.replace(
+            tiny_roberta_config(vocab_size=64),
+            hidden_dropout=0.5, attention_dropout=0.5,
+        )
+        params = init_params(jax.random.key(0), cfg)
+        a = self._embed(cfg, params, True)
+        b = self._embed(cfg, params, True, jax.random.key(1))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
