@@ -27,6 +27,15 @@ def _dropout(y: jax.Array, rate: float, key) -> jax.Array:
     return jnp.where(keep, y / (1.0 - rate), 0.0).astype(y.dtype)
 
 
+def _attn_dropout_args(config: EncoderConfig, dropout_key, deterministic: bool):
+    """(attention-probs rate, attention key, post-block key) — one place so
+    the plain and remat-'attn' layer paths cannot drift apart."""
+    if dropout_key is None or deterministic:
+        return 0.0, None, None
+    attn_key, post_key = jax.random.split(dropout_key)
+    return config.attention_dropout, attn_key, post_key
+
+
 def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
     dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -149,17 +158,15 @@ def _layer(
     mesh=None,
 ) -> jax.Array:
     q, k, v = _layer_qkv(config, x, lp)
-    attn_key = post_key = None
-    if dropout_key is not None and not deterministic:
-        attn_key, post_key = jax.random.split(dropout_key)
+    attn_rate, attn_key, post_key = _attn_dropout_args(
+        config, dropout_key, deterministic
+    )
     # self-attention with everywhere-masked pad keys: pad q rows are skippable.
     # attention-probs dropout (HF attention_probs_dropout_prob) routes the
     # dispatcher to the XLA path when active
     attn = multi_head_attention(
         q, k, v, mask=mask, causal=False, impl=attn_impl, mesh=mesh,
-        skip_pad_q=True,
-        dropout_rate=0.0 if deterministic else config.attention_dropout,
-        dropout_key=attn_key,
+        skip_pad_q=True, dropout_rate=attn_rate, dropout_key=attn_key,
     )
     return _layer_post(config, x, attn, lp, post_key, deterministic)
 
@@ -239,14 +246,13 @@ def apply(
                 # residuals are saved, the attention fwd never re-runs
                 qkv_fn = jax.checkpoint(lambda c, p: _layer_qkv(config, c, p))
                 q, k, v = qkv_fn(carry, lp)
-                attn_key = post_key = None
-                if lk is not None and not deterministic:
-                    attn_key, post_key = jax.random.split(lk)
+                attn_rate, attn_key, post_key = _attn_dropout_args(
+                    config, lk, deterministic
+                )
                 attn = multi_head_attention(
                     q, k, v, mask=key_mask, causal=False, impl=attn_impl,
                     mesh=mesh, skip_pad_q=True,
-                    dropout_rate=0.0 if deterministic else config.attention_dropout,
-                    dropout_key=attn_key,
+                    dropout_rate=attn_rate, dropout_key=attn_key,
                 )
                 post_fn = jax.checkpoint(
                     lambda c, a, p: _layer_post(
