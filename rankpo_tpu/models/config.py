@@ -82,10 +82,24 @@ class EncoderConfig:
                 # qwen2 configs carry the field but usually disable it — and
                 # SWA only applies to layers >= max_window_layers, so when
                 # every layer is below that the model is full-attention
+                mwl = d.get("max_window_layers", 0)
                 if not d.get("use_sliding_window", False) or (
-                    d.get("max_window_layers", 0) >= d["num_hidden_layers"]
+                    mwl >= d["num_hidden_layers"]
                 ):
                     sliding = None
+                elif 0 < mwl < d["num_hidden_layers"]:
+                    # HF Qwen2 runs layers < max_window_layers with FULL
+                    # attention and only the rest windowed; this body applies
+                    # one uniform window to every scanned layer, which would
+                    # silently produce wrong embeddings for hybrid checkpoints
+                    raise ValueError(
+                        "unsupported hybrid Qwen2 SWA config: "
+                        f"use_sliding_window=True with 0 < max_window_layers="
+                        f"{mwl} < num_hidden_layers={d['num_hidden_layers']} "
+                        "mixes full-attention and windowed layers; this "
+                        "framework applies a uniform window to all layers "
+                        "(max_window_layers must be 0 or >= num_hidden_layers)"
+                    )
             cfg = cls(
                 model_type=model_type,
                 vocab_size=d["vocab_size"],

@@ -279,7 +279,7 @@ def apply(
                 q, k, v = qkv_fn(carry, lp)
                 attn = multi_head_attention(
                     q, k, v, mask=key_mask, causal=True, impl=attn_impl,
-                    mesh=mesh, skip_pad_q=True,
+                    mesh=mesh, skip_pad_q=True, window=config.sliding_window,
                 )
                 post_fn = jax.checkpoint(
                     lambda c, a, p: _layer_post(config, c, a, p)

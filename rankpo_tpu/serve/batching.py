@@ -63,6 +63,11 @@ class MicroBatcher:
         self.k_max = k_max
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stopping = False
+        # serializes {check _stopping + enqueue} against close()'s
+        # {set _stopping + final drain}: without it a query() thread that
+        # passed the check could enqueue after the final drain and block
+        # forever on an event nobody will set
+        self._close_lock = threading.Lock()
         self._worker = threading.Thread(
             target=self._run, name="microbatcher", daemon=True
         )
@@ -76,10 +81,11 @@ class MicroBatcher:
         """Single-query call; blocks until its group's dispatch completes."""
         if k > self.k_max:
             raise ValueError(f"k={k} exceeds serving k_max={self.k_max}")
-        if self._stopping:
-            raise RuntimeError("MicroBatcher is closed")
         req = _Pending(text, k, return_passages)
-        self._queue.put(req)
+        with self._close_lock:
+            if self._stopping:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.put(req)
         req.event.wait()
         if req.error is not None:
             raise req.error
@@ -88,10 +94,11 @@ class MicroBatcher:
         return req.result
 
     def close(self) -> None:
-        self._stopping = True
-        self._queue.put(None)  # wake the worker
+        with self._close_lock:
+            self._stopping = True
+            self._queue.put(None)  # wake the worker
         self._worker.join(timeout=5)
-        self._drain()
+        self._drain()  # no enqueue can follow: _stopping was set under the lock
 
     def _drain(self) -> None:
         """Release any requests still queued (enqueued around close(), or

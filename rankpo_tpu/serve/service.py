@@ -175,6 +175,20 @@ class RetrievalService:
             b *= 2
         return min(b, self.query_batch_size)
 
+    def _default_warmup_lengths(self) -> list:
+        """Every length bucket real traffic can produce. _bucket_length caps
+        buckets at max_query_length, so the capped bucket must be warmed even
+        when max_query_length is not a multiple of length_multiple (and when
+        max_query_length < length_multiple this still warms the single real
+        bucket instead of being a no-op)."""
+        m = getattr(self.encoder, "length_multiple", 64)
+        return sorted(
+            {
+                min(self.max_query_length, L)
+                for L in range(m, self.max_query_length + m, m)
+            }
+        )
+
     def warmup(self, k: int = 10, *, query_fn=None, lengths=None) -> None:
         """Pre-compile serving programs so requests never pay XLA compiles.
 
@@ -189,7 +203,7 @@ class RetrievalService:
         q_fn = query_fn or self.query
         m = getattr(self.encoder, "length_multiple", 64)
         if lengths is None:
-            lengths = range(m, self.max_query_length + 1, m)
+            lengths = self._default_warmup_lengths()
         for length in lengths:
             text = "warm " * max(1, length - m // 2)
             b = 8

@@ -142,6 +142,34 @@ class TestRematPolicies:
             got_grads,
         )
 
+    @pytest.mark.parametrize("policy", ["full", "dots", "attn"])
+    def test_sliding_window_preserved_under_remat(self, policy):
+        """Every remat branch must still apply config.sliding_window: the
+        'attn' branch once dropped the window kwarg, so mistral/qwen2 SWA
+        models trained with --gradient_checkpointing_policy attn silently
+        used FULL attention (advisor finding, round 2)."""
+        cfg = dataclasses.replace(
+            tiny_llama_config(), model_type="mistral", sliding_window=5
+        )
+        params = init_params(jax.random.key(0), cfg)
+        ids = jax.random.randint(jax.random.key(1), (2, 16), 5, cfg.vocab_size)
+        mask = jnp.ones((2, 16), jnp.int32).at[0, 11:].set(0)
+        ids = ids * mask + cfg.pad_token_id * (1 - mask)
+        batch = {"input_ids": ids, "attention_mask": mask}
+        base = embed(params, cfg, batch, compute_dtype=jnp.float32)
+        remat = embed(
+            params, cfg, batch, compute_dtype=jnp.float32,
+            remat=True, remat_policy=policy,
+        )
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(remat), atol=1e-5
+        )
+        # sanity: the window genuinely bites at seq 16 >> window 5 — a branch
+        # that drops it would diverge from the windowed forward
+        cfg_full = dataclasses.replace(cfg, sliding_window=None)
+        full = embed(params, cfg_full, batch, compute_dtype=jnp.float32)
+        assert np.abs(np.asarray(base) - np.asarray(full)).max() > 1e-4
+
     def test_unknown_policy_raises(self):
         cfg = tiny_llama_config()
         params = init_params(jax.random.key(0), cfg)
@@ -502,10 +530,24 @@ class TestQwen2SlidingWindowConfig:
             "sliding_window": 128, "max_window_layers": 4,
         }
         assert EncoderConfig.from_hf_dict(d).sliding_window is None
-        d["max_window_layers"] = 2  # some layers genuinely use SWA -> keep
+        d["max_window_layers"] = 0  # every layer windowed -> uniform, kept
         assert EncoderConfig.from_hf_dict(d).sliding_window == 128
         d["use_sliding_window"] = False
         assert EncoderConfig.from_hf_dict(d).sliding_window is None
+
+    def test_hybrid_config_rejected(self):
+        # HF runs layers < max_window_layers with FULL attention and the rest
+        # windowed; the scanned body applies one uniform window, so loading a
+        # hybrid checkpoint would silently produce wrong embeddings — it must
+        # be an explicit error (advisor finding, round 2)
+        d = {
+            "model_type": "qwen2", "vocab_size": 64, "hidden_size": 32,
+            "intermediate_size": 64, "num_hidden_layers": 4,
+            "num_attention_heads": 4, "use_sliding_window": True,
+            "sliding_window": 128, "max_window_layers": 2,
+        }
+        with pytest.raises(ValueError, match="hybrid Qwen2 SWA"):
+            EncoderConfig.from_hf_dict(d)
 
 
 class TestRobertaDropoutParity:

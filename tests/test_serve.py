@@ -201,6 +201,47 @@ class TestReviewRegressions:
         with pytest.raises(RuntimeError, match="closed"):
             mb.query("anything", k=2)
 
+    def test_close_concurrent_queries_never_hang(self, service):
+        # advisor round-2 low finding: a query() thread that passed the
+        # _stopping check and enqueued after close()'s final drain blocked
+        # forever. Every racing caller must now either get a result or a
+        # RuntimeError, within a bounded time.
+        from rankpo_tpu.serve.batching import MicroBatcher
+
+        mb = MicroBatcher(service, max_batch=8, max_wait_ms=1, k_max=10)
+        outcomes = []
+
+        def call():
+            try:
+                outcomes.append(
+                    mb.query("document 1 on distinct topic 1", k=2,
+                             return_passages=False)
+                )
+            except RuntimeError as e:
+                outcomes.append(e)
+
+        threads = [threading.Thread(target=call) for _ in range(12)]
+        for t in threads:
+            t.start()
+        mb.close()
+        for t in threads:
+            t.join(timeout=15)
+        assert all(not t.is_alive() for t in threads), "caller hung on close"
+        assert len(outcomes) == 12
+
+    def test_warmup_lengths_include_capped_bucket(self, service):
+        # advisor round-2 low finding: warmup walked only multiples of
+        # length_multiple, so a non-multiple (or < multiple) max_query_length
+        # bucket was never precompiled
+        from rankpo_tpu.serve.service import RetrievalService
+
+        svc = RetrievalService(service.encoder, max_query_length=20)
+        assert svc._default_warmup_lengths() == [8, 16, 20]
+        svc = RetrievalService(service.encoder, max_query_length=16)
+        assert svc._default_warmup_lengths() == [8, 16]
+        svc = RetrievalService(service.encoder, max_query_length=5)
+        assert svc._default_warmup_lengths() == [5]
+
     def test_handler_uniform_k_limit(self, service):
         import urllib.error
         from http.server import ThreadingHTTPServer
