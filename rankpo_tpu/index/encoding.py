@@ -109,6 +109,43 @@ class InferenceEncoder:
         # query to 64 tokens, ~doubling encode FLOPs for truncated-to-32 text
         return min(max_length, max(m, -(-longest // m) * m))
 
+    def prepare_batch(self, chunk: List[str], batch_size: int, max_length: int):
+        """Tokenize + right-pad one chunk to a static [batch_size, bucket]
+        shape (rows past len(chunk) are filler). Returns the device-ready
+        batch dict — on a multi-process mesh, globally sharded with this
+        process contributing its contiguous row slice. Shared by encode()
+        and the serving fused encode+search program (same tokenization is
+        what makes fused scores bit-identical to the two-dispatch path)."""
+        pad_id = self.config.pad_token_id or 0
+        encoded = self.tokenizer(chunk, max_length=max_length, truncation=True)
+        ids_list = encoded["input_ids"]
+        longest = max(len(x) for x in ids_list)
+        target = self._bucket_length(longest, max_length)
+        # row padding shares the collators' right-pad helper (the
+        # last-token-pooling invariant lives in exactly one place)
+        block = _pad_block(ids_list, pad_id, target, None)
+        pad_rows = batch_size - len(chunk)
+        ids = np.pad(block["input_ids"], ((0, pad_rows), (0, 0)),
+                     constant_values=pad_id)
+        mask = np.pad(block["attention_mask"], ((0, pad_rows), (0, 0)))
+        # fully-padded filler rows keep static shape; pooling needs at
+        # least one attended token, give them one pad token attended
+        mask[len(chunk):, 0] = 1
+        batch = {"input_ids": ids, "attention_mask": mask}
+        if self.process_count > 1:
+            # every process tokenized the full chunk; contribute this
+            # process's contiguous row slice to the global sharded batch
+            local = batch_size // self.process_count
+            sl = slice(self.process_index * local,
+                       (self.process_index + 1) * local)
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self._batch_sharding, np.ascontiguousarray(x[sl])
+                ),
+                batch,
+            )
+        return batch
+
     def encode(
         self,
         sentences: Union[str, List[str]],
@@ -128,7 +165,6 @@ class InferenceEncoder:
         if batch_size % n_dev != 0:
             batch_size = -(-batch_size // n_dev) * n_dev
 
-        pad_id = self.config.pad_token_id or 0
         # async dispatch with a BOUNDED in-flight window: outputs stay on
         # device until the window fills, then the oldest is fetched while the
         # device keeps running newer batches. Unbounded pending replicated
@@ -140,33 +176,7 @@ class InferenceEncoder:
         n = len(sentences)
         for lo in range(0, n, batch_size):
             chunk = sentences[lo : lo + batch_size]
-            encoded = self.tokenizer(chunk, max_length=max_length, truncation=True)
-            ids_list = encoded["input_ids"]
-            longest = max(len(x) for x in ids_list)
-            target = self._bucket_length(longest, max_length)
-            # row padding shares the collators' right-pad helper (the
-            # last-token-pooling invariant lives in exactly one place)
-            block = _pad_block(ids_list, pad_id, target, None)
-            pad_rows = batch_size - len(chunk)
-            ids = np.pad(block["input_ids"], ((0, pad_rows), (0, 0)),
-                         constant_values=pad_id)
-            mask = np.pad(block["attention_mask"], ((0, pad_rows), (0, 0)))
-            # fully-padded filler rows keep static shape; pooling needs at
-            # least one attended token, give them one pad token attended
-            mask[len(chunk):, 0] = 1
-            batch = {"input_ids": ids, "attention_mask": mask}
-            if self.process_count > 1:
-                # every process tokenized the full chunk; contribute this
-                # process's contiguous row slice to the global sharded batch
-                local = batch_size // self.process_count
-                sl = slice(self.process_index * local,
-                           (self.process_index + 1) * local)
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.make_array_from_process_local_data(
-                        self._batch_sharding, np.ascontiguousarray(x[sl])
-                    ),
-                    batch,
-                )
+            batch = self.prepare_batch(chunk, batch_size, max_length)
             reps = self._embed_fn(self.params, batch)
             pending.append((reps, len(chunk)))
             if len(pending) > max_in_flight:
@@ -174,8 +184,8 @@ class InferenceEncoder:
                 out.append(np.asarray(reps0[:real0], np.float32))
             if lo == 0:
                 logger.info(
-                    "%s: %d texts, batch %d, bucket len %d", description, n,
-                    batch_size, target,
+                    "%s: %d texts, batch %d, seq %d", description, n,
+                    batch_size, batch["input_ids"].shape[-1],
                 )
         for reps, real in pending:  # start remaining D2H before blocking reads
             reps.copy_to_host_async()

@@ -69,7 +69,6 @@ class FlatIPIndex:
         mesh: Optional[Mesh] = None,
         *,
         dtype=jnp.float32,
-        use_pallas: Optional[bool] = None,
         recall_target: float = 1.0,
         precision: Optional[str] = None,
     ):
@@ -87,9 +86,6 @@ class FlatIPIndex:
         self.n_total = int(embeddings.shape[0])
         self.dim = int(embeddings.shape[1])
         self.dtype = dtype
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
-        self.use_pallas = use_pallas
 
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         pad = (-self.n_total) % n_shards
@@ -123,13 +119,18 @@ class FlatIPIndex:
         self._search_lock = threading.Lock()
 
     # ------------------------------------------------------------------
-    def _build_search(self, k: int):
+    def search_callable(self, k: int):
+        """The unjitted search computation ``(corpus, row_scale, queries) ->
+        (scores, idx)``, for composing into LARGER jitted programs (the
+        serving path fuses encode+search into one dispatch; through a
+        ~25-30ms-floor remote tunnel the second dispatch was pure latency).
+        ``queries`` may be any float dtype; it is cast to the corpus compute
+        dtype inside."""
         from rankpo_tpu.ops.topk import matmul_topk
 
         corpus = self.corpus
         n_total = self.n_total
         mesh = self.mesh
-        use_pallas = self.use_pallas
 
         # queries compute in the corpus dtype, except int8 storage where they
         # stay bf16 and the corpus dequant fuses into the matmul
@@ -149,13 +150,12 @@ class FlatIPIndex:
                     corpus_arg,
                     k=k,
                     n_valid=n_total,
-                    use_pallas=use_pallas,
                     recall_target=self.recall_target,
                     col_scale=col_scale,
                     precision=self.precision,
                 )
 
-            return jax.jit(single)
+            return single
 
         n_shards = mesh.shape[DATA_AXIS]
         shard_rows = self.n_padded // n_shards
@@ -172,7 +172,6 @@ class FlatIPIndex:
                 k=k_local,
                 n_valid=n_valid_local,
                 index_offset=offset,
-                use_pallas=use_pallas,
                 recall_target=self.recall_target,
                 col_scale=scale_local,
                 precision=self.precision,
@@ -208,8 +207,15 @@ class FlatIPIndex:
             final_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
             return final_scores, final_idx
 
+        return sharded
+
+    def _build_search(self, k: int):
+        fn = self.search_callable(k)
+        if self.mesh is None:
+            return jax.jit(fn)
+        mesh = self.mesh
         return jax.jit(
-            sharded,
+            fn,
             in_shardings=(
                 NamedSharding(mesh, P(DATA_AXIS, None)),
                 NamedSharding(mesh, P(DATA_AXIS)) if self.quantized
@@ -252,10 +258,13 @@ class FlatIPIndex:
             scores, idx = search_fn(
                 self.corpus, self.row_scale, block_dev
             )
+            # start this chunk's D2H immediately: true per-chunk double
+            # buffering — chunk i's results come back while chunk i+1's H2D
+            # and compute are in flight (staging all dispatches before any
+            # copy serialized the whole D2H tail after the last compute)
+            scores.copy_to_host_async()
+            idx.copy_to_host_async()
             pending.append((scores, idx, real))
-        for s, i, _ in pending:  # start all D2H copies before any blocking read
-            s.copy_to_host_async()
-            i.copy_to_host_async()
         all_scores = [np.asarray(s)[:r].astype(np.float32, copy=False) for s, _, r in pending]
         all_indices = [np.asarray(i)[:r].astype(np.int32, copy=False) for _, i, r in pending]
         return np.concatenate(all_scores), np.concatenate(all_indices)

@@ -186,7 +186,6 @@ def matmul_topk(
     n_valid: int | jax.Array | None = None,
     index_offset: int | jax.Array = 0,
     block_size: int = 4096,
-    use_pallas: bool = False,
     allow_dense: bool = True,
     recall_target: float = 1.0,
     col_scale: jax.Array | None = None,
@@ -196,21 +195,9 @@ def matmul_topk(
 
     ``n_valid``: number of real corpus rows (rows >= n_valid are padding and
     score -inf). ``index_offset``: added to returned indices (shard offset).
-    ``use_pallas`` selects the fused TPU kernel when shapes permit; the scan
-    path below is the portable fallback and correctness oracle.
+    The engine deliberately stays on XLA — a fused Pallas kernel was profiled
+    and rejected (decision record: rankpo_tpu/ops/topk_pallas.py).
     """
-    if use_pallas:
-        from rankpo_tpu.ops.topk_pallas import pallas_matmul_topk, pallas_supported
-
-        if pallas_supported(queries.shape, corpus.shape, k):
-            return pallas_matmul_topk(
-                queries,
-                corpus,
-                k=k,
-                n_valid=n_valid,
-                index_offset=index_offset,
-            )
-
     n, d = corpus.shape
     q = queries.shape[0]
     k = min(k, n)

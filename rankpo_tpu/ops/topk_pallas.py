@@ -22,32 +22,11 @@ hardware limit for this op:
     network on the VPU — strictly more VPU work than XLA's tuned sort that
     already overlaps the MXU matmul.
 
-Conclusion: the fused-kernel slot stays on the XLA path (rankpo_tpu/ops/
-topk.py: dense under a memory budget / streaming scan above it, with the
-``recall_target`` serving knob). This gate returns False so callers keep that
-path; if a future Mosaic adds a sort primitive, implement the kernel behind
-this exact contract.
+Conclusion: the engine stays on the XLA path (rankpo_tpu/ops/topk.py: dense
+matmul under a score-matrix memory budget, python-unrolled budget-sized
+chunks merged pairwise above it, exact top-k via the two-pass block-max
+prefilter ``exact_topk_blockmax``, plus the ``recall_target`` serving knob).
+This module is the decision record only — if a future Mosaic release adds a
+sort/top_k primitive, a fused kernel belongs behind matmul_topk's existing
+signature in ops/topk.py.
 """
-
-from __future__ import annotations
-
-from typing import Tuple
-
-import jax
-
-
-def pallas_supported(q_shape, c_shape, k: int) -> bool:
-    return False
-
-
-def pallas_matmul_topk(
-    queries: jax.Array,
-    corpus: jax.Array,
-    *,
-    k: int,
-    n_valid=None,
-    index_offset=0,
-) -> Tuple[jax.Array, jax.Array]:
-    raise NotImplementedError(
-        "exact top-k stays on the XLA path by measurement; see module docstring"
-    )

@@ -455,7 +455,12 @@ class Trainer:
                 stack=accum,
             )
             step_in_epoch = resume_step_in_epoch if epoch == resume_epoch else 0
-            metrics = None  # set by the first step; guards epoch-end logging
+            # interval accumulators (the reference's store_metrics analog,
+            # rankpo_trainer.py:626-645): per-step metric dicts stay ON
+            # DEVICE (tiny replicated scalars) between log steps — no sync —
+            # and the flush logs their MEANS over the interval
+            metric_buffer: List = []
+            time_buffer: List[float] = []
             staged = self._stage(next(batch_iter, None))
             while staged is not None:
                 batch = staged
@@ -488,33 +493,41 @@ class Trainer:
                 metrics = self.train_step(batch, rng)
                 # stage the NEXT group while the device runs this step
                 staged = self._stage(next(batch_iter, None))
-                if will_log:
-                    # sync only when logging: at logging_steps > 1 the host
-                    # keeps collating while the device runs ahead
-                    metrics = {k: float(v) for k, v in metrics.items()}
-                step_time = time.time() - t_step
+                # buffered on device, un-fetched: at logging_steps > 1 the
+                # host keeps collating while the device runs ahead (the flush
+                # below is the interval's only sync point)
+                metric_buffer.append(metrics)
+                time_buffer.append(time.time() - t_step)
                 global_step += 1
                 step_in_epoch += 1
 
                 if will_log:
+                    means = self._mean_metrics(metric_buffer)
                     logs = {
                         "global_step": global_step,
-                        "loss": float(metrics["loss"]),
+                        # loss/grad_norm and every loss_fn metric (rewards/*
+                        # families etc.) are MEANS over the logging interval,
+                        # like the reference's store_metrics flush
+                        "loss": means.pop("loss"),
                         "learning_rate": float(self.schedule(global_step - 1)),
-                        "grad_norm": float(metrics["grad_norm"]),
+                        "grad_norm": means.pop("grad_norm"),
                         "global_epoch": round(
                             epoch + step_in_epoch / max(steps_per_epoch, 1), 4
                         ),
                         "epoch": epoch,
                         "step": step_in_epoch,
                     }
-                    for k, v in metrics.items():
-                        if k not in ("loss", "grad_norm"):
-                            logs[k] = float(v)
-                    logs["step_time"] = round(step_time, 4)
-                    logs["samples_per_sec"] = round(
-                        micro_global * accum / step_time, 2
+                    logs.update(means)
+                    logs["step_time"] = round(
+                        sum(time_buffer) / len(time_buffer), 4
                     )
+                    logs["samples_per_sec"] = round(
+                        micro_global * accum * len(time_buffer)
+                        / sum(time_buffer),
+                        2,
+                    )
+                    metric_buffer.clear()
+                    time_buffer.clear()
                     self._log(logs)
 
                 if (
@@ -541,16 +554,18 @@ class Trainer:
                     )
                     return self._history
 
-            if cfg.logging_strategy == "epoch" and metrics is not None:
+            if cfg.logging_strategy == "epoch" and metric_buffer:
+                means = self._mean_metrics(metric_buffer)
                 logs = {
                     "global_step": global_step,
-                    "loss": float(metrics["loss"]),
+                    "loss": means.pop("loss"),
                     "learning_rate": float(self.schedule(global_step - 1)),
-                    "grad_norm": float(metrics["grad_norm"]),
+                    "grad_norm": means.pop("grad_norm"),
                     "global_epoch": epoch + 1,
                     "epoch": epoch,
                     "step": step_in_epoch,
                 }
+                logs.update(means)
                 self._log(logs)
             if cfg.eval_strategy == "epoch":
                 self._maybe_evaluate(global_step, epoch)
@@ -564,6 +579,15 @@ class Trainer:
         return self._history
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _mean_metrics(buffer: List[Dict]) -> Dict[str, float]:
+        """Fetch the buffered per-step device metrics and mean them per key
+        (the only sync point of the logging interval)."""
+        n = len(buffer)
+        return {
+            k: sum(float(m[k]) for m in buffer) / n for k in buffer[0]
+        }
+
     def _log(self, logs: Dict) -> None:
         ordered = {k: logs[k] for k in _LOG_KEY_ORDER if k in logs}
         ordered.update({k: v for k, v in logs.items() if k not in ordered})

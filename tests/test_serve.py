@@ -61,6 +61,60 @@ class TestRetrievalService:
         assert svc.ntotal == 8
 
 
+class TestFusedEncodeSearch:
+    """Serving fuses tokens->embed->search into ONE compiled dispatch; the
+    results must be bit-identical to the two-dispatch path (same tokenizer
+    prep, same search callable — only the program boundary moves)."""
+
+    QUERIES = ["document 3 on distinct topic 3",
+               "document 19 on distinct topic 19",
+               "document 7 on distinct topic 7"]
+
+    def _both(self, service, k):
+        assert service.fuse_encode_search
+        fused = service.query(self.QUERIES, k=k, return_passages=False)
+        service.fuse_encode_search = False
+        try:
+            direct = service.query(self.QUERIES, k=k, return_passages=False)
+        finally:
+            service.fuse_encode_search = True
+        return fused, direct
+
+    def test_bit_identical_to_two_dispatch(self, service):
+        fused, direct = self._both(service, k=5)
+        for f, d in zip(fused, direct):
+            assert [h["index"] for h in f["hits"]] == [
+                h["index"] for h in d["hits"]
+            ]
+            for hf, hd in zip(f["hits"], d["hits"]):
+                assert hf["score"] == hd["score"]
+
+    def test_single_string_and_k_above_ntotal(self, service):
+        res = service.query("document 7 on distinct topic 7", k=1000)
+        assert len(res["hits"]) == service.ntotal
+        assert res["hits"][0]["index"] == 7
+
+    def test_index_rebuild_invalidates_fused_cache(self, service, data_mesh):
+        from rankpo_tpu.serve.service import RetrievalService
+
+        svc = RetrievalService(service.encoder, mesh=data_mesh,
+                               max_query_length=16, query_batch_size=8)
+        svc.build_index([f"document {i} on distinct topic {i}"
+                         for i in range(16)], max_passage_length=16,
+                        batch_size=8)
+        first = svc.query("document 5 on distinct topic 5", k=3,
+                          return_passages=False)
+        assert first["hits"][0]["index"] == 5
+        # rebuild with a different corpus size: fused programs baked the old
+        # n_total/k_local and must be rebuilt, not reused
+        svc.build_index([f"document {i} on distinct topic {i}"
+                         for i in range(24)], max_passage_length=16,
+                        batch_size=8)
+        res = svc.query("document 21 on distinct topic 21", k=3,
+                        return_passages=False)
+        assert res["hits"][0]["index"] == 21
+
+
 class TestHTTPServer:
     def test_search_endpoint(self, service):
         from http.server import ThreadingHTTPServer

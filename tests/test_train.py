@@ -134,6 +134,62 @@ class TestTrainerContrastive:
             "global_epoch", "epoch", "step",
         ]
 
+    def test_logging_interval_means(self, data_mesh, tmp_path, tok):
+        """At logging_steps=2 every logged loss (and every loss_fn metric)
+        must be the MEAN over the 2-step interval, not the last step's
+        instantaneous value (the reference's store_metrics flush,
+        rankpo_trainer.py:626-645)."""
+        trainer, _ = _make_trainer(
+            data_mesh, tmp_path, tok,
+            cfg_extra={"logging_steps": 2, "save_strategy": "no"},
+        )
+        # wrap the loss to also emit a per-step-varying metric: the step
+        # counter itself (read from the rng fold-in is opaque; use loss copy)
+        inner = trainer.loss_fn
+
+        def wrapped(params, batch, rng):
+            loss, metrics = inner(params, batch, rng)
+            return loss, {**metrics, "probe": loss * 2.0}
+
+        trainer.loss_fn = wrapped
+        trainer._step_fn = trainer._build_step()
+        ds = ContrastiveDataset(_contrastive_rows(32), tok, 16, 16)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                   max_query_length=16, max_passage_length=16,
+                                   seed=0)
+        history = trainer.train(ds, coll)
+        # 32 rows / 8-device batch = 4 steps -> 2 log entries, 2 steps each
+        assert [h["global_step"] for h in history] == [2, 4]
+        for h in history:
+            # probe = 2*loss per step; its logged mean must be exactly twice
+            # the logged loss mean only if both were averaged the same way
+            np.testing.assert_allclose(h["probe"], 2.0 * h["loss"], rtol=1e-6)
+        # losses vary step to step, so an interval mean cannot equal the
+        # instantaneous last-step loss: re-run unbuffered to compare
+        trainer2, _ = _make_trainer(
+            data_mesh, tmp_path, tok,
+            cfg_extra={"logging_steps": 1, "save_strategy": "no"},
+        )
+        trainer2.loss_fn = wrapped
+        trainer2._step_fn = trainer2._build_step()
+        # fresh collator: its negative-sampling RNG is stateful, and run 2
+        # must draw the identical sample stream to compare losses
+        coll2 = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                    max_query_length=16, max_passage_length=16,
+                                    seed=0)
+        history2 = trainer2.train(ds, coll2)
+        assert len(history2) == 4
+        np.testing.assert_allclose(
+            history[0]["loss"],
+            (history2[0]["loss"] + history2[1]["loss"]) / 2,
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            history[1]["loss"],
+            (history2[2]["loss"] + history2[3]["loss"]) / 2,
+            rtol=1e-6,
+        )
+
     def test_zero1_opt_state_sharded(self, data_mesh, tmp_path, tok):
         trainer, _ = _make_trainer(data_mesh, tmp_path, tok, zero1=True)
         mu = trainer.state.opt_state[1][0].mu  # clip -> adamw inner state
