@@ -33,6 +33,7 @@ Prints ONE json line.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -194,7 +195,7 @@ def _device_1m():
 
     kq, kc = jax.random.split(jax.random.key(7))
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=(1, 2))
     def gen(key, n, d):
         x = jax.random.normal(key, (n, d), jnp.float32)
         return x / jnp.linalg.norm(x, axis=-1, keepdims=True)

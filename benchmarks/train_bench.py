@@ -39,6 +39,13 @@ def main():
     parser.add_argument("--grad_cache", action="store_true")
     parser.add_argument("--pad_frac", type=float, default=0.0,
                         help="fraction of each row that is padding (realistic batches)")
+    parser.add_argument("--ablate", default="none",
+                        choices=["none", "rope", "norm", "opt"],
+                        help="perf ablations (numerically WRONG, diagnosis "
+                             "only): upper bound of what fusing/eliminating "
+                             "the op could buy — rope: identity RoPE; norm: "
+                             "identity RMSNorm; opt: SGD update instead of "
+                             "AdamW (bounds optimizer HBM traffic)")
     args = parser.parse_args()
 
     import jax
@@ -47,6 +54,27 @@ def main():
     from rankpo_tpu.core.mesh import local_mesh
     from rankpo_tpu.models import EncoderConfig, init_params
     from rankpo_tpu.train import TrainConfig, Trainer, make_contrastive_loss_fn
+
+    if args.ablate == "rope":
+        from rankpo_tpu.models import llama
+
+        llama.apply_rope = lambda x, cos, sin: x
+    elif args.ablate == "norm":
+        from rankpo_tpu.models import llama
+
+        llama.rms_norm = lambda x, w, eps, gemma=False: x
+    elif args.ablate == "opt":
+        import optax
+
+        from rankpo_tpu.train import state as _state
+        from rankpo_tpu.train import trainer as _trainer_mod
+
+        def sgd_optimizer(config, total_steps):
+            schedule = _state.make_schedule(config, total_steps)
+            return optax.sgd(schedule), schedule
+
+        # Trainer imported the name directly; patch its module binding
+        _trainer_mod.make_optimizer = sgd_optimizer
 
     config = EncoderConfig(
         model_type="llama",

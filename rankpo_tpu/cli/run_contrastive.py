@@ -152,10 +152,26 @@ def main(argv=None):
         mesh=mesh if train_cfg.model_parallel > 1 else None,
     )
 
+    from rankpo_tpu.utils.model_card import write_model_card
+
     def save_params_fn(directory, host_params):
         save_pretrained(directory, config, host_params)
         if hasattr(tokenizer, "save_pretrained"):
             tokenizer.save_pretrained(directory)
+        # push_to_hub tagging analog (reference rankpo_trainer.py:647-654)
+        write_model_card(
+            directory,
+            stage="contrastive",
+            tags=["rankpo_tpu", "contrastive", "dense-retrieval"],
+            base_model=model_args.model_name_or_path,
+            training_args={
+                "temperature": c_args.temperature,
+                "negatives_cross_device": c_args.negatives_cross_device,
+                "learning_rate": train_cfg.learning_rate,
+                "per_device_train_batch_size":
+                    train_cfg.per_device_train_batch_size,
+            },
+        )
 
     grad_fn = None
     if c_args.grad_cache:

@@ -108,6 +108,26 @@ def main(argv=None):
         mesh=mesh if train_cfg.model_parallel > 1 else None,
     )
 
+    from rankpo_tpu.utils.model_card import write_model_card
+
+    def _write_card(directory):
+        # push_to_hub tagging analog (reference rankpo_trainer.py:647-654)
+        write_model_card(
+            directory,
+            stage="rankpo",
+            tags=["rankpo_tpu", "rankpo", "preference-optimization",
+                  "dense-retrieval"]
+                 + (["lora"] if r_args.use_lora else []),
+            base_model=model_args.model_name_or_path,
+            training_args={
+                "loss_type": r_args.loss_type,
+                "beta": r_args.beta,
+                "temperature": r_args.temperature,
+                "reference_free": r_args.reference_free,
+                "learning_rate": train_cfg.learning_rate,
+            },
+        )
+
     if r_args.use_lora:
         from rankpo_tpu.models.lora import (
             LoraConfig, count_params, init_lora_params, make_lora_loss_fn,
@@ -139,6 +159,7 @@ def main(argv=None):
             save_pretrained(directory, config, merged)
             if hasattr(tokenizer, "save_pretrained"):
                 tokenizer.save_pretrained(directory)
+            _write_card(directory)
     else:
         loss_fn = inner_loss_fn
 
@@ -146,6 +167,7 @@ def main(argv=None):
             save_pretrained(directory, config, host_params)
             if hasattr(tokenizer, "save_pretrained"):
                 tokenizer.save_pretrained(directory)
+            _write_card(directory)
 
     from rankpo_tpu.utils.wandb_utils import maybe_init_wandb
 

@@ -91,6 +91,9 @@ def test_full_pipeline(workspace):
     assert os.path.isfile(os.path.join(out1, "model.safetensors"))
     assert os.path.isdir(os.path.join(out1, "checkpoint-2"))
     assert os.path.isfile(os.path.join(out1, "train_results.json"))
+    # model card with YAML front-matter tags (push_to_hub tagging analog)
+    card = open(os.path.join(out1, "README.md")).read()
+    assert card.startswith("---\n") and "- rankpo_tpu" in card
 
     # ---- evaluate all stage-1 checkpoints -----------------------------------
     from rankpo_tpu.cli.evaluate import main as run_eval
