@@ -178,6 +178,9 @@ class InferenceEncoder:
             chunk = sentences[lo : lo + batch_size]
             batch = self.prepare_batch(chunk, batch_size, max_length)
             reps = self._embed_fn(self.params, batch)
+            # queue this batch's D2H behind its compute now: the copy overlaps
+            # later batches' compute instead of serializing at the window edge
+            reps.copy_to_host_async()
             pending.append((reps, len(chunk)))
             if len(pending) > max_in_flight:
                 reps0, real0 = pending.pop(0)
@@ -187,8 +190,6 @@ class InferenceEncoder:
                     "%s: %d texts, batch %d, seq %d", description, n,
                     batch_size, batch["input_ids"].shape[-1],
                 )
-        for reps, real in pending:  # start remaining D2H before blocking reads
-            reps.copy_to_host_async()
         out.extend(np.asarray(reps[:real], np.float32) for reps, real in pending)
         result = np.concatenate(out, axis=0) if out else np.zeros((0, 0), np.float32)
         return result[0] if single else result
