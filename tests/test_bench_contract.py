@@ -23,9 +23,10 @@ def test_bench_functions_tiny(monkeypatch):
     assert corpus.shape == (512, 64)
     cpu_qps = bench._cpu_qps(corpus, queries)
     assert cpu_qps > 0
-    qps, qps_dev, backend = bench._device_qps(corpus, queries)
-    assert qps > 0
-    assert backend in ("cpu", "tpu")
+    index, qps_dev = bench._device_100k(corpus, queries, on_tpu=False)
+    assert qps_dev > 0
+    dt = bench._tunnel_e2e_sample(index, queries, reps=1)
+    assert dt > 0
 
 
 def test_bench_main_prints_one_json_line(monkeypatch, capsys):
