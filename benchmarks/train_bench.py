@@ -39,6 +39,11 @@ def main():
     parser.add_argument("--grad_cache", action="store_true")
     parser.add_argument("--pad_frac", type=float, default=0.0,
                         help="fraction of each row that is padding (realistic batches)")
+    parser.add_argument("--optim", default="adamw",
+                        choices=["adamw", "adamw8bit", "adafactor"])
+    parser.add_argument("--max_grad_norm", type=float, default=1.0,
+                        help="0 disables clipping (saves a full-grad-tree "
+                             "transient at the memory boundary)")
     parser.add_argument("--ablate", default="none",
                         choices=["none", "rope", "norm", "opt"],
                         help="perf ablations (numerically WRONG, diagnosis "
@@ -113,6 +118,8 @@ def main():
         lr_scheduler_type="constant",
         per_device_train_batch_size=args.batch,
         gradient_accumulation_steps=args.accum,
+        max_grad_norm=args.max_grad_norm,
+        optim=args.optim,
         save_strategy="no",
     )
     grad_fn = None

@@ -35,6 +35,11 @@ class TrainConfig:
     adam_beta2: float = 0.999
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
+    # "adamw" (reference parity) | "adamw8bit" (blockwise int8 moments,
+    # ~half the moment HBM — train/optim8bit.py) | "adafactor" (factored
+    # second moment, optax). The memory-efficient variants are what make
+    # grad accumulation / batch 2 fit at 1.24B on one 16 GB chip.
+    optim: str = "adamw"
 
     # schedule
     num_train_epochs: int = 3

@@ -96,19 +96,56 @@ def make_schedule(config: TrainConfig, total_steps: int) -> optax.Schedule:
 
 
 def make_optimizer(config: TrainConfig, total_steps: int):
-    """AdamW + global-norm clipping (the reference's implicit HF defaults:
-    clip at max_grad_norm, AdamW with TrainingArguments betas/eps)."""
+    """Optimizer + global-norm clipping. ``config.optim`` selects:
+
+    - "adamw" (default): reference parity — clip at max_grad_norm, AdamW
+      with TrainingArguments betas/eps;
+    - "adamw8bit": identical math with blockwise-int8 moment storage
+      (train/optim8bit.py) — ~half the moment HBM, what buys grad
+      accumulation / batch 2 headroom at 1.24B on one chip;
+    - "adafactor": optax Adafactor with first-moment momentum in bf16
+      (factored second moment ≈ zero nu memory).
+    """
     schedule = make_schedule(config, total_steps)
     components = []
     if config.max_grad_norm and config.max_grad_norm > 0:
         components.append(optax.clip_by_global_norm(config.max_grad_norm))
-    components.append(
-        optax.adamw(
-            schedule,
-            b1=config.adam_beta1,
-            b2=config.adam_beta2,
-            eps=config.adam_epsilon,
-            weight_decay=config.weight_decay,
+    if config.optim == "adamw":
+        components.append(
+            optax.adamw(
+                schedule,
+                b1=config.adam_beta1,
+                b2=config.adam_beta2,
+                eps=config.adam_epsilon,
+                weight_decay=config.weight_decay,
+            )
         )
-    )
+    elif config.optim == "adamw8bit":
+        from rankpo_tpu.train.optim8bit import adamw8bit
+
+        components.append(
+            adamw8bit(
+                schedule,
+                b1=config.adam_beta1,
+                b2=config.adam_beta2,
+                eps=config.adam_epsilon,
+                weight_decay=config.weight_decay,
+            )
+        )
+    elif config.optim == "adafactor":
+        components.append(
+            optax.adafactor(
+                learning_rate=schedule,
+                momentum=config.adam_beta1,
+                dtype_momentum=jnp.bfloat16,
+                weight_decay_rate=config.weight_decay or None,
+                multiply_by_parameter_scale=False,
+                clipping_threshold=None,
+            )
+        )
+    else:
+        raise ValueError(
+            f"unknown optim {config.optim!r}; "
+            "one of ['adamw', 'adamw8bit', 'adafactor']"
+        )
     return optax.chain(*components), schedule
