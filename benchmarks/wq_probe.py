@@ -49,11 +49,15 @@ def main():
         return best
 
     def loop(body):
+        # UNROLLED over layers (a fori + dynamic-slice gather of w[l] costs a
+        # [K,N] copy per layer that swamps the dtype effect being measured);
+        # only the REPS amortization loop is dynamic
         def f(*args):
             def it(i, carry):
-                def layer(l, c):
-                    return c + body(l, *args) * 1e-20
-                return jax.lax.fori_loop(0, L, layer, carry)
+                c = carry
+                for l in range(L):
+                    c = c + body(l, *args) * 1e-20
+                return c
             return jax.lax.fori_loop(0, REPS, it, jnp.float32(0.0))
         return f
 

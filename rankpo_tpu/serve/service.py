@@ -229,11 +229,30 @@ class RetrievalService:
 
     def _get_fused(self, k: int):
         """One jitted program per k: tokens -> embed -> sharded search.
-        jit itself re-specializes per (batch, length) bucket shape."""
-        with self._fused_lock:
-            fn = self._fused_fns.get(k)
-            if fn is not None:
-                return fn
+        jit itself re-specializes per (batch, length) bucket shape.
+
+        Returns ``(fn, index)`` — the index the program was built against.
+        The caller must pass THAT index's corpus to the fn: the program bakes
+        n_total/shard_rows as constants, and a concurrent index rebuild
+        (add_passages) between lookup and dispatch must not mix a stale
+        program with the new corpus. Cache entries self-invalidate when
+        ``entry_index is not self.index``; a build that races a rebuild is
+        retried rather than cached (TOCTOU guard)."""
+        while True:
+            with self._fused_lock:
+                entry = self._fused_fns.get(k)
+                if entry is not None and entry[1] is self.index:
+                    return entry
+                index = self.index
+            fn = self._build_fused(k, index)
+            with self._fused_lock:
+                if self.index is index:
+                    self._fused_fns[k] = (fn, index)
+                    return fn, index
+            # the index was rebuilt while this program was being built:
+            # loop and rebuild against the current one
+
+    def _build_fused(self, k: int, index):
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -242,7 +261,6 @@ class RetrievalService:
         from rankpo_tpu.models import encoder as enc_mod
 
         enc_obj = self.encoder
-        index = self.index
         search = index.search_callable(k)
         mesh = self.mesh
 
@@ -281,33 +299,36 @@ class RetrievalService:
                 ),
                 out_shardings=NamedSharding(mesh, P()),
             )
-        with self._fused_lock:
-            return self._fused_fns.setdefault(k, fn)
+        return fn
 
     def _query_fused(self, texts: List[str], k: int):
-        """Single-dispatch top-k: returns (scores, indices) numpy [Q, k]."""
-        b = self._batch_bucket(max(len(texts), 1))
+        """Fused-dispatch top-k: returns (scores, indices) numpy [Q, k].
+        Groups larger than query_batch_size run as several fused dispatches
+        (so the fused path — the only one warmup precompiles — serves every
+        group size)."""
+        fn, index = self._get_fused(k)
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
-        if b % n_dev != 0:
-            b = -(-b // n_dev) * n_dev
-        # single-process: prepare_batch returns host numpy and jit's
-        # in_shardings place it; multi-process: it is already globally sharded
-        batch = self.encoder.prepare_batch(
-            list(texts), b, self.max_query_length
-        )
-        fn = self._get_fused(k)
-        scores, indices = fn(
-            self.encoder.params,
-            self.index.corpus,
-            self.index.row_scale,
-            batch["input_ids"],
-            batch["attention_mask"],
-        )
-        n = len(texts)
-        return (
-            np.asarray(scores, np.float32)[:n],
-            np.asarray(indices, np.int32)[:n],
-        )
+        all_s, all_i = [], []
+        for lo in range(0, len(texts), self.query_batch_size):
+            chunk = texts[lo : lo + self.query_batch_size]
+            b = self._batch_bucket(max(len(chunk), 1))
+            if b % n_dev != 0:
+                b = -(-b // n_dev) * n_dev
+            # single-process: prepare_batch returns host numpy and jit's
+            # in_shardings place it; multi-process: already globally sharded
+            batch = self.encoder.prepare_batch(
+                list(chunk), b, self.max_query_length
+            )
+            scores, indices = fn(
+                self.encoder.params,
+                index.corpus,
+                index.row_scale,
+                batch["input_ids"],
+                batch["attention_mask"],
+            )
+            all_s.append(np.asarray(scores, np.float32)[: len(chunk)])
+            all_i.append(np.asarray(indices, np.int32)[: len(chunk)])
+        return np.concatenate(all_s), np.concatenate(all_i)
 
     def query(
         self,
@@ -323,11 +344,7 @@ class RetrievalService:
         if single:
             texts = [texts]
         k_eff = min(k, self.index.ntotal)
-        if (
-            self.fuse_encode_search
-            and len(texts) <= self.query_batch_size
-            and self.encoder.mesh is self.mesh
-        ):
+        if self.fuse_encode_search and self.encoder.mesh is self.mesh:
             scores, indices = self._query_fused(list(texts), k_eff)
         else:
             q_emb = self.encoder.encode(

@@ -44,7 +44,7 @@ class Adam8bitState(NamedTuple):
     count: jax.Array  # int32 scalar
     mu_q: object  # tree of int8 [n_blocks, block]
     mu_scale: object  # tree of fp32 [n_blocks]
-    nu_q: object  # tree of uint8 [n_blocks, block] (sqrt domain)
+    nu_q: object  # tree of uint8 [n_blocks, block] (log-domain codes of nu)
     nu_scale: object  # tree of fp32 [n_blocks]
 
 

@@ -445,6 +445,9 @@ class Trainer:
         resume_step_in_epoch = global_step % max(steps_per_epoch, 1)
 
         t_start = time.time()
+        logging_enabled = cfg.logging_strategy == "epoch" or (
+            cfg.logging_strategy == "steps" and bool(cfg.logging_steps)
+        )
         for epoch in range(max(start_epoch, resume_epoch), cfg.num_train_epochs):
             # the loader thread collates AND stacks whole [accum, B, ...]
             # groups; the loop keeps one staged (device_put in flight) ahead,
@@ -495,14 +498,25 @@ class Trainer:
                 staged = self._stage(next(batch_iter, None))
                 # buffered on device, un-fetched: at logging_steps > 1 the
                 # host keeps collating while the device runs ahead (the flush
-                # below is the interval's only sync point)
-                metric_buffer.append(metrics)
-                time_buffer.append(time.time() - t_step)
+                # below is the interval's only sync point). Only buffer when
+                # some flush will consume it — logging_strategy="no" would
+                # otherwise retain every step's device scalars all epoch.
+                if logging_enabled:
+                    metric_buffer.append(metrics)
                 global_step += 1
                 step_in_epoch += 1
 
                 if will_log:
+                    # fetch (syncing the device queue) BEFORE closing the
+                    # interval's timer: non-logging steps record only their
+                    # ~ms dispatch latency, so the flush step must absorb the
+                    # queue drain for sum(time_buffer) to be true wall time —
+                    # without this, samples_per_sec measured async dispatch
+                    # (observed ~300x inflated)
                     means = self._mean_metrics(metric_buffer)
+                time_buffer.append(time.time() - t_step)
+
+                if will_log:
                     logs = {
                         "global_step": global_step,
                         # loss/grad_norm and every loss_fn metric (rewards/*
@@ -582,11 +596,13 @@ class Trainer:
     @staticmethod
     def _mean_metrics(buffer: List[Dict]) -> Dict[str, float]:
         """Fetch the buffered per-step device metrics and mean them per key
-        (the only sync point of the logging interval)."""
-        n = len(buffer)
-        return {
-            k: sum(float(m[k]) for m in buffer) / n for k in buffer[0]
-        }
+        (the only sync point of the logging interval). One batched
+        device_get for the whole buffer: per-scalar float() would pay one
+        host-device round trip each — through a remote tunnel that is
+        ~25-30 ms PER SCALAR, seconds per flush at logging_steps=100."""
+        host = jax.device_get(buffer)
+        n = len(host)
+        return {k: sum(float(m[k]) for m in host) / n for k in host[0]}
 
     def _log(self, logs: Dict) -> None:
         ordered = {k: logs[k] for k in _LOG_KEY_ORDER if k in logs}

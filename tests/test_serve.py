@@ -94,6 +94,27 @@ class TestFusedEncodeSearch:
         assert len(res["hits"]) == service.ntotal
         assert res["hits"][0]["index"] == 7
 
+    def test_group_larger_than_query_batch_size_chunks_fused(self, service):
+        # groups beyond query_batch_size (8 in the fixture) must still ride
+        # the fused path (chunked) — the two-dispatch fallback is never
+        # precompiled by warmup, so falling into it cold would pay a live
+        # XLA compile (review finding, round 3)
+        corpus = [f"document {j} on distinct topic {j}" for j in range(32)]
+        tok = service.encoder.tokenizer
+
+        def ids(t):
+            return tuple(tok(t, max_length=16)["input_ids"])
+
+        texts = [corpus[i] for i in range(20)]
+        res = service.query(texts, k=2, return_passages=False)
+        assert len(res) == 20
+        for i, r in enumerate(res):
+            # HashTokenizer@vocab256 collides some numerals (e.g. "13"=="10")
+            # giving identical embeddings; FAISS tie semantics then pick the
+            # LOWEST colliding corpus index — expect that, not i itself
+            expect = min(j for j in range(32) if ids(corpus[j]) == ids(texts[i]))
+            assert r["hits"][0]["index"] == expect, (i, r["hits"][0])
+
     def test_index_rebuild_invalidates_fused_cache(self, service, data_mesh):
         from rankpo_tpu.serve.service import RetrievalService
 
