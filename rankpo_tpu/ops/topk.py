@@ -19,7 +19,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 NEG_INF = float("-inf")  # plain python: a module-level jnp scalar would initialize
 # the XLA backend at import time, breaking jax.distributed.initialize in CLIs
@@ -39,17 +38,24 @@ BLOCKMAX_SLACK = 16
 
 
 def _pick_block(n: int, c: int) -> int:
-    """Sort work is ~linear in width on TPU (measured v5e: top_k [4096, W]
-    4.3ms @1k / 12.3ms @4k / 33.7ms @8k), so total cost ~ B + c*block with
-    B = n/block — minimized at block = sqrt(n/c). Clamp to [32, 512]:
-    below 32 the gather slices fall under 128 bytes, above 512 the candidate
-    sort dominates. Measured e2e at [4096, 100k] k=100: block 32 = 48ms,
-    64 = 62ms, 128 = 90ms, plain sort = 141ms."""
-    ideal = int(np.sqrt(max(n // max(c, 1), 1)))
-    block = 32
-    while block * 2 <= ideal and block < 512:
-        block *= 2
-    return block
+    """Block = 32, always — the sqrt(n/c) cost model this used in rounds 1-2
+    ("blockmax top_k ~B=n/block, candidate sort ~c*block, balance them") is
+    WRONG at large n: the block-max custom TopK over [Q, B] is not linear in
+    B, so shrinking B by doubling the block buys nothing while the wider
+    candidate sort and the lane-padded [Q, B, block] reshape copy (block < 128
+    pads to 128 lanes) cost plenty. Measured on real v5e, engine e2e:
+
+      [4096, 100k] k=100:  block 32 = 48ms, 64 = 62, 128 = 90 (round 2)
+      [1024, 500k] k=100:  block 32 = 54.4ms, 64 = 70.0, 128 = 72.0, 256 = 92.3
+      [1024, 1M]   k=10:   block 32 = 84.0ms, 64 = 106.9
+      [1024, 1M]   k=100:  block 32 = 98.2ms (10.4k QPS), 64 = 115.3 (8.9k)
+      [1024, 1M]   k=1000: block 32 = 192.3ms, 64 fails to compile (HBM)
+
+    32 wins every profiled config; the old rule returned 64 exactly where it
+    hurt most (n/c >= 4096, i.e. the 0.5-1M corpora). 16 is worse again
+    (1M k=100: 107.0ms) — gather slices fall under 128 bytes."""
+    del n, c
+    return 32
 
 
 def exact_topk_blockmax(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
@@ -66,9 +72,9 @@ def exact_topk_blockmax(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array
       2. gather the selected blocks' columns (ascending global index) and
          lax.top_k over the ~(k+slack)*block candidates instead of N.
 
-    Block size balances the two sorts (see _pick_block); measured on v5e at
-    [4096, 100k] k=100 this is 48ms vs 141ms for the plain full sort (2.9x),
-    on top of the score matmul.
+    Block size is fixed at 32 (the measured optimum at every profiled shape —
+    decision record in _pick_block); at [4096, 100k] k=100 this is 48ms vs
+    141ms for the plain full sort (2.9x), on top of the score matmul.
 
     Exactness under ties is VERIFIED, not assumed: with theta = the k-th
     candidate score, the result is exact iff every block with max >= theta was
