@@ -56,7 +56,12 @@ def main():
             def it(i, carry):
                 c = carry
                 for l in range(L):
-                    c = c + body(l, *args) * 1e-20
+                    # feed the carry into the activation input so no dot is
+                    # loop-invariant (LICM would otherwise be free to hoist
+                    # the unrolled bodies out of the REPS loop and deflate
+                    # the timing by REPS — CLAUDE.md benchmarking rule)
+                    x = args[0] + (c * 0).astype(args[0].dtype)
+                    c = c + body(l, x, *args[1:]) * 1e-20
                 return c
             return jax.lax.fori_loop(0, REPS, it, jnp.float32(0.0))
         return f

@@ -99,7 +99,8 @@ def exact_topk_blockmax(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array
     m = jnp.max(main, axis=-1)  # [Q, B]
     bm, bi = jax.lax.top_k(m, c)
     bi_sorted = jnp.sort(bi, axis=1)  # ascending block index: FAISS tie order
-    # gather whole 128-wide blocks (contiguous minor dim -> efficient gather)
+    # gather whole blocks (contiguous 32-col slices = 128-byte fp32 minor
+    # dim, the gather-efficiency floor — see _pick_block)
     cand = jax.vmap(lambda s3, idx: jnp.take(s3, idx, axis=0))(
         main, bi_sorted
     ).reshape(q, c * block)

@@ -56,8 +56,10 @@ class RetrievalService:
         self.query_batch_size = query_batch_size
         self.recall_target = recall_target
         self.index_dtype = index_dtype if index_dtype is not None else jnp.float32
-        self.index: Optional[FlatIPIndex] = None
-        self.corpus_texts: List[str] = []
+        # (index, corpus_texts) swap ATOMICALLY as one tuple: a query must
+        # never decorate one index's hit ids with another corpus's texts
+        # (build_index/add_passages can race in-flight queries)
+        self._state: tuple = (None, [])
         # fused serving: tokens -> embed -> sharded search in ONE compiled
         # program. The embeddings never leave HBM between the two stages, and
         # one dispatch replaces two — through a ~25-30ms-floor remote tunnel
@@ -90,29 +92,41 @@ class RetrievalService:
             max_length=max_passage_length,
             description="Indexing corpus",
         )
-        self.index = FlatIPIndex(
-            embeddings, mesh=self.mesh, recall_target=self.recall_target,
-            dtype=self.index_dtype,
+        self._state = (
+            FlatIPIndex(
+                embeddings, mesh=self.mesh, recall_target=self.recall_target,
+                dtype=self.index_dtype,
+            ),
+            list(corpus_texts),
         )
-        self.corpus_texts = list(corpus_texts)
         with self._fused_lock:
             self._fused_fns.clear()  # fused programs bake in n_total/k_local
         logger.info(
             "indexed %d passages in %.1fs", len(corpus_texts), time.time() - t0
         )
 
+    @property
+    def index(self) -> Optional[FlatIPIndex]:
+        return self._state[0]
+
+    @property
+    def corpus_texts(self) -> List[str]:
+        return self._state[1]
+
     def load_index(self, embeddings: np.ndarray, corpus_texts: Sequence[str]):
         """Attach a prebuilt embedding matrix (e.g. from an offline encode)."""
-        self.index = FlatIPIndex(
-            embeddings, mesh=self.mesh, recall_target=self.recall_target,
-            dtype=self.index_dtype,
+        self._state = (
+            FlatIPIndex(
+                embeddings, mesh=self.mesh, recall_target=self.recall_target,
+                dtype=self.index_dtype,
+            ),
+            list(corpus_texts),
         )
-        self.corpus_texts = list(corpus_texts)
         with self._fused_lock:
             self._fused_fns.clear()  # fused programs bake in n_total/k_local
 
-    def _stored_embeddings(self) -> np.ndarray:
-        """Fetch the index's fp32 embedding matrix back to the host
+    def _stored_embeddings(self, index: FlatIPIndex) -> np.ndarray:
+        """Fetch an index's fp32 embedding matrix back to the host
         (dequantized for int8 storage). Multi-process: the corpus is sharded
         across hosts, so gather it (np.asarray alone cannot read
         non-addressable shards)."""
@@ -125,9 +139,9 @@ class RetrievalService:
                 arr = multihost_utils.process_allgather(arr, tiled=True)
             return np.asarray(arr, np.float32)
 
-        emb = fetch(self.index.corpus)[: self.index.n_total]
-        if self.index.quantized:
-            emb = emb * fetch(self.index.row_scale)[: self.index.n_total, None]
+        emb = fetch(index.corpus)[: index.n_total]
+        if index.quantized:
+            emb = emb * fetch(index.row_scale)[: index.n_total, None]
         return emb
 
     def add_passages(
@@ -144,7 +158,8 @@ class RetrievalService:
         structure to maintain, so "add" is concat + re-place in HBM (the
         encode of the NEW passages is the only model work). New passages get
         the next corpus indices, preserving existing ids."""
-        if self.index is None:
+        index, old_texts = self._state
+        if index is None:
             raise RuntimeError("no index built; call build_index first")
         new_emb = self.encoder.encode(
             list(texts),
@@ -152,8 +167,8 @@ class RetrievalService:
             max_length=max_passage_length,
             description="Encoding added passages",
         )
-        merged = np.concatenate([self._stored_embeddings(), new_emb], axis=0)
-        texts_all = self.corpus_texts + list(texts)
+        merged = np.concatenate([self._stored_embeddings(index), new_emb], axis=0)
+        texts_all = old_texts + list(texts)
         self.load_index(merged, texts_all)
         logger.info(
             "added %d passages (index now %d)", len(texts), self.ntotal
@@ -162,13 +177,14 @@ class RetrievalService:
     def save_index(self, path: str) -> None:
         """Persist embeddings + passages so a restart skips the corpus encode
         (the expensive step; FAISS users get this via write_index)."""
-        if self.index is None:
+        index, texts = self._state
+        if index is None:
             raise RuntimeError("no index built; call build_index first")
         np.savez_compressed(
-            path, embeddings=self._stored_embeddings(),
-            corpus_texts=np.asarray(self.corpus_texts, dtype=object),
+            path, embeddings=self._stored_embeddings(index),
+            corpus_texts=np.asarray(texts, dtype=object),
         )
-        logger.info("saved index (%d passages) to %s", self.ntotal, path)
+        logger.info("saved index (%d passages) to %s", index.ntotal, path)
 
     def load_index_file(self, path: str) -> None:
         data = np.load(path, allow_pickle=True)
@@ -231,24 +247,26 @@ class RetrievalService:
         """One jitted program per k: tokens -> embed -> sharded search.
         jit itself re-specializes per (batch, length) bucket shape.
 
-        Returns ``(fn, index)`` — the index the program was built against.
-        The caller must pass THAT index's corpus to the fn: the program bakes
-        n_total/shard_rows as constants, and a concurrent index rebuild
-        (add_passages) between lookup and dispatch must not mix a stale
-        program with the new corpus. Cache entries self-invalidate when
-        ``entry_index is not self.index``; a build that races a rebuild is
-        retried rather than cached (TOCTOU guard)."""
+        Returns ``(fn, index, corpus_texts)`` — the state snapshot the
+        program was built against. The caller must pass THAT index's corpus
+        to the fn AND decorate hits with THAT snapshot's texts: the program
+        bakes n_total/shard_rows as constants, and a concurrent index
+        rebuild (add_passages) between lookup and dispatch must not mix a
+        stale program with the new corpus (or stale hit ids with new
+        passage texts). Cache entries self-invalidate when their index is
+        no longer current; a build that races a rebuild is retried rather
+        than cached (TOCTOU guard)."""
         while True:
             with self._fused_lock:
                 entry = self._fused_fns.get(k)
-                if entry is not None and entry[1] is self.index:
+                if entry is not None and entry[1] is self._state[0]:
                     return entry
-                index = self.index
+                index, texts = self._state
             fn = self._build_fused(k, index)
             with self._fused_lock:
-                if self.index is index:
-                    self._fused_fns[k] = (fn, index)
-                    return fn, index
+                if self._state[0] is index:
+                    self._fused_fns[k] = (fn, index, texts)
+                    return fn, index, texts
             # the index was rebuilt while this program was being built:
             # loop and rebuild against the current one
 
@@ -302,13 +320,23 @@ class RetrievalService:
         return fn
 
     def _query_fused(self, texts: List[str], k: int):
-        """Fused-dispatch top-k: returns (scores, indices) numpy [Q, k].
-        Groups larger than query_batch_size run as several fused dispatches
-        (so the fused path — the only one warmup precompiles — serves every
-        group size)."""
-        fn, index = self._get_fused(k)
+        """Fused-dispatch top-k: returns (scores, indices, corpus_texts) —
+        numpy [Q, k] arrays plus the text list of the index snapshot actually
+        searched (hit decoration must use THESE texts, not live state, or a
+        concurrent rebuild mixes ids and passages). Groups larger than
+        query_batch_size run as several fused dispatches (so the fused path
+        — the only one warmup precompiles — serves every group size); all
+        chunks are dispatched before any result is fetched, so chunk i+1's
+        host prep overlaps chunk i's device execution."""
+        fn, index, corpus_texts = self._get_fused(k)
+        if not texts:
+            return (
+                np.zeros((0, min(k, index.ntotal)), np.float32),
+                np.zeros((0, min(k, index.ntotal)), np.int32),
+                corpus_texts,
+            )
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
-        all_s, all_i = [], []
+        pending = []
         for lo in range(0, len(texts), self.query_batch_size):
             chunk = texts[lo : lo + self.query_batch_size]
             b = self._batch_bucket(max(len(chunk), 1))
@@ -326,9 +354,13 @@ class RetrievalService:
                 batch["input_ids"],
                 batch["attention_mask"],
             )
-            all_s.append(np.asarray(scores, np.float32)[: len(chunk)])
-            all_i.append(np.asarray(indices, np.int32)[: len(chunk)])
-        return np.concatenate(all_s), np.concatenate(all_i)
+            pending.append((scores, indices, len(chunk)))
+        for scores, indices, _ in pending:  # start all D2H before blocking
+            scores.copy_to_host_async()
+            indices.copy_to_host_async()
+        all_s = [np.asarray(s, np.float32)[:n] for s, _, n in pending]
+        all_i = [np.asarray(i, np.int32)[:n] for _, i, n in pending]
+        return np.concatenate(all_s), np.concatenate(all_i), corpus_texts
 
     def query(
         self,
@@ -338,14 +370,19 @@ class RetrievalService:
         return_passages: bool = True,
     ) -> List[Dict]:
         """Top-k passages per query text."""
-        if self.index is None:
+        index, corpus_texts = self._state  # one consistent snapshot
+        if index is None:
             raise RuntimeError("no index built; call build_index first")
         single = isinstance(texts, str)
         if single:
             texts = [texts]
-        k_eff = min(k, self.index.ntotal)
+        k_eff = min(k, index.ntotal)
         if self.fuse_encode_search and self.encoder.mesh is self.mesh:
-            scores, indices = self._query_fused(list(texts), k_eff)
+            # the fused path re-snapshots internally (its compiled program and
+            # corpus must pair); use ITS texts for hit decoration
+            scores, indices, corpus_texts = self._query_fused(
+                list(texts), k_eff
+            )
         else:
             q_emb = self.encoder.encode(
                 list(texts),
@@ -353,7 +390,7 @@ class RetrievalService:
                 max_length=self.max_query_length,
                 description="Encoding queries",
             )
-            scores, indices = self.index.search(
+            scores, indices = index.search(
                 q_emb, k=k_eff, batch_size=self.query_batch_size
             )
         results = []
@@ -362,7 +399,7 @@ class RetrievalService:
             for score, idx in zip(scores[qi], indices[qi]):
                 hit = {"index": int(idx), "score": float(score)}
                 if return_passages:
-                    hit["passage"] = self.corpus_texts[int(idx)]
+                    hit["passage"] = corpus_texts[int(idx)]
                 hits.append(hit)
             results.append({"query": texts[qi], "hits": hits})
         return results[0] if single else results

@@ -115,6 +115,34 @@ class TestFusedEncodeSearch:
             expect = min(j for j in range(32) if ids(corpus[j]) == ids(texts[i]))
             assert r["hits"][0]["index"] == expect, (i, r["hits"][0])
 
+    def test_empty_query_list_returns_empty(self, service):
+        # review finding, round 3: the chunked loop never ran for [] and
+        # np.concatenate([]) raised where the old code returned []
+        assert service.query([], k=2, return_passages=True) == []
+
+    def test_stale_snapshot_decorates_with_its_own_texts(self, service,
+                                                         data_mesh):
+        # review finding, round 3: query() read self.corpus_texts LIVE, so a
+        # rebuild racing an in-flight fused query decorated old-index hit ids
+        # with the new corpus's texts (IndexError for a smaller corpus).
+        # Simulate the race: pin the fused snapshot from before a rebuild.
+        from rankpo_tpu.serve.service import RetrievalService
+
+        svc = RetrievalService(service.encoder, mesh=data_mesh,
+                               max_query_length=16, query_batch_size=8)
+        big = [f"document {i} on distinct topic {i}" for i in range(32)]
+        svc.build_index(big, max_passage_length=16, batch_size=8)
+        stale = svc._get_fused(2)  # (fn, index, texts) of the 32-doc state
+        svc.build_index(big[:8], max_passage_length=16, batch_size=8)
+        svc._get_fused = lambda k: stale  # in-flight query sees old snapshot
+        res = svc.query("document 21 on distinct topic 21", k=2)
+        # hit ids come from the 32-doc index; passages MUST come from the
+        # matching 32-doc text list (live corpus_texts has only 8 entries)
+        # (doc 21 avoids the HashTokenizer@256 numeral collisions, e.g.
+        # "20"=="10")
+        assert res["hits"][0]["index"] == 21
+        assert res["hits"][0]["passage"] == big[21]
+
     def test_index_rebuild_invalidates_fused_cache(self, service, data_mesh):
         from rankpo_tpu.serve.service import RetrievalService
 
@@ -433,7 +461,7 @@ class TestAddPassages:
         from http.server import ThreadingHTTPServer
         from rankpo_tpu.cli.serve import make_handler
 
-        emb_before = service._stored_embeddings()
+        emb_before = service._stored_embeddings(service.index)
         texts_before = list(service.corpus_texts)
         server = ThreadingHTTPServer(
             ("127.0.0.1", 0), make_handler(service, None, k_max=10)
