@@ -36,6 +36,18 @@ DENSE_SCORE_BUDGET = 1 << 32  # 4 GB
 # ties are caught by the exactness check and fall back)
 BLOCKMAX_SLACK = 16
 
+# two-LEVEL block selection above this many blocks: the [Q, B]-wide
+# lax.top_k that picks candidate blocks stops being cheap at B ~ 31k
+# (measured 39 ms of the 98 ms 1M-key exact dispatch), so select
+# top-(k+slack) SUPERBLOCKS of HIER_GROUP blocks first ([Q, ~1k]-wide sort),
+# then blocks within them ([Q, ~3.7k]-wide). Measured v5e full fp32-exact
+# search [1024, 1M, d1024] k=100: 100.9 -> 96.5 ms (1.046x), bit-exact; at
+# [4096, 100k] two-level LOSES (0.86x select-only: the extra block-maxima
+# gather outweighs the small sort it replaces), hence the gate
+# (benchmarks/hier_blockmax_probe.py, benchmarks/hier_full_search_ab.py).
+HIER_GROUP = 32
+HIER_MIN_BLOCKS = 8192
+
 
 def _pick_block(n: int, c: int) -> int:
     """Block = 32, always — the sqrt(n/c) cost model this used in rounds 1-2
@@ -74,7 +86,10 @@ def exact_topk_blockmax(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array
 
     Block size is fixed at 32 (the measured optimum at every profiled shape —
     decision record in _pick_block); at [4096, 100k] k=100 this is 48ms vs
-    141ms for the plain full sort (2.9x), on top of the score matmul.
+    141ms for the plain full sort (2.9x), on top of the score matmul. Above
+    HIER_MIN_BLOCKS blocks the block selection itself goes two-level
+    (superblocks of HIER_GROUP blocks first — decision record at the
+    constants; 1.046x full-search at [1024, 1M], bit-exact).
 
     Exactness under ties is VERIFIED, not assumed: with theta = the k-th
     candidate score, the result is exact iff every block with max >= theta was
@@ -97,8 +112,52 @@ def exact_topk_blockmax(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array
 
     main = scores[:, : b_full * block].reshape(q, b_full, block)
     m = jnp.max(main, axis=-1)  # [Q, B]
-    bm, bi = jax.lax.top_k(m, c)
-    bi_sorted = jnp.sort(bi, axis=1)  # ascending block index: FAISS tie order
+
+    if b_full >= HIER_MIN_BLOCKS and 2 * c <= b_full // HIER_GROUP:
+        # Two-level selection (decision record at HIER_MIN_BLOCKS). Coverage
+        # argument recurses: every superblock holding a true top-k column has
+        # max >= theta_k and at most k can, so the top-(k+slack) superblocks
+        # cover the top-k; blocks are then selected only within them. The
+        # exactness check extends to both levels below.
+        s_full = -(-b_full // HIER_GROUP)
+        pad = s_full * HIER_GROUP - b_full
+        m3 = jnp.pad(
+            m, ((0, 0), (0, pad)), constant_values=NEG_INF
+        ).reshape(q, s_full, HIER_GROUP)
+        sm = jnp.max(m3, axis=-1)  # [Q, S] superblock maxima
+        sv, si = jax.lax.top_k(sm, c)
+        si_sorted = jnp.sort(si, axis=1)
+        m_sel = jax.vmap(lambda g, idx: jnp.take(g, idx, axis=0))(
+            m3, si_sorted
+        ).reshape(q, c * HIER_GROUP)
+        bid = (
+            si_sorted[:, :, None] * HIER_GROUP
+            + jnp.arange(HIER_GROUP, dtype=jnp.int32)[None, None, :]
+        ).reshape(q, c * HIER_GROUP)
+        bv, bpos = jax.lax.top_k(m_sel, c)
+        bi_sorted = jnp.sort(jnp.take_along_axis(bid, bpos, axis=1), axis=1)
+        # -inf padding block ids (>= b_full) can only win in degenerate
+        # all--inf cases where theta = -inf; clamp for the gather — the
+        # exactness check then necessarily fails and the full sort runs
+        bi_sorted = jnp.minimum(bi_sorted, b_full - 1)
+
+        def _exact(theta):
+            return jnp.all(
+                (jnp.sum(sm >= theta, axis=1) == jnp.sum(sv >= theta, axis=1))
+                & (
+                    jnp.sum(m_sel >= theta, axis=1)
+                    == jnp.sum(bv >= theta, axis=1)
+                )
+            )
+
+    else:
+        bm, bi = jax.lax.top_k(m, c)
+        bi_sorted = jnp.sort(bi, axis=1)  # ascending block index: FAISS tie order
+
+        def _exact(theta):
+            return jnp.all(
+                jnp.sum(m >= theta, axis=1) == jnp.sum(bm >= theta, axis=1)
+            )
     # gather whole blocks (contiguous 32-col slices = 128-byte fp32 minor
     # dim, the gather-efficiency floor — see _pick_block)
     cand = jax.vmap(lambda s3, idx: jnp.take(s3, idx, axis=0))(
@@ -121,9 +180,7 @@ def exact_topk_blockmax(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array
     top_idx = jnp.take_along_axis(cols, pos, axis=1)
 
     theta = top_scores[:, k - 1 : k]  # [Q, 1] k-th candidate score
-    exact = jnp.all(
-        jnp.sum(m >= theta, axis=1) == jnp.sum(bm >= theta, axis=1)
-    )
+    exact = _exact(theta)
     return jax.lax.cond(
         exact,
         lambda _: (top_scores, top_idx),

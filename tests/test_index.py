@@ -135,6 +135,77 @@ class TestBlockmaxExactTopk:
         np.testing.assert_array_equal(np.asarray(i), ei)
 
 
+class TestHierBlockmax:
+    """Two-level (superblock) selection tier of exact_topk_blockmax.
+
+    The real gate needs >= HIER_MIN_BLOCKS (8192) blocks = 256k+ columns; the
+    monkeypatched cases lower it to exercise the two-level code on CPU-sized
+    corpora, including ties/fallback, ragged tails, and n_valid padding."""
+
+    def _patched(self, monkeypatch, min_blocks=8, group=4):
+        from rankpo_tpu.ops import topk as topk_mod
+        monkeypatch.setattr(topk_mod, "HIER_MIN_BLOCKS", min_blocks)
+        monkeypatch.setattr(topk_mod, "HIER_GROUP", group)
+
+    def test_two_level_matches_oracle(self, monkeypatch):
+        self._patched(monkeypatch)
+        corpus = _random_corpus(20_000, 16, 40)  # 625 blocks, ragged tail
+        queries = _random_corpus(8, 16, 41)
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=10)
+        es, ei = numpy_search(corpus, queries, 10)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+        np.testing.assert_allclose(np.asarray(s), es, atol=1e-5)
+
+    def test_two_level_mass_ties_fall_back(self, monkeypatch):
+        self._patched(monkeypatch)
+        base = _random_corpus(2048, 8, 42)
+        corpus = np.concatenate([base] * 8, axis=0)
+        queries = _random_corpus(4, 8, 43)
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=50)
+        es, ei = numpy_search(corpus, queries, 50)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+    def test_two_level_n_valid_padding(self, monkeypatch):
+        self._patched(monkeypatch)
+        corpus = np.full((16384, 8), 100.0, np.float32)
+        corpus[:9000] = _random_corpus(9000, 8, 44)
+        queries = _random_corpus(4, 8, 45)
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=20,
+                           n_valid=9000)
+        assert int(np.asarray(i).max()) < 9000
+        es, ei = numpy_search(corpus[:9000], queries, 20)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+    def test_two_level_top1_in_tail(self, monkeypatch):
+        self._patched(monkeypatch)
+        corpus = _random_corpus(32 * 700 + 13, 8, 46)  # ragged 13-col tail
+        queries = _random_corpus(3, 8, 47)
+        corpus[-1] = 10.0 * queries[0] / np.linalg.norm(queries[0])
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=5)
+        assert int(np.asarray(i)[0, 0]) == corpus.shape[0] - 1
+        es, ei = numpy_search(corpus, queries, 5)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+    def test_real_gate_engages_and_matches(self):
+        # 300k columns > HIER_MIN_BLOCKS*32: the unpatched two-level path
+        from rankpo_tpu.ops.topk import exact_topk_blockmax
+        rng = np.random.RandomState(48)
+        scores = jnp.asarray(rng.randn(4, 300_032).astype(np.float32))
+        s, i = jax.jit(lambda x: exact_topk_blockmax(x, 25))(scores)
+        order = np.argsort(-np.asarray(scores), axis=1, kind="stable")[:, :25]
+        np.testing.assert_array_equal(np.asarray(i), order)
+
+    def test_large_k_keeps_single_level(self, monkeypatch):
+        # 2*c > B//GROUP must bypass the two-level tier (coverage needs
+        # c superblocks); results still exact
+        self._patched(monkeypatch, min_blocks=8, group=64)
+        corpus = _random_corpus(20_000, 8, 49)
+        queries = _random_corpus(3, 8, 50)
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=300)
+        es, ei = numpy_search(corpus, queries, 300)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+
 class TestRandomizedSweep:
     def test_many_random_configs_match_oracle(self, data_mesh):
         """Property sweep: random (n, d, q, k, shard) configs — indices must
