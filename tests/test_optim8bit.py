@@ -148,6 +148,58 @@ class TestTrainerIntegration:
         assert all(np.isfinite(losses))
         assert losses[-1] < losses[0]
 
+    def test_checkpoint_round_trip_bit_exact(self, data_mesh, tmp_path):
+        """int8/uint8 moment codes + scales must survive the orbax opt-state
+        round trip bit-exactly (save_only_model=False path) — quantized
+        dtypes through the checkpointer are a real risk surface."""
+        import jax.numpy as jnp
+
+        from rankpo_tpu.models import init_params, tiny_llama_config
+        from rankpo_tpu.train import (
+            TrainConfig, Trainer, make_contrastive_loss_fn,
+        )
+
+        model_cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(0), model_cfg)
+        loss_fn = make_contrastive_loss_fn(
+            model_cfg, temperature=0.05, compute_dtype=jnp.float32
+        )
+        cfg = TrainConfig(
+            output_dir=str(tmp_path), learning_rate=1e-3, warmup_steps=0,
+            warmup_ratio=0.0, lr_scheduler_type="constant",
+            per_device_train_batch_size=1, zero1=True, optim="adamw8bit",
+            save_strategy="steps", save_steps=2, save_only_model=False,
+        )
+        tr = Trainer(loss_fn=loss_fn, params=params, mesh=data_mesh,
+                     config=cfg, total_steps=4)
+        rng = np.random.RandomState(0)
+        b = data_mesh.devices.size
+        batch = {
+            "query": {
+                "input_ids": rng.randint(5, 256, (1, b, 16)).astype(np.int32),
+                "attention_mask": np.ones((1, b, 16), np.int32),
+            },
+            "passage": {
+                "input_ids": rng.randint(5, 256, (1, b * 2, 16)).astype(np.int32),
+                "attention_mask": np.ones((1, b * 2, 16), np.int32),
+            },
+        }
+        for _ in range(2):
+            tr.train_step(batch, jax.random.key(1))
+        ck = tr.save_checkpoint(2, 0)
+        tr2 = Trainer(loss_fn=loss_fn, params=params, mesh=data_mesh,
+                      config=cfg, total_steps=4)
+        tr2.resume_from(ck)
+        ref, res = tr.state.opt_state[1][0], tr2.state.opt_state[1][0]
+        for field in ("mu_q", "mu_scale", "nu_q", "nu_scale"):
+            a = np.asarray(getattr(ref, field)["layers"]["q_proj"]["kernel"])
+            c = np.asarray(getattr(res, field)["layers"]["q_proj"]["kernel"])
+            assert a.dtype == c.dtype
+            np.testing.assert_array_equal(a, c)
+        assert int(res.count) == 2
+        out = tr2.train_step(batch, jax.random.key(2))
+        assert bool(jnp.isfinite(out["loss"]))
+
     def test_unknown_optim_raises(self, tmp_path):
         from rankpo_tpu.train.config import TrainConfig
         from rankpo_tpu.train.state import make_optimizer
