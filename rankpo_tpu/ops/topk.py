@@ -206,12 +206,14 @@ def dense_matmul_topk(
     (``lax.approx_max_k``); exact mode keeps FAISS tie semantics via the
     two-pass blockmax selection.
 
-    ``precision``: matmul precision. None means fp32-faithful ("float32",
-    bf16x3 passes) for exact mode and "default" (single bf16 pass) for the
-    approx serving mode — on TPU the DEFAULT einsum rounds fp32 inputs to
-    bf16 for the MXU, which perturbs near-tie score ORDER vs the fp32
-    reference (FAISS computes fp32). Measured v5e [4096, 100k, d1024]:
-    default 8ms, float32 31ms."""
+    ``precision``: matmul precision. None means fp32-faithful for exact
+    mode (TPU: bf16x3 — see the decision record at the default below; CPU:
+    native fp32) and "default" (single bf16 pass) for the approx serving
+    mode — on TPU the DEFAULT einsum rounds fp32 inputs to bf16 for the
+    MXU, which perturbs near-tie score ORDER vs the fp32 reference (FAISS
+    computes fp32). Measured v5e engine e2e [4096, 100k, d1024] k=100:
+    default 46.1ms (2068/6400 oracle mismatches), X3 52.1ms (14/6400
+    near-ties, 2e-6), "float32"=X6 65.7ms (0/6400, 8e-8)."""
     n = corpus.shape[0]
     k = min(k, n)
     quantized = corpus.dtype == jnp.int8
@@ -219,7 +221,23 @@ def dense_matmul_topk(
         # symmetric per-row quantized storage: dequant fuses into the matmul
         corpus = corpus.astype(queries.dtype)
     if precision is None:
-        precision = "float32" if recall_target >= 1.0 else "default"
+        if recall_target >= 1.0:
+            # fp32-faithful scores for FAISS parity. On TPU the string
+            # "float32" lowers to SIX bf16 passes (measured identical to
+            # BF16_BF16_F32_X6: 65.7 vs 66.1 ms at [4096, 100k, d1024]);
+            # X3 halves the MXU passes — 52.1 ms (+26% engine QPS) with
+            # near-tie divergence 14/6400 indices at max 2e-6 score error,
+            # 10x inside the documented near-tie gate
+            # (benchmarks/dot_algorithm_engine_probe.py). On CPU "float32"
+            # is native fp32 — bit-exact vs the numpy oracle, which the
+            # test suite asserts. Callers wanting X6 on TPU pass
+            # precision="float32" explicitly.
+            if jax.default_backend() == "tpu":
+                precision = jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+            else:
+                precision = "float32"
+        else:
+            precision = "default"
     if queries.dtype != jnp.float32 or corpus.dtype != jnp.float32:
         precision = "default"  # bf16/int8 storage: inputs are already rounded
     # approx mode: materialize the score matrix in bf16 — the approx_max_k

@@ -206,6 +206,39 @@ class TestHierBlockmax:
         np.testing.assert_array_equal(np.asarray(i), ei)
 
 
+class TestDotAlgorithmX3:
+    """The TPU exact-mode default is BF16_BF16_F32_X3 (ops/topk.py decision
+    record). On CPU the default stays native fp32 (bit-exact vs the numpy
+    oracle — everything the rest of this file asserts); this exercises the
+    X3 algorithm explicitly: scores must match the oracle to ~2e-6-class
+    accumulation noise and index divergence must be confined to near-ties."""
+
+    def test_x3_near_tie_bounded_divergence(self):
+        import jax as _jax
+
+        corpus = _random_corpus(20_000, 64, 60)
+        queries = _random_corpus(32, 64, 61)
+        s, i = matmul_topk(
+            jnp.asarray(queries), jnp.asarray(corpus), k=50,
+            precision=_jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3,
+        )
+        es, ei = numpy_search(corpus, queries, 50)
+        s, i = np.asarray(s), np.asarray(i)
+        mism = i != ei
+        # divergence (if any) must be rare and confined to near-ties
+        assert mism.sum() <= 32 * 50 // 100, int(mism.sum())
+        np.testing.assert_allclose(s, es, atol=2e-5)
+
+    def test_exact_default_on_cpu_is_fp32(self):
+        # the None-precision default must stay bit-exact vs the oracle on
+        # the CPU backend (the suite's standing assumption)
+        corpus = _random_corpus(20_000, 32, 62)
+        queries = _random_corpus(16, 32, 63)
+        s, i = matmul_topk(jnp.asarray(queries), jnp.asarray(corpus), k=25)
+        es, ei = numpy_search(corpus, queries, 25)
+        np.testing.assert_array_equal(np.asarray(i), ei)
+
+
 class TestRandomizedSweep:
     def test_many_random_configs_match_oracle(self, data_mesh):
         """Property sweep: random (n, d, q, k, shard) configs — indices must
