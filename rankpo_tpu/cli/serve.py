@@ -74,7 +74,17 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
-                queries = req["queries"]
+                queries = req.get("queries")
+                if queries is None and "query" in req:
+                    queries = [req["query"]]  # single-query sugar
+                if not isinstance(queries, list) or not all(
+                    isinstance(q, str) for q in queries
+                ):
+                    self._reply(400, {
+                        "error": "body must carry 'queries': [str, ...] "
+                                 "(or 'query': str)"
+                    })
+                    return
                 k = int(req.get("k", 10))
                 if k > k_max:
                     self._reply(400, {

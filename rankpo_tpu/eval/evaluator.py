@@ -77,8 +77,12 @@ def evaluate_checkpoint(
     cutoffs: Sequence[int] = (1, 5, 10, 20, 100),
     encoder: Optional[InferenceEncoder] = None,
     compute_dtype=None,
-) -> Dict[str, float]:
-    """Encode → index → search → metrics for one checkpoint."""
+):
+    """Encode → index → search → metrics for one checkpoint.
+
+    Returns ``(metrics, indices, scores)`` — the metric dict plus the raw
+    [Q, k] search arrays the caller persists as ``-indices.npy`` /
+    ``-scores.npy`` (reference evaluate.py:240-287)."""
     if encoder is None:
         kwargs = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
         encoder = InferenceEncoder.from_pretrained(

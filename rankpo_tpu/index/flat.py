@@ -128,7 +128,6 @@ class FlatIPIndex:
         dtype inside."""
         from rankpo_tpu.ops.topk import matmul_topk
 
-        corpus = self.corpus
         n_total = self.n_total
         mesh = self.mesh
 
@@ -235,11 +234,16 @@ class FlatIPIndex:
         """Batched exact top-k (analog of utils.py:58-80 faiss_search).
         Returns fp32 scores and int32 indices, shapes [Q, k]."""
         k = min(k, self.n_total)
+        queries = np.asarray(queries, np.float32)
+        if queries.shape[0] == 0:  # zero-query batch: every caller branch
+            return (
+                np.zeros((0, k), np.float32),
+                np.zeros((0, k), np.int32),
+            )
         with self._search_lock:
             search_fn = self._search_fns.get(k)
             if search_fn is None:
                 search_fn = self._search_fns[k] = self._build_search(k)
-        queries = np.asarray(queries, np.float32)
         n_q = queries.shape[0]
         # dispatch every batch asynchronously, fetch afterwards — hides
         # host<->device latency behind device compute

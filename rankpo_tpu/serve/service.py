@@ -255,17 +255,24 @@ class RetrievalService:
         stale program with the new corpus (or stale hit ids with new
         passage texts). Cache entries self-invalidate when their index is
         no longer current; a build that races a rebuild is retried rather
-        than cached (TOCTOU guard)."""
+        than cached (TOCTOU guard).
+
+        ``k`` is clamped against THIS snapshot's ntotal (not any earlier
+        read of the state): a rebuild that shrinks the corpus below a
+        caller's earlier clamp must not reach top_k with k > rows (crash)
+        or k > ntotal (returns -inf padding rows whose ids index past the
+        snapshot's text list)."""
         while True:
             with self._fused_lock:
-                entry = self._fused_fns.get(k)
-                if entry is not None and entry[1] is self._state[0]:
-                    return entry
                 index, texts = self._state
-            fn = self._build_fused(k, index)
+                k_eff = min(k, index.ntotal)
+                entry = self._fused_fns.get(k_eff)
+                if entry is not None and entry[1] is index:
+                    return entry
+            fn = self._build_fused(k_eff, index)
             with self._fused_lock:
                 if self._state[0] is index:
-                    self._fused_fns[k] = (fn, index, texts)
+                    self._fused_fns[k_eff] = (fn, index, texts)
                     return fn, index, texts
             # the index was rebuilt while this program was being built:
             # loop and rebuild against the current one
@@ -325,9 +332,13 @@ class RetrievalService:
         searched (hit decoration must use THESE texts, not live state, or a
         concurrent rebuild mixes ids and passages). Groups larger than
         query_batch_size run as several fused dispatches (so the fused path
-        — the only one warmup precompiles — serves every group size); all
-        chunks are dispatched before any result is fetched, so chunk i+1's
-        host prep overlaps chunk i's device execution."""
+        — the only one warmup precompiles — serves every group size); each
+        chunk's D2H copy starts right after its dispatch (per-chunk double
+        buffering: chunk i's results travel home while chunk i+1 computes;
+        staging all dispatches before any copy serialized the D2H tail
+        after the last compute — same finding as FlatIPIndex.search).
+        ``k`` is clamped to the searched snapshot's ntotal inside
+        _get_fused; the returned arrays' width is that effective k."""
         fn, index, corpus_texts = self._get_fused(k)
         if not texts:
             return (
@@ -354,10 +365,9 @@ class RetrievalService:
                 batch["input_ids"],
                 batch["attention_mask"],
             )
-            pending.append((scores, indices, len(chunk)))
-        for scores, indices, _ in pending:  # start all D2H before blocking
             scores.copy_to_host_async()
             indices.copy_to_host_async()
+            pending.append((scores, indices, len(chunk)))
         all_s = [np.asarray(s, np.float32)[:n] for s, _, n in pending]
         all_i = [np.asarray(i, np.int32)[:n] for _, i, n in pending]
         return np.concatenate(all_s), np.concatenate(all_i), corpus_texts
@@ -376,14 +386,19 @@ class RetrievalService:
         single = isinstance(texts, str)
         if single:
             texts = [texts]
-        k_eff = min(k, index.ntotal)
         if self.fuse_encode_search and self.encoder.mesh is self.mesh:
-            # the fused path re-snapshots internally (its compiled program and
-            # corpus must pair); use ITS texts for hit decoration
+            # the fused path re-snapshots internally (its compiled program,
+            # corpus, AND k clamp must come from one state read); use ITS
+            # texts for hit decoration
             scores, indices, corpus_texts = self._query_fused(
-                list(texts), k_eff
+                list(texts), k
             )
+        elif not texts:
+            k_eff = min(k, index.ntotal)
+            scores = np.zeros((0, k_eff), np.float32)
+            indices = np.zeros((0, k_eff), np.int32)
         else:
+            k_eff = min(k, index.ntotal)
             q_emb = self.encoder.encode(
                 list(texts),
                 batch_size=self._batch_bucket(max(len(texts), 1)),

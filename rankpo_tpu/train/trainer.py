@@ -87,6 +87,11 @@ _LOG_KEY_ORDER = [
 
 
 class Trainer:
+    # logging_strategy='epoch': fold buffered device metrics into host sums
+    # every this-many steps (bounds live device buffers at O(fold), costs
+    # one device sync per fold)
+    _EPOCH_FOLD = 512
+
     def __init__(
         self,
         *,
@@ -464,6 +469,11 @@ class Trainer:
             # and the flush logs their MEANS over the interval
             metric_buffer: List = []
             time_buffer: List[float] = []
+            # 'epoch' strategy folds the buffer into host sums every
+            # _EPOCH_FOLD steps: one sync per fold instead of retaining one
+            # device dict per step across a possibly-100k-step epoch
+            epoch_sums: Dict[str, float] = {}
+            epoch_count = 0
             staged = self._stage(next(batch_iter, None))
             while staged is not None:
                 batch = staged
@@ -503,6 +513,18 @@ class Trainer:
                 # otherwise retain every step's device scalars all epoch.
                 if logging_enabled:
                     metric_buffer.append(metrics)
+                    if (
+                        cfg.logging_strategy == "epoch"
+                        and len(metric_buffer) >= self._EPOCH_FOLD
+                    ):
+                        fold = self._mean_metrics(metric_buffer)
+                        n = len(metric_buffer)
+                        for key, val in fold.items():
+                            epoch_sums[key] = (
+                                epoch_sums.get(key, 0.0) + val * n
+                            )
+                        epoch_count += n
+                        metric_buffer.clear()
                 global_step += 1
                 step_in_epoch += 1
 
@@ -568,8 +590,19 @@ class Trainer:
                     )
                     return self._history
 
-            if cfg.logging_strategy == "epoch" and metric_buffer:
-                means = self._mean_metrics(metric_buffer)
+            if cfg.logging_strategy == "epoch" and (
+                metric_buffer or epoch_count
+            ):
+                if metric_buffer:
+                    fold = self._mean_metrics(metric_buffer)
+                    n = len(metric_buffer)
+                    for key, val in fold.items():
+                        epoch_sums[key] = epoch_sums.get(key, 0.0) + val * n
+                    epoch_count += n
+                    metric_buffer.clear()
+                means = {
+                    key: val / epoch_count for key, val in epoch_sums.items()
+                }
                 logs = {
                     "global_step": global_step,
                     "loss": means.pop("loss"),

@@ -301,6 +301,14 @@ class TestFlatIPIndex:
         index = FlatIPIndex(_random_corpus(10, 4, 0), mesh=data_mesh)
         assert index.ntotal == 10
 
+    def test_zero_queries_returns_empty(self):
+        # review finding, round 3 second pass: the chunk loop ran zero times
+        # for an empty query batch and np.concatenate([]) raised
+        index = FlatIPIndex(_random_corpus(7, 8, 1))
+        s, i = index.search(np.zeros((0, 8), np.float32), k=3)
+        assert s.shape == (0, 3) and s.dtype == np.float32
+        assert i.shape == (0, 3) and i.dtype == np.int32
+
 
 class TestInferenceEncoder:
     def _encoder(self, mesh=None):

@@ -143,6 +143,38 @@ class TestFusedEncodeSearch:
         assert res["hits"][0]["index"] == 21
         assert res["hits"][0]["passage"] == big[21]
 
+    def test_fused_k_clamps_to_searched_snapshot(self, service, data_mesh):
+        # review finding, round 3: query() derived k_eff from ITS state
+        # snapshot while _query_fused re-snapshots via _get_fused — a rebuild
+        # shrinking the corpus between the two reads reached top_k with
+        # k > rows (ValueError) or returned -inf padding rows whose ids index
+        # past the snapshot's text list. _get_fused now clamps k against the
+        # snapshot it actually returns. Simulate the race: call _query_fused
+        # with a k computed against the pre-rebuild (32-doc) state.
+        from rankpo_tpu.serve.service import RetrievalService
+
+        svc = RetrievalService(service.encoder, mesh=data_mesh,
+                               max_query_length=16, query_batch_size=8)
+        big = [f"document {i} on distinct topic {i}" for i in range(32)]
+        svc.build_index(big, max_passage_length=16, batch_size=8)
+        svc.build_index(big[:5], max_passage_length=16, batch_size=8)
+        scores, idx, texts = svc._query_fused(
+            ["document 1 on distinct topic 1"], 20
+        )
+        assert scores.shape == (1, 5) and idx.shape == (1, 5)
+        assert len(texts) == 5
+        assert int(idx.max()) < 5 and np.isfinite(scores).all()
+
+    def test_empty_query_list_nonfused(self, service):
+        # review finding, round 3 second pass: the empty-group guard lived
+        # only in _query_fused; the two-dispatch fallback still crashed on []
+        # (np.concatenate of zero chunks). FlatIPIndex.search now guards it.
+        service.fuse_encode_search = False
+        try:
+            assert service.query([], k=2, return_passages=True) == []
+        finally:
+            service.fuse_encode_search = True
+
     def test_index_rebuild_invalidates_fused_cache(self, service, data_mesh):
         from rankpo_tpu.serve.service import RetrievalService
 

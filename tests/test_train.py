@@ -134,6 +134,41 @@ class TestTrainerContrastive:
             "global_epoch", "epoch", "step",
         ]
 
+    def test_logging_epoch_means_with_bounded_fold(self, data_mesh, tmp_path,
+                                                   tok, monkeypatch):
+        """logging_strategy='epoch' logs per-epoch MEANS while folding the
+        device metric buffer into host sums every _EPOCH_FOLD steps (review
+        finding, round 3 second pass: the epoch path retained one device
+        dict per step for the whole epoch). With fold=2 and 4 steps the
+        final flush runs purely from the folded sums (empty buffer), and
+        the logged loss must equal the mean of the per-step losses."""
+        monkeypatch.setattr(Trainer, "_EPOCH_FOLD", 2)
+        trainer, _ = _make_trainer(
+            data_mesh, tmp_path, tok,
+            cfg_extra={"logging_strategy": "epoch", "logging_steps": 0,
+                       "save_strategy": "no"},
+        )
+        ds = ContrastiveDataset(_contrastive_rows(32), tok, 16, 16)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                   max_query_length=16, max_passage_length=16,
+                                   seed=0)
+        history = trainer.train(ds, coll)
+        assert len(history) == 1  # one flush per epoch
+        per_step, _ = _make_trainer(
+            data_mesh, tmp_path, tok,
+            cfg_extra={"logging_steps": 1, "save_strategy": "no"},
+        )
+        coll2 = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                    max_query_length=16, max_passage_length=16,
+                                    seed=0)
+        history2 = per_step.train(ds, coll2)
+        assert len(history2) == 4
+        np.testing.assert_allclose(
+            history[0]["loss"],
+            np.mean([h["loss"] for h in history2]),
+            rtol=1e-6,
+        )
+
     def test_logging_interval_means(self, data_mesh, tmp_path, tok):
         """At logging_steps=2 every logged loss (and every loss_fn metric)
         must be the MEAN over the 2-step interval, not the last step's
