@@ -153,13 +153,33 @@ class InferenceEncoder:
         batch_size: int = 256,
         max_length: int = 512,
         description: str = "Encoding",
+        sort_by_length: bool = True,
     ) -> np.ndarray:
-        """Returns fp32 [N, H] embeddings (or [H] for a single string)."""
+        """Returns fp32 [N, H] embeddings (or [H] for a single string).
+
+        ``sort_by_length`` (multi-chunk calls only) processes texts in
+        length order and restores input order afterwards: without it one
+        long text drags its whole chunk to the long sequence bucket, so a
+        mixed-length corpus pays near-max_length FLOPs per chunk (the
+        reference pads each batch to ITS max, modeling.py:509-518 — same
+        sensitivity to input order). Sorting makes chunks length-homogeneous
+        so most ride short buckets; each embedding depends only on its own
+        row, and the stable sort is deterministic across processes (every
+        process derives the same order, multi-host encode stays in
+        lockstep). Cost: up to max_length/length_multiple distinct compiled
+        buckets instead of (typically) one."""
         single = isinstance(sentences, str)
         if single:
             sentences = [sentences]
         if sentences and not isinstance(sentences[0], str):
             raise ValueError("Input items should be text.")
+
+        order = None
+        if sort_by_length and len(sentences) > batch_size:
+            # char length as the token-length proxy (monotone enough for
+            # bucketing; avoids a second tokenization pass)
+            order = np.argsort([len(s) for s in sentences], kind="stable")
+            sentences = [sentences[i] for i in order]
 
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         if batch_size % n_dev != 0:
@@ -192,4 +212,8 @@ class InferenceEncoder:
                 )
         out.extend(np.asarray(reps[:real], np.float32) for reps, real in pending)
         result = np.concatenate(out, axis=0) if out else np.zeros((0, 0), np.float32)
+        if order is not None:  # undo the length sort: row i ↔ sentences[i]
+            inverse = np.empty_like(order)
+            inverse[order] = np.arange(len(order))
+            result = result[inverse]
         return result[0] if single else result

@@ -340,6 +340,26 @@ class TestInferenceEncoder:
         b = enc.encode(texts, batch_size=5, max_length=16)
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_length_sorted_encode_restores_order(self):
+        # sort_by_length reorders texts into length-homogeneous chunks (so
+        # mixed corpora ride short buckets) and must invert the permutation:
+        # row i of the output always embeds texts[i], bit-for-row equal to
+        # the unsorted path (each row's computation sees only its own tokens)
+        enc = self._encoder()
+        rng = np.random.default_rng(5)
+        texts = [
+            "w " * int(rng.integers(1, 14)) + f"doc {i}" for i in range(23)
+        ]
+        sorted_out = enc.encode(texts, batch_size=4, max_length=16)
+        plain = enc.encode(
+            texts, batch_size=4, max_length=16, sort_by_length=False
+        )
+        assert len({len(t) for t in texts}) > 4  # genuinely mixed lengths
+        np.testing.assert_allclose(sorted_out, plain, atol=1e-5)
+        # spot-check a row against its solo encode (independent oracle)
+        solo = enc.encode(texts[7], batch_size=4, max_length=16)
+        np.testing.assert_allclose(sorted_out[7], solo, atol=1e-5)
+
     def test_mesh_sharded_encode_matches_single(self, data_mesh):
         enc_s = self._encoder(mesh=data_mesh)
         enc_1 = self._encoder()
