@@ -35,6 +35,9 @@ from __future__ import annotations
 
 import functools
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -281,7 +284,47 @@ def _device_1m():
     return qps_exact, qps_int8, recall_int8
 
 
+def _wait_for_backend(max_wait_s: float = 1800, probe_timeout_s: float = 240):
+    """Ride out transient remote-TPU tunnel outages (observed: 45+ min of
+    'backend setup/compile error (Unavailable)') with a bounded retry before
+    committing this process to backend init — jax caches a failed plugin
+    discovery for the life of the process, so the probe runs in a SUBPROCESS
+    (sitecustomize registers the tunnel plugin there identically) and the
+    parent only initializes once a probe has succeeded. Progress goes to
+    stderr; stdout stays the one JSON line."""
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                capture_output=True,
+                env=os.environ.copy(),
+            )
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace").strip().splitlines()
+            reason = err[-1] if err else f"exit {r.returncode}"
+        except subprocess.TimeoutExpired:
+            reason = f"probe timed out after {probe_timeout_s:.0f}s"
+        if time.monotonic() >= deadline:
+            print(
+                f"bench: backend still unavailable after {max_wait_s:.0f}s "
+                f"({reason}); proceeding (expect failure)",
+                file=sys.stderr, flush=True,
+            )
+            return
+        print(
+            f"bench: backend probe {attempt} failed ({reason}); retrying",
+            file=sys.stderr, flush=True,
+        )
+        time.sleep(30)
+
+
 def main():
+    _wait_for_backend()
     import jax
 
     corpus, queries = _make_data()
