@@ -245,8 +245,8 @@ class FlatIPIndex:
             if search_fn is None:
                 search_fn = self._search_fns[k] = self._build_search(k)
         n_q = queries.shape[0]
-        # dispatch every batch asynchronously, fetch afterwards — hides
-        # host<->device latency behind device compute
+        # async dispatch + per-chunk D2H: each chunk's results travel home
+        # while later chunks compute (see in-loop comment)
         pending = []
         for lo in range(0, n_q, batch_size):
             block = queries[lo : lo + batch_size]
