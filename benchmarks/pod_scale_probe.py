@@ -166,6 +166,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=500_000)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--skip_exact_2m", action="store_true")
+    ap.add_argument("--n_exact", type=int, default=2_000_000)
     ap.add_argument("--n_int8", type=int, default=10_000_000)
     args = ap.parse_args()
 
@@ -175,15 +176,16 @@ def main():
 
     if not args.skip_exact_2m:
         t0 = time.time()
-        qps, _ = _measure(2_000_000, args.d, args.q, args.chunk,
+        qps, _ = _measure(args.n_exact, args.d, args.q, args.chunk,
                           quantize=False, reps=args.reps)
-        print(f"exact_fp32 n=2M d={args.d} k={K}: {qps:,.0f} QPS "
+        print(f"exact_fp32 n={args.n_exact / 1e6:g}M d={args.d} k={K}: "
+              f"{qps:,.0f} QPS "
               f"(oracle-gated; total {time.time() - t0:.0f}s)", flush=True)
 
     t0 = time.time()
     qps, recall = _measure(args.n_int8, args.d, args.q, args.chunk,
                            quantize=True, reps=args.reps)
-    print(f"int8 n={args.n_int8 / 1e6:.0f}M d={args.d} k={K}: {qps:,.0f} QPS "
+    print(f"int8 n={args.n_int8 / 1e6:g}M d={args.d} k={K}: {qps:,.0f} QPS "
           f"recall@100={recall:.4f} vs fp32 oracle "
           f"(total {time.time() - t0:.0f}s)", flush=True)
 
