@@ -220,6 +220,34 @@ class TestHTTPServer:
             with urllib.request.urlopen(req) as r:
                 body = json.loads(r.read())
             assert body["results"][0]["hits"][0]["index"] == 5
+
+            # 'query': str single-query sugar
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps(
+                    {"query": "document 7 on distinct topic 7", "k": 1}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            assert body["results"][0]["hits"][0]["index"] == 7
+
+            # malformed bodies get a 400 with a usage message, not a 500
+            # (urllib.error is loaded by the module-level urllib.request
+            # import; importing it here would shadow the module local)
+            for bad in ({"k": 3}, {"queries": "oops"}, {"queries": [1, 2]}):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/search",
+                    data=json.dumps(bad).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    urllib.request.urlopen(req)
+                    raise AssertionError(f"{bad} should have been rejected")
+                except urllib.error.HTTPError as e:
+                    assert e.code == 400
+                    assert "queries" in json.loads(e.read())["error"]
         finally:
             server.shutdown()
 
