@@ -1,4 +1,5 @@
 from rankpo_tpu.index.flat import FlatIPIndex, numpy_search
+from rankpo_tpu.index.refined import RefineIPIndex
 from rankpo_tpu.index.encoding import InferenceEncoder
 
-__all__ = ["FlatIPIndex", "numpy_search", "InferenceEncoder"]
+__all__ = ["FlatIPIndex", "RefineIPIndex", "numpy_search", "InferenceEncoder"]

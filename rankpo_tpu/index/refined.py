@@ -1,0 +1,356 @@
+"""Two-stage approximate inner-product index: PCA prefilter + exact rerank.
+
+TPU-native analog of FAISS's ``IndexRefineFlat`` over a PCA-reduced coarse
+index (FAISS composes this as ``IndexPreTransform(PCAMatrix, ...)`` +
+``IndexRefineFlat``; the reference itself only ever builds ``IndexFlatIP``,
+src/utils.py:38-56 — this index is the designed upgrade path for corpora
+where the flat scan's FLOPs dominate serving cost).
+
+Why this shape on TPU: the single-stage approx path (bf16 matmul +
+``approx_max_k``) measured ~81% MXU-bound at [1024q, 1M, d1024] — more QPS
+needs FEWER FLOPs. Stage 1 scores all N rows in a PCA-projected d' << D
+space (d'/D of the FLOPs and bytes, still one big MXU matmul), keeps the
+top-C candidate rows per query; stage 2 gathers those C full-width rows
+(contiguous D-sized slices, far above the 128-byte gather-efficiency
+floor) and reranks them exactly in fp32 accumulation. Both stages are
+static-shape, jit-compiled, and shard over the data axis exactly like
+``FlatIPIndex`` (each shard runs its own two-stage pass over its rows;
+per-shard winners concat-merge, so gathers never cross shards).
+
+Recall is DATA-DEPENDENT (PCA exploits spectrum decay; an isotropic
+corpus is the worst case — measured sweep in
+benchmarks/lowd_rerank_probe.py), so the candidate count is AUTO-TUNED at
+build time: a held-out sample of corpus rows is searched exactly (at
+storage precision) and C is raised along a doubling ladder until the
+two-stage recall meets ``recall_target`` on the sample. Pass an integer
+``candidates`` to skip tuning (one compile per ladder step otherwise).
+
+Contract: approximate — scores of RETURNED hits are exact at storage
+precision (fp32-accumulated rerank), but the hit SET may miss true
+neighbors (recall target) and tie ORDER is not FAISS-bit-exact. Callers
+needing FAISS-exact semantics use ``FlatIPIndex``.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rankpo_tpu.core.mesh import DATA_AXIS, replicate_to_mesh, shard_rows_to_mesh
+
+logger = logging.getLogger(__name__)
+
+NEG_INF = float("-inf")  # plain python at module scope (CLAUDE.md: a jnp
+# scalar here would initialize the XLA backend at import time)
+
+# auto-tune ladder: smallest C meeting recall_target on the held-out sample,
+# doubling from max(2k, 128) up to max_candidates
+TUNE_SAMPLE = 256
+TUNE_K = 100
+
+
+class RefineIPIndex:
+    """PCA-prefiltered, exactly-reranked approximate IP index.
+
+    Storage: projected corpus [N, d'] bf16 (stage 1) + full corpus [N, D]
+    ``store_dtype`` (stage-2 rerank; bf16 default halves gather traffic and
+    memory vs fp32 — rerank still accumulates fp32).
+    """
+
+    def __init__(
+        self,
+        embeddings,
+        mesh: Optional[Mesh] = None,
+        *,
+        reduced_dim: int = 256,
+        candidates: Union[int, str] = "auto",
+        recall_target: float = 0.95,
+        store_dtype=jnp.bfloat16,
+        tune_sample: int = TUNE_SAMPLE,
+        tune_k: int = TUNE_K,
+        max_candidates: int = 4096,
+        seed: int = 0,
+    ):
+        self.mesh = mesh
+        self.n_total = int(embeddings.shape[0])
+        self.dim = int(embeddings.shape[1])
+        if not 0 < reduced_dim <= self.dim:
+            raise ValueError(
+                f"reduced_dim={reduced_dim} must be in (0, {self.dim}]"
+            )
+        self.reduced_dim = int(reduced_dim)
+        self.recall_target = float(recall_target)
+        self.store_dtype = store_dtype
+
+        n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        pad = (-self.n_total) % n_shards
+        self.n_padded = self.n_total + pad
+        self._shard_rows = self.n_padded // n_shards
+
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if pad:
+            emb = np.concatenate(
+                [emb, np.zeros((pad, self.dim), np.float32)], axis=0
+            )
+
+        def put_rows(x):
+            if mesh is None:
+                return jax.device_put(jnp.asarray(x))
+            return shard_rows_to_mesh(np.asarray(x), mesh)
+
+        # PCA projection = top eigenvectors of the UNCENTERED corpus second
+        # moment (inner-product search scores q.x; centering would shift
+        # scores — cf. FAISS PCAMatrix): the [D, D] second moment reduces on
+        # device (the only O(N)
+        # matmul; rows are sharded, padding rows are zeros and contribute
+        # nothing) with a REPLICATED output so every process can fetch it;
+        # the tiny [D, D] eigh runs on the host — deterministic across
+        # processes, and jnp.linalg.eigh over a sharded input would force
+        # a gather anyway.
+        self.corpus = put_rows(emb.astype(np.dtype(store_dtype)))
+        cov_fn = jax.jit(
+            lambda c: jnp.einsum(
+                "nd,ne->de", c.astype(jnp.float32), c.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ),
+            **(
+                {}
+                if mesh is None
+                else {"out_shardings": NamedSharding(mesh, P())}
+            ),
+        )
+        cov = np.asarray(cov_fn(self.corpus))
+        _, v = np.linalg.eigh(cov)  # ascending eigenvalues
+        proj = np.ascontiguousarray(v[:, -self.reduced_dim :], np.float32)
+        self.proj = (
+            jax.device_put(jnp.asarray(proj)) if mesh is None
+            else replicate_to_mesh(proj, mesh)
+        )
+        low = (emb @ proj).astype(np.dtype(jnp.bfloat16))
+        self.corpus_low = put_rows(low)
+
+        self._search_fns: dict = {}
+        self._search_lock = threading.Lock()
+
+        if candidates == "auto":
+            self.candidates = self._tune_candidates(
+                emb, tune_sample, tune_k, max_candidates, seed
+            )
+        else:
+            self.candidates = int(candidates)
+            if self.candidates < 1:
+                raise ValueError("candidates must be >= 1")
+
+    # ------------------------------------------------------------------
+    def _tune_candidates(
+        self, emb: np.ndarray, n_sample: int, k: int,
+        max_candidates: int, seed: int,
+    ) -> int:
+        """Smallest C on a doubling ladder whose two-stage recall meets
+        ``recall_target`` against an exact (storage-precision) search over a
+        held-out sample of corpus rows used as pseudo-queries. Corpus rows
+        as queries bias recall slightly up (the self-hit is free) — FAISS
+        tunes nprobe the same way; pass ``candidates=<int>`` with an
+        app-measured value when real query traffic is available."""
+        from rankpo_tpu.index.flat import FlatIPIndex
+
+        k = min(k, self.n_total)
+        rng = np.random.default_rng(seed)
+        n_sample = min(n_sample, self.n_total)
+        sample_idx = rng.choice(self.n_total, size=n_sample, replace=False)
+        sample = emb[sample_idx]
+
+        # exact reference AT STORAGE PRECISION: what a perfect candidate
+        # stage could possibly recover from the stored rows
+        exact = FlatIPIndex(
+            np.asarray(emb[: self.n_total].astype(np.dtype(self.store_dtype)),
+                       dtype=np.float32),
+            self.mesh,
+        )
+        _, ref_idx = exact.search(sample, k=k)
+        ref_sets = [set(row.tolist()) for row in ref_idx]
+        del exact
+
+        c = max(2 * k, 128)
+        best = None
+        while True:
+            c = min(c, self.n_total)
+            scores, idx = self.search(sample, k=k, candidates=c)
+            recall = float(
+                np.mean([
+                    len(set(idx[r].tolist()) & ref_sets[r]) / k
+                    for r in range(n_sample)
+                ])
+            )
+            logger.info(
+                "RefineIPIndex tune: C=%d recall=%.4f (target %.2f)",
+                c, recall, self.recall_target,
+            )
+            best = c
+            if recall >= self.recall_target or c >= min(
+                max_candidates, self.n_total
+            ):
+                if recall < self.recall_target:
+                    logger.warning(
+                        "RefineIPIndex: recall %.4f below target %.2f at the "
+                        "C=%d ladder cap — corpus spectrum may be too flat "
+                        "for reduced_dim=%d (raise it or use FlatIPIndex)",
+                        recall, self.recall_target, c, self.reduced_dim,
+                    )
+                return best
+            c *= 2
+
+    # ------------------------------------------------------------------
+    def search_callable(self, k: int, candidates: Optional[int] = None):
+        """Unjitted ``(corpus, corpus_low, proj, queries) -> (scores, idx)``
+        for composing into larger jitted programs (serving fuses
+        encode+search into one dispatch)."""
+        c_cand = int(candidates if candidates is not None else self.candidates)
+        c_cand = max(c_cand, k)
+        n_total = self.n_total
+        mesh = self.mesh
+
+        def two_stage(corpus_rows, low_rows, proj, queries, n_valid, offset):
+            """One shard's (or the whole, mesh=None) two-stage pass."""
+            n_rows = low_rows.shape[0]
+            cc = min(c_cand, n_rows)
+            kk = min(k, n_rows)
+            q_low = (queries.astype(jnp.float32) @ proj).astype(jnp.bfloat16)
+            s1 = jnp.einsum(
+                "qd,nd->qn", q_low, low_rows,
+                preferred_element_type=jnp.bfloat16,
+            )
+            col = jax.lax.broadcasted_iota(jnp.int32, s1.shape, dimension=1)
+            s1 = jnp.where(col < n_valid, s1, jnp.asarray(NEG_INF, s1.dtype))
+            _, cand = jax.lax.approx_max_k(
+                s1, cc, recall_target=0.95, aggregate_to_topk=True
+            )
+            rows = jnp.take(corpus_rows, cand, axis=0)  # [Q, cc, D]
+            s2 = jnp.einsum(
+                "qd,qcd->qc", queries.astype(rows.dtype), rows,
+                preferred_element_type=jnp.float32,
+            )
+            # padding rows can reach the candidate list only when the shard
+            # has fewer than cc valid rows; mask them out of the rerank
+            s2 = jnp.where(cand < n_valid, s2, NEG_INF)
+            top_s, pos = jax.lax.top_k(s2, kk)
+            top_i = jnp.take_along_axis(cand, pos, axis=1)
+            return top_s, top_i + jnp.int32(offset)
+
+        if mesh is None:
+
+            def single(corpus_arg, low_arg, proj_arg, queries):
+                return two_stage(
+                    corpus_arg, low_arg, proj_arg, queries, n_total, 0
+                )
+
+            return single
+
+        shard_rows = self._shard_rows
+        k_local = min(k, shard_rows)
+
+        def per_shard(corpus_local, low_local, proj_arg, queries):
+            shard_id = jax.lax.axis_index(DATA_AXIS)
+            offset = shard_id * shard_rows
+            n_valid_local = jnp.clip(n_total - offset, 0, shard_rows)
+            return two_stage(
+                corpus_local, low_local, proj_arg, queries,
+                n_valid_local, offset,
+            )
+
+        shard_fn = jax.shard_map(
+            per_shard,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(), P()),
+            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        )
+
+        def sharded(corpus_arg, low_arg, proj_arg, queries):
+            cand_scores, cand_idx = shard_fn(
+                corpus_arg, low_arg, proj_arg, queries
+            )
+            final_scores, pos = jax.lax.top_k(cand_scores, min(k, n_total))
+            final_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+            return final_scores, final_idx
+
+        return sharded
+
+    def _build_search(self, k: int, candidates: int):
+        fn = self.search_callable(k, candidates)
+        if self.mesh is None:
+            return jax.jit(fn)
+        mesh = self.mesh
+        return jax.jit(
+            fn,
+            in_shardings=(
+                NamedSharding(mesh, P(DATA_AXIS, None)),
+                NamedSharding(mesh, P(DATA_AXIS, None)),
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P()),
+            ),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+
+    def search(
+        self,
+        queries,
+        k: int = 100,
+        batch_size: int = 256,
+        candidates: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched two-stage search. Returns fp32 scores and int32 indices,
+        shapes [Q, k] — same surface as ``FlatIPIndex.search``."""
+        k = min(k, self.n_total)
+        c_used = int(candidates if candidates is not None else self.candidates)
+        c_used = max(c_used, k)
+        queries = np.asarray(queries, np.float32)
+        if queries.shape[0] == 0:
+            return (
+                np.zeros((0, k), np.float32),
+                np.zeros((0, k), np.int32),
+            )
+        with self._search_lock:
+            key = (k, c_used)
+            search_fn = self._search_fns.get(key)
+            if search_fn is None:
+                search_fn = self._search_fns[key] = self._build_search(
+                    k, c_used
+                )
+        n_q = queries.shape[0]
+        pending = []
+        for lo in range(0, n_q, batch_size):
+            block = queries[lo : lo + batch_size]
+            real = block.shape[0]
+            if real < batch_size:
+                block = np.concatenate(
+                    [block, np.zeros((batch_size - real, self.dim), np.float32)]
+                )
+            if self.mesh is not None and jax.process_count() > 1:
+                block_dev = replicate_to_mesh(block, self.mesh)
+            else:
+                block_dev = jnp.asarray(block)
+            scores, idx = search_fn(
+                self.corpus, self.corpus_low, self.proj, block_dev
+            )
+            scores.copy_to_host_async()
+            idx.copy_to_host_async()
+            pending.append((scores, idx, real))
+        all_scores = [
+            np.asarray(s)[:r].astype(np.float32, copy=False)
+            for s, _, r in pending
+        ]
+        all_idx = [
+            np.asarray(i)[:r].astype(np.int32, copy=False)
+            for _, i, r in pending
+        ]
+        return np.concatenate(all_scores), np.concatenate(all_idx)
+
+    @property
+    def ntotal(self) -> int:
+        return self.n_total
