@@ -129,6 +129,17 @@ def main(argv=None):
     parser.add_argument("--index_dtype", default="float32",
                         choices=["float32", "bfloat16", "int8"],
                         help="index storage: fp32 exact / bf16 2x / int8 4x memory")
+    parser.add_argument("--index_type", default="flat",
+                        choices=["flat", "refine"],
+                        help="flat = exact brute force (FAISS IndexFlatIP "
+                             "parity); refine = two-stage PCA prefilter + "
+                             "exact rerank (approximate, tuned to "
+                             "--recall_target, fewer FLOPs per query)")
+    parser.add_argument("--refine_dim", type=int, default=256,
+                        help="refine index stage-1 PCA dimension")
+    parser.add_argument("--refine_candidates", default="auto",
+                        help="refine rerank candidate count, or 'auto' to "
+                             "tune at build time against --recall_target")
     parser.add_argument("--index_file", default=None,
                         help="persisted index (.npz): loaded if it exists, "
                              "else built from --corpus_data and saved here")
@@ -169,9 +180,17 @@ def main(argv=None):
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
              "int8": jnp.int8}[args.index_dtype]
+    index_kwargs = {}
+    if args.index_type == "refine":
+        index_kwargs["reduced_dim"] = args.refine_dim
+        index_kwargs["candidates"] = (
+            "auto" if args.refine_candidates == "auto"
+            else int(args.refine_candidates)
+        )
     service = RetrievalService(
         encoder, mesh=mesh, max_query_length=args.max_query_length,
         recall_target=args.recall_target, index_dtype=dtype,
+        index_type=args.index_type, index_kwargs=index_kwargs,
     )
     import os
 

@@ -119,6 +119,21 @@ class FlatIPIndex:
         self._search_lock = threading.Lock()
 
     # ------------------------------------------------------------------
+    @property
+    def search_arrays(self) -> tuple:
+        """Device arrays ``search_callable`` consumes, in order (the index
+        protocol serving composes against: ``fn(*search_arrays, queries)``).
+        Arrays ride jitted programs as ARGUMENTS, never closures."""
+        return (self.corpus, self.row_scale)
+
+    def search_arg_shardings(self, mesh: Mesh) -> tuple:
+        """NamedShardings for ``search_arrays`` (same protocol)."""
+        return (
+            NamedSharding(mesh, P(DATA_AXIS, None)),
+            NamedSharding(mesh, P(DATA_AXIS)) if self.quantized
+            else NamedSharding(mesh, P()),
+        )
+
     def search_callable(self, k: int):
         """The unjitted search computation ``(corpus, row_scale, queries) ->
         (scores, idx)``, for composing into LARGER jitted programs (the
@@ -215,12 +230,8 @@ class FlatIPIndex:
         mesh = self.mesh
         return jax.jit(
             fn,
-            in_shardings=(
-                NamedSharding(mesh, P(DATA_AXIS, None)),
-                NamedSharding(mesh, P(DATA_AXIS)) if self.quantized
-                else NamedSharding(mesh, P()),
-                NamedSharding(mesh, P()),
-            ),
+            in_shardings=self.search_arg_shardings(mesh)
+            + (NamedSharding(mesh, P()),),
             # replicated results: every process fetches the full [Q, k] arrays
             out_shardings=NamedSharding(mesh, P()),
         )

@@ -207,6 +207,20 @@ class RefineIPIndex:
             c *= 2
 
     # ------------------------------------------------------------------
+    @property
+    def search_arrays(self) -> tuple:
+        """Device arrays ``search_callable`` consumes, in order (the index
+        protocol serving composes against: ``fn(*search_arrays, queries)``)."""
+        return (self.corpus, self.corpus_low, self.proj)
+
+    def search_arg_shardings(self, mesh: Mesh) -> tuple:
+        """NamedShardings for ``search_arrays`` (same protocol)."""
+        return (
+            NamedSharding(mesh, P(DATA_AXIS, None)),
+            NamedSharding(mesh, P(DATA_AXIS, None)),
+            NamedSharding(mesh, P()),
+        )
+
     def search_callable(self, k: int, candidates: Optional[int] = None):
         """Unjitted ``(corpus, corpus_low, proj, queries) -> (scores, idx)``
         for composing into larger jitted programs (serving fuses
@@ -288,12 +302,8 @@ class RefineIPIndex:
         mesh = self.mesh
         return jax.jit(
             fn,
-            in_shardings=(
-                NamedSharding(mesh, P(DATA_AXIS, None)),
-                NamedSharding(mesh, P(DATA_AXIS, None)),
-                NamedSharding(mesh, P()),
-                NamedSharding(mesh, P()),
-            ),
+            in_shardings=self.search_arg_shardings(mesh)
+            + (NamedSharding(mesh, P()),),
             out_shardings=NamedSharding(mesh, P()),
         )
 

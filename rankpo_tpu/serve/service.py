@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from rankpo_tpu.index import FlatIPIndex, InferenceEncoder
+from rankpo_tpu.index import FlatIPIndex, InferenceEncoder, RefineIPIndex
 
 logger = logging.getLogger(__name__)
 
@@ -44,10 +44,17 @@ class RetrievalService:
         query_batch_size: int = 64,
         recall_target: float = 1.0,
         index_dtype=None,
+        index_type: str = "flat",
+        index_kwargs: Optional[Dict] = None,
     ):
-        """recall_target < 1.0 enables the approx serving mode (PartialReduce
-        top-k): 8x QPS at recall 0.95 on v5e; 1.0 = exact/FAISS-parity.
-        index_dtype: fp32 (default) / bf16 (2x memory) / int8 (4x memory)."""
+        """recall_target < 1.0 enables the approx serving mode (flat index:
+        PartialReduce top-k, 8x QPS at recall 0.95 on v5e; refine index: the
+        build-time candidate-tune target). 1.0 = exact/FAISS-parity (flat).
+        index_dtype: fp32 (default) / bf16 (2x memory) / int8 (4x memory,
+        flat only). index_type: "flat" (exact brute force) or "refine"
+        (two-stage PCA prefilter + exact rerank, RefineIPIndex — approximate
+        by contract, tuned to recall_target). index_kwargs: forwarded to the
+        index constructor (e.g. reduced_dim / candidates for refine)."""
         import jax.numpy as jnp
 
         self.encoder = encoder
@@ -56,6 +63,15 @@ class RetrievalService:
         self.query_batch_size = query_batch_size
         self.recall_target = recall_target
         self.index_dtype = index_dtype if index_dtype is not None else jnp.float32
+        if index_type not in ("flat", "refine"):
+            raise ValueError(f"unknown index_type {index_type!r}")
+        if index_type == "refine" and self.index_dtype == jnp.int8:
+            raise ValueError(
+                "index_type='refine' stores fp32/bf16 rerank rows; int8 "
+                "storage is a FlatIPIndex option"
+            )
+        self.index_type = index_type
+        self.index_kwargs = dict(index_kwargs or {})
         # (index, corpus_texts) swap ATOMICALLY as one tuple: a query must
         # never decorate one index's hit ids with another corpus's texts
         # (build_index/add_passages can race in-flight queries)
@@ -92,21 +108,32 @@ class RetrievalService:
             max_length=max_passage_length,
             description="Indexing corpus",
         )
-        self._state = (
-            FlatIPIndex(
-                embeddings, mesh=self.mesh, recall_target=self.recall_target,
-                dtype=self.index_dtype,
-            ),
-            list(corpus_texts),
-        )
+        self._state = (self._make_index(embeddings), list(corpus_texts))
         with self._fused_lock:
             self._fused_fns.clear()  # fused programs bake in n_total/k_local
         logger.info(
             "indexed %d passages in %.1fs", len(corpus_texts), time.time() - t0
         )
 
+    def _make_index(self, embeddings):
+        if self.index_type == "refine":
+            kwargs = dict(self.index_kwargs)
+            # service-level recall_target is the tune target; 1.0 would
+            # ladder C to the cap chasing unreachable exactness — the refine
+            # index is approximate by contract, so default its target
+            kwargs.setdefault(
+                "recall_target",
+                self.recall_target if self.recall_target < 1.0 else 0.95,
+            )
+            kwargs.setdefault("store_dtype", self.index_dtype)
+            return RefineIPIndex(embeddings, mesh=self.mesh, **kwargs)
+        return FlatIPIndex(
+            embeddings, mesh=self.mesh, recall_target=self.recall_target,
+            dtype=self.index_dtype, **self.index_kwargs,
+        )
+
     @property
-    def index(self) -> Optional[FlatIPIndex]:
+    def index(self):
         return self._state[0]
 
     @property
@@ -115,17 +142,11 @@ class RetrievalService:
 
     def load_index(self, embeddings: np.ndarray, corpus_texts: Sequence[str]):
         """Attach a prebuilt embedding matrix (e.g. from an offline encode)."""
-        self._state = (
-            FlatIPIndex(
-                embeddings, mesh=self.mesh, recall_target=self.recall_target,
-                dtype=self.index_dtype,
-            ),
-            list(corpus_texts),
-        )
+        self._state = (self._make_index(embeddings), list(corpus_texts))
         with self._fused_lock:
             self._fused_fns.clear()  # fused programs bake in n_total/k_local
 
-    def _stored_embeddings(self, index: FlatIPIndex) -> np.ndarray:
+    def _stored_embeddings(self, index) -> np.ndarray:
         """Fetch an index's fp32 embedding matrix back to the host
         (dequantized for int8 storage). Multi-process: the corpus is sharded
         across hosts, so gather it (np.asarray alone cannot read
@@ -140,7 +161,7 @@ class RetrievalService:
             return np.asarray(arr, np.float32)
 
         emb = fetch(index.corpus)[: index.n_total]
-        if index.quantized:
+        if getattr(index, "quantized", False):
             emb = emb * fetch(index.row_scale)[: index.n_total, None]
         return emb
 
@@ -289,7 +310,10 @@ class RetrievalService:
         search = index.search_callable(k)
         mesh = self.mesh
 
-        def fused(params, corpus, row_scale, ids, mask):
+        def fused(params, *rest):
+            # rest = index.search_arrays + (ids, mask): the index protocol
+            # keeps this path agnostic to flat vs refine storage layouts
+            *arrays, ids, mask = rest
             reps = enc_mod.embed(
                 params,
                 enc_obj.config,
@@ -307,7 +331,7 @@ class RetrievalService:
                 reps = jax.lax.with_sharding_constraint(
                     reps, NamedSharding(mesh, P())
                 )
-            return search(corpus, row_scale, reps)
+            return search(*arrays, reps)
 
         if mesh is None:
             fn = jax.jit(fused)
@@ -315,12 +339,12 @@ class RetrievalService:
             fn = jax.jit(
                 fused,
                 in_shardings=(
-                    NamedSharding(mesh, P()),  # params replicated
-                    NamedSharding(mesh, P(DATA_AXIS, None)),
-                    NamedSharding(mesh, P(DATA_AXIS)) if index.quantized
-                    else NamedSharding(mesh, P()),
-                    NamedSharding(mesh, P(DATA_AXIS, None)),  # ids row-sharded
-                    NamedSharding(mesh, P(DATA_AXIS, None)),
+                    (NamedSharding(mesh, P()),)  # params replicated
+                    + index.search_arg_shardings(mesh)
+                    + (
+                        NamedSharding(mesh, P(DATA_AXIS, None)),  # ids
+                        NamedSharding(mesh, P(DATA_AXIS, None)),  # mask
+                    )
                 ),
                 out_shardings=NamedSharding(mesh, P()),
             )
@@ -360,8 +384,7 @@ class RetrievalService:
             )
             scores, indices = fn(
                 self.encoder.params,
-                index.corpus,
-                index.row_scale,
+                *index.search_arrays,
                 batch["input_ids"],
                 batch["attention_mask"],
             )
