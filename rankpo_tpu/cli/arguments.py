@@ -231,6 +231,18 @@ class HardNegativeArguments:
     num_clusters: int = dataclasses.field(default=10)
     lambda_: Optional[float] = dataclasses.field(default=None)
     bf16: bool = dataclasses.field(default=False)
+    index_type: str = dataclasses.field(
+        default="flat",
+        metadata={"help": "flat = exact candidate search (reference "
+                          "parity); refine = two-stage PCA prefilter + "
+                          "exact rerank (approximate, much faster on "
+                          "multi-million corpora — mining samples "
+                          "negatives anyway)"},
+    )
+    index_recall_target: float = dataclasses.field(
+        default=0.95,
+        metadata={"help": "refine index build-time candidate-tune target"},
+    )
     seed: int = dataclasses.field(default=42)
     log_level: str = dataclasses.field(default="info")
 

@@ -57,6 +57,8 @@ def main(argv=None):
         lambda_=args.lambda_,
         seed=args.seed,
         mesh=mesh,
+        index_type=args.index_type,
+        index_recall_target=args.index_recall_target,
     )
 
 

@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from rankpo_tpu.data.datasets import load_mining_rows
-from rankpo_tpu.index import FlatIPIndex, InferenceEncoder
+from rankpo_tpu.index import FlatIPIndex, InferenceEncoder, RefineIPIndex
 
 logger = logging.getLogger(__name__)
 
@@ -149,6 +149,8 @@ def find_hard_negatives(
     lambda_: Optional[float] = None,
     seed: int = 42,
     mesh=None,
+    index_type: str = "flat",
+    index_recall_target: float = 0.95,
 ) -> Dict[str, str]:
     """Run the full mining pipeline; returns {output-name: path}."""
     if isinstance(search_range, str):
@@ -181,7 +183,16 @@ def find_hard_negatives(
         corpus, batch_size=batch_size, max_length=max_passage_length,
         description="Embedding corpus",
     )
-    index = FlatIPIndex(c_emb, mesh=mesh)
+    if index_type == "refine":
+        # mining tolerates approximate candidates (negatives are sampled
+        # from the range anyway; the reference itself randomizes): the
+        # two-stage index cuts the candidate search cost on large corpora
+        index = RefineIPIndex(
+            c_emb, mesh=mesh, recall_target=index_recall_target,
+            reduced_dim=min(256, int(c_emb.shape[1])),
+        )
+    else:
+        index = FlatIPIndex(c_emb, mesh=mesh)
     _scores, indices = index.search(q_emb, k=hi, batch_size=batch_size)
     candidate_ids = [row[lo:hi] for row in indices]
 

@@ -145,6 +145,25 @@ class TestFindHardNegatives:
             for neg in row["negatives"]:
                 assert neg != row["query"]
 
+    def test_refine_index_mining(self, tmp_path, encoder, data_mesh):
+        # index_type="refine": approximate two-stage candidate search —
+        # output schema identical, self/positive filtering still holds
+        inp = _mining_file(tmp_path, n=6, n_pos=2)
+        outputs = find_hard_negatives(
+            encoder, inp, str(tmp_path / "mined_refine"),
+            max_query_length=16, max_passage_length=16,
+            num_negatives=3, search_range=(0, 10), method="topk",
+            batch_size=8, num_clusters=2, lambda_=0.5, seed=0,
+            mesh=data_mesh, index_type="refine", index_recall_target=0.9,
+        )
+        rows = read_jsonl(outputs["topk.jsonl"])
+        assert len(rows) == 6
+        for row in rows:
+            assert len(row["negatives"]) == 3
+            for neg in row["negatives"]:
+                assert neg != row["query"]
+                assert neg not in row["positives"]
+
     def test_lambda_sweep_when_unset(self, tmp_path, encoder, data_mesh):
         inp = _mining_file(tmp_path, n=6)
         outputs = find_hard_negatives(
