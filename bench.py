@@ -310,12 +310,21 @@ def _wait_for_backend(max_wait_s: float = 1800, probe_timeout_s: float = 240):
         except subprocess.TimeoutExpired:
             reason = f"probe timed out after {probe_timeout_s:.0f}s"
         if time.monotonic() >= deadline:
+            # last resort: a valid, honestly-labeled CPU-backend JSON line
+            # beats a crash with no number. Re-exec on the CPU backend (the
+            # plugin discovery failure is cached for the process lifetime,
+            # so a clean exec, not a flag flip). The output carries
+            # backend=cpu + tpu_unavailable so the outage is unmistakable.
             print(
                 f"bench: backend still unavailable after {max_wait_s:.0f}s "
-                f"({reason}); proceeding (expect failure)",
+                f"({reason}); falling back to the CPU backend",
                 file=sys.stderr, flush=True,
             )
-            return
+            env = os.environ.copy()
+            env["JAX_PLATFORMS"] = "cpu"
+            env["PALLAS_AXON_POOL_IPS"] = ""
+            env["RANKPO_BENCH_TPU_UNAVAILABLE"] = "1"
+            os.execve(sys.executable, [sys.executable, __file__], env)
         print(
             f"bench: backend probe {attempt} failed ({reason}); retrying",
             file=sys.stderr, flush=True,
@@ -324,7 +333,9 @@ def _wait_for_backend(max_wait_s: float = 1800, probe_timeout_s: float = 240):
 
 
 def main():
-    _wait_for_backend()
+    tpu_unavailable = os.environ.get("RANKPO_BENCH_TPU_UNAVAILABLE") == "1"
+    if not tpu_unavailable:
+        _wait_for_backend()
     import jax
 
     corpus, queries = _make_data()
@@ -383,6 +394,13 @@ def main():
         ),
         "backend": backend,
     }
+    if tpu_unavailable:
+        out["tpu_unavailable"] = True
+        out["metric_definition"] = (
+            "TPU TUNNEL OUTAGE: the remote-TPU backend stayed unavailable "
+            "through the full bounded retry window, so these are CPU-backend "
+            "fallback numbers (engine correctness still oracle-gated). "
+        ) + out["metric_definition"]
     print(json.dumps(out))
 
 
