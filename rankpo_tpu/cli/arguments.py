@@ -207,6 +207,17 @@ class EvaluateArguments:
     k: int = dataclasses.field(default=100)
     cutoffs: str = dataclasses.field(default="1,5,10,20,100")
     bf16: bool = dataclasses.field(default=False)
+    index_type: str = dataclasses.field(
+        default="flat",
+        metadata={"help": "flat = exact FAISS-parity search (reference "
+                          "comparisons); refine = two-stage approximate "
+                          "index (faster on huge corpora, metrics lose "
+                          "bit-parity)"},
+    )
+    index_recall_target: float = dataclasses.field(
+        default=0.95,
+        metadata={"help": "refine index build-time candidate-tune target"},
+    )
     wandb_project: str = dataclasses.field(default="")
     log_level: str = dataclasses.field(default="info")
 

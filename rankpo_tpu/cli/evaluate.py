@@ -47,6 +47,8 @@ def main(argv=None):
         k=args.k,
         cutoffs=cutoffs,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        index_type=args.index_type,
+        index_recall_target=args.index_recall_target,
     )
     for name, metrics in results.items():
         print(f"== {name} ==")

@@ -77,12 +77,20 @@ def evaluate_checkpoint(
     cutoffs: Sequence[int] = (1, 5, 10, 20, 100),
     encoder: Optional[InferenceEncoder] = None,
     compute_dtype=None,
+    index_type: str = "flat",
+    index_recall_target: float = 0.95,
 ):
     """Encode → index → search → metrics for one checkpoint.
 
     Returns ``(metrics, indices, scores)`` — the metric dict plus the raw
     [Q, k] search arrays the caller persists as ``-indices.npy`` /
-    ``-scores.npy`` (reference evaluate.py:240-287)."""
+    ``-scores.npy`` (reference evaluate.py:240-287).
+
+    ``index_type='refine'`` swaps the exact FlatIP index for the two-stage
+    RefineIPIndex (approximate, tuned to ``index_recall_target``): much
+    faster on multi-million corpora, but metrics lose the bit-for-bit
+    FAISS-parity guarantee — keep 'flat' when comparing against reference
+    numbers."""
     if encoder is None:
         kwargs = {} if compute_dtype is None else {"compute_dtype": compute_dtype}
         encoder = InferenceEncoder.from_pretrained(
@@ -96,7 +104,15 @@ def evaluate_checkpoint(
         list(corpus_texts), batch_size=batch_size, max_length=max_passage_length,
         description="Embedding corpus",
     )
-    index = FlatIPIndex(c_emb, mesh=mesh)
+    if index_type == "refine":
+        from rankpo_tpu.index import RefineIPIndex
+
+        index = RefineIPIndex(
+            c_emb, mesh=mesh, recall_target=index_recall_target,
+            reduced_dim=min(256, int(c_emb.shape[1])),
+        )
+    else:
+        index = FlatIPIndex(c_emb, mesh=mesh)
     scores, indices = index.search(q_emb, k=k, batch_size=batch_size)
     metrics = compute_metrics(indices, scores, labels, cutoffs=list(cutoffs))
     return metrics, indices, scores
@@ -119,6 +135,8 @@ def evaluate_path(
     cutoffs: Sequence[int] = (1, 5, 10, 20, 100),
     save_arrays: bool = True,
     compute_dtype=None,
+    index_type: str = "flat",
+    index_recall_target: float = 0.95,
 ) -> Dict[str, Dict[str, float]]:
     """Full harness over one model dir or all its checkpoints."""
     queries, labels = load_eval_queries(query_data)
@@ -169,6 +187,8 @@ def evaluate_path(
             k=k,
             cutoffs=cutoffs,
             compute_dtype=compute_dtype,
+            index_type=index_type,
+            index_recall_target=index_recall_target,
         )
         if jax.process_index() != 0:  # multi-host: rank 0 owns the artifacts
             results[os.path.basename(save_path).split(".")[0]] = metrics

@@ -138,3 +138,18 @@ class TestEvaluatePath:
             cutoffs=[1, 5], compute_dtype=jnp.float32,
         )
         assert res2 == {}
+
+    def test_refine_index_opt_in(self, tmp_path, data_mesh):
+        # index_type="refine": approximate search behind the same harness;
+        # on this tiny corpus the self-retrieval hit is trivially recovered
+        model_dir, qf, cf = self._setup(tmp_path, data_mesh)
+        out = tmp_path / "results_refine"
+        res = evaluate_path(
+            str(tmp_path / "models" / "tiny"), str(qf), str(cf), str(out),
+            evaluate_all_checkpoints=True,
+            tokenizer=HashTokenizer(vocab_size=256), mesh=data_mesh,
+            batch_size=8, max_query_length=16, max_passage_length=16, k=10,
+            cutoffs=[1, 5], compute_dtype=jnp.float32,
+            index_type="refine", index_recall_target=0.9,
+        )
+        assert res["checkpoint-1"]["MRR@1"] == 1.0
