@@ -197,18 +197,37 @@ class RetrievalService:
 
     def save_index(self, path: str) -> None:
         """Persist embeddings + passages so a restart skips the corpus encode
-        (the expensive step; FAISS users get this via write_index)."""
+        (the expensive step; FAISS users get this via write_index). For a
+        refine index the TUNED candidate count and reduced_dim are saved too,
+        so the restart also skips the build-time recall ladder."""
         index, texts = self._state
         if index is None:
             raise RuntimeError("no index built; call build_index first")
+        extra = {}
+        if isinstance(index, RefineIPIndex):
+            extra["refine_candidates"] = np.int64(index.candidates)
+            extra["refine_reduced_dim"] = np.int64(index.reduced_dim)
         np.savez_compressed(
             path, embeddings=self._stored_embeddings(index),
-            corpus_texts=np.asarray(texts, dtype=object),
+            corpus_texts=np.asarray(texts, dtype=object), **extra,
         )
         logger.info("saved index (%d passages) to %s", index.ntotal, path)
 
     def load_index_file(self, path: str) -> None:
         data = np.load(path, allow_pickle=True)
+        if self.index_type == "refine" and "refine_candidates" in data:
+            # restart path: reuse the tuned candidate count instead of
+            # re-running the recall ladder — but only when it is still valid
+            # (caller left candidates on "auto" and is not forcing a
+            # different reduced_dim than the one the count was tuned at)
+            saved_dim = int(data["refine_reduced_dim"])
+            user_dim = self.index_kwargs.get("reduced_dim", saved_dim)
+            if (
+                user_dim == saved_dim
+                and self.index_kwargs.get("candidates", "auto") == "auto"
+            ):
+                self.index_kwargs["candidates"] = int(data["refine_candidates"])
+                self.index_kwargs.setdefault("reduced_dim", saved_dim)
         self.load_index(
             data["embeddings"], [str(t) for t in data["corpus_texts"]]
         )

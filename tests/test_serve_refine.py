@@ -74,6 +74,37 @@ class TestRefineServing:
         res = svc.query("document 5 on distinct topic 5", k=2)
         assert res["hits"][0]["index"] == 5
 
+    def test_load_reuses_tuned_candidates(self, refine_service, data_mesh,
+                                          tmp_path, monkeypatch):
+        # auto-tune once, save; a restart with candidates='auto' must reuse
+        # the persisted tuned count instead of re-running the recall ladder
+        svc = RetrievalService(
+            refine_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="refine",
+            index_kwargs={"reduced_dim": 16, "candidates": "auto"},
+            recall_target=0.9,
+        )
+        svc.build_index(
+            [f"document {i} on distinct topic {i}" for i in range(20)],
+            max_passage_length=16, batch_size=8,
+        )
+        tuned = svc.index.candidates
+        path = str(tmp_path / "tuned.npz")
+        svc.save_index(path)
+
+        svc2 = RetrievalService(
+            refine_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="refine",
+            index_kwargs={"reduced_dim": 16, "candidates": "auto"},
+            recall_target=0.9,
+        )
+        monkeypatch.setattr(
+            RefineIPIndex, "_tune_candidates",
+            lambda *a, **k: pytest.fail("restart re-ran the tune ladder"),
+        )
+        svc2.load_index_file(path)
+        assert svc2.index.candidates == tuned
+
     def test_add_passages_rebuilds_refine(self, refine_service, data_mesh):
         svc = RetrievalService(
             refine_service.encoder, mesh=data_mesh, max_query_length=16,
