@@ -64,6 +64,11 @@ def main():
     parser.add_argument("--wait_ms", type=float, default=3.0)
     parser.add_argument("--hidden", type=int, default=512)
     parser.add_argument("--layers", type=int, default=4)
+    parser.add_argument("--index_type", default="flat",
+                        choices=["flat", "refine"])
+    parser.add_argument("--refine_dim", type=int, default=128)
+    parser.add_argument("--refine_candidates", type=int, default=None,
+                        help="None = build-time auto-tune at 0.95")
     args = parser.parse_args()
 
     import jax
@@ -86,8 +91,15 @@ def main():
     mesh = local_mesh()
     tok = HashTokenizer(vocab_size=32000)
     encoder = InferenceEncoder(cfg, params, tok, mesh=mesh, length_multiple=64)
+    index_kwargs = {}
+    if args.index_type == "refine":
+        index_kwargs["reduced_dim"] = min(args.refine_dim, args.hidden)
+        if args.refine_candidates is not None:
+            index_kwargs["candidates"] = args.refine_candidates
     service = RetrievalService(encoder, mesh=mesh, max_query_length=64,
-                               query_batch_size=64)
+                               query_batch_size=64,
+                               index_type=args.index_type,
+                               index_kwargs=index_kwargs)
     corpus = [f"document {i} on some topic number {i}" for i in range(args.n_corpus)]
     service.build_index(corpus, max_passage_length=64, batch_size=256)
 
@@ -107,6 +119,7 @@ def main():
         "metric": "serve_latency_concurrent",
         "threads": args.threads,
         "n_corpus": args.n_corpus,
+        "index_type": args.index_type,
         "direct": direct,
         "microbatch": batched,
         "dispatches_microbatch": mb.n_dispatches,
