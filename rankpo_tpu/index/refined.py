@@ -86,6 +86,12 @@ class RefineIPIndex:
             )
         self.reduced_dim = int(reduced_dim)
         self.recall_target = float(recall_target)
+        if not jnp.issubdtype(jnp.dtype(store_dtype), jnp.floating):
+            raise ValueError(
+                f"store_dtype={store_dtype} must be a float type (rerank "
+                "rows are stored as-is; int8 quantized storage is a "
+                "FlatIPIndex option)"
+            )
         self.store_dtype = store_dtype
 
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
@@ -242,6 +248,9 @@ class RefineIPIndex:
             )
             col = jax.lax.broadcasted_iota(jnp.int32, s1.shape, dimension=1)
             s1 = jnp.where(col < n_valid, s1, jnp.asarray(NEG_INF, s1.dtype))
+            # the 0.95 here is approx_max_k's OWN selection recall on the
+            # projected scores; the build-time tuner measures the COMPOUND
+            # (projection x selection) recall, so C self-corrects for it
             _, cand = jax.lax.approx_max_k(
                 s1, cc, recall_target=0.95, aggregate_to_topk=True
             )
@@ -267,7 +276,6 @@ class RefineIPIndex:
             return single
 
         shard_rows = self._shard_rows
-        k_local = min(k, shard_rows)
 
         def per_shard(corpus_local, low_local, proj_arg, queries):
             shard_id = jax.lax.axis_index(DATA_AXIS)
