@@ -47,8 +47,18 @@ metrics, indices, scores = evaluate_checkpoint(
     batch_size=16, max_query_length=16, max_passage_length=16,
     k=10, cutoffs=(1, 5, 10), compute_dtype=jnp.float32,
 )
+# two-stage index across processes: the build itself is collective (sharded
+# second-moment reduce + replicated fetch, host PCA, shard placement)
+r_metrics, r_indices, _ = evaluate_checkpoint(
+    model, queries, labels, corpus, tokenizer=tok, mesh=mesh,
+    batch_size=16, max_query_length=16, max_passage_length=16,
+    k=10, cutoffs=(1, 5, 10), compute_dtype=jnp.float32,
+    index_type="refine", index_recall_target=0.9,
+)
 with open(os.path.join(outdir, f"metrics_{pid}.json"), "w") as f:
-    json.dump({"metrics": metrics, "indices": indices.tolist()}, f)
+    json.dump({"metrics": metrics, "indices": indices.tolist(),
+               "refine_metrics": r_metrics,
+               "refine_indices": r_indices.tolist()}, f)
 """
 
 
@@ -107,3 +117,17 @@ def test_two_process_eval_matches_single(tmp_path):
     assert indices.tolist() == multi0["indices"], "indices differ from single-process"
     for key, value in metrics.items():
         assert abs(value - multi0["metrics"][key]) < 1e-9, key
+
+    # refine (two-stage) index: same collective build + search across the
+    # 2-process mesh — processes must agree (checked above via multi0==multi1)
+    # and match the single-process run's hit sets and metrics
+    r_metrics, r_indices, _ = evaluate_checkpoint(
+        str(model_dir), queries, labels, corpus, tokenizer=tok, mesh=mesh,
+        batch_size=16, max_query_length=16, max_passage_length=16,
+        k=10, cutoffs=(1, 5, 10), compute_dtype=jnp.float32,
+        index_type="refine", index_recall_target=0.9,
+    )
+    for row, multi_row in zip(r_indices.tolist(), multi0["refine_indices"]):
+        assert set(row) == set(multi_row), "refine hit sets differ"
+    for key, value in r_metrics.items():
+        assert abs(value - multi0["refine_metrics"][key]) < 1e-9, key
