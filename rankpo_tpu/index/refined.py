@@ -183,11 +183,8 @@ class RefineIPIndex:
         ref_sets = [set(row.tolist()) for row in ref_idx]
         del exact
 
-        c = max(2 * k, 128)
-        best = None
-        while True:
-            c = min(c, self.n_total)
-            scores, idx = self.search(sample, k=k, candidates=c)
+        def recall_at(c: int) -> float:
+            _, idx = self.search(sample, k=k, candidates=c)
             recall = float(
                 np.mean([
                     len(set(idx[r].tolist()) & ref_sets[r]) / k
@@ -198,19 +195,37 @@ class RefineIPIndex:
                 "RefineIPIndex tune: C=%d recall=%.4f (target %.2f)",
                 c, recall, self.recall_target,
             )
-            best = c
-            if recall >= self.recall_target or c >= min(
-                max_candidates, self.n_total
-            ):
-                if recall < self.recall_target:
-                    logger.warning(
-                        "RefineIPIndex: recall %.4f below target %.2f at the "
-                        "C=%d ladder cap — corpus spectrum may be too flat "
-                        "for reduced_dim=%d (raise it or use FlatIPIndex)",
-                        recall, self.recall_target, c, self.reduced_dim,
-                    )
-                return best
+            return recall
+
+        c = max(2 * k, 128)
+        lo = k - 1  # largest C known (or assumed) to miss; C < k is useless
+        while True:
+            c = min(c, self.n_total)
+            if recall_at(c) >= self.recall_target:
+                break
+            if c >= min(max_candidates, self.n_total):
+                logger.warning(
+                    "RefineIPIndex: recall below target %.2f at the C=%d "
+                    "ladder cap — corpus spectrum may be too flat for "
+                    "reduced_dim=%d (raise it or use FlatIPIndex)",
+                    self.recall_target, c, self.reduced_dim,
+                )
+                return c
+            lo = c
             c *= 2
+        # the doubling ladder overshoots by up to 2x; a couple of bisection
+        # probes claw most of that back (C is proportional to per-query
+        # rerank cost). Each probe is one extra compile — bounded at 2.
+        best = c
+        for _ in range(2):
+            mid = (lo + best) // 2
+            if mid <= lo or mid >= best:
+                break
+            if recall_at(mid) >= self.recall_target:
+                best = mid
+            else:
+                lo = mid
+        return best
 
     # ------------------------------------------------------------------
     @property
