@@ -275,6 +275,15 @@ class PredictionArguments:
     method: str = dataclasses.field(default="topk")
     num_predictions: int = dataclasses.field(default=10)
     bf16: bool = dataclasses.field(default=False)
+    index_type: str = dataclasses.field(
+        default="flat",
+        metadata={"help": "flat = exact candidate search; refine = "
+                          "two-stage approximate (faster on huge corpora)"},
+    )
+    index_recall_target: float = dataclasses.field(
+        default=0.95,
+        metadata={"help": "refine index build-time candidate-tune target"},
+    )
     seed: int = dataclasses.field(default=42)
     log_level: str = dataclasses.field(default="info")
 

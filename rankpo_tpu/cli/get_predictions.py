@@ -52,6 +52,8 @@ def main(argv=None):
         batch_size=args.batch_size,
         seed=args.seed,
         mesh=mesh,
+        index_type=args.index_type,
+        index_recall_target=args.index_recall_target,
     )
 
 

@@ -47,6 +47,8 @@ def generate_predictions(
     seed: int = 42,
     mesh=None,
     emit_pairs: bool = True,
+    index_type: str = "flat",
+    index_recall_target: float = 0.95,
 ) -> List[dict]:
     """Retrieve candidates and emit annotation-ready pairs.
 
@@ -72,7 +74,17 @@ def generate_predictions(
         corpus, batch_size=batch_size, max_length=max_passage_length,
         description="Embedding corpus",
     )
-    index = FlatIPIndex(c_emb, mesh=mesh)
+    if index_type == "refine":
+        # prediction pairs go to human/LLM judges — approximate candidate
+        # retrieval is fine (the range is sampled/truncated anyway)
+        from rankpo_tpu.index import RefineIPIndex
+
+        index = RefineIPIndex(
+            c_emb, mesh=mesh, recall_target=index_recall_target,
+            reduced_dim=min(256, int(c_emb.shape[1])),
+        )
+    else:
+        index = FlatIPIndex(c_emb, mesh=mesh)
     scores, indices = index.search(q_emb, k=hi, batch_size=batch_size)
 
     rows: List[dict] = []
