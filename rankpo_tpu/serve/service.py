@@ -190,6 +190,16 @@ class RetrievalService:
         )
         merged = np.concatenate([self._stored_embeddings(index), new_emb], axis=0)
         texts_all = old_texts + list(texts)
+        if (
+            isinstance(index, RefineIPIndex)
+            and self.index_kwargs.get("candidates", "auto") == "auto"
+        ):
+            # keep the live index's tuned candidate count: re-running the
+            # recall ladder on every /add would stall serving, and a small
+            # append leaves the tuned C approximately right (rebuild with
+            # build_index to re-tune after large corpus changes)
+            self.index_kwargs["candidates"] = index.candidates
+            self.index_kwargs.setdefault("reduced_dim", index.reduced_dim)
         self.load_index(merged, texts_all)
         logger.info(
             "added %d passages (index now %d)", len(texts), self.ntotal

@@ -124,6 +124,28 @@ class TestRefineServing:
         res = svc.query("zebra quark lantern umbrella volcano", k=1)
         assert res["hits"][0]["index"] == 16
 
+    def test_add_passages_keeps_tuned_candidates(self, refine_service,
+                                                 data_mesh, monkeypatch):
+        svc = RetrievalService(
+            refine_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="refine",
+            index_kwargs={"reduced_dim": 16, "candidates": "auto"},
+            recall_target=0.9,
+        )
+        svc.build_index(
+            [f"document {i} on distinct topic {i}" for i in range(20)],
+            max_passage_length=16, batch_size=8,
+        )
+        tuned = svc.index.candidates
+        monkeypatch.setattr(
+            RefineIPIndex, "_tune_candidates",
+            lambda *a, **k: pytest.fail("/add re-ran the tune ladder"),
+        )
+        svc.add_passages(["zebra quark lantern volcano extra"],
+                         max_passage_length=16, batch_size=8)
+        assert svc.ntotal == 21
+        assert svc.index.candidates == tuned
+
     def test_int8_refine_rejected(self, data_mesh, refine_service):
         with pytest.raises(ValueError, match="int8"):
             RetrievalService(
