@@ -217,3 +217,113 @@ class InferenceEncoder:
             inverse[order] = np.arange(len(order))
             result = result[inverse]
         return result[0] if single else result
+
+    def encode_sharded(
+        self,
+        sentences: List[str],
+        *,
+        batch_size: int = 256,
+        max_length: int = 512,
+        description: str = "Encoding (device-resident)",
+        sort_by_length: bool = True,
+    ):
+        """Device-resident corpus encode: returns ``(embeddings, n_total)``
+        where ``embeddings`` is a row-sharded fp32 ``jax.Array`` of shape
+        [n_buf, H] (n_buf >= n_total, divisible by the data-axis shard
+        count; rows past n_total are zeros) that never visits the host.
+
+        The host-returning ``encode`` fetches every [batch, H] block and an
+        index build re-uploads the matrix — two full-corpus transfers plus
+        an O(N*H) host-RAM ceiling (a 10M x d1024 fp32 corpus is 40 GB of
+        host numpy). Here each batch's replicated embed output is written
+        straight into a preallocated row-sharded HBM buffer with a donated
+        ``dynamic_update_slice`` (traced offset: one compile total), which
+        is exactly the layout ``FlatIPIndex.from_sharded`` /
+        ``RefineIPIndex.from_sharded`` pin into the index. Same _embed_fn
+        and chunking as ``encode`` — values are bit-identical to the host
+        path."""
+        import jax
+
+        if not isinstance(sentences, list):
+            sentences = list(sentences)
+        n = len(sentences)
+        hidden = int(self.config.hidden_size)
+        n_shards = (
+            self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        )
+
+        order = None
+        if sort_by_length and n > batch_size:
+            order = np.argsort([len(s) for s in sentences], kind="stable")
+            sentences = [sentences[i] for i in order]
+
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        if batch_size % n_dev != 0:
+            batch_size = -(-batch_size // n_dev) * n_dev
+        if n == 0:
+            n_buf = n_shards
+        else:
+            # ceil to whole batches: the last dynamic_update_slice must not
+            # clamp backwards over real rows (batch % n_dev == 0 and the
+            # data-axis size divides n_dev, so n_buf stays shard-divisible)
+            n_buf = -(-n // batch_size) * batch_size
+            n_buf = -(-n_buf // n_shards) * n_shards
+
+        row_sharding = (
+            NamedSharding(self.mesh, P(DATA_AXIS, None))
+            if self.mesh is not None else None
+        )
+        shard_kw = (
+            {"out_shardings": row_sharding} if row_sharding is not None else {}
+        )
+        buf = jax.jit(
+            lambda: jnp.zeros((n_buf, hidden), jnp.float32), **shard_kw
+        )()
+
+        def _update(buf, chunk, lo, real):
+            row = jax.lax.broadcasted_iota(jnp.int32, chunk.shape, 0)
+            chunk = jnp.where(row < real, chunk.astype(jnp.float32), 0.0)
+            return jax.lax.dynamic_update_slice(buf, chunk, (lo, 0))
+
+        update_kw = dict(donate_argnums=0)
+        if row_sharding is not None:
+            update_kw.update(
+                in_shardings=(
+                    row_sharding,
+                    NamedSharding(self.mesh, P()),
+                    NamedSharding(self.mesh, P()),
+                    NamedSharding(self.mesh, P()),
+                ),
+                out_shardings=row_sharding,
+            )
+        update_fn = jax.jit(_update, **update_kw)
+
+        for lo in range(0, n, batch_size):
+            chunk = sentences[lo : lo + batch_size]
+            batch = self.prepare_batch(chunk, batch_size, max_length)
+            reps = self._embed_fn(self.params, batch)
+            buf = update_fn(
+                buf, reps, jnp.int32(lo), jnp.int32(len(chunk))
+            )
+            if lo == 0:
+                logger.info(
+                    "%s: %d texts, batch %d, seq %d", description, n,
+                    batch_size, batch["input_ids"].shape[-1],
+                )
+
+        if order is not None:
+            # undo the length sort ON DEVICE (one cross-shard gather);
+            # pad positions map to pad positions so zeros stay zeros
+            inverse = np.empty_like(order)
+            inverse[order] = np.arange(len(order))
+            inv_full = np.concatenate(
+                [inverse, np.arange(n, n_buf)]
+            ).astype(np.int32)
+            inv_dev = (
+                replicate_to_mesh(inv_full, self.mesh)
+                if self.mesh is not None else jnp.asarray(inv_full)
+            )
+            buf = jax.jit(
+                lambda b, i: jnp.take(b, i, axis=0), **shard_kw
+            )(buf, inv_dev)
+        return buf, n

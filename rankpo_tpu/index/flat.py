@@ -119,6 +119,81 @@ class FlatIPIndex:
         self._search_lock = threading.Lock()
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_sharded(
+        cls,
+        embeddings,
+        n_total: int,
+        mesh: Optional[Mesh] = None,
+        *,
+        dtype=jnp.float32,
+        recall_target: float = 1.0,
+        precision: Optional[str] = None,
+    ) -> "FlatIPIndex":
+        """Build from a DEVICE-RESIDENT row-sharded fp32 matrix (the
+        ``InferenceEncoder.encode_sharded`` layout: [n_buf, D] with n_buf
+        divisible by the data-axis shard count and zero rows past
+        ``n_total``) — no host round trip, no O(N*D) host RAM. Casting and
+        int8 quantization run as sharded device programs."""
+        import jax
+
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.recall_target = recall_target
+        self.precision = precision
+        self.n_total = int(n_total)
+        self.n_padded = int(embeddings.shape[0])
+        self.dim = int(embeddings.shape[1])
+        self.dtype = dtype
+        n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        if self.n_padded % n_shards or self.n_padded < self.n_total:
+            raise ValueError(
+                f"sharded embeddings rows ({self.n_padded}) must be >= "
+                f"n_total ({n_total}) and divisible by {n_shards} shards"
+            )
+
+        row_sharding = (
+            NamedSharding(mesh, P(DATA_AXIS, None)) if mesh is not None
+            else None
+        )
+        def shard_kw(spec=None):
+            if mesh is None:
+                return {}
+            return {"out_shardings": NamedSharding(mesh, spec or P(DATA_AXIS, None))}
+
+        self.quantized = dtype == jnp.int8
+        if self.quantized:
+            def quantize(c):
+                scale = jnp.maximum(
+                    jnp.max(jnp.abs(c), axis=1) / 127.0, 1e-12
+                )
+                q = jnp.clip(
+                    jnp.round(c / scale[:, None]), -127, 127
+                ).astype(jnp.int8)
+                return q, scale.astype(jnp.float32)
+
+            self.corpus, self.row_scale = jax.jit(
+                quantize,
+                **(
+                    {}
+                    if mesh is None
+                    else {
+                        "out_shardings": (
+                            row_sharding,
+                            NamedSharding(mesh, P(DATA_AXIS)),
+                        )
+                    }
+                ),
+            )(embeddings)
+        else:
+            self.corpus = jax.jit(
+                lambda c: c.astype(jnp.dtype(dtype)), **shard_kw()
+            )(embeddings)
+            self.row_scale = None
+        self._search_fns = {}
+        self._search_lock = threading.Lock()
+        return self
+
     @property
     def search_arrays(self) -> tuple:
         """Device arrays ``search_callable`` consumes, in order (the index

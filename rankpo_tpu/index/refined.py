@@ -145,9 +145,26 @@ class RefineIPIndex:
         self._search_lock = threading.Lock()
 
         if candidates == "auto":
-            self.candidates = self._tune_candidates(
-                emb, tune_sample, tune_k, max_candidates, seed
+            rng = np.random.default_rng(seed)
+            n_sample = min(tune_sample, self.n_total)
+            sample_idx = rng.choice(
+                self.n_total, size=n_sample, replace=False
             )
+            # exact reference AT STORAGE PRECISION: what a perfect candidate
+            # stage could possibly recover from the stored rows
+            from rankpo_tpu.index.flat import FlatIPIndex
+
+            exact = FlatIPIndex(
+                np.asarray(
+                    emb[: self.n_total].astype(np.dtype(self.store_dtype)),
+                    dtype=np.float32,
+                ),
+                self.mesh,
+            )
+            self.candidates = self._tune_candidates(
+                emb[sample_idx], exact, tune_k, max_candidates
+            )
+            del exact
         else:
             self.candidates = int(candidates)
             if self.candidates < 1:
@@ -155,33 +172,18 @@ class RefineIPIndex:
 
     # ------------------------------------------------------------------
     def _tune_candidates(
-        self, emb: np.ndarray, n_sample: int, k: int,
-        max_candidates: int, seed: int,
+        self, sample: np.ndarray, exact_index, k: int, max_candidates: int,
     ) -> int:
         """Smallest C on a doubling ladder whose two-stage recall meets
-        ``recall_target`` against an exact (storage-precision) search over a
-        held-out sample of corpus rows used as pseudo-queries. Corpus rows
-        as queries bias recall slightly up (the self-hit is free) — FAISS
-        tunes nprobe the same way; pass ``candidates=<int>`` with an
-        app-measured value when real query traffic is available."""
-        from rankpo_tpu.index.flat import FlatIPIndex
-
+        ``recall_target`` against ``exact_index`` (the storage-precision
+        exact search) over ``sample`` pseudo-queries (corpus rows: biases
+        recall slightly up — the self-hit is free — FAISS tunes nprobe the
+        same way; pass ``candidates=<int>`` with an app-measured value when
+        real query traffic is available)."""
         k = min(k, self.n_total)
-        rng = np.random.default_rng(seed)
-        n_sample = min(n_sample, self.n_total)
-        sample_idx = rng.choice(self.n_total, size=n_sample, replace=False)
-        sample = emb[sample_idx]
-
-        # exact reference AT STORAGE PRECISION: what a perfect candidate
-        # stage could possibly recover from the stored rows
-        exact = FlatIPIndex(
-            np.asarray(emb[: self.n_total].astype(np.dtype(self.store_dtype)),
-                       dtype=np.float32),
-            self.mesh,
-        )
-        _, ref_idx = exact.search(sample, k=k)
+        n_sample = len(sample)
+        _, ref_idx = exact_index.search(sample, k=k)
         ref_sets = [set(row.tolist()) for row in ref_idx]
-        del exact
 
         def recall_at(c: int) -> float:
             _, idx = self.search(sample, k=k, candidates=c)
@@ -228,6 +230,125 @@ class RefineIPIndex:
         return best
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_sharded(
+        cls,
+        embeddings,
+        n_total: int,
+        mesh: Optional[Mesh] = None,
+        *,
+        reduced_dim: int = 256,
+        candidates: Union[int, str] = "auto",
+        recall_target: float = 0.95,
+        store_dtype=jnp.bfloat16,
+        tune_sample: int = TUNE_SAMPLE,
+        tune_k: int = TUNE_K,
+        max_candidates: int = 4096,
+        seed: int = 0,
+    ) -> "RefineIPIndex":
+        """Build from a DEVICE-RESIDENT row-sharded fp32 matrix (the
+        ``InferenceEncoder.encode_sharded`` layout — see
+        ``FlatIPIndex.from_sharded``). The second moment, projection matmul,
+        dtype cast, and candidate tuning all run on device; the host only
+        sees the [D, D] covariance (for eigh) and a [tune_sample, D] query
+        probe."""
+        from rankpo_tpu.index.flat import FlatIPIndex
+
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.n_total = int(n_total)
+        self.n_padded = int(embeddings.shape[0])
+        self.dim = int(embeddings.shape[1])
+        if not 0 < reduced_dim <= self.dim:
+            raise ValueError(
+                f"reduced_dim={reduced_dim} must be in (0, {self.dim}]"
+            )
+        self.reduced_dim = int(reduced_dim)
+        self.recall_target = float(recall_target)
+        if not jnp.issubdtype(jnp.dtype(store_dtype), jnp.floating):
+            raise ValueError(
+                f"store_dtype={store_dtype} must be a float type"
+            )
+        self.store_dtype = store_dtype
+        n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        if self.n_padded % n_shards or self.n_padded < self.n_total:
+            raise ValueError(
+                f"sharded embeddings rows ({self.n_padded}) must be >= "
+                f"n_total ({n_total}) and divisible by {n_shards} shards"
+            )
+        self._shard_rows = self.n_padded // n_shards
+
+        row_kw = (
+            {}
+            if mesh is None
+            else {"out_shardings": NamedSharding(mesh, P(DATA_AXIS, None))}
+        )
+        rep_kw = (
+            {}
+            if mesh is None
+            else {"out_shardings": NamedSharding(mesh, P())}
+        )
+        self.corpus = jax.jit(
+            lambda c: c.astype(jnp.dtype(store_dtype)), **row_kw
+        )(embeddings)
+        cov = np.asarray(
+            jax.jit(
+                lambda c: jnp.einsum(
+                    "nd,ne->de", c, c, preferred_element_type=jnp.float32
+                ),
+                **rep_kw,
+            )(embeddings)
+        )
+        _, v = np.linalg.eigh(cov)
+        proj = np.ascontiguousarray(v[:, -self.reduced_dim :], np.float32)
+        self.proj = (
+            jax.device_put(jnp.asarray(proj)) if mesh is None
+            else replicate_to_mesh(proj, mesh)
+        )
+        self.corpus_low = jax.jit(
+            lambda c, p: (c @ p).astype(jnp.bfloat16), **row_kw
+        )(embeddings, self.proj)
+
+        self._search_fns = {}
+        self._search_lock = threading.Lock()
+
+        if candidates == "auto":
+            rng = np.random.default_rng(seed)
+            n_sample = min(tune_sample, self.n_total)
+            sample_idx = rng.choice(
+                self.n_total, size=n_sample, replace=False
+            )
+            idx_dev = (
+                replicate_to_mesh(sample_idx.astype(np.int32), mesh)
+                if mesh is not None else jnp.asarray(sample_idx, jnp.int32)
+            )
+            # only the [n_sample, D] probe crosses to the host
+            sample = np.asarray(
+                jax.jit(
+                    lambda c, i: jnp.take(c, i, axis=0), **rep_kw
+                )(embeddings, idx_dev),
+                np.float32,
+            )
+            exact = FlatIPIndex.from_sharded(
+                jax.jit(
+                    lambda c: c.astype(jnp.dtype(store_dtype)).astype(
+                        jnp.float32
+                    ),
+                    **row_kw,
+                )(embeddings),
+                self.n_total,
+                mesh,
+            )
+            self.candidates = self._tune_candidates(
+                sample, exact, tune_k, max_candidates
+            )
+            del exact
+        else:
+            self.candidates = int(candidates)
+            if self.candidates < 1:
+                raise ValueError("candidates must be >= 1")
+        return self
+
     @property
     def search_arrays(self) -> tuple:
         """Device arrays ``search_callable`` consumes, in order (the index

@@ -99,20 +99,57 @@ class RetrievalService:
         *,
         max_passage_length: int = 512,
         batch_size: int = 256,
+        device_resident: bool = True,
     ) -> None:
-        """Encode the corpus on the mesh and pin it sharded in HBM."""
+        """Encode the corpus on the mesh and pin it sharded in HBM.
+
+        ``device_resident`` (default) keeps the embedding matrix on device
+        end to end (encode_sharded -> from_sharded): no full-corpus
+        D2H + H2D round trip and no O(N*D) host-RAM ceiling — the path that
+        makes multi-million-passage indexes buildable on one host. False
+        restores the host-numpy route (useful when the matrix is wanted
+        host-side anyway)."""
         t0 = time.time()
-        embeddings = self.encoder.encode(
-            list(corpus_texts),
-            batch_size=batch_size,
-            max_length=max_passage_length,
-            description="Indexing corpus",
-        )
-        self._state = (self._make_index(embeddings), list(corpus_texts))
+        if device_resident and not corpus_texts:
+            device_resident = False  # empty corpus: keep the host path's error
+        if device_resident:
+            emb_dev, n_total = self.encoder.encode_sharded(
+                list(corpus_texts),
+                batch_size=batch_size,
+                max_length=max_passage_length,
+                description="Indexing corpus (device-resident)",
+            )
+            index = self._make_index_sharded(emb_dev, n_total)
+        else:
+            embeddings = self.encoder.encode(
+                list(corpus_texts),
+                batch_size=batch_size,
+                max_length=max_passage_length,
+                description="Indexing corpus",
+            )
+            index = self._make_index(embeddings)
+        self._state = (index, list(corpus_texts))
         with self._fused_lock:
             self._fused_fns.clear()  # fused programs bake in n_total/k_local
         logger.info(
             "indexed %d passages in %.1fs", len(corpus_texts), time.time() - t0
+        )
+
+    def _make_index_sharded(self, emb_dev, n_total: int):
+        if self.index_type == "refine":
+            kwargs = dict(self.index_kwargs)
+            kwargs.setdefault(
+                "recall_target",
+                self.recall_target if self.recall_target < 1.0 else 0.95,
+            )
+            kwargs.setdefault("store_dtype", self.index_dtype)
+            return RefineIPIndex.from_sharded(
+                emb_dev, n_total, mesh=self.mesh, **kwargs
+            )
+        return FlatIPIndex.from_sharded(
+            emb_dev, n_total, mesh=self.mesh,
+            recall_target=self.recall_target, dtype=self.index_dtype,
+            **self.index_kwargs,
         )
 
     def _make_index(self, embeddings):
