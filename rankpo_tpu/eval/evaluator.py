@@ -100,19 +100,22 @@ def evaluate_checkpoint(
         list(query_texts), batch_size=batch_size, max_length=max_query_length,
         description="Embedding queries",
     )
-    c_emb = encoder.encode(
-        list(corpus_texts), batch_size=batch_size, max_length=max_passage_length,
-        description="Embedding corpus",
+    # corpus embeddings feed ONLY the index: keep them on device end to end
+    # (encode_sharded -> from_sharded; no full-matrix host round trip)
+    c_emb_dev, n_corpus = encoder.encode_sharded(
+        list(corpus_texts), batch_size=batch_size,
+        max_length=max_passage_length, description="Embedding corpus",
     )
     if index_type == "refine":
         from rankpo_tpu.index import RefineIPIndex
 
-        index = RefineIPIndex(
-            c_emb, mesh=mesh, recall_target=index_recall_target,
-            reduced_dim=min(256, int(c_emb.shape[1])),
+        index = RefineIPIndex.from_sharded(
+            c_emb_dev, n_corpus, mesh=mesh,
+            recall_target=index_recall_target,
+            reduced_dim=min(256, int(c_emb_dev.shape[1])),
         )
     else:
-        index = FlatIPIndex(c_emb, mesh=mesh)
+        index = FlatIPIndex.from_sharded(c_emb_dev, n_corpus, mesh=mesh)
     scores, indices = index.search(q_emb, k=k, batch_size=batch_size)
     metrics = compute_metrics(indices, scores, labels, cutoffs=list(cutoffs))
     return metrics, indices, scores
