@@ -70,7 +70,8 @@ def generate_predictions(
         queries, batch_size=batch_size, max_length=max_query_length,
         description="Embedding queries",
     )
-    c_emb = encoder.encode(
+    # corpus embeddings feed only the index: device-resident build
+    c_emb_dev, n_corpus = encoder.encode_sharded(
         corpus, batch_size=batch_size, max_length=max_passage_length,
         description="Embedding corpus",
     )
@@ -79,12 +80,13 @@ def generate_predictions(
         # retrieval is fine (the range is sampled/truncated anyway)
         from rankpo_tpu.index import RefineIPIndex
 
-        index = RefineIPIndex(
-            c_emb, mesh=mesh, recall_target=index_recall_target,
-            reduced_dim=min(256, int(c_emb.shape[1])),
+        index = RefineIPIndex.from_sharded(
+            c_emb_dev, n_corpus, mesh=mesh,
+            recall_target=index_recall_target,
+            reduced_dim=min(256, int(c_emb_dev.shape[1])),
         )
     else:
-        index = FlatIPIndex(c_emb, mesh=mesh)
+        index = FlatIPIndex.from_sharded(c_emb_dev, n_corpus, mesh=mesh)
     scores, indices = index.search(q_emb, k=hi, batch_size=batch_size)
 
     rows: List[dict] = []
