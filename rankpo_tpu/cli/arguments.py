@@ -211,12 +211,13 @@ class EvaluateArguments:
         default="flat",
         metadata={"help": "flat = exact FAISS-parity search (reference "
                           "comparisons); refine = two-stage approximate "
-                          "index (faster on huge corpora, metrics lose "
+                          "index; ivf = clustered inverted-file probing "
+                          "(both faster on huge corpora, metrics lose "
                           "bit-parity)"},
     )
     index_recall_target: float = dataclasses.field(
         default=0.95,
-        metadata={"help": "refine index build-time candidate-tune target"},
+        metadata={"help": "refine/ivf index build-time recall-tune target"},
     )
     wandb_project: str = dataclasses.field(default="")
     log_level: str = dataclasses.field(default="info")
@@ -246,13 +247,14 @@ class HardNegativeArguments:
         default="flat",
         metadata={"help": "flat = exact candidate search (reference "
                           "parity); refine = two-stage PCA prefilter + "
-                          "exact rerank (approximate, much faster on "
+                          "exact rerank; ivf = clustered inverted-file "
+                          "probing (both approximate, much faster on "
                           "multi-million corpora — mining samples "
                           "negatives anyway)"},
     )
     index_recall_target: float = dataclasses.field(
         default=0.95,
-        metadata={"help": "refine index build-time candidate-tune target"},
+        metadata={"help": "refine/ivf index build-time recall-tune target"},
     )
     seed: int = dataclasses.field(default=42)
     log_level: str = dataclasses.field(default="info")
@@ -277,12 +279,12 @@ class PredictionArguments:
     bf16: bool = dataclasses.field(default=False)
     index_type: str = dataclasses.field(
         default="flat",
-        metadata={"help": "flat = exact candidate search; refine = "
-                          "two-stage approximate (faster on huge corpora)"},
+        metadata={"help": "flat = exact candidate search; refine / ivf = "
+                          "approximate (faster on huge corpora)"},
     )
     index_recall_target: float = dataclasses.field(
         default=0.95,
-        metadata={"help": "refine index build-time candidate-tune target"},
+        metadata={"help": "refine/ivf index build-time recall-tune target"},
     )
     seed: int = dataclasses.field(default=42)
     log_level: str = dataclasses.field(default="info")

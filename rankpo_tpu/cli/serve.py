@@ -130,15 +130,21 @@ def main(argv=None):
                         choices=["float32", "bfloat16", "int8"],
                         help="index storage: fp32 exact / bf16 2x / int8 4x memory")
     parser.add_argument("--index_type", default="flat",
-                        choices=["flat", "refine"],
+                        choices=["flat", "refine", "ivf"],
                         help="flat = exact brute force (FAISS IndexFlatIP "
                              "parity); refine = two-stage PCA prefilter + "
-                             "exact rerank (approximate, tuned to "
+                             "exact rerank; ivf = clustered inverted-file "
+                             "probing (both approximate, tuned to "
                              "--recall_target, fewer FLOPs per query)")
     parser.add_argument("--refine_dim", type=int, default=256,
                         help="refine index stage-1 PCA dimension")
     parser.add_argument("--refine_candidates", default="auto",
                         help="refine rerank candidate count, or 'auto' to "
+                             "tune at build time against --recall_target")
+    parser.add_argument("--ivf_clusters", default="auto",
+                        help="ivf cluster count, or 'auto' (~4*sqrt(N))")
+    parser.add_argument("--ivf_nprobe", default="auto",
+                        help="ivf probed clusters per query, or 'auto' to "
                              "tune at build time against --recall_target")
     parser.add_argument("--index_file", default=None,
                         help="persisted index (.npz): loaded if it exists, "
@@ -186,6 +192,13 @@ def main(argv=None):
         index_kwargs["candidates"] = (
             "auto" if args.refine_candidates == "auto"
             else int(args.refine_candidates)
+        )
+    elif args.index_type == "ivf":
+        index_kwargs["n_clusters"] = (
+            "auto" if args.ivf_clusters == "auto" else int(args.ivf_clusters)
+        )
+        index_kwargs["nprobe"] = (
+            "auto" if args.ivf_nprobe == "auto" else int(args.ivf_nprobe)
         )
     service = RetrievalService(
         encoder, mesh=mesh, max_query_length=args.max_query_length,

@@ -114,6 +114,13 @@ def evaluate_checkpoint(
             recall_target=index_recall_target,
             reduced_dim=min(256, int(c_emb_dev.shape[1])),
         )
+    elif index_type == "ivf":
+        from rankpo_tpu.index import IVFIPIndex
+
+        index = IVFIPIndex.from_sharded(
+            c_emb_dev, n_corpus, mesh=mesh,
+            recall_target=index_recall_target,
+        )
     else:
         index = FlatIPIndex.from_sharded(c_emb_dev, n_corpus, mesh=mesh)
     scores, indices = index.search(q_emb, k=k, batch_size=batch_size)

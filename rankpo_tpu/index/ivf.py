@@ -1,0 +1,795 @@
+"""Inverted-file (clustered) approximate inner-product index.
+
+TPU-native analog of FAISS ``IndexIVFFlat`` with ``METRIC_INNER_PRODUCT``
+(the reference only ever builds the brute-force ``IndexFlatIP``,
+src/utils.py:38-56 — like ``RefineIPIndex`` this is a designed upgrade path,
+here for the multi-million-row regime where even a PCA-reduced full scan's
+O(N) FLOPs dominate serving cost).
+
+TPU-first design decisions (vs FAISS's CPU layout):
+
+- **k-means is MXU work.** Both Lloyd phases are batched matmuls: assignment
+  is a ``[rows, D] @ [D, K]`` scores matmul + argmax, and the centroid
+  update is a one-hot ``[rows, K+1] @ [rows, D]`` segment-sum matmul —
+  no scatters, no host loop. Rows stream through a ``lax.fori_loop`` in
+  fixed-size chunks so the score matrix never exceeds a VMEM-friendly
+  budget, and the whole Lloyd loop is ONE jitted program (sharded corpora
+  psum their partial sums across the data axis each iteration).
+- **Fixed-capacity cluster storage.** FAISS keeps ragged per-cluster lists;
+  ragged is hostile to XLA's static shapes. Rows are laid out cluster-major
+  as ``[K * capacity, D]`` with ``capacity = ceil(N/K * slack)`` and
+  ``row_ids == -1`` marking empty slots (masked to -inf at search). Rows
+  are placed by a vectorized greedy pass over each row's top-2 nearest
+  clusters; rows that find both full spill to any cluster with space —
+  the nprobe auto-tuner measures recall on the ACTUAL layout, so spill
+  cost is priced in, not assumed away.
+- **Clusters shard over the data axis.** Each shard owns ``K/W`` whole
+  clusters (centroids AND their row blocks), probes its own top-``nprobe``
+  local clusters, and the per-shard winners concat-merge exactly like
+  ``FlatIPIndex`` — probing never gathers across shards. At fixed nprobe
+  the sharded index probes W× more clusters than the unsharded one
+  (recall >= unsharded); the tuner runs on the final sharded config, so
+  the tuned nprobe self-corrects downward.
+- **Search = tiny matmul + gather + rerank.** Stage 0 scores queries
+  against the local centroids (``[Q, K/W]``, negligible), gathers the
+  probed clusters' row blocks (``[Q, nprobe, capacity, D]`` contiguous
+  D-wide slices), and reranks them exactly in fp32 accumulation — scores
+  of returned hits are true inner products at storage precision.
+
+Contract: approximate — the hit SET may miss true neighbors (probing is
+lossy; ``recall_target`` tunes nprobe at build time against a storage-
+precision exact search on a held-out sample), returned scores are exact at
+storage precision, tie order is not FAISS-bit-exact, and — exactly like
+FAISS IVF — a query whose probed clusters hold fewer than k rows pads the
+tail with index -1 / score -inf. Callers needing exact semantics use
+``FlatIPIndex``.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import threading
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rankpo_tpu.core.mesh import DATA_AXIS, replicate_to_mesh, shard_rows_to_mesh
+
+logger = logging.getLogger(__name__)
+
+NEG_INF = float("-inf")  # plain python at module scope (CLAUDE.md: a jnp
+# scalar here would initialize the XLA backend at import time)
+
+TUNE_SAMPLE = 256
+TUNE_K = 100
+# row-chunk budget for the streamed k-means matmuls: chunk*K score elements
+_CHUNK_BUDGET = 1 << 22
+
+
+def _resolve_clusters(n_total: int, n_shards: int, requested) -> int:
+    """Cluster count: FAISS's ~4*sqrt(N) rule of thumb, rounded UP to a
+    multiple of the shard count so every shard owns whole clusters."""
+    if requested == "auto":
+        k = max(1, int(round(4.0 * math.sqrt(max(n_total, 1)))))
+        k = min(k, max(n_total, 1))
+    else:
+        k = int(requested)
+        if k < 1:
+            raise ValueError("n_clusters must be >= 1")
+    k = max(k, n_shards)
+    k = -(-k // n_shards) * n_shards
+    return k
+
+
+def _resolve_capacity(n_total: int, k: int, slack: float) -> int:
+    """Per-cluster slot count: mean fill x slack, rounded up to a sublane
+    multiple; total slots always cover the corpus."""
+    cap = -(-max(n_total, 1) * slack // k)
+    cap = max(int(cap), -(-max(n_total, 1) // k))
+    return max(8, -(-int(cap) // 8) * 8)
+
+
+def _chunk_rows(rows: int, k: int) -> int:
+    """Static row-chunk size for the streamed assignment/update matmuls."""
+    c = max(128, (_CHUNK_BUDGET // max(k + 1, 1)) // 8 * 8)
+    return min(rows, c)
+
+
+def _lloyd_body(corpus_local, centroids, n_valid_local, *, n_iters, chunk,
+                axis_name, spherical):
+    """The full Lloyd loop for one shard's rows (or the whole corpus when
+    unsharded). ``corpus_local`` is padded to a multiple of ``chunk``;
+    rows at local index >= n_valid_local (zero padding) are masked into a
+    dump segment. Empty clusters keep their previous centroid (FAISS
+    instead splits the largest; frozen centroids are simpler and the
+    capacity slack + tuner absorb the difference)."""
+    k = centroids.shape[0]
+    d = corpus_local.shape[1]
+    n_chunks = corpus_local.shape[0] // chunk
+
+    def one_iter(_, cents):
+        cb = cents.astype(jnp.bfloat16)
+
+        def chunk_body(ci, carry):
+            sums, counts = carry
+            rows = lax.dynamic_slice_in_dim(corpus_local, ci * chunk, chunk)
+            rows_b = rows.astype(jnp.bfloat16)
+            scores = jnp.einsum(
+                "cd,kd->ck", rows_b, cb, preferred_element_type=jnp.float32
+            )
+            assign = jnp.argmax(scores, axis=1)
+            ridx = ci * chunk + lax.iota(jnp.int32, chunk)
+            assign = jnp.where(ridx < n_valid_local, assign, k)
+            onehot = jax.nn.one_hot(assign, k + 1, dtype=jnp.bfloat16)
+            sums = sums + jnp.einsum(
+                "ck,cd->kd", onehot, rows_b,
+                preferred_element_type=jnp.float32,
+            )[:k]
+            counts = counts + jnp.sum(
+                onehot.astype(jnp.float32), axis=0
+            )[:k]
+            return sums, counts
+
+        carry0 = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32))
+        if axis_name is not None:
+            # under shard_map the carry becomes shard-varying in the body
+            # (it accumulates from the varying corpus rows); the init must
+            # match or the loop's carry types disagree
+            carry0 = tuple(
+                lax.pcast(x, (axis_name,), to="varying") for x in carry0
+            )
+        sums, counts = lax.fori_loop(0, n_chunks, chunk_body, carry0)
+        if axis_name is not None:
+            sums = lax.psum(sums, axis_name)
+            counts = lax.psum(counts, axis_name)
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        new = jnp.where((counts > 0.0)[:, None], new, cents)
+        if spherical:
+            norm = jnp.maximum(
+                jnp.linalg.norm(new, axis=1, keepdims=True), 1e-12
+            )
+            new = new / norm
+        return new
+
+    return lax.fori_loop(0, n_iters, one_iter, centroids)
+
+
+def _assign_top2_body(corpus_local, centroids, *, chunk, axis_name=None):
+    """Per-row top-2 nearest centroids (global cluster ids), streamed in
+    chunks. Rows beyond the valid range return garbage the host fill pass
+    never reads."""
+    k = centroids.shape[0]
+    n_chunks = corpus_local.shape[0] // chunk
+    cb = centroids.astype(jnp.bfloat16)
+
+    def body(ci, out):
+        rows = lax.dynamic_slice_in_dim(corpus_local, ci * chunk, chunk)
+        scores = jnp.einsum(
+            "cd,kd->ck", rows.astype(jnp.bfloat16), cb,
+            preferred_element_type=jnp.float32,
+        )
+        _, top2 = lax.top_k(scores, min(2, k))
+        if k == 1:
+            top2 = jnp.concatenate([top2, top2], axis=1)
+        return lax.dynamic_update_slice_in_dim(
+            out, top2.astype(jnp.int32), ci * chunk, axis=0
+        )
+
+    out0 = jnp.zeros((corpus_local.shape[0], 2), jnp.int32)
+    if axis_name is not None:
+        out0 = lax.pcast(out0, (axis_name,), to="varying")
+    return lax.fori_loop(0, n_chunks, body, out0)
+
+
+def _pad_to_chunks(x, chunk):
+    rows = x.shape[0]
+    padded = -(-rows // chunk) * chunk
+    if padded == rows:
+        return x
+    return jnp.pad(x, ((0, padded - rows), (0, 0)))
+
+
+def _greedy_fill(cand: np.ndarray, n_total: int, k: int, capacity: int
+                 ) -> np.ndarray:
+    """Place every row into a cluster slot: first choice, then second
+    choice, then spill into any free slot. Vectorized (sort + run-rank);
+    returns ``row_ids`` of shape [k * capacity] with -1 for empty slots.
+    Deterministic — multi-process builds run it identically on every
+    host."""
+    fill = np.zeros(k, np.int64)
+    row_ids = np.full(k * capacity, -1, np.int32)
+    remaining = np.arange(n_total, dtype=np.int64)
+    for choice in range(cand.shape[1]):
+        if len(remaining) == 0:
+            break
+        c = cand[remaining, choice].astype(np.int64)
+        order = np.argsort(c, kind="stable")
+        cs = c[order]
+        # rank within each equal-cluster run (cs is sorted)
+        rank = np.arange(len(cs)) - np.searchsorted(cs, cs, side="left")
+        pos = rank + fill[cs]
+        ok = pos < capacity
+        row_ids[cs[ok] * capacity + pos[ok]] = remaining[order[ok]]
+        fill += np.bincount(cs[ok], minlength=k)
+        remaining = remaining[order[~ok]]
+    if len(remaining):
+        free = (capacity - fill).astype(np.int64)
+        open_clusters = np.nonzero(free)[0]
+        slot_cluster = np.repeat(open_clusters, free[open_clusters])
+        slot_pos = np.concatenate(
+            [np.arange(fill[c], capacity) for c in open_clusters]
+        )
+        take = slice(0, len(remaining))
+        row_ids[slot_cluster[take] * capacity + slot_pos[take]] = remaining
+        logger.info(
+            "IVFIPIndex: %d rows (%.2f%%) spilled outside their top-2 "
+            "clusters (capacity %d, slack exhausted)",
+            len(remaining), 100.0 * len(remaining) / max(n_total, 1),
+            capacity,
+        )
+    return row_ids
+
+
+class IVFIPIndex:
+    """Sharded inverted-file inner-product index.
+
+    Storage: cluster-major rows ``[K * capacity, D]`` in ``store_dtype``
+    (bf16 default: halves gather traffic and memory; the rerank still
+    accumulates fp32) + ``row_ids`` [K * capacity] int32 (-1 = empty slot)
+    + centroids ``[K, D]`` fp32, all sharded over the data axis in whole
+    clusters.
+    """
+
+    def __init__(
+        self,
+        embeddings,
+        mesh: Optional[Mesh] = None,
+        *,
+        n_clusters: Union[int, str] = "auto",
+        nprobe: Union[int, str] = "auto",
+        recall_target: float = 0.95,
+        store_dtype=jnp.bfloat16,
+        kmeans_iters: int = 10,
+        capacity_slack: float = 1.3,
+        spherical: bool = True,
+        tune_sample: int = TUNE_SAMPLE,
+        tune_k: int = TUNE_K,
+        max_nprobe: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.mesh = mesh
+        self.n_total = int(embeddings.shape[0])
+        self.dim = int(embeddings.shape[1])
+        if self.n_total < 1:
+            raise ValueError("IVFIPIndex needs a non-empty corpus")
+        if not jnp.issubdtype(jnp.dtype(store_dtype), jnp.floating):
+            raise ValueError(
+                f"store_dtype={store_dtype} must be a float type (int8 "
+                "quantized storage is a FlatIPIndex option)"
+            )
+        if capacity_slack < 1.0:
+            raise ValueError("capacity_slack must be >= 1.0")
+        self.store_dtype = store_dtype
+        self.recall_target = float(recall_target)
+        self.spherical = bool(spherical)
+
+        n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        self.n_clusters = _resolve_clusters(self.n_total, n_shards, n_clusters)
+        self.capacity = _resolve_capacity(
+            self.n_total, self.n_clusters, capacity_slack
+        )
+        pad = (-self.n_total) % n_shards
+        n_padded = self.n_total + pad
+
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if pad:
+            emb = np.concatenate(
+                [emb, np.zeros((pad, self.dim), np.float32)], axis=0
+            )
+
+        # --- train: k-means on device over the (sharded) fp32 corpus ---
+        corpus_dev = (
+            jax.device_put(jnp.asarray(emb)) if mesh is None
+            else shard_rows_to_mesh(emb, mesh)
+        )
+        rng = np.random.default_rng(seed)
+        init_idx = rng.choice(
+            self.n_total, size=self.n_clusters,
+            replace=self.n_clusters > self.n_total,
+        )
+        init = emb[init_idx]
+        if self.spherical:
+            init = init / np.maximum(
+                np.linalg.norm(init, axis=1, keepdims=True), 1e-12
+            )
+        cand = self._train_and_assign(
+            corpus_dev, n_padded, init, kmeans_iters
+        )
+        del corpus_dev  # free the fp32 HBM copy before laying out storage
+
+        # --- layout: greedy fill on host, gather rows from the host copy ---
+        row_ids = _greedy_fill(
+            cand[: self.n_total], self.n_total, self.n_clusters, self.capacity
+        )
+        clustered = emb[np.clip(row_ids, 0, None)]
+        clustered[row_ids < 0] = 0.0
+        self._place_storage(
+            clustered.astype(np.dtype(store_dtype)), row_ids
+        )
+
+        self._search_fns: dict = {}
+        self._search_lock = threading.Lock()
+
+        self._finish_tuning(
+            nprobe, max_nprobe, tune_sample, tune_k, seed,
+            sample_fn=lambda idx: emb[idx],
+            exact_fn=lambda: _exact_from_host(
+                emb[: self.n_total], self.store_dtype, mesh
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_sharded(
+        cls,
+        embeddings,
+        n_total: int,
+        mesh: Optional[Mesh] = None,
+        *,
+        n_clusters: Union[int, str] = "auto",
+        nprobe: Union[int, str] = "auto",
+        recall_target: float = 0.95,
+        store_dtype=jnp.bfloat16,
+        kmeans_iters: int = 10,
+        capacity_slack: float = 1.3,
+        spherical: bool = True,
+        tune_sample: int = TUNE_SAMPLE,
+        tune_k: int = TUNE_K,
+        max_nprobe: Optional[int] = None,
+        seed: int = 0,
+    ) -> "IVFIPIndex":
+        """Build from a DEVICE-RESIDENT row-sharded fp32 matrix (the
+        ``InferenceEncoder.encode_sharded`` layout — see
+        ``FlatIPIndex.from_sharded``). k-means, the cluster-major gather,
+        and the dtype cast all run on device; the host sees only the
+        [N, 2] assignment candidates (for the greedy fill), K init/center
+        rows, and the tuner's query probe."""
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.n_total = int(n_total)
+        self.dim = int(embeddings.shape[1])
+        if self.n_total < 1:
+            raise ValueError("IVFIPIndex needs a non-empty corpus")
+        if not jnp.issubdtype(jnp.dtype(store_dtype), jnp.floating):
+            raise ValueError(
+                f"store_dtype={store_dtype} must be a float type"
+            )
+        if capacity_slack < 1.0:
+            raise ValueError("capacity_slack must be >= 1.0")
+        self.store_dtype = store_dtype
+        self.recall_target = float(recall_target)
+        self.spherical = bool(spherical)
+
+        n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        n_padded = int(embeddings.shape[0])
+        if n_padded % n_shards or n_padded < self.n_total:
+            raise ValueError(
+                f"sharded embeddings rows ({n_padded}) must be >= "
+                f"n_total ({n_total}) and divisible by {n_shards} shards"
+            )
+        self.n_clusters = _resolve_clusters(self.n_total, n_shards, n_clusters)
+        self.capacity = _resolve_capacity(
+            self.n_total, self.n_clusters, capacity_slack
+        )
+
+        rep_kw = (
+            {} if mesh is None
+            else {"out_shardings": NamedSharding(mesh, P())}
+        )
+        rng = np.random.default_rng(seed)
+        init_idx = rng.choice(
+            self.n_total, size=self.n_clusters,
+            replace=self.n_clusters > self.n_total,
+        )
+        idx_dev = (
+            jnp.asarray(init_idx.astype(np.int32)) if mesh is None
+            else replicate_to_mesh(init_idx.astype(np.int32), mesh)
+        )
+        init = np.asarray(
+            jax.jit(lambda c, i: jnp.take(c, i, axis=0), **rep_kw)(
+                embeddings, idx_dev
+            ),
+            np.float32,
+        )
+        if self.spherical:
+            init = init / np.maximum(
+                np.linalg.norm(init, axis=1, keepdims=True), 1e-12
+            )
+        cand = self._train_and_assign(embeddings, n_padded, init, kmeans_iters)
+
+        row_ids = _greedy_fill(
+            cand[: self.n_total], self.n_total, self.n_clusters, self.capacity
+        )
+        # cluster-major gather ON DEVICE: cross-shard but one-time; empty
+        # slots gather row 0 and are zeroed by the mask
+        perm = np.clip(row_ids, 0, None).astype(np.int32)
+        valid = (row_ids >= 0).astype(np.float32)
+        perm_dev = (
+            jnp.asarray(perm) if mesh is None
+            else replicate_to_mesh(perm, mesh)
+        )
+        valid_dev = (
+            jnp.asarray(valid) if mesh is None
+            else replicate_to_mesh(valid, mesh)
+        )
+        row_kw = (
+            {} if mesh is None
+            else {"out_shardings": NamedSharding(mesh, P(DATA_AXIS, None))}
+        )
+        clustered = jax.jit(
+            lambda c, p, v: (
+                jnp.take(c, p, axis=0) * v[:, None]
+            ).astype(jnp.dtype(store_dtype)),
+            **row_kw,
+        )(embeddings, perm_dev, valid_dev)
+        self.corpus = clustered
+        self.row_ids = (
+            jnp.asarray(row_ids) if mesh is None
+            else shard_rows_to_mesh(row_ids, mesh)
+        )
+
+        self._search_fns = {}
+        self._search_lock = threading.Lock()
+
+        def sample_fn(idx):
+            idx_d = (
+                jnp.asarray(idx.astype(np.int32)) if mesh is None
+                else replicate_to_mesh(idx.astype(np.int32), mesh)
+            )
+            return np.asarray(
+                jax.jit(lambda c, i: jnp.take(c, i, axis=0), **rep_kw)(
+                    embeddings, idx_d
+                ),
+                np.float32,
+            )
+
+        def exact_fn():
+            from rankpo_tpu.index.flat import FlatIPIndex
+
+            stored = jax.jit(
+                lambda c: c.astype(jnp.dtype(store_dtype)).astype(
+                    jnp.float32
+                ),
+                **row_kw,
+            )(embeddings)
+            return FlatIPIndex.from_sharded(stored, self.n_total, mesh)
+
+        self._finish_tuning(
+            nprobe, max_nprobe, tune_sample, tune_k, seed,
+            sample_fn=sample_fn, exact_fn=exact_fn,
+        )
+        return self
+
+    # ------------------------------------------------------------------
+    def _train_and_assign(self, corpus_dev, n_padded, init_centroids,
+                          kmeans_iters) -> np.ndarray:
+        """Run the jitted Lloyd loop + the top-2 assignment pass; stores the
+        final sharded ``self.centroids`` and returns host [n_padded, 2]
+        candidate cluster ids."""
+        mesh = self.mesh
+        n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        shard_rows = n_padded // n_shards
+        chunk = _chunk_rows(shard_rows, self.n_clusters)
+        n_total = self.n_total
+        iters = max(0, int(kmeans_iters))
+        spherical = self.spherical
+
+        if mesh is None:
+
+            def fit(corpus, cents):
+                corpus = _pad_to_chunks(corpus, chunk)
+                cents = _lloyd_body(
+                    corpus, cents, n_total, n_iters=iters, chunk=chunk,
+                    axis_name=None, spherical=spherical,
+                )
+                return cents, _assign_top2_body(corpus, cents, chunk=chunk)
+
+            cents, cand_dev = jax.jit(fit)(
+                corpus_dev, jnp.asarray(init_centroids)
+            )
+            self.centroids = jax.device_put(cents)
+            return np.asarray(cand_dev)[:n_padded]
+
+        def per_shard(corpus_local, cents):
+            shard_id = lax.axis_index(DATA_AXIS)
+            n_valid_local = jnp.clip(
+                n_total - shard_id * shard_rows, 0, shard_rows
+            )
+            corpus_local = _pad_to_chunks(corpus_local, chunk)
+            cents = _lloyd_body(
+                corpus_local, cents, n_valid_local, n_iters=iters,
+                chunk=chunk, axis_name=DATA_AXIS, spherical=spherical,
+            )
+            cand = _assign_top2_body(
+                corpus_local, cents, chunk=chunk, axis_name=DATA_AXIS
+            )
+            return cents, cand[:shard_rows]
+
+        fit = jax.jit(
+            jax.shard_map(
+                per_shard,
+                mesh=mesh,
+                in_specs=(P(DATA_AXIS, None), P()),
+                out_specs=(P(), P(DATA_AXIS, None)),
+            ),
+            # replicated outputs: every process fetches the full arrays
+            out_shardings=NamedSharding(mesh, P()),
+        )
+        cents, cand_dev = fit(
+            corpus_dev, replicate_to_mesh(init_centroids, mesh)
+        )
+        # final placement: whole clusters per shard (K % W == 0)
+        self.centroids = shard_rows_to_mesh(
+            np.asarray(cents, np.float32), mesh
+        )
+        return np.asarray(cand_dev)
+
+    def _place_storage(self, clustered_host: np.ndarray, row_ids: np.ndarray):
+        mesh = self.mesh
+        if mesh is None:
+            self.corpus = jax.device_put(jnp.asarray(clustered_host))
+            self.row_ids = jax.device_put(jnp.asarray(row_ids))
+        else:
+            self.corpus = shard_rows_to_mesh(clustered_host, mesh)
+            self.row_ids = shard_rows_to_mesh(row_ids, mesh)
+
+    def _finish_tuning(self, nprobe, max_nprobe, tune_sample, tune_k, seed,
+                       *, sample_fn, exact_fn):
+        n_shards = (
+            self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        )
+        self.local_clusters = self.n_clusters // n_shards
+        if nprobe == "auto":
+            rng = np.random.default_rng(seed + 1)
+            n_sample = min(tune_sample, self.n_total)
+            sample_idx = rng.choice(
+                self.n_total, size=n_sample, replace=False
+            )
+            sample = sample_fn(sample_idx)
+            exact = exact_fn()
+            self.nprobe = self._tune_nprobe(
+                sample, exact, tune_k,
+                max_nprobe if max_nprobe is not None else self.local_clusters,
+            )
+            del exact
+        else:
+            self.nprobe = int(nprobe)
+            if self.nprobe < 1:
+                raise ValueError("nprobe must be >= 1")
+
+    def _tune_nprobe(self, sample: np.ndarray, exact_index, k: int,
+                     max_nprobe: int) -> int:
+        """Smallest nprobe on a doubling ladder whose recall meets
+        ``recall_target`` against the storage-precision exact search over
+        corpus-row pseudo-queries (slight upward bias — the self-hit is
+        free — FAISS tunes nprobe the same way), then up to 2 bisection
+        probes to claw back the ladder's <=2x overshoot."""
+        k = min(k, self.n_total)
+        _, ref_idx = exact_index.search(sample, k=k)
+        ref_sets = [set(row.tolist()) for row in ref_idx]
+        n_sample = len(sample)
+
+        def recall_at(p: int) -> float:
+            _, idx = self.search(sample, k=k, nprobe=p)
+            recall = float(
+                np.mean([
+                    len(set(idx[r].tolist()) & ref_sets[r]) / k
+                    for r in range(n_sample)
+                ])
+            )
+            logger.info(
+                "IVFIPIndex tune: nprobe=%d recall=%.4f (target %.2f)",
+                p, recall, self.recall_target,
+            )
+            return recall
+
+        cap = min(max_nprobe, self.local_clusters)
+        p = 1
+        lo = 0
+        while True:
+            p = min(p, cap)
+            if recall_at(p) >= self.recall_target:
+                break
+            if p >= cap:
+                logger.warning(
+                    "IVFIPIndex: recall below target %.2f at the nprobe=%d "
+                    "ladder cap — raise n_clusters' capacity_slack or use "
+                    "FlatIPIndex/RefineIPIndex",
+                    self.recall_target, p,
+                )
+                return p
+            lo = p
+            p *= 2
+        best = p
+        for _ in range(2):
+            mid = (lo + best) // 2
+            if mid <= lo or mid >= best:
+                break
+            if recall_at(mid) >= self.recall_target:
+                best = mid
+            else:
+                lo = mid
+        return best
+
+    # ------------------------------------------------------------------
+    @property
+    def search_arrays(self) -> tuple:
+        """Device arrays ``search_callable`` consumes, in order (the index
+        protocol serving composes against: ``fn(*search_arrays, queries)``)."""
+        return (self.corpus, self.row_ids, self.centroids)
+
+    def search_arg_shardings(self, mesh: Mesh) -> tuple:
+        """NamedShardings for ``search_arrays`` (same protocol)."""
+        return (
+            NamedSharding(mesh, P(DATA_AXIS, None)),
+            NamedSharding(mesh, P(DATA_AXIS)),
+            NamedSharding(mesh, P(DATA_AXIS, None)),
+        )
+
+    def _effective_probe(self, k: int, nprobe: Optional[int]) -> Tuple[int, int]:
+        """(nprobe, per-shard k) with nprobe floored so the merged candidate
+        width always reaches k (probing all local clusters covers the whole
+        corpus, so the floor is always satisfiable)."""
+        n_shards = (
+            self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        )
+        p = int(nprobe if nprobe is not None else self.nprobe)
+        p = max(p, -(-k // (n_shards * self.capacity)))
+        p = min(p, self.local_clusters)
+        return p, min(k, p * self.capacity)
+
+    def search_callable(self, k: int, nprobe: Optional[int] = None):
+        """Unjitted ``(corpus, row_ids, centroids, queries) -> (scores, idx)``
+        for composing into larger jitted programs (serving fuses
+        encode+search into one dispatch)."""
+        k = min(k, self.n_total)
+        p, kk = self._effective_probe(k, nprobe)
+        cap = self.capacity
+        mesh = self.mesh
+        local_clusters = self.local_clusters
+
+        def probe_block(clustered, ids, cents, queries):
+            """One shard's (or the whole, mesh=None) probe + rerank."""
+            dim = clustered.shape[1]
+            blocks = clustered.reshape(local_clusters, cap, dim)
+            id_blocks = ids.reshape(local_clusters, cap)
+            qc = jnp.einsum(
+                "qd,kd->qk",
+                queries.astype(jnp.bfloat16),
+                cents.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            _, probe = lax.top_k(qc, p)  # [Q, p] local cluster ids
+            rows = jnp.take(blocks, probe, axis=0)  # [Q, p, cap, D]
+            hit_ids = jnp.take(id_blocks, probe, axis=0)  # [Q, p, cap]
+            s = jnp.einsum(
+                "qd,qpcd->qpc", queries.astype(rows.dtype), rows,
+                preferred_element_type=jnp.float32,
+            )
+            s = jnp.where(hit_ids >= 0, s, NEG_INF)
+            q = queries.shape[0]
+            s = s.reshape(q, p * cap)
+            hit_ids = hit_ids.reshape(q, p * cap)
+            top_s, pos = lax.top_k(s, kk)
+            return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
+
+        if mesh is None:
+
+            def single(corpus_arg, ids_arg, cents_arg, queries):
+                return probe_block(corpus_arg, ids_arg, cents_arg, queries)
+
+            return single
+
+        shard_fn = jax.shard_map(
+            probe_block,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None), P()),
+            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        )
+        n_shards = mesh.shape[DATA_AXIS]
+        k_final = min(k, n_shards * kk)
+
+        def sharded(corpus_arg, ids_arg, cents_arg, queries):
+            cand_scores, cand_idx = shard_fn(
+                corpus_arg, ids_arg, cents_arg, queries
+            )
+            final_scores, pos = lax.top_k(cand_scores, k_final)
+            return final_scores, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+        return sharded
+
+    def _build_search(self, k: int, nprobe: int):
+        fn = self.search_callable(k, nprobe)
+        if self.mesh is None:
+            return jax.jit(fn)
+        mesh = self.mesh
+        return jax.jit(
+            fn,
+            in_shardings=self.search_arg_shardings(mesh)
+            + (NamedSharding(mesh, P()),),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+
+    def search(
+        self,
+        queries,
+        k: int = 100,
+        batch_size: int = 64,
+        nprobe: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched probe-and-rerank search. Returns fp32 scores and int32
+        indices, shapes [Q, k] — same surface as ``FlatIPIndex.search``
+        (default batch_size is smaller: the probed-row gather is the
+        memory peak). Unreachable tail slots are score -inf / index -1,
+        matching FAISS IVF semantics."""
+        k = min(k, self.n_total)
+        p_used, _ = self._effective_probe(k, nprobe)
+        queries = np.asarray(queries, np.float32)
+        if queries.shape[0] == 0:
+            return (
+                np.zeros((0, k), np.float32),
+                np.zeros((0, k), np.int32),
+            )
+        with self._search_lock:
+            key = (k, p_used)
+            search_fn = self._search_fns.get(key)
+            if search_fn is None:
+                search_fn = self._search_fns[key] = self._build_search(
+                    k, p_used
+                )
+        n_q = queries.shape[0]
+        pending = []
+        for lo in range(0, n_q, batch_size):
+            block = queries[lo : lo + batch_size]
+            real = block.shape[0]
+            if real < batch_size:
+                block = np.concatenate(
+                    [block, np.zeros((batch_size - real, self.dim), np.float32)]
+                )
+            if self.mesh is not None and jax.process_count() > 1:
+                block_dev = replicate_to_mesh(block, self.mesh)
+            else:
+                block_dev = jnp.asarray(block)
+            scores, idx = search_fn(
+                self.corpus, self.row_ids, self.centroids, block_dev
+            )
+            scores.copy_to_host_async()
+            idx.copy_to_host_async()
+            pending.append((scores, idx, real))
+        all_scores = [
+            np.asarray(s)[:r].astype(np.float32, copy=False)
+            for s, _, r in pending
+        ]
+        all_idx = [
+            np.asarray(i)[:r].astype(np.int32, copy=False)
+            for _, i, r in pending
+        ]
+        return np.concatenate(all_scores), np.concatenate(all_idx)
+
+    @property
+    def ntotal(self) -> int:
+        return self.n_total
+
+
+def _exact_from_host(emb: np.ndarray, store_dtype, mesh):
+    """Storage-precision exact reference for the nprobe tuner."""
+    from rankpo_tpu.index.flat import FlatIPIndex
+
+    return FlatIPIndex(
+        emb.astype(np.dtype(store_dtype)).astype(np.float32), mesh
+    )

@@ -18,7 +18,12 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from rankpo_tpu.index import FlatIPIndex, InferenceEncoder, RefineIPIndex
+from rankpo_tpu.index import (
+    FlatIPIndex,
+    InferenceEncoder,
+    IVFIPIndex,
+    RefineIPIndex,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -51,10 +56,12 @@ class RetrievalService:
         PartialReduce top-k, 8x QPS at recall 0.95 on v5e; refine index: the
         build-time candidate-tune target). 1.0 = exact/FAISS-parity (flat).
         index_dtype: fp32 (default) / bf16 (2x memory) / int8 (4x memory,
-        flat only). index_type: "flat" (exact brute force) or "refine"
-        (two-stage PCA prefilter + exact rerank, RefineIPIndex — approximate
-        by contract, tuned to recall_target). index_kwargs: forwarded to the
-        index constructor (e.g. reduced_dim / candidates for refine)."""
+        flat only). index_type: "flat" (exact brute force), "refine"
+        (two-stage PCA prefilter + exact rerank, RefineIPIndex) or "ivf"
+        (clustered inverted-file probing, IVFIPIndex) — the latter two are
+        approximate by contract, tuned to recall_target. index_kwargs:
+        forwarded to the index constructor (e.g. reduced_dim / candidates
+        for refine; n_clusters / nprobe for ivf)."""
         import jax.numpy as jnp
 
         self.encoder = encoder
@@ -63,12 +70,12 @@ class RetrievalService:
         self.query_batch_size = query_batch_size
         self.recall_target = recall_target
         self.index_dtype = index_dtype if index_dtype is not None else jnp.float32
-        if index_type not in ("flat", "refine"):
+        if index_type not in ("flat", "refine", "ivf"):
             raise ValueError(f"unknown index_type {index_type!r}")
-        if index_type == "refine" and self.index_dtype == jnp.int8:
+        if index_type in ("refine", "ivf") and self.index_dtype == jnp.int8:
             raise ValueError(
-                "index_type='refine' stores fp32/bf16 rerank rows; int8 "
-                "storage is a FlatIPIndex option"
+                f"index_type={index_type!r} stores fp32/bf16 rerank rows; "
+                "int8 storage is a FlatIPIndex option"
             )
         self.index_type = index_type
         self.index_kwargs = dict(index_kwargs or {})
@@ -135,16 +142,27 @@ class RetrievalService:
             "indexed %d passages in %.1fs", len(corpus_texts), time.time() - t0
         )
 
+    def _approx_kwargs(self):
+        """Shared kwargs for the approximate index tiers: the service-level
+        recall_target is the build-time tune target; 1.0 would ladder the
+        tuner to its cap chasing unreachable exactness — these indexes are
+        approximate by contract, so default their target."""
+        kwargs = dict(self.index_kwargs)
+        kwargs.setdefault(
+            "recall_target",
+            self.recall_target if self.recall_target < 1.0 else 0.95,
+        )
+        kwargs.setdefault("store_dtype", self.index_dtype)
+        return kwargs
+
     def _make_index_sharded(self, emb_dev, n_total: int):
         if self.index_type == "refine":
-            kwargs = dict(self.index_kwargs)
-            kwargs.setdefault(
-                "recall_target",
-                self.recall_target if self.recall_target < 1.0 else 0.95,
-            )
-            kwargs.setdefault("store_dtype", self.index_dtype)
             return RefineIPIndex.from_sharded(
-                emb_dev, n_total, mesh=self.mesh, **kwargs
+                emb_dev, n_total, mesh=self.mesh, **self._approx_kwargs()
+            )
+        if self.index_type == "ivf":
+            return IVFIPIndex.from_sharded(
+                emb_dev, n_total, mesh=self.mesh, **self._approx_kwargs()
             )
         return FlatIPIndex.from_sharded(
             emb_dev, n_total, mesh=self.mesh,
@@ -154,16 +172,13 @@ class RetrievalService:
 
     def _make_index(self, embeddings):
         if self.index_type == "refine":
-            kwargs = dict(self.index_kwargs)
-            # service-level recall_target is the tune target; 1.0 would
-            # ladder C to the cap chasing unreachable exactness — the refine
-            # index is approximate by contract, so default its target
-            kwargs.setdefault(
-                "recall_target",
-                self.recall_target if self.recall_target < 1.0 else 0.95,
+            return RefineIPIndex(
+                embeddings, mesh=self.mesh, **self._approx_kwargs()
             )
-            kwargs.setdefault("store_dtype", self.index_dtype)
-            return RefineIPIndex(embeddings, mesh=self.mesh, **kwargs)
+        if self.index_type == "ivf":
+            return IVFIPIndex(
+                embeddings, mesh=self.mesh, **self._approx_kwargs()
+            )
         return FlatIPIndex(
             embeddings, mesh=self.mesh, recall_target=self.recall_target,
             dtype=self.index_dtype, **self.index_kwargs,
@@ -197,6 +212,15 @@ class RetrievalService:
                 arr = multihost_utils.process_allgather(arr, tiled=True)
             return np.asarray(arr, np.float32)
 
+        if isinstance(index, IVFIPIndex):
+            # IVF stores rows cluster-major with empty slots: de-permute by
+            # row_ids to recover the original corpus order
+            clustered = fetch(index.corpus)
+            row_ids = np.asarray(fetch(index.row_ids), np.int64)
+            emb = np.zeros((index.n_total, clustered.shape[1]), np.float32)
+            valid = row_ids >= 0
+            emb[row_ids[valid]] = clustered[valid]
+            return emb
         emb = fetch(index.corpus)[: index.n_total]
         if getattr(index, "quantized", False):
             emb = emb * fetch(index.row_scale)[: index.n_total, None]
@@ -237,6 +261,15 @@ class RetrievalService:
             # build_index to re-tune after large corpus changes)
             self.index_kwargs["candidates"] = index.candidates
             self.index_kwargs.setdefault("reduced_dim", index.reduced_dim)
+        if (
+            isinstance(index, IVFIPIndex)
+            and self.index_kwargs.get("nprobe", "auto") == "auto"
+        ):
+            # same reasoning for the IVF tuner: a small append leaves the
+            # tuned nprobe approximately right (k-means itself still
+            # re-trains on the merged matrix — rows need clusters)
+            self.index_kwargs["nprobe"] = index.nprobe
+            self.index_kwargs.setdefault("n_clusters", index.n_clusters)
         self.load_index(merged, texts_all)
         logger.info(
             "added %d passages (index now %d)", len(texts), self.ntotal
@@ -254,6 +287,9 @@ class RetrievalService:
         if isinstance(index, RefineIPIndex):
             extra["refine_candidates"] = np.int64(index.candidates)
             extra["refine_reduced_dim"] = np.int64(index.reduced_dim)
+        if isinstance(index, IVFIPIndex):
+            extra["ivf_nprobe"] = np.int64(index.nprobe)
+            extra["ivf_n_clusters"] = np.int64(index.n_clusters)
         np.savez_compressed(
             path, embeddings=self._stored_embeddings(index),
             corpus_texts=np.asarray(texts, dtype=object), **extra,
@@ -262,6 +298,19 @@ class RetrievalService:
 
     def load_index_file(self, path: str) -> None:
         data = np.load(path, allow_pickle=True)
+        if self.index_type == "ivf" and "ivf_nprobe" in data:
+            # restart path: reuse the tuned nprobe instead of re-running the
+            # recall ladder — valid when the caller left nprobe on "auto"
+            # and is not forcing a different cluster count than the one the
+            # nprobe was tuned at (k-means itself still re-trains)
+            saved_k = int(data["ivf_n_clusters"])
+            user_k = self.index_kwargs.get("n_clusters", "auto")
+            if (
+                user_k in ("auto", saved_k)
+                and self.index_kwargs.get("nprobe", "auto") == "auto"
+            ):
+                self.index_kwargs["nprobe"] = int(data["ivf_nprobe"])
+                self.index_kwargs["n_clusters"] = saved_k
         if self.index_type == "refine" and "refine_candidates" in data:
             # restart path: reuse the tuned candidate count instead of
             # re-running the recall ladder — but only when it is still valid
@@ -501,6 +550,10 @@ class RetrievalService:
         for qi in range(len(texts)):
             hits = []
             for score, idx in zip(scores[qi], indices[qi]):
+                if idx < 0:
+                    # IVF pads unreachable tail slots with -1/-inf (FAISS
+                    # IVF semantics); never surface them as hits
+                    continue
                 hit = {"index": int(idx), "score": float(score)}
                 if return_passages:
                     hit["passage"] = corpus_texts[int(idx)]

@@ -191,10 +191,17 @@ def find_hard_negatives(
             c_emb, mesh=mesh, recall_target=index_recall_target,
             reduced_dim=min(256, int(c_emb.shape[1])),
         )
+    elif index_type == "ivf":
+        from rankpo_tpu.index import IVFIPIndex
+
+        index = IVFIPIndex(
+            c_emb, mesh=mesh, recall_target=index_recall_target,
+        )
     else:
         index = FlatIPIndex(c_emb, mesh=mesh)
     _scores, indices = index.search(q_emb, k=hi, batch_size=batch_size)
-    candidate_ids = [row[lo:hi] for row in indices]
+    # drop IVF's -1 tail padding (unreachable slots) before sampling
+    candidate_ids = [row[lo:hi][row[lo:hi] >= 0] for row in indices]
 
     os.makedirs(output_prefix, exist_ok=True)
     outputs: Dict[str, str] = {}

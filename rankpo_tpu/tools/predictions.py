@@ -85,6 +85,13 @@ def generate_predictions(
             recall_target=index_recall_target,
             reduced_dim=min(256, int(c_emb_dev.shape[1])),
         )
+    elif index_type == "ivf":
+        from rankpo_tpu.index import IVFIPIndex
+
+        index = IVFIPIndex.from_sharded(
+            c_emb_dev, n_corpus, mesh=mesh,
+            recall_target=index_recall_target,
+        )
     else:
         index = FlatIPIndex.from_sharded(c_emb_dev, n_corpus, mesh=mesh)
     scores, indices = index.search(q_emb, k=hi, batch_size=batch_size)
@@ -93,6 +100,8 @@ def generate_predictions(
     for qi, query in enumerate(queries):
         cand = indices[qi][lo:hi]
         ranks = np.arange(lo, hi)
+        valid = cand >= 0  # IVF pads unreachable tail slots with -1
+        cand, ranks = cand[valid], ranks[valid]
         if method == "topk":
             sel = np.arange(min(num_predictions, len(cand)))
         elif method == "sample":

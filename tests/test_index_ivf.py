@@ -1,0 +1,242 @@
+"""IVFIPIndex tests: clustered (inverted-file) approximate IP index.
+
+Approximate by contract (recall target, -1 padding when probing exhausts
+reachable rows), so tests assert (a) EXACTNESS in full-probe configurations
+where probing every cluster covers the whole corpus, (b) recall >= target
+via the build-time nprobe auto-tuner on a blobby corpus (IVF's intended
+regime), and (c) the storage-layout invariants (every row placed exactly
+once, capacity respected, spill path).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rankpo_tpu.index import FlatIPIndex, IVFIPIndex, numpy_search
+from rankpo_tpu.index.ivf import _greedy_fill
+
+
+def _blob_corpus(n, d, n_blobs=20, seed=0, spread=0.15):
+    """Unit-norm rows around ``n_blobs`` random unit centers — clusterable
+    structure, the regime IVF is built for."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_blobs, d).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, n_blobs, size=n)
+    x = centers[assign] + spread * rng.randn(n, d).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def _blobs_with_queries(n, n_q, d, n_blobs=20, seed=0, spread=0.15):
+    """Corpus + held-out queries drawn from the SAME blob centers (separate
+    seeds would draw different centers — queries from an unrelated
+    distribution are unclusterable by construction and meaningless for
+    recall assertions)."""
+    x = _blob_corpus(n + n_q, d, n_blobs=n_blobs, seed=seed, spread=spread)
+    return x[:n], x[n:]
+
+
+def _storage_exact_sets(corpus, queries, k, store_dtype=jnp.bfloat16):
+    stored = np.asarray(corpus).astype(np.dtype(store_dtype)).astype(np.float32)
+    _, idx = numpy_search(stored, queries, k)
+    return [set(row.tolist()) for row in idx]
+
+
+def _recall(idx, ref_sets, k):
+    return float(
+        np.mean([
+            len(set(idx[r].tolist()) & ref_sets[r]) / k
+            for r in range(len(ref_sets))
+        ])
+    )
+
+
+class TestGreedyFill:
+    def test_places_every_row_once_within_capacity(self):
+        rng = np.random.RandomState(0)
+        n, k, cap = 1000, 16, 80  # k*cap = 1280 > n
+        cand = rng.randint(0, k, size=(n, 2)).astype(np.int32)
+        row_ids = _greedy_fill(cand, n, k, cap)
+        placed = row_ids[row_ids >= 0]
+        assert len(placed) == n
+        assert sorted(placed.tolist()) == list(range(n))
+
+    def test_spill_when_first_choices_overflow(self):
+        # every row prefers cluster 0 then 1; capacity forces spill into
+        # the remaining clusters — all rows must still land exactly once
+        n, k, cap = 100, 8, 16
+        cand = np.zeros((n, 2), np.int32)
+        cand[:, 1] = 1
+        row_ids = _greedy_fill(cand, n, k, cap)
+        placed = row_ids[row_ids >= 0]
+        assert sorted(placed.tolist()) == list(range(n))
+        blocks = row_ids.reshape(k, cap)
+        assert (blocks[0] >= 0).sum() == cap  # first choice filled
+        assert (blocks[1] >= 0).sum() == cap  # second choice filled
+
+
+class TestIVFIPIndexSingle:
+    def test_full_probe_is_storage_exact(self):
+        # probing every cluster covers the whole corpus: the result is the
+        # exact storage-precision search regardless of the k-means layout
+        corpus = _blob_corpus(500, 32, seed=0)
+        queries = _blob_corpus(9, 32, seed=1)
+        index = IVFIPIndex(
+            corpus, n_clusters=8, nprobe=8, store_dtype=jnp.float32,
+        )
+        s, i = index.search(queries, k=10, batch_size=4)
+        es, ei = numpy_search(corpus, queries, 10)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+        for r in range(len(queries)):
+            assert set(i[r].tolist()) == set(ei[r].tolist())
+        assert (i >= 0).all()
+
+    def test_autotune_meets_recall_target(self):
+        corpus, queries = _blobs_with_queries(3000, 64, 64, n_blobs=30, seed=2)
+        index = IVFIPIndex(
+            corpus, recall_target=0.9, tune_sample=64, tune_k=10,
+        )
+        assert 1 <= index.nprobe <= index.n_clusters
+        _, i = index.search(queries, k=10)
+        ref = _storage_exact_sets(corpus, queries, 10)
+        assert _recall(i, ref, 10) >= 0.85  # target on held-out queries
+
+    def test_explicit_nprobe_skips_tuning(self):
+        corpus = _blob_corpus(200, 16, seed=4)
+        index = IVFIPIndex(corpus, n_clusters=4, nprobe=2)
+        assert index.nprobe == 2
+        s, i = index.search(_blob_corpus(5, 16, seed=5), k=7)
+        assert s.shape == (5, 7) and i.shape == (5, 7)
+        assert i.dtype == np.int32 and s.dtype == np.float32
+
+    def test_k_larger_than_corpus_clamped(self):
+        corpus = _blob_corpus(7, 8, seed=1)
+        index = IVFIPIndex(corpus, n_clusters=4, nprobe=4)
+        s, i = index.search(_blob_corpus(3, 8, seed=2), k=100)
+        assert s.shape == (3, 7)
+        assert (i >= 0).all()  # full probe reaches every row
+
+    def test_more_clusters_than_rows(self):
+        # empty clusters (frozen centroids, -1 slots) must stay invisible
+        corpus = _blob_corpus(7, 8, seed=3)
+        index = IVFIPIndex(
+            corpus, n_clusters=16, nprobe=16, store_dtype=jnp.float32
+        )
+        s, i = index.search(_blob_corpus(3, 8, seed=4), k=7)
+        es, ei = numpy_search(corpus, _blob_corpus(3, 8, seed=4), 7)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+
+    def test_zero_queries_returns_empty(self):
+        index = IVFIPIndex(_blob_corpus(7, 8, seed=1), n_clusters=2, nprobe=1)
+        s, i = index.search(np.zeros((0, 8), np.float32), k=3)
+        assert s.shape == (0, 3) and s.dtype == np.float32
+        assert i.shape == (0, 3) and i.dtype == np.int32
+
+    def test_spill_layout_still_exact_under_full_probe(self):
+        # one tight blob + slack 1.0: most rows overflow their top-2
+        # clusters and spill — full probing must still be exact
+        corpus = _blob_corpus(300, 16, n_blobs=1, seed=6, spread=0.01)
+        queries = _blob_corpus(8, 16, n_blobs=1, seed=7, spread=0.01)
+        index = IVFIPIndex(
+            corpus, n_clusters=4, nprobe=4, capacity_slack=1.0,
+            store_dtype=jnp.float32,
+        )
+        s, i = index.search(queries, k=5)
+        es, _ = numpy_search(corpus, queries, 5)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+
+    def test_rejects_bad_params(self):
+        corpus = _blob_corpus(10, 8, seed=0)
+        with pytest.raises(ValueError):
+            IVFIPIndex(corpus, n_clusters=0, nprobe=1)
+        with pytest.raises(ValueError):
+            IVFIPIndex(corpus, n_clusters=2, nprobe=0)
+        with pytest.raises(ValueError):
+            IVFIPIndex(corpus, n_clusters=2, nprobe=1, capacity_slack=0.5)
+        with pytest.raises(ValueError):
+            IVFIPIndex(corpus, n_clusters=2, nprobe=1, store_dtype=jnp.int8)
+        with pytest.raises(ValueError):
+            IVFIPIndex(np.zeros((0, 8), np.float32), n_clusters=2, nprobe=1)
+
+    def test_returned_scores_are_true_inner_products(self):
+        corpus = _blob_corpus(300, 32, seed=8)
+        queries = _blob_corpus(8, 32, seed=9)
+        index = IVFIPIndex(
+            corpus, n_clusters=8, nprobe=3, store_dtype=jnp.float32
+        )
+        s, i = index.search(queries, k=5)
+        assert (i >= 0).all()
+        expected = np.take_along_axis(
+            queries @ corpus.T, i.astype(np.int64), axis=1
+        )
+        np.testing.assert_allclose(s, expected, atol=1e-5)
+
+
+class TestIVFIPIndexSharded:
+    def test_sharded_full_probe_exact(self, data_mesh):
+        # 803 rows over 8 shards (row padding exercised); probing all local
+        # clusters on every shard covers the corpus -> exact
+        corpus = _blob_corpus(803, 16, seed=42)
+        queries = _blob_corpus(29, 16, seed=43)
+        index = IVFIPIndex(
+            corpus, mesh=data_mesh, n_clusters=16, nprobe=16,
+            store_dtype=jnp.float32,
+        )
+        assert index.n_clusters % 8 == 0  # whole clusters per shard
+        s, i = index.search(queries, k=50, batch_size=8)
+        es, ei = numpy_search(corpus, queries, 50)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+        for r in range(len(queries)):
+            assert set(i[r].tolist()) == set(ei[r].tolist())
+        assert int(i.max()) < 803  # padding never surfaces
+
+    def test_sharded_autotune_recall(self, data_mesh):
+        corpus, queries = _blobs_with_queries(2000, 32, 32, n_blobs=25, seed=8)
+        index = IVFIPIndex(
+            corpus, mesh=data_mesh, recall_target=0.9,
+            tune_sample=32, tune_k=10,
+        )
+        _, i = index.search(queries, k=10)
+        ref = _storage_exact_sets(corpus, queries, 10)
+        assert _recall(i, ref, 10) >= 0.85
+        assert index.ntotal == 2000
+
+    def test_from_sharded_matches_host_build_exactness(self, data_mesh):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        corpus = _blob_corpus(600, 16, seed=10)
+        queries = _blob_corpus(11, 16, seed=11)
+        n_buf = 600 + (-600) % 8
+        buf = np.concatenate(
+            [corpus, np.zeros((n_buf - 600, 16), np.float32)]
+        )
+        emb_dev = jax.device_put(
+            buf, NamedSharding(data_mesh, P("data", None))
+        )
+        index = IVFIPIndex.from_sharded(
+            emb_dev, 600, mesh=data_mesh, n_clusters=16, nprobe=16,
+            store_dtype=jnp.float32,
+        )
+        s, i = index.search(queries, k=20, batch_size=8)
+        es, _ = numpy_search(corpus, queries, 20)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+        assert int(i.max()) < 600
+
+    def test_from_sharded_autotune(self, data_mesh):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        corpus, queries = _blobs_with_queries(1600, 32, 32, n_blobs=25, seed=12)
+        emb_dev = jax.device_put(
+            corpus, NamedSharding(data_mesh, P("data", None))
+        )
+        index = IVFIPIndex.from_sharded(
+            emb_dev, 1600, mesh=data_mesh, recall_target=0.9,
+            tune_sample=32, tune_k=10,
+        )
+        _, i = index.search(queries, k=10)
+        ref = _storage_exact_sets(corpus, queries, 10)
+        assert _recall(i, ref, 10) >= 0.85

@@ -1,0 +1,152 @@
+"""Serving with index_type='ivf': the clustered IVFIPIndex behind the same
+RetrievalService surface (fused dispatch, rebuilds, persistence).
+
+IVF is approximate by contract, so these tests probe every cluster (full
+probe = exact coverage) or use tiny self-retrieval corpora, and assert
+behavior rather than FAISS tie order.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rankpo_tpu.data import HashTokenizer
+from rankpo_tpu.index import InferenceEncoder, IVFIPIndex
+from rankpo_tpu.models import init_params, tiny_llama_config
+from rankpo_tpu.serve import RetrievalService
+
+
+@pytest.fixture(scope="module")
+def ivf_service(data_mesh):
+    cfg = tiny_llama_config(vocab_size=256)
+    params = init_params(jax.random.key(0), cfg)
+    tok = HashTokenizer(vocab_size=256)
+    encoder = InferenceEncoder(cfg, params, tok, mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+    svc = RetrievalService(
+        encoder, mesh=data_mesh, max_query_length=16, query_batch_size=8,
+        index_type="ivf",
+        # full probe on a tiny corpus: recall is exactly 1.0, tests are
+        # deterministic; the recall-ladder path is covered in test_index_ivf
+        index_kwargs={"n_clusters": 8, "nprobe": 8},
+    )
+    corpus = [f"document {i} on distinct topic {i}" for i in range(32)]
+    svc.build_index(corpus, max_passage_length=16, batch_size=8)
+    return svc
+
+
+class TestIVFServing:
+    def test_index_is_ivf(self, ivf_service):
+        assert isinstance(ivf_service.index, IVFIPIndex)
+        assert ivf_service.index.nprobe == 8
+
+    def test_self_retrieval(self, ivf_service):
+        res = ivf_service.query("document 7 on distinct topic 7", k=3)
+        assert res["hits"][0]["index"] == 7
+        assert res["hits"][0]["score"] == pytest.approx(1.0, abs=1e-2)
+        assert res["hits"][0]["passage"].startswith("document 7")
+        assert all(h["index"] >= 0 for h in res["hits"])
+
+    def test_fused_matches_two_dispatch(self, ivf_service):
+        queries = ["document 3 on distinct topic 3",
+                   "document 19 on distinct topic 19"]
+        assert ivf_service.fuse_encode_search
+        fused = ivf_service.query(queries, k=4, return_passages=False)
+        ivf_service.fuse_encode_search = False
+        try:
+            direct = ivf_service.query(queries, k=4, return_passages=False)
+        finally:
+            ivf_service.fuse_encode_search = True
+        for f, d in zip(fused, direct):
+            assert [h["index"] for h in f["hits"]] == [
+                h["index"] for h in d["hits"]
+            ]
+
+    def test_save_load_round_trip(self, ivf_service, data_mesh, tmp_path):
+        # save de-permutes the cluster-major storage back to corpus order;
+        # a restart must retrieve identically
+        path = str(tmp_path / "ivf_index.npz")
+        ivf_service.save_index(path)
+        svc = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"n_clusters": 8, "nprobe": 8},
+        )
+        svc.load_index_file(path if path.endswith(".npz") else path + ".npz")
+        assert isinstance(svc.index, IVFIPIndex)
+        res = svc.query("document 5 on distinct topic 5", k=2)
+        assert res["hits"][0]["index"] == 5
+
+    def test_load_reuses_tuned_nprobe(self, ivf_service, data_mesh,
+                                      tmp_path, monkeypatch):
+        svc = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"nprobe": "auto"}, recall_target=0.9,
+        )
+        svc.build_index(
+            [f"document {i} on distinct topic {i}" for i in range(20)],
+            max_passage_length=16, batch_size=8,
+        )
+        tuned = svc.index.nprobe
+        path = str(tmp_path / "tuned_ivf.npz")
+        svc.save_index(path)
+
+        svc2 = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"nprobe": "auto"}, recall_target=0.9,
+        )
+        monkeypatch.setattr(
+            IVFIPIndex, "_tune_nprobe",
+            lambda *a, **k: pytest.fail("restart re-ran the nprobe ladder"),
+        )
+        svc2.load_index_file(path)
+        assert svc2.index.nprobe == tuned
+        assert svc2.index.n_clusters == svc.index.n_clusters
+
+    def test_add_passages_rebuilds_ivf(self, ivf_service, data_mesh):
+        svc = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"n_clusters": 8, "nprobe": 8},
+        )
+        svc.build_index(
+            [f"document {i} on distinct topic {i}" for i in range(16)],
+            max_passage_length=16, batch_size=8,
+        )
+        svc.add_passages(["zebra quark lantern umbrella volcano"],
+                         max_passage_length=16, batch_size=8)
+        assert svc.ntotal == 17
+        res = svc.query("zebra quark lantern umbrella volcano", k=1)
+        assert res["hits"][0]["index"] == 16
+
+    def test_add_passages_keeps_tuned_nprobe(self, ivf_service, data_mesh,
+                                             monkeypatch):
+        svc = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"nprobe": "auto"}, recall_target=0.9,
+        )
+        svc.build_index(
+            [f"document {i} on distinct topic {i}" for i in range(20)],
+            max_passage_length=16, batch_size=8,
+        )
+        tuned = svc.index.nprobe
+        monkeypatch.setattr(
+            IVFIPIndex, "_tune_nprobe",
+            lambda *a, **k: pytest.fail("/add re-ran the nprobe ladder"),
+        )
+        svc.add_passages(["zebra quark lantern volcano extra"],
+                         max_passage_length=16, batch_size=8)
+        assert svc.ntotal == 21
+        assert svc.index.nprobe == tuned
+
+    def test_int8_ivf_rejected(self, data_mesh, ivf_service):
+        with pytest.raises(ValueError, match="int8"):
+            RetrievalService(
+                ivf_service.encoder, mesh=data_mesh,
+                index_type="ivf", index_dtype=jnp.int8,
+            )

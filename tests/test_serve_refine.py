@@ -156,5 +156,5 @@ class TestRefineServing:
     def test_unknown_index_type_rejected(self, data_mesh, refine_service):
         with pytest.raises(ValueError, match="index_type"):
             RetrievalService(
-                refine_service.encoder, mesh=data_mesh, index_type="ivf"
+                refine_service.encoder, mesh=data_mesh, index_type="hnsw"
             )
