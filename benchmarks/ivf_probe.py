@@ -1,0 +1,161 @@
+"""IVF (inverted-file) index probe: QPS/recall vs the single-stage approx
+path and the fp32 oracle, on synthetic clusterable corpora.
+
+IVF's cost model is sublinear in N: per query it scores K_c centroids
+(tiny), gathers nprobe*capacity rows (HBM-bound) and reranks them exactly
+(negligible FLOPs). The full-scan paths — flat approx (N*D MACs/query) and
+the PCA two-stage (N*d' MACs/query, benchmarks/lowd_rerank_probe.py) —
+scale linearly, so IVF's crossover is expected in the multi-million-row
+regime. Recall is DATA-DEPENDENT: blobby corpora (the real-embedding
+regime k-means exploits) vs --isotropic (worst case, clusters are
+arbitrary Voronoi cells) — sweep both before trusting a config.
+
+Build cost is reported too (k-means is ~2*iters*N*K_c*D MACs on the MXU +
+one [N, 2] assignment fetch for the host greedy fill).
+
+Run on the real chip: `python benchmarks/ivf_probe.py --n 1000000`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--n", type=int, default=1_000_000)
+parser.add_argument("--d", type=int, default=1024)
+parser.add_argument("--q", type=int, default=256,
+                    help="query batch per dispatch (the probed-row gather "
+                    "is the memory peak: Q*nprobe*capacity*D*2B)")
+parser.add_argument("--k", type=int, default=100)
+parser.add_argument("--clusters", type=int, nargs="+", default=[4096])
+parser.add_argument("--nprobes", type=int, nargs="+", default=[8, 16, 32, 64])
+parser.add_argument("--kmeans_iters", type=int, default=10)
+parser.add_argument("--blobs", type=int, default=2048,
+                    help="synthetic blob count (clusterable structure)")
+parser.add_argument("--spread", type=float, default=0.3)
+parser.add_argument("--isotropic", action="store_true",
+                    help="pure gaussian corpus — IVF's worst case")
+_args = parser.parse_args()
+N, D, Q, K = _args.n, _args.d, _args.q, _args.k
+
+
+def make_data(key):
+    kc, ka, kn, kq, kqa, kqn = jax.random.split(key, 6)
+    if _args.isotropic:
+        c = jax.random.normal(kn, (N, D), jnp.float32)
+        q = jax.random.normal(kqn, (Q, D), jnp.float32)
+    else:
+        centers = jax.random.normal(kc, (_args.blobs, D), jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=-1, keepdims=True)
+        c = (
+            jnp.take(centers, jax.random.randint(ka, (N,), 0, _args.blobs), 0)
+            + _args.spread * jax.random.normal(kn, (N, D), jnp.float32)
+        )
+        q = (
+            jnp.take(centers, jax.random.randint(kqa, (Q,), 0, _args.blobs), 0)
+            + _args.spread * jax.random.normal(kqn, (Q, D), jnp.float32)
+        )
+    c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return c, q
+
+
+def main():
+    print(
+        f"backend={jax.default_backend()} N={N} D={D} Q={Q} K={K} "
+        f"{'isotropic' if _args.isotropic else f'blobs={_args.blobs}'}",
+        flush=True,
+    )
+    corpus, queries = jax.jit(make_data)(jax.random.key(0))
+    jax.block_until_ready(corpus)
+
+    from rankpo_tpu.index.ivf import IVFIPIndex
+    from rankpo_tpu.ops.topk import exact_topk_blockmax
+
+    def oracle_topk(q, c):
+        s = jnp.einsum(
+            "qd,nd->qn", q, c,
+            preferred_element_type=jnp.float32, precision="float32",
+        )
+        return exact_topk_blockmax(s, K)[1]
+
+    oracle = np.asarray(jax.jit(oracle_topk)(queries, corpus))
+    print("  oracle ready", flush=True)
+
+    def recall_of(idx):
+        return float(np.mean([
+            len(set(idx[r].tolist()) & set(oracle[r].tolist())) / K
+            for r in range(Q)
+        ]))
+
+    REPS = 4
+
+    def bench(fn, args, label, idx_fn=None):
+        def loop(*a):
+            def body(i, carry):
+                s, _ = fn(*a)
+                return carry + s[0, 0].astype(jnp.float32) * 1e-20
+            return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+        loop_fn = jax.jit(loop)
+        float(loop_fn(*args))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(loop_fn(*args))
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        idx = np.asarray(jax.jit(fn)(*args)[1])
+        print(
+            f"  {label:32} {best*1e3:7.1f} ms -> {Q/best:7.0f} QPS  "
+            f"recall={recall_of(idx):.4f}",
+            flush=True,
+        )
+
+    # single-stage approx baseline (current bf16 serving mode)
+    corpus_bf16 = jax.jit(lambda c: c.astype(jnp.bfloat16))(corpus)
+
+    def approx_base(q, c):
+        s = jnp.einsum(
+            "qd,nd->qn", q.astype(jnp.bfloat16), c,
+            preferred_element_type=jnp.bfloat16,
+        )
+        ts, i = jax.lax.approx_max_k(
+            s, K, recall_target=0.95, aggregate_to_topk=True
+        )
+        return ts.astype(jnp.float32), i
+
+    bench(approx_base, (queries, corpus_bf16), "approx bf16 full scan")
+
+    for k_c in _args.clusters:
+        t0 = time.perf_counter()
+        index = IVFIPIndex.from_sharded(
+            corpus, N, mesh=None, n_clusters=k_c, nprobe=max(_args.nprobes),
+            kmeans_iters=_args.kmeans_iters, store_dtype=jnp.bfloat16,
+        )
+        build_s = time.perf_counter() - t0
+        print(
+            f"  build K={k_c}: {build_s:.1f}s "
+            f"(capacity={index.capacity}, iters={_args.kmeans_iters})",
+            flush=True,
+        )
+        for p in _args.nprobes:
+            fn = index.search_callable(K, nprobe=p)
+            bench(
+                fn,
+                (index.corpus, index.row_ids, index.centroids, queries),
+                f"ivf K={k_c} nprobe={p}",
+            )
+
+
+if __name__ == "__main__":
+    main()
