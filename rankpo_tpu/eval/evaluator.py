@@ -79,6 +79,7 @@ def evaluate_checkpoint(
     compute_dtype=None,
     index_type: str = "flat",
     index_recall_target: float = 0.95,
+    index_kwargs: Optional[dict] = None,
 ):
     """Encode → index → search → metrics for one checkpoint.
 
@@ -109,17 +110,21 @@ def evaluate_checkpoint(
     if index_type == "refine":
         from rankpo_tpu.index import RefineIPIndex
 
-        index = RefineIPIndex.from_sharded(
-            c_emb_dev, n_corpus, mesh=mesh,
+        kwargs = dict(
             recall_target=index_recall_target,
             reduced_dim=min(256, int(c_emb_dev.shape[1])),
+        )
+        kwargs.update(index_kwargs or {})
+        index = RefineIPIndex.from_sharded(
+            c_emb_dev, n_corpus, mesh=mesh, **kwargs
         )
     elif index_type == "ivf":
         from rankpo_tpu.index import IVFIPIndex
 
+        kwargs = dict(recall_target=index_recall_target)
+        kwargs.update(index_kwargs or {})
         index = IVFIPIndex.from_sharded(
-            c_emb_dev, n_corpus, mesh=mesh,
-            recall_target=index_recall_target,
+            c_emb_dev, n_corpus, mesh=mesh, **kwargs
         )
     else:
         index = FlatIPIndex.from_sharded(c_emb_dev, n_corpus, mesh=mesh)

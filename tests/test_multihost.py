@@ -55,10 +55,25 @@ r_metrics, r_indices, _ = evaluate_checkpoint(
     k=10, cutoffs=(1, 5, 10), compute_dtype=jnp.float32,
     index_type="refine", index_recall_target=0.9,
 )
+# IVF index across processes: k-means is collective (per-shard assignment
+# + psum'd centroid updates), the assignment fetch is replicated, and the
+# host greedy fill is deterministic. Full probe (nprobe = n_clusters)
+# makes hit SETS layout-independent, so they must match single-process
+# exactly even if collective-reduction bit noise nudges the k-means.
+i_metrics, i_indices, _ = evaluate_checkpoint(
+    model, queries, labels, corpus, tokenizer=tok, mesh=mesh,
+    batch_size=16, max_query_length=16, max_passage_length=16,
+    k=10, cutoffs=(1, 5, 10), compute_dtype=jnp.float32,
+    index_type="ivf",
+    index_kwargs={"n_clusters": 8, "nprobe": 8,
+                  "store_dtype": jnp.float32, "kmeans_iters": 2},
+)
 with open(os.path.join(outdir, f"metrics_{pid}.json"), "w") as f:
     json.dump({"metrics": metrics, "indices": indices.tolist(),
                "refine_metrics": r_metrics,
-               "refine_indices": r_indices.tolist()}, f)
+               "refine_indices": r_indices.tolist(),
+               "ivf_metrics": i_metrics,
+               "ivf_indices": i_indices.tolist()}, f)
 """
 
 
@@ -131,3 +146,18 @@ def test_two_process_eval_matches_single(tmp_path):
         assert set(row) == set(multi_row), "refine hit sets differ"
     for key, value in r_metrics.items():
         assert abs(value - multi0["refine_metrics"][key]) < 1e-9, key
+
+    # IVF index: collective k-means build + cluster-sharded search across
+    # the 2-process mesh, full-probe config (layout-independent hit sets)
+    i_metrics, i_indices, _ = evaluate_checkpoint(
+        str(model_dir), queries, labels, corpus, tokenizer=tok, mesh=mesh,
+        batch_size=16, max_query_length=16, max_passage_length=16,
+        k=10, cutoffs=(1, 5, 10), compute_dtype=jnp.float32,
+        index_type="ivf",
+        index_kwargs={"n_clusters": 8, "nprobe": 8,
+                      "store_dtype": jnp.float32, "kmeans_iters": 2},
+    )
+    for row, multi_row in zip(i_indices.tolist(), multi0["ivf_indices"]):
+        assert set(row) == set(multi_row), "ivf hit sets differ"
+    for key, value in i_metrics.items():
+        assert abs(value - multi0["ivf_metrics"][key]) < 1e-9, key
