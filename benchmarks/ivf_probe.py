@@ -100,10 +100,13 @@ def main():
 
     REPS = 4
 
-    def bench(fn, args, label, idx_fn=None):
-        def loop(*a):
+    def bench(fn, args, label):
+        def loop(q, *rest):
             def body(i, carry):
-                s, _ = fn(*a)
+                # data-dependent carry: the query input must depend on the
+                # loop state or XLA hoists the whole search out of the loop
+                # (LICM) and the timing is REPS x optimistic (CLAUDE.md)
+                s, _ = fn(q + carry * 0.0, *rest)
                 return carry + s[0, 0].astype(jnp.float32) * 1e-20
             return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
@@ -151,8 +154,9 @@ def main():
         for p in _args.nprobes:
             fn = index.search_callable(K, nprobe=p)
             bench(
-                fn,
-                (index.corpus, index.row_ids, index.centroids, queries),
+                # bench perturbs its FIRST arg (the queries) per iteration
+                lambda q, c, ids, cents, fn=fn: fn(c, ids, cents, q),
+                (queries, index.corpus, index.row_ids, index.centroids),
                 f"ivf K={k_c} nprobe={p}",
             )
 

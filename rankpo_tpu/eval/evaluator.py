@@ -129,6 +129,14 @@ def evaluate_checkpoint(
     else:
         index = FlatIPIndex.from_sharded(c_emb_dev, n_corpus, mesh=mesh)
     scores, indices = index.search(q_emb, k=k, batch_size=batch_size)
+    invalid = indices < 0
+    if invalid.any():
+        # IVF pads unreachable tail slots with -1/-inf (FAISS IVF
+        # semantics); sklearn's AUC/nDCG reject infinities, so clamp the
+        # pad scores below every real score. The -1 ids never match a
+        # label, so rank-based metrics already treat them as misses.
+        finite_floor = float(scores[~invalid].min()) if (~invalid).any() else 0.0
+        scores = np.where(invalid, finite_floor - 1.0, scores)
     metrics = compute_metrics(indices, scores, labels, cutoffs=list(cutoffs))
     return metrics, indices, scores
 

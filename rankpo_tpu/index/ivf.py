@@ -608,8 +608,8 @@ class IVFIPIndex:
             if p >= cap:
                 logger.warning(
                     "IVFIPIndex: recall below target %.2f at the nprobe=%d "
-                    "ladder cap — raise n_clusters' capacity_slack or use "
-                    "FlatIPIndex/RefineIPIndex",
+                    "ladder cap — raise max_nprobe or capacity_slack, lower "
+                    "n_clusters, or use FlatIPIndex/RefineIPIndex",
                     self.recall_target, p,
                 )
                 return p
@@ -677,9 +677,12 @@ class IVFIPIndex:
             _, probe = lax.top_k(qc, p)  # [Q, p] local cluster ids
             rows = jnp.take(blocks, probe, axis=0)  # [Q, p, cap, D]
             hit_ids = jnp.take(id_blocks, probe, axis=0)  # [Q, p, cap]
+            from rankpo_tpu.ops.topk import storage_exact_precision
+
             s = jnp.einsum(
                 "qd,qpcd->qpc", queries.astype(rows.dtype), rows,
                 preferred_element_type=jnp.float32,
+                precision=storage_exact_precision(rows.dtype),
             )
             s = jnp.where(hit_ids >= 0, s, NEG_INF)
             q = queries.shape[0]

@@ -391,9 +391,12 @@ class RefineIPIndex:
                 s1, cc, recall_target=0.95, aggregate_to_topk=True
             )
             rows = jnp.take(corpus_rows, cand, axis=0)  # [Q, cc, D]
+            from rankpo_tpu.ops.topk import storage_exact_precision
+
             s2 = jnp.einsum(
                 "qd,qcd->qc", queries.astype(rows.dtype), rows,
                 preferred_element_type=jnp.float32,
+                precision=storage_exact_precision(rows.dtype),
             )
             # padding rows can reach the candidate list only when the shard
             # has fewer than cc valid rows; mask them out of the rerank

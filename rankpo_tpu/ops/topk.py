@@ -189,6 +189,21 @@ def exact_topk_blockmax(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array
     )
 
 
+def storage_exact_precision(dtype):
+    """Matmul precision for fp32-faithful scores over rows stored in
+    ``dtype`` — the rerank stage of the two-stage indexes (refine/ivf),
+    whose contract is "true inner products at storage precision". For fp32
+    storage the TPU DEFAULT einsum would round inputs to bf16 (CLAUDE.md);
+    X3 restores fp32-class scores at half the passes of "float32"=X6 (the
+    dense_matmul_topk decision record below). bf16 storage is already
+    rounded, so the single default pass IS storage precision."""
+    if jnp.dtype(dtype) != jnp.float32:
+        return "default"
+    if jax.default_backend() == "tpu":
+        return jax.lax.DotAlgorithmPreset.BF16_BF16_F32_X3
+    return "float32"
+
+
 def dense_matmul_topk(
     queries: jax.Array,
     corpus: jax.Array,

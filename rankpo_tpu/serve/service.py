@@ -142,12 +142,21 @@ class RetrievalService:
             "indexed %d passages in %.1fs", len(corpus_texts), time.time() - t0
         )
 
-    def _approx_kwargs(self):
+    def _approx_kwargs(self, overrides: Optional[Dict] = None):
         """Shared kwargs for the approximate index tiers: the service-level
         recall_target is the build-time tune target; 1.0 would ladder the
         tuner to its cap chasing unreachable exactness — these indexes are
-        approximate by contract, so default their target."""
+        approximate by contract, so default their target.
+
+        ``overrides`` carries tuned values (candidate count / nprobe) for
+        THIS build only — an /add rebuild or a persisted-index load reuses
+        them, but they never stick to the service config, so a later
+        build_index on a fresh corpus re-tunes from scratch. An override
+        only fills a knob the caller left on 'auto' (or unset)."""
         kwargs = dict(self.index_kwargs)
+        for key, value in (overrides or {}).items():
+            if kwargs.get(key, "auto") == "auto":
+                kwargs[key] = value
         kwargs.setdefault(
             "recall_target",
             self.recall_target if self.recall_target < 1.0 else 0.95,
@@ -155,14 +164,17 @@ class RetrievalService:
         kwargs.setdefault("store_dtype", self.index_dtype)
         return kwargs
 
-    def _make_index_sharded(self, emb_dev, n_total: int):
+    def _make_index_sharded(self, emb_dev, n_total: int,
+                            overrides: Optional[Dict] = None):
         if self.index_type == "refine":
             return RefineIPIndex.from_sharded(
-                emb_dev, n_total, mesh=self.mesh, **self._approx_kwargs()
+                emb_dev, n_total, mesh=self.mesh,
+                **self._approx_kwargs(overrides),
             )
         if self.index_type == "ivf":
             return IVFIPIndex.from_sharded(
-                emb_dev, n_total, mesh=self.mesh, **self._approx_kwargs()
+                emb_dev, n_total, mesh=self.mesh,
+                **self._approx_kwargs(overrides),
             )
         return FlatIPIndex.from_sharded(
             emb_dev, n_total, mesh=self.mesh,
@@ -170,14 +182,14 @@ class RetrievalService:
             **self.index_kwargs,
         )
 
-    def _make_index(self, embeddings):
+    def _make_index(self, embeddings, overrides: Optional[Dict] = None):
         if self.index_type == "refine":
             return RefineIPIndex(
-                embeddings, mesh=self.mesh, **self._approx_kwargs()
+                embeddings, mesh=self.mesh, **self._approx_kwargs(overrides)
             )
         if self.index_type == "ivf":
             return IVFIPIndex(
-                embeddings, mesh=self.mesh, **self._approx_kwargs()
+                embeddings, mesh=self.mesh, **self._approx_kwargs(overrides)
             )
         return FlatIPIndex(
             embeddings, mesh=self.mesh, recall_target=self.recall_target,
@@ -192,9 +204,12 @@ class RetrievalService:
     def corpus_texts(self) -> List[str]:
         return self._state[1]
 
-    def load_index(self, embeddings: np.ndarray, corpus_texts: Sequence[str]):
-        """Attach a prebuilt embedding matrix (e.g. from an offline encode)."""
-        self._state = (self._make_index(embeddings), list(corpus_texts))
+    def load_index(self, embeddings: np.ndarray, corpus_texts: Sequence[str],
+                   overrides: Optional[Dict] = None):
+        """Attach a prebuilt embedding matrix (e.g. from an offline encode).
+        ``overrides``: tuned index knobs to reuse for this build only (see
+        _approx_kwargs)."""
+        self._state = (self._make_index(embeddings, overrides), list(corpus_texts))
         with self._fused_lock:
             self._fused_fns.clear()  # fused programs bake in n_total/k_local
 
@@ -205,18 +220,23 @@ class RetrievalService:
         non-addressable shards)."""
         import jax
 
-        def fetch(arr):
+        def gather(arr):
             if jax.process_count() > 1:
                 from jax.experimental import multihost_utils
 
                 arr = multihost_utils.process_allgather(arr, tiled=True)
-            return np.asarray(arr, np.float32)
+            return arr
+
+        def fetch(arr):
+            return np.asarray(gather(arr), np.float32)
 
         if isinstance(index, IVFIPIndex):
             # IVF stores rows cluster-major with empty slots: de-permute by
-            # row_ids to recover the original corpus order
+            # row_ids to recover the original corpus order. row_ids stay
+            # integer end to end — a float32 hop would corrupt ids above
+            # 2^24 (the multi-million-row regime this index targets)
             clustered = fetch(index.corpus)
-            row_ids = np.asarray(fetch(index.row_ids), np.int64)
+            row_ids = np.asarray(gather(index.row_ids), np.int64)
             emb = np.zeros((index.n_total, clustered.shape[1]), np.float32)
             valid = row_ids >= 0
             emb[row_ids[valid]] = clustered[valid]
@@ -251,26 +271,25 @@ class RetrievalService:
         )
         merged = np.concatenate([self._stored_embeddings(index), new_emb], axis=0)
         texts_all = old_texts + list(texts)
-        if (
-            isinstance(index, RefineIPIndex)
-            and self.index_kwargs.get("candidates", "auto") == "auto"
-        ):
-            # keep the live index's tuned candidate count: re-running the
-            # recall ladder on every /add would stall serving, and a small
-            # append leaves the tuned C approximately right (rebuild with
-            # build_index to re-tune after large corpus changes)
-            self.index_kwargs["candidates"] = index.candidates
-            self.index_kwargs.setdefault("reduced_dim", index.reduced_dim)
-        if (
-            isinstance(index, IVFIPIndex)
-            and self.index_kwargs.get("nprobe", "auto") == "auto"
-        ):
-            # same reasoning for the IVF tuner: a small append leaves the
-            # tuned nprobe approximately right (k-means itself still
-            # re-trains on the merged matrix — rows need clusters)
-            self.index_kwargs["nprobe"] = index.nprobe
-            self.index_kwargs.setdefault("n_clusters", index.n_clusters)
-        self.load_index(merged, texts_all)
+        overrides = {}
+        if isinstance(index, RefineIPIndex):
+            # reuse the live index's tuned candidate count FOR THIS REBUILD:
+            # re-running the recall ladder on every /add would stall serving,
+            # and a small append leaves the tuned C approximately right. The
+            # override never sticks to the service config — a later
+            # build_index on a fresh corpus re-tunes from scratch.
+            overrides = {
+                "candidates": index.candidates,
+                "reduced_dim": index.reduced_dim,
+            }
+        elif isinstance(index, IVFIPIndex):
+            # same reasoning for the IVF tuner (k-means itself still
+            # re-trains on the merged matrix — new rows need clusters)
+            overrides = {
+                "nprobe": index.nprobe,
+                "n_clusters": index.n_clusters,
+            }
+        self.load_index(merged, texts_all, overrides)
         logger.info(
             "added %d passages (index now %d)", len(texts), self.ntotal
         )
@@ -298,34 +317,32 @@ class RetrievalService:
 
     def load_index_file(self, path: str) -> None:
         data = np.load(path, allow_pickle=True)
+        overrides = {}
         if self.index_type == "ivf" and "ivf_nprobe" in data:
-            # restart path: reuse the tuned nprobe instead of re-running the
-            # recall ladder — valid when the caller left nprobe on "auto"
-            # and is not forcing a different cluster count than the one the
-            # nprobe was tuned at (k-means itself still re-trains)
+            # restart path: reuse the tuned nprobe FOR THIS LOAD instead of
+            # re-running the recall ladder — valid when the caller left
+            # nprobe on "auto" and is not forcing a different cluster count
+            # than the one the nprobe was tuned at (k-means still re-trains)
             saved_k = int(data["ivf_n_clusters"])
             user_k = self.index_kwargs.get("n_clusters", "auto")
-            if (
-                user_k in ("auto", saved_k)
-                and self.index_kwargs.get("nprobe", "auto") == "auto"
-            ):
-                self.index_kwargs["nprobe"] = int(data["ivf_nprobe"])
-                self.index_kwargs["n_clusters"] = saved_k
+            if user_k in ("auto", saved_k):
+                overrides = {
+                    "nprobe": int(data["ivf_nprobe"]),
+                    "n_clusters": saved_k,
+                }
         if self.index_type == "refine" and "refine_candidates" in data:
-            # restart path: reuse the tuned candidate count instead of
-            # re-running the recall ladder — but only when it is still valid
-            # (caller left candidates on "auto" and is not forcing a
-            # different reduced_dim than the one the count was tuned at)
+            # restart path: reuse the tuned candidate count FOR THIS LOAD —
+            # valid when the caller is not forcing a different reduced_dim
+            # than the one the count was tuned at
             saved_dim = int(data["refine_reduced_dim"])
-            user_dim = self.index_kwargs.get("reduced_dim", saved_dim)
-            if (
-                user_dim == saved_dim
-                and self.index_kwargs.get("candidates", "auto") == "auto"
-            ):
-                self.index_kwargs["candidates"] = int(data["refine_candidates"])
-                self.index_kwargs.setdefault("reduced_dim", saved_dim)
+            if self.index_kwargs.get("reduced_dim", saved_dim) == saved_dim:
+                overrides = {
+                    "candidates": int(data["refine_candidates"]),
+                    "reduced_dim": saved_dim,
+                }
         self.load_index(
-            data["embeddings"], [str(t) for t in data["corpus_texts"]]
+            data["embeddings"], [str(t) for t in data["corpus_texts"]],
+            overrides,
         )
         logger.info("loaded index (%d passages) from %s", self.ntotal, path)
 

@@ -139,6 +139,33 @@ class TestEvaluatePath:
         )
         assert res2 == {}
 
+    def test_ivf_index_opt_in_with_inf_padding(self, tmp_path, data_mesh):
+        # index_type="ivf" with nprobe=1 on a tiny corpus: the probed
+        # clusters hold fewer than k rows, so search returns -1/-inf tail
+        # padding — the evaluator must clamp it before sklearn's AUC/nDCG
+        # (which reject infinities) instead of crashing mid-checkpoint
+        from rankpo_tpu.eval.evaluator import evaluate_checkpoint
+
+        model_dir, qf, cf = self._setup(tmp_path, data_mesh)
+        corpus = [f"unique doc {i} topic {i}" for i in range(20)]
+        metrics, indices, scores = evaluate_checkpoint(
+            str(model_dir), [corpus[3]], [[3]], corpus,
+            tokenizer=HashTokenizer(vocab_size=256), mesh=data_mesh,
+            batch_size=8, max_query_length=16, max_passage_length=16,
+            k=18, cutoffs=(1, 5), compute_dtype=jnp.float32,
+            index_type="ivf",
+            # 16 clusters over the 8-shard mesh = 2 per shard; nprobe=1
+            # probes half of each shard, so k=18 of 20 rows must pad
+            index_kwargs={"n_clusters": 16, "nprobe": 1, "kmeans_iters": 2},
+        )
+        assert (indices < 0).any(), "test premise: padding must appear"
+        assert np.isfinite(scores).all(), "pad scores must be clamped finite"
+        # AUC can be legitimately NaN here (single-class y_true with one
+        # query); the regression under test is the sklearn infinity crash
+        # plus finite rank metrics
+        for key in ("MRR@1", "MRR@5", "Recall@1", "Recall@5"):
+            assert np.isfinite(metrics[key]), key
+
     def test_refine_index_opt_in(self, tmp_path, data_mesh):
         # index_type="refine": approximate search behind the same harness;
         # on this tiny corpus the self-retrieval hit is trivially recovered

@@ -144,6 +144,36 @@ class TestIVFServing:
         assert svc.ntotal == 21
         assert svc.index.nprobe == tuned
 
+    def test_fresh_build_after_add_retunes(self, ivf_service, data_mesh,
+                                           monkeypatch):
+        # the /add tuned-nprobe reuse must be per-rebuild, not sticky: a
+        # later build_index on a fresh corpus re-runs the recall ladder
+        calls = []
+        orig = IVFIPIndex._tune_nprobe
+        monkeypatch.setattr(
+            IVFIPIndex, "_tune_nprobe",
+            lambda self, *a, **k: calls.append(1) or orig(self, *a, **k),
+        )
+        svc = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"nprobe": "auto"}, recall_target=0.9,
+        )
+        svc.build_index(
+            [f"document {i} on distinct topic {i}" for i in range(20)],
+            max_passage_length=16, batch_size=8,
+        )
+        assert len(calls) == 1
+        svc.add_passages(["zebra quark lantern volcano extra"],
+                         max_passage_length=16, batch_size=8)
+        assert len(calls) == 1  # /add reused the tuned nprobe
+        svc.build_index(
+            [f"fresh corpus item {i} about theme {i}" for i in range(24)],
+            max_passage_length=16, batch_size=8,
+        )
+        assert len(calls) == 2  # fresh build re-tuned
+        assert svc.index_kwargs.get("nprobe") == "auto"  # config not mutated
+
     def test_int8_ivf_rejected(self, data_mesh, ivf_service):
         with pytest.raises(ValueError, match="int8"):
             RetrievalService(
