@@ -39,6 +39,12 @@ parser.add_argument("--q", type=int, default=256,
 parser.add_argument("--k", type=int, default=100)
 parser.add_argument("--clusters", type=int, nargs="+", default=[4096])
 parser.add_argument("--nprobes", type=int, nargs="+", default=[8, 16, 32, 64])
+parser.add_argument("--reduced_dims", type=int, nargs="+", default=[],
+                    help="also bench the IVF+PCA hybrid at these projected "
+                    "dims (gathers d'/D of the bytes + a top-C full-row "
+                    "rerank)")
+parser.add_argument("--candidates", type=int, default=512,
+                    help="hybrid rerank pool size")
 parser.add_argument("--kmeans_iters", type=int, default=10)
 parser.add_argument("--blobs", type=int, default=2048,
                     help="synthetic blob count (clusterable structure)")
@@ -155,10 +161,30 @@ def main():
             fn = index.search_callable(K, nprobe=p)
             bench(
                 # bench perturbs its FIRST arg (the queries) per iteration
-                lambda q, c, ids, cents, fn=fn: fn(c, ids, cents, q),
-                (queries, index.corpus, index.row_ids, index.centroids),
+                lambda q, *arrs, fn=fn: fn(*arrs, q),
+                (queries,) + index.search_arrays,
                 f"ivf K={k_c} nprobe={p}",
             )
+        for rd in _args.reduced_dims:
+            t0 = time.perf_counter()
+            hyb = IVFIPIndex.from_sharded(
+                corpus, N, mesh=None, n_clusters=k_c,
+                nprobe=max(_args.nprobes), kmeans_iters=_args.kmeans_iters,
+                store_dtype=jnp.bfloat16, reduced_dim=rd,
+                candidates=_args.candidates,
+            )
+            print(
+                f"  hybrid build K={k_c} d'={rd}: "
+                f"{time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
+            for p in _args.nprobes:
+                fn = hyb.search_callable(K, nprobe=p)
+                bench(
+                    lambda q, *arrs, fn=fn: fn(*arrs, q),
+                    (queries,) + hyb.search_arrays,
+                    f"ivf+pca K={k_c} d'={rd} p={p} C={_args.candidates}",
+                )
 
 
 if __name__ == "__main__":

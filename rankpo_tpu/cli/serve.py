@@ -146,6 +146,13 @@ def main(argv=None):
     parser.add_argument("--ivf_nprobe", default="auto",
                         help="ivf probed clusters per query, or 'auto' to "
                              "tune at build time against --recall_target")
+    parser.add_argument("--ivf_reduced_dim", type=int, default=0,
+                        help="> 0 enables the IVF+PCA hybrid: probed rows "
+                             "score in this projected dimension (d'/D of "
+                             "the gather bytes), top candidates rerank "
+                             "exactly at full width")
+    parser.add_argument("--ivf_candidates", default="auto",
+                        help="hybrid rerank pool size, or 'auto' (~2k)")
     parser.add_argument("--index_file", default=None,
                         help="persisted index (.npz): loaded if it exists, "
                              "else built from --corpus_data and saved here")
@@ -200,6 +207,12 @@ def main(argv=None):
         index_kwargs["nprobe"] = (
             "auto" if args.ivf_nprobe == "auto" else int(args.ivf_nprobe)
         )
+        if args.ivf_reduced_dim > 0:
+            index_kwargs["reduced_dim"] = args.ivf_reduced_dim
+            index_kwargs["candidates"] = (
+                "auto" if args.ivf_candidates == "auto"
+                else int(args.ivf_candidates)
+            )
     service = RetrievalService(
         encoder, mesh=mesh, max_query_length=args.max_query_length,
         recall_target=args.recall_target, index_dtype=dtype,

@@ -243,6 +243,12 @@ class IVFIPIndex:
     accumulates fp32) + ``row_ids`` [K * capacity] int32 (-1 = empty slot)
     + centroids ``[K, D]`` fp32, all sharded over the data axis in whole
     clusters.
+
+    ``reduced_dim`` enables the PCA hybrid (FAISS IVF+PreTransform analog):
+    probed rows are first scored in a projected d' << D bf16 space — the
+    probed-row gather, the HBM bottleneck at scale, shrinks by d'/D — and
+    only the top-``candidates`` full rows are gathered for the exact
+    rerank. Adds ``[K * capacity, d']`` bf16 storage.
     """
 
     def __init__(
@@ -257,6 +263,8 @@ class IVFIPIndex:
         kmeans_iters: int = 10,
         capacity_slack: float = 1.3,
         spherical: bool = True,
+        reduced_dim: Optional[int] = None,
+        candidates: Union[int, str] = "auto",
         tune_sample: int = TUNE_SAMPLE,
         tune_k: int = TUNE_K,
         max_nprobe: Optional[int] = None,
@@ -277,6 +285,7 @@ class IVFIPIndex:
         self.store_dtype = store_dtype
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
+        self._set_hybrid(reduced_dim, candidates)
 
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         self.n_clusters = _resolve_clusters(self.n_total, n_shards, n_clusters)
@@ -322,6 +331,7 @@ class IVFIPIndex:
             clustered.astype(np.dtype(store_dtype)), row_ids
         )
 
+        self._init_projection()
         self._search_fns: dict = {}
         self._search_lock = threading.Lock()
 
@@ -348,6 +358,8 @@ class IVFIPIndex:
         kmeans_iters: int = 10,
         capacity_slack: float = 1.3,
         spherical: bool = True,
+        reduced_dim: Optional[int] = None,
+        candidates: Union[int, str] = "auto",
         tune_sample: int = TUNE_SAMPLE,
         tune_k: int = TUNE_K,
         max_nprobe: Optional[int] = None,
@@ -374,6 +386,7 @@ class IVFIPIndex:
         self.store_dtype = store_dtype
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
+        self._set_hybrid(reduced_dim, candidates)
 
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         n_padded = int(embeddings.shape[0])
@@ -443,6 +456,7 @@ class IVFIPIndex:
             else shard_rows_to_mesh(row_ids, mesh)
         )
 
+        self._init_projection()
         self._search_fns = {}
         self._search_lock = threading.Lock()
 
@@ -476,6 +490,67 @@ class IVFIPIndex:
         return self
 
     # ------------------------------------------------------------------
+    def _set_hybrid(self, reduced_dim, candidates):
+        """Validate the optional PCA-hybrid knobs (IVF+PCA: probed rows are
+        scored in a projected d' << D space — d'/D of the gather bytes, the
+        HBM bottleneck at scale — and only the top-``candidates`` full rows
+        are gathered for the exact rerank)."""
+        if reduced_dim is not None:
+            rd = int(reduced_dim)
+            if not 0 < rd <= self.dim:
+                raise ValueError(
+                    f"reduced_dim={reduced_dim} must be in (0, {self.dim}]"
+                )
+            self.reduced_dim = rd
+        else:
+            self.reduced_dim = None
+        if candidates != "auto":
+            if int(candidates) < 1:
+                raise ValueError("candidates must be >= 1")
+            self.candidates = int(candidates)
+        else:
+            self.candidates = "auto"
+
+    def _init_projection(self):
+        """PCA projection + projected cluster-major rows for the hybrid
+        path, computed from the STORED rows on device (the second moment is
+        permutation-invariant and zero pad rows contribute nothing; storage
+        precision is plenty for a prefilter direction basis). Host sees only
+        the [D, D] covariance for the eigh — cf. RefineIPIndex."""
+        if self.reduced_dim is None:
+            self.proj = None
+            self.corpus_low = None
+            return
+        mesh = self.mesh
+        rep_kw = (
+            {} if mesh is None
+            else {"out_shardings": NamedSharding(mesh, P())}
+        )
+        row_kw = (
+            {} if mesh is None
+            else {"out_shardings": NamedSharding(mesh, P(DATA_AXIS, None))}
+        )
+        cov = np.asarray(
+            jax.jit(
+                lambda c: jnp.einsum(
+                    "nd,ne->de",
+                    c.astype(jnp.float32), c.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                ),
+                **rep_kw,
+            )(self.corpus)
+        )
+        _, v = np.linalg.eigh(cov)  # ascending eigenvalues
+        proj = np.ascontiguousarray(v[:, -self.reduced_dim:], np.float32)
+        self.proj = (
+            jax.device_put(jnp.asarray(proj)) if mesh is None
+            else replicate_to_mesh(proj, mesh)
+        )
+        self.corpus_low = jax.jit(
+            lambda c, p: (c.astype(jnp.float32) @ p).astype(jnp.bfloat16),
+            **row_kw,
+        )(self.corpus, self.proj)
+
     def _train_and_assign(self, corpus_dev, n_padded, init_centroids,
                           kmeans_iters) -> np.ndarray:
         """Run the jitted Lloyd loop + the top-2 assignment pass; stores the
@@ -631,14 +706,25 @@ class IVFIPIndex:
     def search_arrays(self) -> tuple:
         """Device arrays ``search_callable`` consumes, in order (the index
         protocol serving composes against: ``fn(*search_arrays, queries)``)."""
-        return (self.corpus, self.row_ids, self.centroids)
+        if self.reduced_dim is None:
+            return (self.corpus, self.row_ids, self.centroids)
+        return (
+            self.corpus, self.row_ids, self.centroids,
+            self.corpus_low, self.proj,
+        )
 
     def search_arg_shardings(self, mesh: Mesh) -> tuple:
         """NamedShardings for ``search_arrays`` (same protocol)."""
-        return (
+        base = (
             NamedSharding(mesh, P(DATA_AXIS, None)),
             NamedSharding(mesh, P(DATA_AXIS)),
             NamedSharding(mesh, P(DATA_AXIS, None)),
+        )
+        if self.reduced_dim is None:
+            return base
+        return base + (
+            NamedSharding(mesh, P(DATA_AXIS, None)),
+            NamedSharding(mesh, P()),
         )
 
     def _effective_probe(self, k: int, nprobe: Optional[int]) -> Tuple[int, int]:
@@ -653,20 +739,37 @@ class IVFIPIndex:
         p = min(p, self.local_clusters)
         return p, min(k, p * self.capacity)
 
-    def search_callable(self, k: int, nprobe: Optional[int] = None):
-        """Unjitted ``(corpus, row_ids, centroids, queries) -> (scores, idx)``
-        for composing into larger jitted programs (serving fuses
-        encode+search into one dispatch)."""
+    def _effective_candidates(self, k: int, candidates) -> int:
+        """Rerank candidate count for the hybrid path: explicit wins, else
+        the instance setting, else proportional-to-k ('auto' has no tuning
+        ladder — the nprobe tuner measures the COMPOUND projection x
+        selection recall at the configured C, so C just needs a sane
+        scale)."""
+        c = candidates if candidates is not None else self.candidates
+        if c == "auto":
+            c = max(2 * k, 128)
+        return max(int(c), k)
+
+    def search_callable(self, k: int, nprobe: Optional[int] = None,
+                        candidates: Optional[int] = None):
+        """Unjitted ``(*search_arrays, queries) -> (scores, idx)`` for
+        composing into larger jitted programs (serving fuses encode+search
+        into one dispatch). Plain IVF consumes (corpus, row_ids, centroids,
+        queries); the PCA hybrid additionally takes (corpus_low, proj)
+        before the queries."""
+        from rankpo_tpu.ops.topk import storage_exact_precision
+
         k = min(k, self.n_total)
         p, kk = self._effective_probe(k, nprobe)
         cap = self.capacity
         mesh = self.mesh
         local_clusters = self.local_clusters
+        hybrid = self.reduced_dim is not None
+        c_cand = self._effective_candidates(k, candidates) if hybrid else 0
 
-        def probe_block(clustered, ids, cents, queries):
-            """One shard's (or the whole, mesh=None) probe + rerank."""
-            dim = clustered.shape[1]
-            blocks = clustered.reshape(local_clusters, cap, dim)
+        def probe_clusters(ids, cents, queries):
+            """Stage 0 shared by both variants: local top-p clusters and the
+            probed slots' global row ids."""
             id_blocks = ids.reshape(local_clusters, cap)
             qc = jnp.einsum(
                 "qd,kd->qk",
@@ -675,10 +778,15 @@ class IVFIPIndex:
                 preferred_element_type=jnp.float32,
             )
             _, probe = lax.top_k(qc, p)  # [Q, p] local cluster ids
-            rows = jnp.take(blocks, probe, axis=0)  # [Q, p, cap, D]
             hit_ids = jnp.take(id_blocks, probe, axis=0)  # [Q, p, cap]
-            from rankpo_tpu.ops.topk import storage_exact_precision
+            return probe, hit_ids
 
+        def probe_block(clustered, ids, cents, queries):
+            """Plain IVF: gather probed full rows, rerank exactly."""
+            dim = clustered.shape[1]
+            blocks = clustered.reshape(local_clusters, cap, dim)
+            probe, hit_ids = probe_clusters(ids, cents, queries)
+            rows = jnp.take(blocks, probe, axis=0)  # [Q, p, cap, D]
             s = jnp.einsum(
                 "qd,qpcd->qpc", queries.astype(rows.dtype), rows,
                 preferred_element_type=jnp.float32,
@@ -691,33 +799,76 @@ class IVFIPIndex:
             top_s, pos = lax.top_k(s, kk)
             return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
 
+        cc = min(c_cand, p * cap) if hybrid else 0
+        kk_out = min(kk, cc) if hybrid else kk
+
+        def probe_block_hybrid(clustered, ids, cents, low, proj, queries):
+            """IVF+PCA: score probed rows in the projected d' space (d'/D of
+            the gather bytes), gather only the top-C full rows, rerank
+            exactly."""
+            rd = low.shape[1]
+            low_blocks = low.reshape(local_clusters, cap, rd)
+            probe, hit_ids = probe_clusters(ids, cents, queries)
+            rows_low = jnp.take(low_blocks, probe, axis=0)  # [Q, p, cap, d']
+            q_low = (queries.astype(jnp.float32) @ proj).astype(jnp.bfloat16)
+            s1 = jnp.einsum(
+                "qe,qpce->qpc", q_low, rows_low,
+                preferred_element_type=jnp.float32,
+            )
+            s1 = jnp.where(hit_ids >= 0, s1, NEG_INF)
+            q = queries.shape[0]
+            s1 = s1.reshape(q, p * cap)
+            hit_flat = hit_ids.reshape(q, p * cap)
+            # the 0.95 here is approx_max_k's OWN selection recall on the
+            # projected scores; the nprobe tuner measures the COMPOUND
+            # recall on the final config, so it self-corrects
+            _, cpos = lax.approx_max_k(
+                s1, cc, recall_target=0.95, aggregate_to_topk=True
+            )
+            # flat probed position -> local slot id -> full row gather
+            probe_exp = jnp.take_along_axis(probe, cpos // cap, axis=1)
+            slots = probe_exp * cap + cpos % cap  # [Q, cc]
+            rows = jnp.take(clustered, slots, axis=0)  # [Q, cc, D]
+            cand_ids = jnp.take_along_axis(hit_flat, cpos, axis=1)
+            s2 = jnp.einsum(
+                "qd,qcd->qc", queries.astype(rows.dtype), rows,
+                preferred_element_type=jnp.float32,
+                precision=storage_exact_precision(rows.dtype),
+            )
+            s2 = jnp.where(cand_ids >= 0, s2, NEG_INF)
+            top_s, pos = lax.top_k(s2, kk_out)
+            return top_s, jnp.take_along_axis(cand_ids, pos, axis=1)
+
+        block_fn = probe_block_hybrid if hybrid else probe_block
+
         if mesh is None:
 
-            def single(corpus_arg, ids_arg, cents_arg, queries):
-                return probe_block(corpus_arg, ids_arg, cents_arg, queries)
+            def single(*args):
+                return block_fn(*args)
 
             return single
 
+        array_specs = (
+            P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None),
+        ) + ((P(DATA_AXIS, None), P()) if hybrid else ())
         shard_fn = jax.shard_map(
-            probe_block,
+            block_fn,
             mesh=mesh,
-            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None), P()),
+            in_specs=array_specs + (P(),),
             out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
         )
         n_shards = mesh.shape[DATA_AXIS]
-        k_final = min(k, n_shards * kk)
+        k_final = min(k, n_shards * kk_out)
 
-        def sharded(corpus_arg, ids_arg, cents_arg, queries):
-            cand_scores, cand_idx = shard_fn(
-                corpus_arg, ids_arg, cents_arg, queries
-            )
+        def sharded(*args):
+            cand_scores, cand_idx = shard_fn(*args)
             final_scores, pos = lax.top_k(cand_scores, k_final)
             return final_scores, jnp.take_along_axis(cand_idx, pos, axis=1)
 
         return sharded
 
-    def _build_search(self, k: int, nprobe: int):
-        fn = self.search_callable(k, nprobe)
+    def _build_search(self, k: int, nprobe: int, candidates: Optional[int]):
+        fn = self.search_callable(k, nprobe, candidates)
         if self.mesh is None:
             return jax.jit(fn)
         mesh = self.mesh
@@ -734,14 +885,20 @@ class IVFIPIndex:
         k: int = 100,
         batch_size: int = 64,
         nprobe: Optional[int] = None,
+        candidates: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched probe-and-rerank search. Returns fp32 scores and int32
         indices, shapes [Q, k] — same surface as ``FlatIPIndex.search``
         (default batch_size is smaller: the probed-row gather is the
         memory peak). Unreachable tail slots are score -inf / index -1,
-        matching FAISS IVF semantics."""
+        matching FAISS IVF semantics. ``candidates`` applies only to the
+        PCA-hybrid configuration (rerank pool size)."""
         k = min(k, self.n_total)
         p_used, _ = self._effective_probe(k, nprobe)
+        c_used = (
+            self._effective_candidates(k, candidates)
+            if self.reduced_dim is not None else 0
+        )
         queries = np.asarray(queries, np.float32)
         if queries.shape[0] == 0:
             return (
@@ -749,11 +906,11 @@ class IVFIPIndex:
                 np.zeros((0, k), np.int32),
             )
         with self._search_lock:
-            key = (k, p_used)
+            key = (k, p_used, c_used)
             search_fn = self._search_fns.get(key)
             if search_fn is None:
                 search_fn = self._search_fns[key] = self._build_search(
-                    k, p_used
+                    k, p_used, candidates
                 )
         n_q = queries.shape[0]
         pending = []
@@ -768,9 +925,7 @@ class IVFIPIndex:
                 block_dev = replicate_to_mesh(block, self.mesh)
             else:
                 block_dev = jnp.asarray(block)
-            scores, idx = search_fn(
-                self.corpus, self.row_ids, self.centroids, block_dev
-            )
+            scores, idx = search_fn(*self.search_arrays, block_dev)
             scores.copy_to_host_async()
             idx.copy_to_host_async()
             pending.append((scores, idx, real))

@@ -174,6 +174,92 @@ class TestIVFIPIndexSingle:
         np.testing.assert_allclose(s, expected, atol=1e-5)
 
 
+class TestIVFPCAHybrid:
+    def test_full_coverage_is_storage_exact(self):
+        # reduced_dim == D (lossless projection), full probe, candidates
+        # covering every probed slot: the hybrid path degenerates to the
+        # exact storage-precision search
+        corpus = _blob_corpus(400, 32, seed=20)
+        queries = _blob_corpus(9, 32, seed=21)
+        index = IVFIPIndex(
+            corpus, n_clusters=8, nprobe=8, store_dtype=jnp.float32,
+            reduced_dim=32, candidates=1024,
+        )
+        s, i = index.search(queries, k=10, batch_size=4)
+        es, ei = numpy_search(corpus, queries, 10)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+        for r in range(len(queries)):
+            assert set(i[r].tolist()) == set(ei[r].tolist())
+
+    def test_hybrid_autotune_meets_recall_target(self):
+        corpus, queries = _blobs_with_queries(3000, 64, 64, n_blobs=30, seed=22)
+        index = IVFIPIndex(
+            corpus, recall_target=0.9, tune_sample=64, tune_k=10,
+            reduced_dim=16,
+        )
+        _, i = index.search(queries, k=10)
+        ref = _storage_exact_sets(corpus, queries, 10)
+        assert _recall(i, ref, 10) >= 0.85
+
+    def test_hybrid_returned_scores_are_true_inner_products(self):
+        corpus = _blob_corpus(300, 32, seed=23)
+        queries = _blob_corpus(8, 32, seed=24)
+        index = IVFIPIndex(
+            corpus, n_clusters=8, nprobe=4, store_dtype=jnp.float32,
+            reduced_dim=8, candidates=64,
+        )
+        s, i = index.search(queries, k=5)
+        assert (i >= 0).all()
+        expected = np.take_along_axis(
+            queries @ corpus.T, i.astype(np.int64), axis=1
+        )
+        np.testing.assert_allclose(s, expected, atol=1e-5)
+
+    def test_hybrid_rejects_bad_reduced_dim(self):
+        corpus = _blob_corpus(20, 8, seed=25)
+        with pytest.raises(ValueError):
+            IVFIPIndex(corpus, n_clusters=2, nprobe=1, reduced_dim=0)
+        with pytest.raises(ValueError):
+            IVFIPIndex(corpus, n_clusters=2, nprobe=1, reduced_dim=9)
+        with pytest.raises(ValueError):
+            IVFIPIndex(corpus, n_clusters=2, nprobe=1, candidates=0)
+
+    def test_hybrid_sharded_full_coverage_exact(self, data_mesh):
+        corpus = _blob_corpus(803, 16, seed=26)
+        queries = _blob_corpus(17, 16, seed=27)
+        index = IVFIPIndex(
+            corpus, mesh=data_mesh, n_clusters=16, nprobe=16,
+            store_dtype=jnp.float32, reduced_dim=16, candidates=1024,
+        )
+        s, i = index.search(queries, k=20, batch_size=8)
+        es, ei = numpy_search(corpus, queries, 20)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+        for r in range(len(queries)):
+            assert set(i[r].tolist()) == set(ei[r].tolist())
+        assert int(i.max()) < 803
+
+    def test_hybrid_from_sharded(self, data_mesh):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        corpus = _blob_corpus(600, 16, seed=28)
+        queries = _blob_corpus(7, 16, seed=29)
+        n_buf = 600 + (-600) % 8
+        buf = np.concatenate(
+            [corpus, np.zeros((n_buf - 600, 16), np.float32)]
+        )
+        emb_dev = jax.device_put(
+            buf, NamedSharding(data_mesh, P("data", None))
+        )
+        index = IVFIPIndex.from_sharded(
+            emb_dev, 600, mesh=data_mesh, n_clusters=16, nprobe=16,
+            store_dtype=jnp.float32, reduced_dim=16, candidates=1024,
+        )
+        s, i = index.search(queries, k=15, batch_size=8)
+        es, _ = numpy_search(corpus, queries, 15)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+
+
 class TestIVFIPIndexSharded:
     def test_sharded_full_probe_exact(self, data_mesh):
         # 803 rows over 8 shards (row padding exercised); probing all local
