@@ -65,10 +65,16 @@ def main():
     parser.add_argument("--hidden", type=int, default=512)
     parser.add_argument("--layers", type=int, default=4)
     parser.add_argument("--index_type", default="flat",
-                        choices=["flat", "refine"])
+                        choices=["flat", "refine", "ivf"])
     parser.add_argument("--refine_dim", type=int, default=128)
     parser.add_argument("--refine_candidates", type=int, default=None,
                         help="None = build-time auto-tune at 0.95")
+    parser.add_argument("--ivf_clusters", type=int, default=None,
+                        help="None = auto (~4*sqrt(N))")
+    parser.add_argument("--ivf_nprobe", type=int, default=None,
+                        help="None = build-time auto-tune at 0.95")
+    parser.add_argument("--ivf_reduced_dim", type=int, default=0,
+                        help="> 0 = IVF+PCA hybrid stage-1 dimension")
     args = parser.parse_args()
 
     import jax
@@ -96,6 +102,13 @@ def main():
         index_kwargs["reduced_dim"] = min(args.refine_dim, args.hidden)
         if args.refine_candidates is not None:
             index_kwargs["candidates"] = args.refine_candidates
+    elif args.index_type == "ivf":
+        if args.ivf_clusters is not None:
+            index_kwargs["n_clusters"] = args.ivf_clusters
+        if args.ivf_nprobe is not None:
+            index_kwargs["nprobe"] = args.ivf_nprobe
+        if args.ivf_reduced_dim > 0:
+            index_kwargs["reduced_dim"] = min(args.ivf_reduced_dim, args.hidden)
     service = RetrievalService(encoder, mesh=mesh, max_query_length=64,
                                query_batch_size=64,
                                index_type=args.index_type,
