@@ -240,7 +240,9 @@ class IVFIPIndex:
 
     Storage: cluster-major rows ``[K * capacity, D]`` in ``store_dtype``
     (bf16 default: halves gather traffic and memory; the rerank still
-    accumulates fp32) + ``row_ids`` [K * capacity] int32 (-1 = empty slot)
+    accumulates fp32; int8 quarters memory vs fp32 via per-slot max-abs
+    quantization — FlatIPIndex's scheme — with the dequant scale fused
+    into the rerank) + ``row_ids`` [K * capacity] int32 (-1 = empty slot)
     + centroids ``[K, D]`` fp32, all sharded over the data axis in whole
     clusters.
 
@@ -275,14 +277,9 @@ class IVFIPIndex:
         self.dim = int(embeddings.shape[1])
         if self.n_total < 1:
             raise ValueError("IVFIPIndex needs a non-empty corpus")
-        if not jnp.issubdtype(jnp.dtype(store_dtype), jnp.floating):
-            raise ValueError(
-                f"store_dtype={store_dtype} must be a float type (int8 "
-                "quantized storage is a FlatIPIndex option)"
-            )
+        self._set_store(store_dtype)
         if capacity_slack < 1.0:
             raise ValueError("capacity_slack must be >= 1.0")
-        self.store_dtype = store_dtype
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
         self._set_hybrid(reduced_dim, candidates)
@@ -327,9 +324,13 @@ class IVFIPIndex:
         )
         clustered = emb[np.clip(row_ids, 0, None)]
         clustered[row_ids < 0] = 0.0
-        self._place_storage(
-            clustered.astype(np.dtype(store_dtype)), row_ids
-        )
+        if self.quantized:
+            codes, scale = self._quantize_host(clustered)
+            self._place_storage(codes, row_ids, scale)
+        else:
+            self._place_storage(
+                clustered.astype(np.dtype(store_dtype)), row_ids, None
+            )
 
         self._init_projection()
         self._search_fns: dict = {}
@@ -377,13 +378,9 @@ class IVFIPIndex:
         self.dim = int(embeddings.shape[1])
         if self.n_total < 1:
             raise ValueError("IVFIPIndex needs a non-empty corpus")
-        if not jnp.issubdtype(jnp.dtype(store_dtype), jnp.floating):
-            raise ValueError(
-                f"store_dtype={store_dtype} must be a float type"
-            )
+        self._set_store(store_dtype)
         if capacity_slack < 1.0:
             raise ValueError("capacity_slack must be >= 1.0")
-        self.store_dtype = store_dtype
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
         self._set_hybrid(reduced_dim, candidates)
@@ -444,13 +441,38 @@ class IVFIPIndex:
             {} if mesh is None
             else {"out_shardings": NamedSharding(mesh, P(DATA_AXIS, None))}
         )
-        clustered = jax.jit(
-            lambda c, p, v: (
-                jnp.take(c, p, axis=0) * v[:, None]
-            ).astype(jnp.dtype(store_dtype)),
-            **row_kw,
-        )(embeddings, perm_dev, valid_dev)
-        self.corpus = clustered
+        if self.quantized:
+
+            def gather_quantize(c, p, v):
+                rows = jnp.take(c, p, axis=0) * v[:, None]
+                scale = jnp.maximum(
+                    jnp.max(jnp.abs(rows), axis=1) / 127.0, 1e-12
+                )
+                codes = jnp.clip(
+                    jnp.round(rows / scale[:, None]), -127, 127
+                ).astype(jnp.int8)
+                return codes, scale.astype(jnp.float32)
+
+            self.corpus, self.slot_scale = jax.jit(
+                gather_quantize,
+                **(
+                    {} if mesh is None
+                    else {
+                        "out_shardings": (
+                            NamedSharding(mesh, P(DATA_AXIS, None)),
+                            NamedSharding(mesh, P(DATA_AXIS)),
+                        )
+                    }
+                ),
+            )(embeddings, perm_dev, valid_dev)
+        else:
+            self.corpus = jax.jit(
+                lambda c, p, v: (
+                    jnp.take(c, p, axis=0) * v[:, None]
+                ).astype(jnp.dtype(store_dtype)),
+                **row_kw,
+            )(embeddings, perm_dev, valid_dev)
+            self.slot_scale = None
         self.row_ids = (
             jnp.asarray(row_ids) if mesh is None
             else shard_rows_to_mesh(row_ids, mesh)
@@ -475,12 +497,25 @@ class IVFIPIndex:
         def exact_fn():
             from rankpo_tpu.index.flat import FlatIPIndex
 
-            stored = jax.jit(
-                lambda c: c.astype(jnp.dtype(store_dtype)).astype(
-                    jnp.float32
-                ),
-                **row_kw,
-            )(embeddings)
+            if self.quantized:
+                # storage precision for int8 = per-row quantize-dequant
+                def q_dq(c):
+                    scale = jnp.maximum(
+                        jnp.max(jnp.abs(c), axis=1) / 127.0, 1e-12
+                    )
+                    codes = jnp.clip(
+                        jnp.round(c / scale[:, None]), -127, 127
+                    )
+                    return (codes * scale[:, None]).astype(jnp.float32)
+
+                stored = jax.jit(q_dq, **row_kw)(embeddings)
+            else:
+                stored = jax.jit(
+                    lambda c: c.astype(jnp.dtype(store_dtype)).astype(
+                        jnp.float32
+                    ),
+                    **row_kw,
+                )(embeddings)
             return FlatIPIndex.from_sharded(stored, self.n_total, mesh)
 
         self._finish_tuning(
@@ -490,6 +525,31 @@ class IVFIPIndex:
         return self
 
     # ------------------------------------------------------------------
+    def _set_store(self, store_dtype):
+        """Validate storage dtype. fp32/bf16 rows rerank at storage
+        precision; int8 (4x memory vs fp32) quantizes each slot's row
+        symmetrically to its max-abs (exactly ``FlatIPIndex``'s int8
+        scheme) and the dequant fuses into the rerank einsum — scores are
+        exact inner products against the QUANTIZED rows."""
+        self.quantized = jnp.dtype(store_dtype) == jnp.int8
+        if not self.quantized and not jnp.issubdtype(
+            jnp.dtype(store_dtype), jnp.floating
+        ):
+            raise ValueError(
+                f"store_dtype={store_dtype} must be float32/bfloat16/int8"
+            )
+        self.store_dtype = store_dtype
+
+    @staticmethod
+    def _quantize_host(rows: np.ndarray):
+        scale = np.maximum(
+            np.abs(rows).max(axis=1) / 127.0, 1e-12
+        ).astype(np.float32)
+        codes = np.clip(
+            np.round(rows / scale[:, None]), -127, 127
+        ).astype(np.int8)
+        return codes, scale
+
     def _set_hybrid(self, reduced_dim, candidates):
         """Validate the optional PCA-hybrid knobs (IVF+PCA: probed rows are
         scored in a projected d' << D space — d'/D of the gather bytes, the
@@ -530,26 +590,51 @@ class IVFIPIndex:
             {} if mesh is None
             else {"out_shardings": NamedSharding(mesh, P(DATA_AXIS, None))}
         )
-        cov = np.asarray(
-            jax.jit(
-                lambda c: jnp.einsum(
-                    "nd,ne->de",
-                    c.astype(jnp.float32), c.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                ),
-                **rep_kw,
-            )(self.corpus)
-        )
+        # int8 storage: dequantize (codes * slot scale) before the second
+        # moment and the projection matmul
+        if self.quantized:
+
+            def dq(c, s):
+                return c.astype(jnp.float32) * s[:, None]
+
+            cov = np.asarray(
+                jax.jit(
+                    lambda c, s: jnp.einsum(
+                        "nd,ne->de", dq(c, s), dq(c, s),
+                        preferred_element_type=jnp.float32,
+                    ),
+                    **rep_kw,
+                )(self.corpus, self.slot_scale)
+            )
+        else:
+            cov = np.asarray(
+                jax.jit(
+                    lambda c: jnp.einsum(
+                        "nd,ne->de",
+                        c.astype(jnp.float32), c.astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                    ),
+                    **rep_kw,
+                )(self.corpus)
+            )
         _, v = np.linalg.eigh(cov)  # ascending eigenvalues
         proj = np.ascontiguousarray(v[:, -self.reduced_dim:], np.float32)
         self.proj = (
             jax.device_put(jnp.asarray(proj)) if mesh is None
             else replicate_to_mesh(proj, mesh)
         )
-        self.corpus_low = jax.jit(
-            lambda c, p: (c.astype(jnp.float32) @ p).astype(jnp.bfloat16),
-            **row_kw,
-        )(self.corpus, self.proj)
+        if self.quantized:
+            self.corpus_low = jax.jit(
+                lambda c, s, p: (
+                    (c.astype(jnp.float32) * s[:, None]) @ p
+                ).astype(jnp.bfloat16),
+                **row_kw,
+            )(self.corpus, self.slot_scale, self.proj)
+        else:
+            self.corpus_low = jax.jit(
+                lambda c, p: (c.astype(jnp.float32) @ p).astype(jnp.bfloat16),
+                **row_kw,
+            )(self.corpus, self.proj)
 
     def _train_and_assign(self, corpus_dev, n_padded, init_centroids,
                           kmeans_iters) -> np.ndarray:
@@ -614,14 +699,23 @@ class IVFIPIndex:
         )
         return np.asarray(cand_dev)
 
-    def _place_storage(self, clustered_host: np.ndarray, row_ids: np.ndarray):
+    def _place_storage(self, clustered_host: np.ndarray, row_ids: np.ndarray,
+                       scale: Optional[np.ndarray]):
         mesh = self.mesh
         if mesh is None:
             self.corpus = jax.device_put(jnp.asarray(clustered_host))
             self.row_ids = jax.device_put(jnp.asarray(row_ids))
+            self.slot_scale = (
+                jax.device_put(jnp.asarray(scale)) if scale is not None
+                else None
+            )
         else:
             self.corpus = shard_rows_to_mesh(clustered_host, mesh)
             self.row_ids = shard_rows_to_mesh(row_ids, mesh)
+            self.slot_scale = (
+                shard_rows_to_mesh(scale, mesh) if scale is not None
+                else None
+            )
 
     def _finish_tuning(self, nprobe, max_nprobe, tune_sample, tune_k, seed,
                        *, sample_fn, exact_fn):
@@ -705,27 +799,31 @@ class IVFIPIndex:
     @property
     def search_arrays(self) -> tuple:
         """Device arrays ``search_callable`` consumes, in order (the index
-        protocol serving composes against: ``fn(*search_arrays, queries)``)."""
-        if self.reduced_dim is None:
-            return (self.corpus, self.row_ids, self.centroids)
-        return (
-            self.corpus, self.row_ids, self.centroids,
-            self.corpus_low, self.proj,
-        )
+        protocol serving composes against: ``fn(*search_arrays, queries)``).
+        Layout: (corpus, row_ids, centroids[, slot_scale][, corpus_low,
+        proj]) — optional groups present when quantized / hybrid."""
+        arrays = (self.corpus, self.row_ids, self.centroids)
+        if self.quantized:
+            arrays += (self.slot_scale,)
+        if self.reduced_dim is not None:
+            arrays += (self.corpus_low, self.proj)
+        return arrays
 
     def search_arg_shardings(self, mesh: Mesh) -> tuple:
         """NamedShardings for ``search_arrays`` (same protocol)."""
-        base = (
+        specs = (
             NamedSharding(mesh, P(DATA_AXIS, None)),
             NamedSharding(mesh, P(DATA_AXIS)),
             NamedSharding(mesh, P(DATA_AXIS, None)),
         )
-        if self.reduced_dim is None:
-            return base
-        return base + (
-            NamedSharding(mesh, P(DATA_AXIS, None)),
-            NamedSharding(mesh, P()),
-        )
+        if self.quantized:
+            specs += (NamedSharding(mesh, P(DATA_AXIS)),)
+        if self.reduced_dim is not None:
+            specs += (
+                NamedSharding(mesh, P(DATA_AXIS, None)),
+                NamedSharding(mesh, P()),
+            )
+        return specs
 
     def _effective_probe(self, k: int, nprobe: Optional[int]) -> Tuple[int, int]:
         """(nprobe, per-shard k) with nprobe floored so the merged candidate
@@ -754,9 +852,9 @@ class IVFIPIndex:
                         candidates: Optional[int] = None):
         """Unjitted ``(*search_arrays, queries) -> (scores, idx)`` for
         composing into larger jitted programs (serving fuses encode+search
-        into one dispatch). Plain IVF consumes (corpus, row_ids, centroids,
-        queries); the PCA hybrid additionally takes (corpus_low, proj)
-        before the queries."""
+        into one dispatch). Consumes exactly ``search_arrays`` (see its
+        documented layout for the quantized / hybrid optional groups)
+        followed by the replicated queries."""
         from rankpo_tpu.ops.topk import storage_exact_precision
 
         k = min(k, self.n_total)
@@ -765,10 +863,21 @@ class IVFIPIndex:
         mesh = self.mesh
         local_clusters = self.local_clusters
         hybrid = self.reduced_dim is not None
+        quantized = self.quantized
         c_cand = self._effective_candidates(k, candidates) if hybrid else 0
+        cc = min(c_cand, p * cap) if hybrid else 0
+        kk_out = min(kk, cc) if hybrid else kk
+
+        def unpack(args):
+            """(*search_arrays, queries) in the documented layout."""
+            clustered, ids, cents, *rest = args
+            scale = rest.pop(0) if quantized else None
+            low, proj = (rest.pop(0), rest.pop(0)) if hybrid else (None, None)
+            (queries,) = rest
+            return clustered, ids, cents, scale, low, proj, queries
 
         def probe_clusters(ids, cents, queries):
-            """Stage 0 shared by both variants: local top-p clusters and the
+            """Stage 0 shared by all variants: local top-p clusters and the
             probed slots' global row ids."""
             id_blocks = ids.reshape(local_clusters, cap)
             qc = jnp.einsum(
@@ -781,17 +890,29 @@ class IVFIPIndex:
             hit_ids = jnp.take(id_blocks, probe, axis=0)  # [Q, p, cap]
             return probe, hit_ids
 
-        def probe_block(clustered, ids, cents, queries):
-            """Plain IVF: gather probed full rows, rerank exactly."""
+        def rerank_dtype(rows):
+            # int8 codes compute in bf16 with the dequant scale applied to
+            # the fp32-accumulated products (FlatIPIndex's int8 scheme)
+            return jnp.bfloat16 if rows.dtype == jnp.int8 else rows.dtype
+
+        def probe_block(*args):
+            """Plain IVF: gather probed full rows, rerank exactly (at
+            storage precision; int8 = against the quantized rows)."""
+            clustered, ids, cents, scale, _, _, queries = unpack(args)
             dim = clustered.shape[1]
             blocks = clustered.reshape(local_clusters, cap, dim)
             probe, hit_ids = probe_clusters(ids, cents, queries)
             rows = jnp.take(blocks, probe, axis=0)  # [Q, p, cap, D]
+            cdt = rerank_dtype(rows)
             s = jnp.einsum(
-                "qd,qpcd->qpc", queries.astype(rows.dtype), rows,
+                "qd,qpcd->qpc", queries.astype(cdt), rows.astype(cdt),
                 preferred_element_type=jnp.float32,
                 precision=storage_exact_precision(rows.dtype),
             )
+            if scale is not None:
+                s = s * jnp.take(
+                    scale.reshape(local_clusters, cap), probe, axis=0
+                )
             s = jnp.where(hit_ids >= 0, s, NEG_INF)
             q = queries.shape[0]
             s = s.reshape(q, p * cap)
@@ -799,13 +920,11 @@ class IVFIPIndex:
             top_s, pos = lax.top_k(s, kk)
             return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
 
-        cc = min(c_cand, p * cap) if hybrid else 0
-        kk_out = min(kk, cc) if hybrid else kk
-
-        def probe_block_hybrid(clustered, ids, cents, low, proj, queries):
+        def probe_block_hybrid(*args):
             """IVF+PCA: score probed rows in the projected d' space (d'/D of
             the gather bytes), gather only the top-C full rows, rerank
             exactly."""
+            clustered, ids, cents, scale, low, proj, queries = unpack(args)
             rd = low.shape[1]
             low_blocks = low.reshape(local_clusters, cap, rd)
             probe, hit_ids = probe_clusters(ids, cents, queries)
@@ -830,11 +949,14 @@ class IVFIPIndex:
             slots = probe_exp * cap + cpos % cap  # [Q, cc]
             rows = jnp.take(clustered, slots, axis=0)  # [Q, cc, D]
             cand_ids = jnp.take_along_axis(hit_flat, cpos, axis=1)
+            cdt = rerank_dtype(rows)
             s2 = jnp.einsum(
-                "qd,qcd->qc", queries.astype(rows.dtype), rows,
+                "qd,qcd->qc", queries.astype(cdt), rows.astype(cdt),
                 preferred_element_type=jnp.float32,
                 precision=storage_exact_precision(rows.dtype),
             )
+            if scale is not None:
+                s2 = s2 * jnp.take(scale, slots, axis=0)
             s2 = jnp.where(cand_ids >= 0, s2, NEG_INF)
             top_s, pos = lax.top_k(s2, kk_out)
             return top_s, jnp.take_along_axis(cand_ids, pos, axis=1)
@@ -849,8 +971,10 @@ class IVFIPIndex:
             return single
 
         array_specs = (
-            P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None),
-        ) + ((P(DATA_AXIS, None), P()) if hybrid else ())
+            (P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None))
+            + ((P(DATA_AXIS),) if quantized else ())
+            + ((P(DATA_AXIS, None), P()) if hybrid else ())
+        )
         shard_fn = jax.shard_map(
             block_fn,
             mesh=mesh,
@@ -948,6 +1072,9 @@ def _exact_from_host(emb: np.ndarray, store_dtype, mesh):
     """Storage-precision exact reference for the nprobe tuner."""
     from rankpo_tpu.index.flat import FlatIPIndex
 
-    return FlatIPIndex(
-        emb.astype(np.dtype(store_dtype)).astype(np.float32), mesh
-    )
+    if jnp.dtype(store_dtype) == jnp.int8:
+        codes, scale = IVFIPIndex._quantize_host(emb)
+        stored = codes.astype(np.float32) * scale[:, None]
+    else:
+        stored = emb.astype(np.dtype(store_dtype)).astype(np.float32)
+    return FlatIPIndex(stored, mesh)

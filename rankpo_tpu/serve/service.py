@@ -72,10 +72,10 @@ class RetrievalService:
         self.index_dtype = index_dtype if index_dtype is not None else jnp.float32
         if index_type not in ("flat", "refine", "ivf"):
             raise ValueError(f"unknown index_type {index_type!r}")
-        if index_type in ("refine", "ivf") and self.index_dtype == jnp.int8:
+        if index_type == "refine" and self.index_dtype == jnp.int8:
             raise ValueError(
-                f"index_type={index_type!r} stores fp32/bf16 rerank rows; "
-                "int8 storage is a FlatIPIndex option"
+                "index_type='refine' stores fp32/bf16 rerank rows; int8 "
+                "storage is a FlatIPIndex or IVFIPIndex option"
             )
         self.index_type = index_type
         self.index_kwargs = dict(index_kwargs or {})
@@ -235,7 +235,9 @@ class RetrievalService:
             # row_ids to recover the original corpus order. row_ids stay
             # integer end to end — a float32 hop would corrupt ids above
             # 2^24 (the multi-million-row regime this index targets)
-            clustered = fetch(index.corpus)
+            clustered = fetch(index.corpus)  # int8 codes cast losslessly
+            if index.quantized:
+                clustered = clustered * fetch(index.slot_scale)[:, None]
             row_ids = np.asarray(gather(index.row_ids), np.int64)
             emb = np.zeros((index.n_total, clustered.shape[1]), np.float32)
             valid = row_ids >= 0

@@ -156,7 +156,7 @@ class TestIVFIPIndexSingle:
         with pytest.raises(ValueError):
             IVFIPIndex(corpus, n_clusters=2, nprobe=1, capacity_slack=0.5)
         with pytest.raises(ValueError):
-            IVFIPIndex(corpus, n_clusters=2, nprobe=1, store_dtype=jnp.int8)
+            IVFIPIndex(corpus, n_clusters=2, nprobe=1, store_dtype=jnp.int32)
         with pytest.raises(ValueError):
             IVFIPIndex(np.zeros((0, 8), np.float32), n_clusters=2, nprobe=1)
 
@@ -172,6 +172,90 @@ class TestIVFIPIndexSingle:
             queries @ corpus.T, i.astype(np.int64), axis=1
         )
         np.testing.assert_allclose(s, expected, atol=1e-5)
+
+
+class TestIVFInt8:
+    def _dequant_oracle_sets(self, corpus, queries, k):
+        """Exact top-k id sets against the per-row quantize-dequantized
+        matrix — what a perfect probe could recover from int8 storage."""
+        scale = np.maximum(np.abs(corpus).max(axis=1) / 127.0, 1e-12)
+        codes = np.clip(np.round(corpus / scale[:, None]), -127, 127)
+        stored = (codes * scale[:, None]).astype(np.float32)
+        s, idx = numpy_search(stored, queries, k)
+        return stored, [set(row.tolist()) for row in idx]
+
+    def test_full_probe_matches_dequant_oracle(self):
+        corpus = _blob_corpus(400, 32, seed=30)
+        queries = _blob_corpus(9, 32, seed=31)
+        index = IVFIPIndex(
+            corpus, n_clusters=8, nprobe=8, store_dtype=jnp.int8,
+        )
+        s, i = index.search(queries, k=10, batch_size=4)
+        stored, ref_sets = self._dequant_oracle_sets(corpus, queries, 10)
+        # bf16-pass compute perturbs near-tie boundaries vs the fp32
+        # oracle (int8 mode is approximate by contract, like FlatIPIndex
+        # int8): assert high overlap, not set equality
+        assert _recall(i, ref_sets, 10) >= 0.95
+        # returned scores are IPs against the QUANTIZED rows (bf16-pass
+        # compute: the codes are exact in bf16, the products round)
+        expected = np.take_along_axis(
+            queries @ stored.T, i.astype(np.int64), axis=1
+        )
+        np.testing.assert_allclose(s, expected, rtol=2e-2, atol=2e-2)
+
+    def test_int8_autotune(self):
+        corpus, queries = _blobs_with_queries(2000, 32, 32, n_blobs=25, seed=32)
+        index = IVFIPIndex(
+            corpus, recall_target=0.9, tune_sample=32, tune_k=10,
+            store_dtype=jnp.int8,
+        )
+        _, i = index.search(queries, k=10)
+        _, ref = self._dequant_oracle_sets(corpus, queries, 10)
+        assert _recall(i, ref, 10) >= 0.8
+
+    def test_int8_hybrid_full_probe(self):
+        corpus = _blob_corpus(300, 16, seed=33)
+        queries = _blob_corpus(7, 16, seed=34)
+        index = IVFIPIndex(
+            corpus, n_clusters=4, nprobe=4, store_dtype=jnp.int8,
+            reduced_dim=16, candidates=512,
+        )
+        _, i = index.search(queries, k=8)
+        _, ref_sets = self._dequant_oracle_sets(corpus, queries, 8)
+        assert _recall(i, ref_sets, 8) >= 0.95
+
+    def test_int8_sharded(self, data_mesh):
+        corpus = _blob_corpus(803, 16, seed=35)
+        queries = _blob_corpus(11, 16, seed=36)
+        index = IVFIPIndex(
+            corpus, mesh=data_mesh, n_clusters=16, nprobe=16,
+            store_dtype=jnp.int8,
+        )
+        _, i = index.search(queries, k=20, batch_size=8)
+        _, ref_sets = self._dequant_oracle_sets(corpus, queries, 20)
+        assert _recall(i, ref_sets, 20) >= 0.95
+        assert int(i.max()) < 803
+
+    def test_int8_from_sharded(self, data_mesh):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        corpus = _blob_corpus(600, 16, seed=37)
+        queries = _blob_corpus(7, 16, seed=38)
+        n_buf = 600 + (-600) % 8
+        buf = np.concatenate(
+            [corpus, np.zeros((n_buf - 600, 16), np.float32)]
+        )
+        emb_dev = jax.device_put(
+            buf, NamedSharding(data_mesh, P("data", None))
+        )
+        index = IVFIPIndex.from_sharded(
+            emb_dev, 600, mesh=data_mesh, n_clusters=16, nprobe=16,
+            store_dtype=jnp.int8,
+        )
+        _, i = index.search(queries, k=15, batch_size=8)
+        _, ref_sets = self._dequant_oracle_sets(corpus, queries, 15)
+        assert _recall(i, ref_sets, 15) >= 0.95
 
 
 class TestIVFPCAHybrid:

@@ -174,9 +174,23 @@ class TestIVFServing:
         assert len(calls) == 2  # fresh build re-tuned
         assert svc.index_kwargs.get("nprobe") == "auto"  # config not mutated
 
-    def test_int8_ivf_rejected(self, data_mesh, ivf_service):
-        with pytest.raises(ValueError, match="int8"):
-            RetrievalService(
-                ivf_service.encoder, mesh=data_mesh,
-                index_type="ivf", index_dtype=jnp.int8,
-            )
+    def test_int8_ivf_serves(self, data_mesh, ivf_service):
+        # int8 storage is a first-class IVF option (4x memory vs fp32);
+        # save_index must de-permute AND dequantize
+        svc = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf", index_dtype=jnp.int8,
+            index_kwargs={"n_clusters": 8, "nprobe": 8},
+        )
+        svc.build_index(
+            [f"document {i} on distinct topic {i}" for i in range(16)],
+            max_passage_length=16, batch_size=8,
+        )
+        assert svc.index.quantized
+        res = svc.query("document 9 on distinct topic 9", k=2)
+        assert res["hits"][0]["index"] == 9
+        svc.add_passages(["zebra quark lantern umbrella volcano"],
+                         max_passage_length=16, batch_size=8)
+        res = svc.query("zebra quark lantern umbrella volcano", k=1)
+        assert res["hits"][0]["index"] == 16
+        assert res["hits"][0]["score"] == pytest.approx(1.0, abs=5e-2)
