@@ -45,6 +45,10 @@ parser.add_argument("--reduced_dims", type=int, nargs="+", default=[],
                     "rerank)")
 parser.add_argument("--candidates", type=int, default=512,
                     help="hybrid rerank pool size")
+parser.add_argument("--store", default="bfloat16",
+                    choices=["float32", "bfloat16", "int8"],
+                    help="row storage (int8 = 4x memory vs fp32, dequant "
+                    "fused into the rerank)")
 parser.add_argument("--kmeans_iters", type=int, default=10)
 parser.add_argument("--blobs", type=int, default=2048,
                     help="synthetic blob count (clusterable structure)")
@@ -77,8 +81,12 @@ def make_data(key):
 
 
 def main():
+    global STORE
+    STORE = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "int8": jnp.int8}[_args.store]
     print(
         f"backend={jax.default_backend()} N={N} D={D} Q={Q} K={K} "
+        f"store={_args.store} "
         f"{'isotropic' if _args.isotropic else f'blobs={_args.blobs}'}",
         flush=True,
     )
@@ -149,7 +157,7 @@ def main():
         t0 = time.perf_counter()
         index = IVFIPIndex.from_sharded(
             corpus, N, mesh=None, n_clusters=k_c, nprobe=max(_args.nprobes),
-            kmeans_iters=_args.kmeans_iters, store_dtype=jnp.bfloat16,
+            kmeans_iters=_args.kmeans_iters, store_dtype=STORE,
         )
         build_s = time.perf_counter() - t0
         print(
@@ -170,7 +178,7 @@ def main():
             hyb = IVFIPIndex.from_sharded(
                 corpus, N, mesh=None, n_clusters=k_c,
                 nprobe=max(_args.nprobes), kmeans_iters=_args.kmeans_iters,
-                store_dtype=jnp.bfloat16, reduced_dim=rd,
+                store_dtype=STORE, reduced_dim=rd,
                 candidates=_args.candidates,
             )
             print(
