@@ -50,6 +50,13 @@ parser.add_argument("--store", default="bfloat16",
                     help="row storage (int8 = 4x memory vs fp32, dequant "
                     "fused into the rerank)")
 parser.add_argument("--kmeans_iters", type=int, default=10)
+parser.add_argument("--chunked_build", action="store_true",
+                    help="build via from_chunk_fn: the fp32 corpus never "
+                    "exists whole (the 10M-x-1024-int8-on-one-chip path); "
+                    "recall is measured against index.exact_search (the "
+                    "streamed storage-precision scan) since no fp32 "
+                    "oracle can be materialized")
+parser.add_argument("--chunk_rows", type=int, default=262144)
 parser.add_argument("--blobs", type=int, default=2048,
                     help="synthetic blob count (clusterable structure)")
 parser.add_argument("--spread", type=float, default=0.3)
@@ -90,11 +97,14 @@ def main():
         f"{'isotropic' if _args.isotropic else f'blobs={_args.blobs}'}",
         flush=True,
     )
-    corpus, queries = jax.jit(make_data)(jax.random.key(0))
-    jax.block_until_ready(corpus)
-
     from rankpo_tpu.index.ivf import IVFIPIndex
     from rankpo_tpu.ops.topk import exact_topk_blockmax
+
+    if _args.chunked_build:
+        return chunked_main(IVFIPIndex)
+
+    corpus, queries = jax.jit(make_data)(jax.random.key(0))
+    jax.block_until_ready(corpus)
 
     def oracle_topk(q, c):
         s = jnp.einsum(
@@ -193,6 +203,105 @@ def main():
                     (queries,) + hyb.search_arrays,
                     f"ivf+pca K={k_c} d'={rd} p={p} C={_args.candidates}",
                 )
+
+
+def chunked_main(IVFIPIndex):
+    """Streamed-build path for corpora whose fp32 matrix cannot exist on
+    the chip. Recall oracle = index.exact_search (storage-precision
+    streamed scan), which is also timed — it is the honest 'flat exact at
+    this storage width' baseline at this scale."""
+    import functools
+
+    base_key = jax.random.key(0)
+    centers = None
+    if not _args.isotropic:
+        centers = jax.jit(
+            lambda k: (
+                lambda c: c / jnp.linalg.norm(c, axis=-1, keepdims=True)
+            )(jax.random.normal(k, (_args.blobs, D), jnp.float32))
+        )(base_key)
+        jax.block_until_ready(centers)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def gen_rows(key, m):
+        ka, kn = jax.random.split(key)
+        if _args.isotropic:
+            rows = jax.random.normal(kn, (m, D), jnp.float32)
+        else:
+            rows = (
+                jnp.take(
+                    centers, jax.random.randint(ka, (m,), 0, _args.blobs), 0
+                )
+                + _args.spread * jax.random.normal(kn, (m, D), jnp.float32)
+            )
+        return rows / jnp.linalg.norm(rows, axis=-1, keepdims=True)
+
+    def get_chunk(lo, hi):
+        return gen_rows(jax.random.fold_in(base_key, lo), hi - lo)
+
+    queries = np.asarray(
+        gen_rows(jax.random.fold_in(base_key, N + 1), Q), np.float32
+    )
+
+    REPS = 4
+
+    def bench(fn, args, label, recall):
+        def loop(q, *rest):
+            def body(i, carry):
+                s, _ = fn(q + carry * 0.0, *rest)
+                return carry + s[0, 0].astype(jnp.float32) * 1e-20
+            return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
+
+        loop_fn = jax.jit(loop)
+        float(loop_fn(*args))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(loop_fn(*args))
+            best = min(best, (time.perf_counter() - t0) / REPS)
+        print(
+            f"  {label:32} {best*1e3:7.1f} ms -> {Q/best:7.0f} QPS  "
+            f"recall={recall:.4f}",
+            flush=True,
+        )
+
+    for k_c in _args.clusters:
+        t0 = time.perf_counter()
+        index = IVFIPIndex.from_chunk_fn(
+            get_chunk, N, D, chunk_rows=_args.chunk_rows,
+            n_clusters=k_c, nprobe=max(_args.nprobes),
+            kmeans_iters=_args.kmeans_iters, store_dtype=STORE,
+            reduced_dim=(_args.reduced_dims[0] if _args.reduced_dims else None),
+            candidates=_args.candidates,
+        )
+        print(
+            f"  chunked build K={k_c}: {time.perf_counter() - t0:.1f}s "
+            f"(capacity={index.capacity}, store={_args.store})",
+            flush=True,
+        )
+        t0 = time.perf_counter()
+        _, ref_idx = index.exact_search(queries, k=K, batch_size=Q)
+        exact_s = time.perf_counter() - t0
+        print(
+            f"  exact_search (streamed scan oracle): {exact_s*1e3:.0f} ms "
+            f"for {Q} queries -> {Q/exact_s:.0f} QPS",
+            flush=True,
+        )
+        ref_sets = [set(row.tolist()) for row in ref_idx]
+        for p in _args.nprobes:
+            _, idx = index.search(queries, k=K, nprobe=p)
+            recall = float(np.mean([
+                len(set(idx[r].tolist()) & ref_sets[r]) / K
+                for r in range(Q)
+            ]))
+            fn = index.search_callable(K, nprobe=p)
+            q_dev = jnp.asarray(queries)
+            bench(
+                lambda q, *arrs, fn=fn: fn(*arrs, q),
+                (q_dev,) + index.search_arrays,
+                f"ivf[chunked] K={k_c} nprobe={p}",
+                recall,
+            )
 
 
 if __name__ == "__main__":

@@ -339,9 +339,6 @@ class IVFIPIndex:
         self._finish_tuning(
             nprobe, max_nprobe, tune_sample, tune_k, seed,
             sample_fn=lambda idx: emb[idx],
-            exact_fn=lambda: _exact_from_host(
-                emb[: self.n_total], self.store_dtype, mesh
-            ),
         )
 
     # ------------------------------------------------------------------
@@ -494,33 +491,206 @@ class IVFIPIndex:
                 np.float32,
             )
 
-        def exact_fn():
-            from rankpo_tpu.index.flat import FlatIPIndex
+        self._finish_tuning(
+            nprobe, max_nprobe, tune_sample, tune_k, seed,
+            sample_fn=sample_fn,
+        )
+        return self
 
-            if self.quantized:
-                # storage precision for int8 = per-row quantize-dequant
-                def q_dq(c):
-                    scale = jnp.maximum(
-                        jnp.max(jnp.abs(c), axis=1) / 127.0, 1e-12
-                    )
-                    codes = jnp.clip(
-                        jnp.round(c / scale[:, None]), -127, 127
-                    )
-                    return (codes * scale[:, None]).astype(jnp.float32)
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_chunk_fn(
+        cls,
+        get_chunk,
+        n_total: int,
+        dim: int,
+        *,
+        chunk_rows: int = 262144,
+        train_rows: Optional[int] = None,
+        n_clusters: Union[int, str] = "auto",
+        nprobe: Union[int, str] = "auto",
+        recall_target: float = 0.95,
+        store_dtype=jnp.bfloat16,
+        kmeans_iters: int = 10,
+        capacity_slack: float = 1.3,
+        spherical: bool = True,
+        reduced_dim: Optional[int] = None,
+        candidates: Union[int, str] = "auto",
+        tune_sample: int = TUNE_SAMPLE,
+        tune_k: int = TUNE_K,
+        max_nprobe: Optional[int] = None,
+        seed: int = 0,
+    ) -> "IVFIPIndex":
+        """STREAMED single-device build: the fp32 corpus never exists whole.
 
-                stored = jax.jit(q_dq, **row_kw)(embeddings)
-            else:
-                stored = jax.jit(
-                    lambda c: c.astype(jnp.dtype(store_dtype)).astype(
-                        jnp.float32
+        ``get_chunk(lo, hi)`` returns fp32 rows ``[hi-lo, D]`` for the
+        global range [lo, hi) (host numpy or device array — generated from
+        a PRNG, mmap'd from disk, or encoded on the fly); it is called in
+        order, twice per range (once to assign, once to place). Peak device
+        memory is the FINAL storage (int8: N*D bytes) plus ONE fp32 chunk —
+        the path that fits a 10M x 1024 int8 index on a single 16 GB chip,
+        where the 40 GB fp32 matrix required by ``__init__``/
+        ``from_sharded`` cannot exist. k-means trains on a strided sample
+        of ``train_rows`` rows (default ~64 per cluster, FAISS-style
+        subsampling) instead of the full corpus; multi-chip corpora use
+        ``from_sharded`` instead (this path is single-device)."""
+        self = cls.__new__(cls)
+        self.mesh = None
+        self.n_total = int(n_total)
+        self.dim = int(dim)
+        if self.n_total < 1:
+            raise ValueError("IVFIPIndex needs a non-empty corpus")
+        self._set_store(store_dtype)
+        if capacity_slack < 1.0:
+            raise ValueError("capacity_slack must be >= 1.0")
+        self.recall_target = float(recall_target)
+        self.spherical = bool(spherical)
+        self._set_hybrid(reduced_dim, candidates)
+        self.n_clusters = _resolve_clusters(self.n_total, 1, n_clusters)
+        self.capacity = _resolve_capacity(
+            self.n_total, self.n_clusters, capacity_slack
+        )
+        k_c = self.n_clusters
+        chunk_rows = max(1, int(chunk_rows))
+
+        def ranges():
+            for lo in range(0, self.n_total, chunk_rows):
+                yield lo, min(lo + chunk_rows, self.n_total)
+
+        # --- pass 0: strided training sample -> Lloyd fit ---------------
+        s_target = int(
+            train_rows if train_rows is not None
+            else min(self.n_total, max(64 * k_c, 1 << 16))
+        )
+        stride = max(1, self.n_total // max(s_target, 1))
+        parts = []
+        for lo, hi in ranges():
+            chunk = jnp.asarray(get_chunk(lo, hi), jnp.float32)
+            first = (-lo) % stride
+            if first < chunk.shape[0]:
+                parts.append(chunk[first::stride])
+        train = jnp.concatenate(parts, axis=0)
+        del parts
+        n_train = int(train.shape[0])
+        rng = np.random.default_rng(seed)
+        init_idx = rng.choice(
+            n_train, size=k_c, replace=k_c > n_train
+        ).astype(np.int32)
+        init = np.asarray(
+            jnp.take(train, jnp.asarray(init_idx), axis=0), np.float32
+        )
+        if self.spherical:
+            init = init / np.maximum(
+                np.linalg.norm(init, axis=1, keepdims=True), 1e-12
+            )
+        t_chunk = _chunk_rows(n_train, k_c)
+        iters = max(0, int(kmeans_iters))
+        spherical = self.spherical
+
+        def fit(corpus, cents):
+            corpus = _pad_to_chunks(corpus, t_chunk)
+            return _lloyd_body(
+                corpus, cents, n_train, n_iters=iters, chunk=t_chunk,
+                axis_name=None, spherical=spherical,
+            )
+
+        self.centroids = jax.jit(fit)(train, jnp.asarray(init))
+        del train
+
+        # --- pass 1: streamed top-2 assignment --------------------------
+        a_chunk = _chunk_rows(chunk_rows, k_c)
+
+        def assign(chunk, cents):
+            chunk = _pad_to_chunks(chunk, a_chunk)
+            return _assign_top2_body(chunk, cents, chunk=a_chunk)
+
+        assign_fn = jax.jit(assign)
+        cand = np.empty((self.n_total, 2), np.int32)
+        for lo, hi in ranges():
+            chunk = jnp.asarray(get_chunk(lo, hi), jnp.float32)
+            if chunk.shape[0] < chunk_rows:  # static shape: pad final chunk
+                chunk = jnp.pad(
+                    chunk, ((0, chunk_rows - chunk.shape[0]), (0, 0))
+                )
+            cand[lo:hi] = np.asarray(assign_fn(chunk, self.centroids))[: hi - lo]
+
+        row_ids = _greedy_fill(cand, self.n_total, k_c, self.capacity)
+        del cand
+        slot_of_row = np.empty(self.n_total, np.int64)
+        filled = np.nonzero(row_ids >= 0)[0]
+        slot_of_row[row_ids[filled]] = filled
+
+        # --- pass 2: streamed placement into donated storage ------------
+        total_slots = k_c * self.capacity
+        quantized = self.quantized
+
+        if quantized:
+
+            def place(buf, sbuf, rows, slots):
+                scale = jnp.maximum(
+                    jnp.max(jnp.abs(rows), axis=1) / 127.0, 1e-12
+                )
+                codes = jnp.clip(
+                    jnp.round(rows / scale[:, None]), -127, 127
+                ).astype(jnp.int8)
+                # mode="drop": padded slots are -1 and must scatter nowhere
+                # (the default clip mode would overwrite the last slot)
+                return (
+                    buf.at[slots].set(codes, mode="drop"),
+                    sbuf.at[slots].set(
+                        scale.astype(jnp.float32), mode="drop"
                     ),
-                    **row_kw,
-                )(embeddings)
-            return FlatIPIndex.from_sharded(stored, self.n_total, mesh)
+                )
+
+            place_fn = jax.jit(place, donate_argnums=(0, 1))
+            buf = jnp.zeros((total_slots, self.dim), jnp.int8)
+            sbuf = jnp.zeros((total_slots,), jnp.float32)
+        else:
+            out_dtype = jnp.dtype(store_dtype)
+
+            def place(buf, rows, slots):
+                return buf.at[slots].set(
+                    rows.astype(out_dtype), mode="drop"
+                )
+
+            place_fn = jax.jit(place, donate_argnums=(0,))
+            buf = jnp.zeros((total_slots, self.dim), out_dtype)
+            sbuf = None
+
+        for lo, hi in ranges():
+            rows = jnp.asarray(get_chunk(lo, hi), jnp.float32)
+            slots = slot_of_row[lo:hi].astype(np.int32)
+            m = hi - lo
+            if m < chunk_rows:
+                rows = jnp.pad(rows, ((0, chunk_rows - m), (0, 0)))
+                slots = np.concatenate(
+                    [slots, np.full(chunk_rows - m, -1, np.int32)]
+                )
+            if quantized:
+                buf, sbuf = place_fn(buf, sbuf, rows, jnp.asarray(slots))
+            else:
+                buf = place_fn(buf, rows, jnp.asarray(slots))
+        self.corpus = buf
+        self.slot_scale = sbuf
+        self.row_ids = jnp.asarray(row_ids)
+
+        self._init_projection()
+        self._search_fns = {}
+        self._search_lock = threading.Lock()
+
+        def sample_fn(idx):
+            # pseudo-queries from the STORED rows (dequantized): the fp32
+            # originals are gone by design; storage precision is fine for
+            # tuning (they are self-hit-biased pseudo-queries anyway)
+            slots = jnp.asarray(slot_of_row[idx].astype(np.int32))
+            rows = jnp.take(self.corpus, slots, axis=0).astype(jnp.float32)
+            if quantized:
+                rows = rows * jnp.take(self.slot_scale, slots)[:, None]
+            return np.asarray(rows, np.float32)
 
         self._finish_tuning(
             nprobe, max_nprobe, tune_sample, tune_k, seed,
-            sample_fn=sample_fn, exact_fn=exact_fn,
+            sample_fn=sample_fn,
         )
         return self
 
@@ -718,7 +888,7 @@ class IVFIPIndex:
             )
 
     def _finish_tuning(self, nprobe, max_nprobe, tune_sample, tune_k, seed,
-                       *, sample_fn, exact_fn):
+                       *, sample_fn):
         n_shards = (
             self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
         )
@@ -730,26 +900,25 @@ class IVFIPIndex:
                 self.n_total, size=n_sample, replace=False
             )
             sample = sample_fn(sample_idx)
-            exact = exact_fn()
             self.nprobe = self._tune_nprobe(
-                sample, exact, tune_k,
+                sample, tune_k,
                 max_nprobe if max_nprobe is not None else self.local_clusters,
             )
-            del exact
         else:
             self.nprobe = int(nprobe)
             if self.nprobe < 1:
                 raise ValueError("nprobe must be >= 1")
 
-    def _tune_nprobe(self, sample: np.ndarray, exact_index, k: int,
+    def _tune_nprobe(self, sample: np.ndarray, k: int,
                      max_nprobe: int) -> int:
         """Smallest nprobe on a doubling ladder whose recall meets
-        ``recall_target`` against the storage-precision exact search over
-        corpus-row pseudo-queries (slight upward bias — the self-hit is
-        free — FAISS tunes nprobe the same way), then up to 2 bisection
-        probes to claw back the ladder's <=2x overshoot."""
+        ``recall_target`` against the storage-precision exact search
+        (``exact_search``, a streamed scan of the STORED rows — no second
+        corpus copy) over corpus-row pseudo-queries (slight upward bias —
+        the self-hit is free — FAISS tunes nprobe the same way), then up
+        to 2 bisection probes to claw back the ladder's <=2x overshoot."""
         k = min(k, self.n_total)
-        _, ref_idx = exact_index.search(sample, k=k)
+        _, ref_idx = self.exact_search(sample, k=k)
         ref_sets = [set(row.tolist()) for row in ref_idx]
         n_sample = len(sample)
 
@@ -1063,18 +1232,159 @@ class IVFIPIndex:
         ]
         return np.concatenate(all_scores), np.concatenate(all_idx)
 
+    # ------------------------------------------------------------------
+    def _exact_callable(self, k: int, n_queries: int):
+        """Unjitted exact brute-force top-k over the STORED rows
+        (dequantized at storage precision), streaming fixed row-chunks
+        with a running top-k merge — O(Q*k) state, no second corpus copy.
+        The nprobe tuner's reference; also the recall oracle for corpora
+        too large to materialize in fp32."""
+        from rankpo_tpu.ops.topk import storage_exact_precision
+
+        cap = self.capacity
+        local_clusters = self.local_clusters
+        quantized = self.quantized
+        mesh = self.mesh
+        rows_local = local_clusters * cap
+        k_local = min(k, rows_local)
+        chunk = min(rows_local, max(8, ((1 << 22) // max(n_queries, 1)) // 8 * 8))
+        n_chunks = -(-rows_local // chunk)
+        padded = n_chunks * chunk
+
+        def scan_block(*args):
+            if quantized:
+                clustered, ids, scale, queries = args
+            else:
+                clustered, ids, queries = args
+                scale = None
+            qn = queries.shape[0]
+            clustered_p = jnp.pad(clustered, ((0, padded - rows_local), (0, 0)))
+            ids_p = jnp.pad(
+                ids, (0, padded - rows_local), constant_values=-1
+            )
+            scale_p = (
+                jnp.pad(scale, (0, padded - rows_local))
+                if scale is not None else None
+            )
+            cdt = jnp.bfloat16 if quantized else clustered.dtype
+            q_c = queries.astype(cdt)
+            prec = storage_exact_precision(clustered.dtype)
+
+            def body(ci, carry):
+                best_s, best_i = carry
+                rows = lax.dynamic_slice_in_dim(clustered_p, ci * chunk, chunk)
+                ids_c = lax.dynamic_slice_in_dim(ids_p, ci * chunk, chunk)
+                s = jnp.einsum(
+                    "qd,rd->qr", q_c, rows.astype(cdt),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                if scale_p is not None:
+                    s = s * lax.dynamic_slice_in_dim(
+                        scale_p, ci * chunk, chunk
+                    )[None, :]
+                s = jnp.where(ids_c[None, :] >= 0, s, NEG_INF)
+                cat_s = jnp.concatenate([best_s, s], axis=1)
+                cat_i = jnp.concatenate(
+                    [best_i, jnp.broadcast_to(ids_c[None, :], (qn, chunk))],
+                    axis=1,
+                )
+                top_s, pos = lax.top_k(cat_s, k_local)
+                return top_s, jnp.take_along_axis(cat_i, pos, axis=1)
+
+            carry0 = (
+                jnp.full((qn, k_local), NEG_INF, jnp.float32),
+                jnp.full((qn, k_local), -1, jnp.int32),
+            )
+            if mesh is not None:
+                carry0 = tuple(
+                    lax.pcast(x, (DATA_AXIS,), to="varying") for x in carry0
+                )
+            return lax.fori_loop(0, n_chunks, body, carry0)
+
+        if mesh is None:
+            return scan_block
+
+        specs = (P(DATA_AXIS, None), P(DATA_AXIS)) + (
+            (P(DATA_AXIS),) if quantized else ()
+        )
+        shard_fn = jax.shard_map(
+            scan_block,
+            mesh=mesh,
+            in_specs=specs + (P(),),
+            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        )
+        n_shards = mesh.shape[DATA_AXIS]
+        k_final = min(k, n_shards * k_local)
+
+        def sharded(*args):
+            cand_s, cand_i = shard_fn(*args)
+            top_s, pos = lax.top_k(cand_s, k_final)
+            return top_s, jnp.take_along_axis(cand_i, pos, axis=1)
+
+        return sharded
+
+    def exact_search(
+        self, queries, k: int = 100, batch_size: int = 256,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact (at storage precision) brute-force search over the stored
+        rows. Same output surface as ``search``; used as the tuner's
+        reference and as a recall oracle at scales where a second fp32
+        corpus copy cannot exist."""
+        k = min(k, self.n_total)
+        queries = np.asarray(queries, np.float32)
+        if queries.shape[0] == 0:
+            return (
+                np.zeros((0, k), np.float32),
+                np.zeros((0, k), np.int32),
+            )
+        arrays = (self.corpus, self.row_ids) + (
+            (self.slot_scale,) if self.quantized else ()
+        )
+        with self._search_lock:
+            key = ("exact", k, batch_size)
+            fn = self._search_fns.get(key)
+            if fn is None:
+                inner = self._exact_callable(k, batch_size)
+                if self.mesh is None:
+                    fn = jax.jit(inner)
+                else:
+                    mesh = self.mesh
+                    ext = (NamedSharding(mesh, P(DATA_AXIS)),) if self.quantized else ()
+                    fn = jax.jit(
+                        inner,
+                        in_shardings=(
+                            NamedSharding(mesh, P(DATA_AXIS, None)),
+                            NamedSharding(mesh, P(DATA_AXIS)),
+                        ) + ext + (NamedSharding(mesh, P()),),
+                        out_shardings=NamedSharding(mesh, P()),
+                    )
+                self._search_fns[key] = fn
+        n_q = queries.shape[0]
+        pending = []
+        for lo in range(0, n_q, batch_size):
+            block = queries[lo : lo + batch_size]
+            real = block.shape[0]
+            if real < batch_size:
+                block = np.concatenate(
+                    [block, np.zeros((batch_size - real, self.dim), np.float32)]
+                )
+            if self.mesh is not None and jax.process_count() > 1:
+                block_dev = replicate_to_mesh(block, self.mesh)
+            else:
+                block_dev = jnp.asarray(block)
+            scores, idx = fn(*arrays, block_dev)
+            scores.copy_to_host_async()
+            idx.copy_to_host_async()
+            pending.append((scores, idx, real))
+        return (
+            np.concatenate([np.asarray(s)[:r] for s, _, r in pending]).astype(
+                np.float32, copy=False
+            ),
+            np.concatenate([np.asarray(i)[:r] for _, i, r in pending]).astype(
+                np.int32, copy=False
+            ),
+        )
+
     @property
     def ntotal(self) -> int:
         return self.n_total
-
-
-def _exact_from_host(emb: np.ndarray, store_dtype, mesh):
-    """Storage-precision exact reference for the nprobe tuner."""
-    from rankpo_tpu.index.flat import FlatIPIndex
-
-    if jnp.dtype(store_dtype) == jnp.int8:
-        codes, scale = IVFIPIndex._quantize_host(emb)
-        stored = codes.astype(np.float32) * scale[:, None]
-    else:
-        stored = emb.astype(np.dtype(store_dtype)).astype(np.float32)
-    return FlatIPIndex(stored, mesh)

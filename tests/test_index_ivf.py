@@ -174,6 +174,104 @@ class TestIVFIPIndexSingle:
         np.testing.assert_allclose(s, expected, atol=1e-5)
 
 
+class TestFromChunkFn:
+    """Streamed build: the fp32 corpus never exists whole (chunk_rows
+    forces several chunks incl. a padded final one)."""
+
+    def test_full_probe_exact_fp32(self):
+        corpus = _blob_corpus(530, 16, seed=50)
+        queries = _blob_corpus(9, 16, seed=51)
+        index = IVFIPIndex.from_chunk_fn(
+            lambda lo, hi: corpus[lo:hi], 530, 16, chunk_rows=128,
+            n_clusters=8, nprobe=8, store_dtype=jnp.float32,
+        )
+        s, i = index.search(queries, k=10, batch_size=4)
+        es, ei = numpy_search(corpus, queries, 10)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+        for r in range(len(queries)):
+            assert set(i[r].tolist()) == set(ei[r].tolist())
+
+    def test_streamed_int8_autotune(self):
+        corpus, queries = _blobs_with_queries(2000, 32, 32, n_blobs=25, seed=52)
+        index = IVFIPIndex.from_chunk_fn(
+            lambda lo, hi: corpus[lo:hi], 2000, 32, chunk_rows=512,
+            recall_target=0.9, tune_sample=32, tune_k=10,
+            store_dtype=jnp.int8,
+        )
+        _, i = index.search(queries, k=10)
+        scale = np.maximum(np.abs(corpus).max(axis=1) / 127.0, 1e-12)
+        codes = np.clip(np.round(corpus / scale[:, None]), -127, 127)
+        stored = (codes * scale[:, None]).astype(np.float32)
+        _, ei = numpy_search(stored, queries, 10)
+        ref = [set(row.tolist()) for row in ei]
+        assert _recall(i, ref, 10) >= 0.8
+
+    def test_streamed_hybrid(self):
+        corpus = _blob_corpus(400, 16, seed=53)
+        queries = _blob_corpus(7, 16, seed=54)
+        index = IVFIPIndex.from_chunk_fn(
+            lambda lo, hi: corpus[lo:hi], 400, 16, chunk_rows=100,
+            n_clusters=4, nprobe=4, store_dtype=jnp.float32,
+            reduced_dim=16, candidates=512,
+        )
+        s, i = index.search(queries, k=8)
+        es, _ = numpy_search(corpus, queries, 8)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+
+    def test_train_subsample(self):
+        # train_rows < n_total: k-means fits on the strided sample but the
+        # index still places and retrieves every row
+        corpus = _blob_corpus(900, 16, seed=55)
+        queries = corpus[:6]
+        index = IVFIPIndex.from_chunk_fn(
+            lambda lo, hi: corpus[lo:hi], 900, 16, chunk_rows=256,
+            train_rows=200, n_clusters=8, nprobe=8,
+            store_dtype=jnp.float32,
+        )
+        _, i = index.search(queries, k=1)
+        assert i[:, 0].tolist() == list(range(6))  # self-retrieval
+
+
+class TestExactSearch:
+    def test_matches_numpy_oracle_fp32(self):
+        corpus = _blob_corpus(500, 32, seed=40)
+        queries = _blob_corpus(9, 32, seed=41)
+        index = IVFIPIndex(
+            corpus, n_clusters=8, nprobe=1, store_dtype=jnp.float32
+        )
+        s, i = index.exact_search(queries, k=10, batch_size=4)
+        es, ei = numpy_search(corpus, queries, 10)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+        for r in range(len(queries)):
+            assert set(i[r].tolist()) == set(ei[r].tolist())
+
+    def test_sharded_matches_oracle(self, data_mesh):
+        corpus = _blob_corpus(803, 16, seed=42)
+        queries = _blob_corpus(13, 16, seed=43)
+        index = IVFIPIndex(
+            corpus, mesh=data_mesh, n_clusters=16, nprobe=1,
+            store_dtype=jnp.float32,
+        )
+        s, i = index.exact_search(queries, k=25, batch_size=8)
+        es, _ = numpy_search(corpus, queries, 25)
+        np.testing.assert_allclose(s, es, atol=1e-5)
+        assert int(i.max()) < 803
+
+    def test_int8_matches_dequant_oracle_sets(self):
+        corpus = _blob_corpus(300, 16, seed=44)
+        queries = _blob_corpus(7, 16, seed=45)
+        index = IVFIPIndex(
+            corpus, n_clusters=4, nprobe=1, store_dtype=jnp.int8
+        )
+        _, i = index.exact_search(queries, k=10)
+        scale = np.maximum(np.abs(corpus).max(axis=1) / 127.0, 1e-12)
+        codes = np.clip(np.round(corpus / scale[:, None]), -127, 127)
+        stored = (codes * scale[:, None]).astype(np.float32)
+        _, ei = numpy_search(stored, queries, 10)
+        ref = [set(row.tolist()) for row in ei]
+        assert _recall(i, ref, 10) >= 0.95
+
+
 class TestIVFInt8:
     def _dequant_oracle_sets(self, corpus, queries, k):
         """Exact top-k id sets against the per-row quantize-dequantized
