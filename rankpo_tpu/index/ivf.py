@@ -322,6 +322,7 @@ class IVFIPIndex:
         row_ids = _greedy_fill(
             cand[: self.n_total], self.n_total, self.n_clusters, self.capacity
         )
+        self._set_layout_maps(row_ids)
         clustered = emb[np.clip(row_ids, 0, None)]
         clustered[row_ids < 0] = 0.0
         if self.quantized:
@@ -422,6 +423,7 @@ class IVFIPIndex:
         row_ids = _greedy_fill(
             cand[: self.n_total], self.n_total, self.n_clusters, self.capacity
         )
+        self._set_layout_maps(row_ids)
         # cluster-major gather ON DEVICE: cross-shard but one-time; empty
         # slots gather row 0 and are zeroed by the mask
         perm = np.clip(row_ids, 0, None).astype(np.int32)
@@ -595,6 +597,7 @@ class IVFIPIndex:
             )
 
         self.centroids = jax.jit(fit)(train, jnp.asarray(init))
+        self._centroids_host = np.asarray(self.centroids, np.float32)
         del train
 
         # --- pass 1: streamed top-2 assignment --------------------------
@@ -616,6 +619,7 @@ class IVFIPIndex:
 
         row_ids = _greedy_fill(cand, self.n_total, k_c, self.capacity)
         del cand
+        self._set_layout_maps(row_ids)
         slot_of_row = np.empty(self.n_total, np.int64)
         filled = np.nonzero(row_ids >= 0)[0]
         slot_of_row[row_ids[filled]] = filled
@@ -833,6 +837,7 @@ class IVFIPIndex:
                 corpus_dev, jnp.asarray(init_centroids)
             )
             self.centroids = jax.device_put(cents)
+            self._centroids_host = np.asarray(cents, np.float32)
             return np.asarray(cand_dev)[:n_padded]
 
         def per_shard(corpus_local, cents):
@@ -864,10 +869,18 @@ class IVFIPIndex:
             corpus_dev, replicate_to_mesh(init_centroids, mesh)
         )
         # final placement: whole clusters per shard (K % W == 0)
-        self.centroids = shard_rows_to_mesh(
-            np.asarray(cents, np.float32), mesh
-        )
+        self._centroids_host = np.asarray(cents, np.float32)
+        self.centroids = shard_rows_to_mesh(self._centroids_host, mesh)
         return np.asarray(cand_dev)
+
+    def _set_layout_maps(self, row_ids: np.ndarray):
+        """Host-side row -> global cluster map (N*4 bytes), kept for the
+        analytic nprobe tuner (recall(p) follows from each true hit's
+        cluster probe-rank — no per-p search compiles)."""
+        cluster = np.zeros(self.n_total, np.int32)
+        filled = np.nonzero(row_ids >= 0)[0]
+        cluster[row_ids[filled]] = (filled // self.capacity).astype(np.int32)
+        self._cluster_of_row = cluster
 
     def _place_storage(self, clustered_host: np.ndarray, row_ids: np.ndarray,
                        scale: Optional[np.ndarray]):
@@ -911,18 +924,67 @@ class IVFIPIndex:
 
     def _tune_nprobe(self, sample: np.ndarray, k: int,
                      max_nprobe: int) -> int:
-        """Smallest nprobe on a doubling ladder whose recall meets
-        ``recall_target`` against the storage-precision exact search
-        (``exact_search``, a streamed scan of the STORED rows — no second
-        corpus copy) over corpus-row pseudo-queries (slight upward bias —
-        the self-hit is free — FAISS tunes nprobe the same way), then up
-        to 2 bisection probes to claw back the ladder's <=2x overshoot."""
+        """Pick the smallest nprobe meeting ``recall_target`` against the
+        storage-precision exact search over corpus-row pseudo-queries
+        (slight upward bias — the self-hit is free — FAISS tunes nprobe
+        the same way).
+
+        ANALYTIC, not a search ladder: for plain IVF the hit set at probe
+        count p is exactly the rows whose cluster ranks < p among each
+        query's (per-shard) centroid scores, so ONE ``exact_search`` plus
+        a host-side rank computation yields recall(p) for EVERY p at once.
+        A search-per-ladder-step would compile a fresh XLA program per
+        probe — minutes each through a remote-compile setup. The analytic
+        choice is then VERIFIED with one real search (the hybrid's
+        candidate stage adds loss the analysis cannot see) and bumped a
+        bounded number of times if short."""
         k = min(k, self.n_total)
+        cap = min(max_nprobe, self.local_clusters)
+        n_sample = len(sample)
         _, ref_idx = self.exact_search(sample, k=k)
         ref_sets = [set(row.tolist()) for row in ref_idx]
-        n_sample = len(sample)
 
-        def recall_at(p: int) -> float:
+        # per-query centroid ranks, computed as the device does: bf16-cast
+        # inputs, fp32 accumulation, ties to the lower index (stable sort)
+        import ml_dtypes
+
+        q_b = sample.astype(ml_dtypes.bfloat16).astype(np.float32)
+        c_b = self._centroids_host.astype(ml_dtypes.bfloat16).astype(
+            np.float32
+        )
+        scores = q_b @ c_b.T  # [S, K]
+        local_clusters = self.local_clusters
+        n_shards = self.n_clusters // local_clusters
+        blocks = scores.reshape(n_sample, n_shards, local_clusters)
+        order = np.argsort(-blocks, axis=2, kind="stable")
+        rank = np.empty_like(order)
+        np.put_along_axis(
+            rank, order,
+            np.broadcast_to(np.arange(local_clusters), order.shape),
+            axis=2,
+        )
+        cluster = self._cluster_of_row[ref_idx]  # [S, k] global ids
+        need = rank[
+            np.arange(n_sample)[:, None],
+            cluster // local_clusters,
+            cluster % local_clusters,
+        ].ravel()
+        required = int(math.ceil(self.recall_target * need.size))
+        if required <= 0:
+            p = 1
+        else:
+            p = int(np.partition(need, required - 1)[required - 1]) + 1
+        p = max(1, min(p, cap))
+        logger.info(
+            "IVFIPIndex tune (analytic): nprobe=%d predicted recall=%.4f "
+            "(target %.2f)",
+            p, float((need < p).mean()), self.recall_target,
+        )
+
+        # bounded verification: one real search; bump if the measured
+        # compound recall (hybrid candidate stage, bf16 accumulation
+        # differences) falls short
+        for _ in range(3):
             _, idx = self.search(sample, k=k, nprobe=p)
             recall = float(
                 np.mean([
@@ -931,38 +993,21 @@ class IVFIPIndex:
                 ])
             )
             logger.info(
-                "IVFIPIndex tune: nprobe=%d recall=%.4f (target %.2f)",
+                "IVFIPIndex tune (verify): nprobe=%d recall=%.4f "
+                "(target %.2f)",
                 p, recall, self.recall_target,
             )
-            return recall
-
-        cap = min(max_nprobe, self.local_clusters)
-        p = 1
-        lo = 0
-        while True:
-            p = min(p, cap)
-            if recall_at(p) >= self.recall_target:
+            if recall >= self.recall_target or p >= cap:
                 break
-            if p >= cap:
-                logger.warning(
-                    "IVFIPIndex: recall below target %.2f at the nprobe=%d "
-                    "ladder cap — raise max_nprobe or capacity_slack, lower "
-                    "n_clusters, or use FlatIPIndex/RefineIPIndex",
-                    self.recall_target, p,
-                )
-                return p
-            lo = p
-            p *= 2
-        best = p
-        for _ in range(2):
-            mid = (lo + best) // 2
-            if mid <= lo or mid >= best:
-                break
-            if recall_at(mid) >= self.recall_target:
-                best = mid
-            else:
-                lo = mid
-        return best
+            p = min(max(p + 1, int(p * 1.5)), cap)
+        else:
+            logger.warning(
+                "IVFIPIndex: recall below target %.2f at nprobe=%d after "
+                "bounded verification — raise max_nprobe or capacity_slack, "
+                "lower n_clusters, or use FlatIPIndex/RefineIPIndex",
+                self.recall_target, p,
+            )
+        return p
 
     # ------------------------------------------------------------------
     @property
