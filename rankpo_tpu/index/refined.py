@@ -39,6 +39,7 @@ from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -171,21 +172,114 @@ class RefineIPIndex:
                 raise ValueError("candidates must be >= 1")
 
     # ------------------------------------------------------------------
+    def _hit_shard_ranks(self, sample: np.ndarray, ref_idx: np.ndarray
+                         ) -> np.ndarray:
+        """[S, k] per-shard rank of each true hit in its query's PROJECTED
+        score ordering — computed by ONE jitted chunked counting pass over
+        ``corpus_low``. The candidate stage at count C admits exactly the
+        rows with rank < C (per shard), so recall(C) for EVERY C follows
+        from these ranks without compiling a search per ladder step
+        (minutes each through a remote-compile setup)."""
+        shard_rows = self._shard_rows
+        n_padded = self.n_padded
+        chunk = max(128, min(n_padded, (1 << 21) // max(len(sample), 1)))
+        n_chunks = -(-n_padded // chunk)
+        padded = n_chunks * chunk
+
+        def ranks_fn(low, proj, queries, hit_ids):
+            q_low = (queries.astype(jnp.float32) @ proj).astype(jnp.bfloat16)
+            hit_rows = jnp.take(low, hit_ids, axis=0)  # [S, k, d']
+            hs = jnp.einsum(
+                "se,ske->sk", q_low, hit_rows,
+                preferred_element_type=jnp.float32,
+            )
+            hit_shard = hit_ids // shard_rows
+            low_p = jnp.pad(low, ((0, padded - n_padded), (0, 0)))
+
+            def body(ci, counts):
+                rows = lax.dynamic_slice_in_dim(low_p, ci * chunk, chunk)
+                s1 = jnp.einsum(
+                    "se,re->sr", q_low, rows,
+                    preferred_element_type=jnp.float32,
+                )  # [S, chunk]
+                gidx = ci * chunk + lax.iota(jnp.int32, chunk)
+                row_shard = gidx // shard_rows
+                valid = gidx < n_padded
+                above = (
+                    (s1[:, None, :] > hs[:, :, None])
+                    & (row_shard[None, None, :] == hit_shard[:, :, None])
+                    & valid[None, None, :]
+                )
+                return counts + jnp.sum(above, axis=2, dtype=jnp.int32)
+
+            return lax.fori_loop(
+                0, n_chunks, body,
+                jnp.zeros(hit_ids.shape, jnp.int32),
+            )
+
+        kwargs = {}
+        if self.mesh is not None:
+            kwargs = {
+                "in_shardings": (
+                    NamedSharding(self.mesh, P(DATA_AXIS, None)),
+                    NamedSharding(self.mesh, P()),
+                    NamedSharding(self.mesh, P()),
+                    NamedSharding(self.mesh, P()),
+                ),
+                "out_shardings": NamedSharding(self.mesh, P()),
+            }
+        queries_dev = (
+            replicate_to_mesh(sample.astype(np.float32), self.mesh)
+            if self.mesh is not None and jax.process_count() > 1
+            else jnp.asarray(sample, jnp.float32)
+        )
+        hits_dev = (
+            replicate_to_mesh(ref_idx.astype(np.int32), self.mesh)
+            if self.mesh is not None and jax.process_count() > 1
+            else jnp.asarray(ref_idx, jnp.int32)
+        )
+        return np.asarray(
+            jax.jit(ranks_fn, **kwargs)(
+                self.corpus_low, self.proj, queries_dev, hits_dev
+            )
+        )
+
     def _tune_candidates(
         self, sample: np.ndarray, exact_index, k: int, max_candidates: int,
     ) -> int:
-        """Smallest C on a doubling ladder whose two-stage recall meets
-        ``recall_target`` against ``exact_index`` (the storage-precision
-        exact search) over ``sample`` pseudo-queries (corpus rows: biases
-        recall slightly up — the self-hit is free — FAISS tunes nprobe the
-        same way; pass ``candidates=<int>`` with an app-measured value when
-        real query traffic is available)."""
+        """Smallest C whose two-stage recall meets ``recall_target``
+        against ``exact_index`` (the storage-precision exact search) over
+        ``sample`` pseudo-queries (corpus rows: biases recall slightly up —
+        the self-hit is free — FAISS tunes nprobe the same way; pass
+        ``candidates=<int>`` with an app-measured value when real query
+        traffic is available).
+
+        ANALYTIC, not a search ladder: one hit-rank pass yields recall(C)
+        for every C at once (see ``_hit_shard_ranks``); the choice is then
+        VERIFIED with a real search (``approx_max_k``'s own selection loss
+        is invisible to the analysis) and bumped a bounded number of times
+        if short."""
         k = min(k, self.n_total)
         n_sample = len(sample)
+        cap = min(max_candidates, self.n_total)
         _, ref_idx = exact_index.search(sample, k=k)
         ref_sets = [set(row.tolist()) for row in ref_idx]
 
-        def recall_at(c: int) -> float:
+        need = self._hit_shard_ranks(sample, ref_idx).ravel()
+        required = int(np.ceil(self.recall_target * need.size))
+        if required <= 0:
+            c = k
+        else:
+            c = int(np.partition(need, required - 1)[required - 1]) + 1
+        c = max(c, max(2 * k, 128) // 2)  # sane floor for tiny ranks
+        c = min(max(c, k), cap)
+        logger.info(
+            "RefineIPIndex tune (analytic): C=%d predicted recall=%.4f "
+            "(target %.2f)",
+            c, float((need < c).mean()), self.recall_target,
+        )
+
+        for _ in range(3):
             _, idx = self.search(sample, k=k, candidates=c)
             recall = float(
                 np.mean([
@@ -194,40 +288,20 @@ class RefineIPIndex:
                 ])
             )
             logger.info(
-                "RefineIPIndex tune: C=%d recall=%.4f (target %.2f)",
+                "RefineIPIndex tune (verify): C=%d recall=%.4f (target %.2f)",
                 c, recall, self.recall_target,
             )
-            return recall
-
-        c = max(2 * k, 128)
-        lo = k - 1  # largest C known (or assumed) to miss; C < k is useless
-        while True:
-            c = min(c, self.n_total)
-            if recall_at(c) >= self.recall_target:
+            if recall >= self.recall_target or c >= cap:
                 break
-            if c >= min(max_candidates, self.n_total):
-                logger.warning(
-                    "RefineIPIndex: recall below target %.2f at the C=%d "
-                    "ladder cap — corpus spectrum may be too flat for "
-                    "reduced_dim=%d (raise it or use FlatIPIndex)",
-                    self.recall_target, c, self.reduced_dim,
-                )
-                return c
-            lo = c
-            c *= 2
-        # the doubling ladder overshoots by up to 2x; a couple of bisection
-        # probes claw most of that back (C is proportional to per-query
-        # rerank cost). Each probe is one extra compile — bounded at 2.
-        best = c
-        for _ in range(2):
-            mid = (lo + best) // 2
-            if mid <= lo or mid >= best:
-                break
-            if recall_at(mid) >= self.recall_target:
-                best = mid
-            else:
-                lo = mid
-        return best
+            c = min(max(c + 1, int(c * 1.5)), cap)
+        else:
+            logger.warning(
+                "RefineIPIndex: recall below target %.2f at C=%d after "
+                "bounded verification — corpus spectrum may be too flat for "
+                "reduced_dim=%d (raise it or use FlatIPIndex)",
+                self.recall_target, c, self.reduced_dim,
+            )
+        return c
 
     # ------------------------------------------------------------------
     @classmethod
