@@ -2,6 +2,7 @@ from rankpo_tpu.index.flat import FlatIPIndex, numpy_search
 from rankpo_tpu.index.refined import RefineIPIndex
 from rankpo_tpu.index.ivf import IVFIPIndex
 from rankpo_tpu.index.encoding import InferenceEncoder
+from rankpo_tpu.index.io import read_index, write_index
 
 __all__ = [
     "FlatIPIndex",
@@ -9,4 +10,6 @@ __all__ = [
     "IVFIPIndex",
     "numpy_search",
     "InferenceEncoder",
+    "read_index",
+    "write_index",
 ]

@@ -297,28 +297,50 @@ class RetrievalService:
         )
 
     def save_index(self, path: str) -> None:
-        """Persist embeddings + passages so a restart skips the corpus encode
-        (the expensive step; FAISS users get this via write_index). For a
-        refine index the TUNED candidate count and reduced_dim are saved too,
-        so the restart also skips the build-time recall ladder."""
+        """Persist the BUILT index structurally + the passages (FAISS
+        write_index analog, rankpo_tpu.index.io format): a restart skips the
+        corpus encode AND the whole build — k-means, PCA, recall tuning —
+        and restores bit-identical storage (no int8 dequant/requant round
+        trip). Multi-process: every process calls (the state gather is
+        collective) and every process writes its copy (atomic rename)."""
+        from rankpo_tpu.index import io as index_io
+
         index, texts = self._state
         if index is None:
             raise RuntimeError("no index built; call build_index first")
-        extra = {}
-        if isinstance(index, RefineIPIndex):
-            extra["refine_candidates"] = np.int64(index.candidates)
-            extra["refine_reduced_dim"] = np.int64(index.reduced_dim)
-        if isinstance(index, IVFIPIndex):
-            extra["ivf_nprobe"] = np.int64(index.nprobe)
-            extra["ivf_n_clusters"] = np.int64(index.n_clusters)
-        np.savez_compressed(
-            path, embeddings=self._stored_embeddings(index),
-            corpus_texts=np.asarray(texts, dtype=object), **extra,
-        )
+        state = index_io.index_state(index)
+        state["corpus_texts"] = np.asarray(texts, dtype=object)
+        index_io.save_state(state, path)
         logger.info("saved index (%d passages) to %s", index.ntotal, path)
 
     def load_index_file(self, path: str) -> None:
         data = np.load(path, allow_pickle=True)
+        from rankpo_tpu.index import io as index_io
+
+        if index_io.is_index_state(data):
+            # structural restore: pure placement, no rebuild. The saved kind
+            # must match the configured index_type — silently switching
+            # would make the next /add rebuild as a DIFFERENT index class
+            kind = index_io.state_kind(data)
+            if kind != self.index_type:
+                raise ValueError(
+                    f"{path} holds a {kind!r} index but the service is "
+                    f"configured index_type={self.index_type!r} — restart "
+                    f"with --index_type {kind} (or rebuild from the corpus)"
+                )
+            index = index_io.index_from_state(data, mesh=self.mesh)
+            self._state = (
+                index, [str(t) for t in data["corpus_texts"]]
+            )
+            with self._fused_lock:
+                self._fused_fns.clear()
+            logger.info(
+                "restored %s index (%d passages) from %s — no rebuild",
+                kind, self.ntotal, path,
+            )
+            return
+        # legacy format: raw embeddings + tuned knobs; rebuild (k-means /
+        # PCA re-run) with the saved knobs reused where still applicable
         overrides = {}
         if self.index_type == "ivf" and "ivf_nprobe" in data:
             # restart path: reuse the tuned nprobe FOR THIS LOAD instead of

@@ -107,6 +107,41 @@ class TestIVFServing:
         assert svc2.index.nprobe == tuned
         assert svc2.index.n_clusters == svc.index.n_clusters
 
+    def test_load_rejects_kind_mismatch(self, ivf_service, data_mesh,
+                                        tmp_path):
+        # a structural file restores the SAVED class; silently serving it
+        # under a different configured index_type would make the next /add
+        # rebuild as that other class
+        path = str(tmp_path / "saved_ivf.npz")
+        ivf_service.save_index(path)
+        svc = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="flat",
+        )
+        with pytest.raises(ValueError, match="--index_type ivf"):
+            svc.load_index_file(path)
+
+    def test_legacy_embedding_file_still_loads(self, ivf_service, data_mesh,
+                                               tmp_path):
+        # pre-structural files (raw embeddings + tuned knobs) keep working:
+        # the load rebuilds with the saved knobs
+        emb = np.eye(12, 64, dtype=np.float32)
+        path = str(tmp_path / "legacy.npz")
+        np.savez_compressed(
+            path, embeddings=emb,
+            corpus_texts=np.asarray([f"p{i}" for i in range(12)], object),
+            ivf_nprobe=np.int64(8), ivf_n_clusters=np.int64(8),
+        )
+        svc = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"n_clusters": "auto", "nprobe": "auto"},
+        )
+        svc.load_index_file(path)
+        assert isinstance(svc.index, IVFIPIndex)
+        assert svc.index.n_clusters == 8
+        assert svc.corpus_texts[3] == "p3"
+
     def test_add_passages_rebuilds_ivf(self, ivf_service, data_mesh):
         svc = RetrievalService(
             ivf_service.encoder, mesh=data_mesh, max_query_length=16,
