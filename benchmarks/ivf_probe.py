@@ -19,6 +19,7 @@ Run on the real chip: `python benchmarks/ivf_probe.py --n 1000000`.
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import sys
 import time
@@ -59,7 +60,20 @@ parser.add_argument("--chunked_build", action="store_true",
 parser.add_argument("--chunk_rows", type=int, default=262144)
 parser.add_argument("--blobs", type=int, default=2048,
                     help="synthetic blob count (clusterable structure)")
-parser.add_argument("--spread", type=float, default=0.3)
+parser.add_argument("--spread", type=float, default=1.0,
+                    help="noise-NORM to center-norm ratio (per-dim std is "
+                    "spread/sqrt(D)). Decision record: an earlier version "
+                    "used spread as the per-dim std, so at D=1024 the "
+                    "default 0.3 made noise norm ~9.6x the unit centers — "
+                    "cos(row, center) ~ 0.10, effectively isotropic data — "
+                    "and IVF recall degenerated to ~nprobe/K_c on BOTH "
+                    "backends. spread=1.0 gives cos ~ 0.71 within a blob "
+                    "(realistic embedding-neighborhood structure)")
+parser.add_argument("--gather_budget_gb", type=float, default=3.0,
+                    help="cap on the probed-row gather per dispatch; the "
+                    "query batch shrinks per config to fit (a 256-query x "
+                    "nprobe=64 x cap=320 x 1024D bf16 gather is 10.7 GB — "
+                    "OOM on a 16 GB chip)")
 parser.add_argument("--isotropic", action="store_true",
                     help="pure gaussian corpus — IVF's worst case")
 _args = parser.parse_args()
@@ -68,6 +82,7 @@ N, D, Q, K = _args.n, _args.d, _args.q, _args.k
 
 def make_data(key):
     kc, ka, kn, kq, kqa, kqn = jax.random.split(key, 6)
+    noise = _args.spread / math.sqrt(D)  # spread = noise NORM ratio
     if _args.isotropic:
         c = jax.random.normal(kn, (N, D), jnp.float32)
         q = jax.random.normal(kqn, (Q, D), jnp.float32)
@@ -76,11 +91,11 @@ def make_data(key):
         centers = centers / jnp.linalg.norm(centers, axis=-1, keepdims=True)
         c = (
             jnp.take(centers, jax.random.randint(ka, (N,), 0, _args.blobs), 0)
-            + _args.spread * jax.random.normal(kn, (N, D), jnp.float32)
+            + noise * jax.random.normal(kn, (N, D), jnp.float32)
         )
         q = (
             jnp.take(centers, jax.random.randint(kqa, (Q,), 0, _args.blobs), 0)
-            + _args.spread * jax.random.normal(kqn, (Q, D), jnp.float32)
+            + noise * jax.random.normal(kqn, (Q, D), jnp.float32)
         )
     c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
@@ -123,8 +138,16 @@ def main():
         ]))
 
     REPS = 4
+    budget = int(_args.gather_budget_gb * (1 << 30))
 
-    def bench(fn, args, label):
+    def q_fit(per_query_bytes):
+        """Largest query batch whose probed-row gather fits the budget."""
+        q = Q
+        while q > 8 and q * per_query_bytes > budget:
+            q //= 2
+        return q
+
+    def bench(fn, args, label, recall, n_queries):
         def loop(q, *rest):
             def body(i, carry):
                 # data-dependent carry: the query input must depend on the
@@ -141,10 +164,10 @@ def main():
             t0 = time.perf_counter()
             float(loop_fn(*args))
             best = min(best, (time.perf_counter() - t0) / REPS)
-        idx = np.asarray(jax.jit(fn)(*args)[1])
+        qnote = f" (q={n_queries})" if n_queries != Q else ""
         print(
-            f"  {label:32} {best*1e3:7.1f} ms -> {Q/best:7.0f} QPS  "
-            f"recall={recall_of(idx):.4f}",
+            f"  {label:32} {best*1e3:7.1f} ms -> {n_queries/best:7.0f} QPS  "
+            f"recall={recall:.4f}{qnote}",
             flush=True,
         )
 
@@ -161,7 +184,14 @@ def main():
         )
         return ts.astype(jnp.float32), i
 
-    bench(approx_base, (queries, corpus_bf16), "approx bf16 full scan")
+    base_idx = np.asarray(jax.jit(approx_base)(queries, corpus_bf16)[1])
+    bench(
+        approx_base, (queries, corpus_bf16), "approx bf16 full scan",
+        recall_of(base_idx), Q,
+    )
+
+    queries_np = np.asarray(queries, np.float32)
+    row_bytes = np.dtype(STORE).itemsize
 
     for k_c in _args.clusters:
         t0 = time.perf_counter()
@@ -176,13 +206,19 @@ def main():
             flush=True,
         )
         for p in _args.nprobes:
+            q_eff = q_fit(p * index.capacity * D * row_bytes)
+            _, idx = index.search(
+                queries_np, k=K, nprobe=p, batch_size=q_eff
+            )
             fn = index.search_callable(K, nprobe=p)
             bench(
                 # bench perturbs its FIRST arg (the queries) per iteration
                 lambda q, *arrs, fn=fn: fn(*arrs, q),
-                (queries,) + index.search_arrays,
+                (queries[:q_eff],) + index.search_arrays,
                 f"ivf K={k_c} nprobe={p}",
+                recall_of(idx), q_eff,
             )
+        del index  # free plain-index HBM before the hybrid build (1M: ~3GB)
         for rd in _args.reduced_dims:
             t0 = time.perf_counter()
             hyb = IVFIPIndex.from_sharded(
@@ -197,11 +233,19 @@ def main():
                 flush=True,
             )
             for p in _args.nprobes:
+                q_eff = q_fit(
+                    p * hyb.capacity * rd * 2
+                    + _args.candidates * D * row_bytes
+                )
+                _, idx = hyb.search(
+                    queries_np, k=K, nprobe=p, batch_size=q_eff
+                )
                 fn = hyb.search_callable(K, nprobe=p)
                 bench(
                     lambda q, *arrs, fn=fn: fn(*arrs, q),
-                    (queries,) + hyb.search_arrays,
+                    (queries[:q_eff],) + hyb.search_arrays,
                     f"ivf+pca K={k_c} d'={rd} p={p} C={_args.candidates}",
+                    recall_of(idx), q_eff,
                 )
 
 
@@ -222,6 +266,8 @@ def chunked_main(IVFIPIndex):
         )(base_key)
         jax.block_until_ready(centers)
 
+    noise = _args.spread / math.sqrt(D)  # spread = noise NORM ratio
+
     @functools.partial(jax.jit, static_argnums=(1,))
     def gen_rows(key, m):
         ka, kn = jax.random.split(key)
@@ -232,7 +278,7 @@ def chunked_main(IVFIPIndex):
                 jnp.take(
                     centers, jax.random.randint(ka, (m,), 0, _args.blobs), 0
                 )
-                + _args.spread * jax.random.normal(kn, (m, D), jnp.float32)
+                + noise * jax.random.normal(kn, (m, D), jnp.float32)
             )
         return rows / jnp.linalg.norm(rows, axis=-1, keepdims=True)
 
