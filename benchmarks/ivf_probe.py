@@ -46,6 +46,12 @@ parser.add_argument("--reduced_dims", type=int, nargs="+", default=[],
                     "rerank)")
 parser.add_argument("--candidates", type=int, default=512,
                     help="hybrid rerank pool size")
+parser.add_argument("--pq_m", type=int, default=0,
+                    help="also bench residual product quantization at this "
+                    "subvector count (m uint8 codes/row: 32x below bf16 "
+                    "rows at m=64/D=1024 — the 100M-rows-on-one-chip tier; "
+                    "ADC-approximate scores, recall reported vs the fp32 "
+                    "oracle)")
 parser.add_argument("--store", default="bfloat16",
                     choices=["float32", "bfloat16", "int8"],
                     help="row storage (int8 = 4x memory vs fp32, dequant "
@@ -247,6 +253,35 @@ def main():
                     f"ivf+pca K={k_c} d'={rd} p={p} C={_args.candidates}",
                     recall_of(idx), q_eff,
                 )
+            del hyb
+        if _args.pq_m:
+            t0 = time.perf_counter()
+            pqi = IVFIPIndex.from_sharded(
+                corpus, N, mesh=None, n_clusters=k_c,
+                nprobe=max(_args.nprobes), kmeans_iters=_args.kmeans_iters,
+                pq_m=_args.pq_m,
+            )
+            print(
+                f"  pq build K={k_c} m={_args.pq_m}: "
+                f"{time.perf_counter() - t0:.1f}s "
+                f"(storage {k_c * pqi.capacity * _args.pq_m / 1e6:.0f} MB "
+                f"vs bf16 {k_c * pqi.capacity * D * 2 / 1e9:.1f} GB)",
+                flush=True,
+            )
+            for p in _args.nprobes:
+                # the reconstruction transient is bf16-row-sized: budget as
+                # if gathering full bf16 rows
+                q_eff = q_fit(p * pqi.capacity * D * 2)
+                _, idx = pqi.search(
+                    queries_np, k=K, nprobe=p, batch_size=q_eff
+                )
+                fn = pqi.search_callable(K, nprobe=p)
+                bench(
+                    lambda q, *arrs, fn=fn: fn(*arrs, q),
+                    (queries[:q_eff],) + pqi.search_arrays,
+                    f"ivf+pq K={k_c} m={_args.pq_m} p={p}",
+                    recall_of(idx), q_eff,
+                )
 
 
 def chunked_main(IVFIPIndex):
@@ -319,6 +354,7 @@ def chunked_main(IVFIPIndex):
             kmeans_iters=_args.kmeans_iters, store_dtype=STORE,
             reduced_dim=(_args.reduced_dims[0] if _args.reduced_dims else None),
             candidates=_args.candidates,
+            pq_m=(_args.pq_m or None),
         )
         print(
             f"  chunked build K={k_c}: {time.perf_counter() - t0:.1f}s "

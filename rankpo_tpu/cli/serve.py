@@ -153,6 +153,13 @@ def main(argv=None):
                              "exactly at full width")
     parser.add_argument("--ivf_candidates", default="auto",
                         help="hybrid rerank pool size, or 'auto' (~2k)")
+    parser.add_argument("--ivf_pq_m", type=int, default=0,
+                        help="> 0 enables IVF+PQ (residual product "
+                             "quantization): rows stored as this many uint8 "
+                             "codes — 32x below bf16 rows at m=64/D=1024, "
+                             "the 100M-passage tier; scores are ADC "
+                             "approximations (exclusive with int8 storage "
+                             "and --ivf_reduced_dim)")
     parser.add_argument("--index_file", default=None,
                         help="persisted index (.npz): loaded if it exists, "
                              "else built from --corpus_data and saved here")
@@ -213,6 +220,8 @@ def main(argv=None):
                 "auto" if args.ivf_candidates == "auto"
                 else int(args.ivf_candidates)
             )
+        if args.ivf_pq_m > 0:
+            index_kwargs["pq_m"] = args.ivf_pq_m
     service = RetrievalService(
         encoder, mesh=mesh, max_query_length=args.max_query_length,
         recall_target=args.recall_target, index_dtype=dtype,

@@ -37,7 +37,7 @@ import numpy as np
 CONFIG_KEY = "__index_config__"
 FORMAT = "rankpo-index-v1"
 
-_DTYPE_NAMES = ("float32", "bfloat16", "float16", "int8", "int32")
+_DTYPE_NAMES = ("float32", "bfloat16", "float16", "int8", "int32", "uint8")
 
 
 def _bf16():
@@ -189,6 +189,7 @@ def index_state(index) -> Dict[str, np.ndarray]:
         cfg["nprobe"] = int(min(index.nprobe, index.local_clusters))
         cfg["spherical"] = index.spherical
         cfg["reduced_dim"] = index.reduced_dim
+        cfg["pq_m"] = index.pq_m
         cfg["candidates"] = (
             index.candidates if index.candidates == "auto"
             else int(index.candidates)
@@ -198,6 +199,10 @@ def index_state(index) -> Dict[str, np.ndarray]:
         _pack(out, meta, "centroids", index.centroids)
         if index.quantized:
             _pack(out, meta, "slot_scale", index.slot_scale)
+        if index.pq_m is not None:
+            # fp32 host codebooks [m, 256, ds]; the device bf16 search copy
+            # is re-derived at load (bit-identical cast)
+            _pack(out, meta, "pq_codebooks", index._codebooks_host)
         if index.reduced_dim is not None:
             _pack(out, meta, "proj", index.proj)
             _pack(out, meta, "corpus_low", index.corpus_low)
@@ -288,6 +293,7 @@ def _load_ivf(cfg, data, meta, mesh):
     self.spherical = bool(cfg["spherical"])
     rd = cfg["reduced_dim"]
     self._set_hybrid(rd, cfg["candidates"])
+    self._set_pq(cfg.get("pq_m"), 1)
     self.n_clusters = int(cfg["n_clusters"])
     self.capacity = int(cfg["capacity"])
     n_shards = _n_shards(mesh)
@@ -315,6 +321,11 @@ def _load_ivf(cfg, data, meta, mesh):
         _put_rows(_unpack(data, meta, "slot_scale"), mesh)
         if self.quantized else None
     )
+    if self.pq_m is not None:
+        self._codebooks_host = _unpack(
+            data, meta, "pq_codebooks"
+        ).astype(np.float32, copy=False)
+        self._place_codebooks()
     if self.reduced_dim is not None:
         self.proj = _put_replicated(_unpack(data, meta, "proj"), mesh)
         self.corpus_low = _put_rows(_unpack(data, meta, "corpus_low"), mesh)

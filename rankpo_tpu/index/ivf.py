@@ -39,7 +39,8 @@ TPU-first design decisions (vs FAISS's CPU layout):
 Contract: approximate — the hit SET may miss true neighbors (probing is
 lossy; ``recall_target`` tunes nprobe at build time against a storage-
 precision exact search on a held-out sample), returned scores are exact at
-storage precision, tie order is not FAISS-bit-exact, and — exactly like
+storage precision (``pq_m``: ADC-style approximations against the
+reconstructed rows), tie order is not FAISS-bit-exact, and — exactly like
 FAISS IVF — a query whose probed clusters hold fewer than k rows pads the
 tail with index -1 / score -inf. Callers needing exact semantics use
 ``FlatIPIndex``.
@@ -194,6 +195,85 @@ def _pad_to_chunks(x, chunk):
     return jnp.pad(x, ((0, padded - rows), (0, 0)))
 
 
+# ----------------------------------------------------------------------
+# product quantization (residual PQ, FAISS IndexIVFPQ analog)
+
+PQ_K = 256  # 8-bit codes (FAISS default); one uint8 per subvector
+
+
+def _pq_lloyd_body(sample_sub, codebooks, n_valid, *, n_iters, chunk):
+    """Euclidean Lloyd over all ``m`` subvector spaces AT ONCE — both
+    phases are batched einsums on the MXU (assignment:
+    ``argmin ||x-c||^2 == argmax x.c - ||c||^2/2``; update: one-hot
+    segment-sum). ``sample_sub`` is [S, m, ds] fp32, padded to a multiple
+    of ``chunk``; rows at index >= n_valid mask into a dump code. Empty
+    codes keep their previous centroid (cf. ``_lloyd_body``)."""
+    s_rows, m, ds = sample_sub.shape
+    k = codebooks.shape[1]
+    n_chunks = s_rows // chunk
+
+    def one_iter(_, cb):
+        cbb = cb.astype(jnp.bfloat16)
+        half = 0.5 * jnp.sum(cb.astype(jnp.float32) ** 2, axis=-1)  # [m, k]
+
+        def chunk_body(ci, carry):
+            sums, counts = carry
+            x = lax.dynamic_slice_in_dim(sample_sub, ci * chunk, chunk)
+            xb = x.astype(jnp.bfloat16)
+            scores = jnp.einsum(
+                "smd,mkd->smk", xb, cbb,
+                preferred_element_type=jnp.float32,
+            ) - half
+            assign = jnp.argmax(scores, axis=-1)  # [chunk, m]
+            ridx = ci * chunk + lax.iota(jnp.int32, chunk)
+            assign = jnp.where(ridx[:, None] < n_valid, assign, k)
+            onehot = jax.nn.one_hot(assign, k + 1, dtype=jnp.bfloat16)
+            sums = sums + jnp.einsum(
+                "smk,smd->mkd", onehot, xb,
+                preferred_element_type=jnp.float32,
+            )[:, :k]
+            counts = counts + jnp.sum(
+                onehot.astype(jnp.float32), axis=0
+            )[:, :k]
+            return sums, counts
+
+        carry0 = (
+            jnp.zeros((m, k, ds), jnp.float32),
+            jnp.zeros((m, k), jnp.float32),
+        )
+        sums, counts = lax.fori_loop(0, n_chunks, chunk_body, carry0)
+        new = sums / jnp.maximum(counts, 1.0)[..., None]
+        return jnp.where((counts > 0.0)[..., None], new, cb)
+
+    return lax.fori_loop(0, n_iters, one_iter, codebooks)
+
+
+def _pq_encode_block(residuals, codebooks):
+    """[R, D] fp32 residuals -> [R, m] uint8 codes (argmin L2 per
+    subvector, computed as the same matmul-minus-half-norm the trainer
+    uses — encode and train see identical geometry)."""
+    m, k, ds = codebooks.shape
+    x = residuals.reshape(residuals.shape[0], m, ds)
+    half = 0.5 * jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=-1)
+    scores = jnp.einsum(
+        "smd,mkd->smk", x.astype(jnp.bfloat16),
+        codebooks.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) - half
+    return jnp.argmax(scores, axis=-1).astype(jnp.uint8)
+
+
+def _pq_reconstruct(codes, codebooks_flat, m, ds):
+    """[..., m] uint8 codes -> [..., m*ds] rows via a VMEM-resident
+    codebook gather (``codebooks_flat`` is [m*PQ_K, ds]; subvector blocks
+    are contiguous so the reshape restores the original row layout)."""
+    flat = codes.astype(jnp.int32) + (
+        lax.iota(jnp.int32, m) * PQ_K
+    )
+    recon = jnp.take(codebooks_flat, flat, axis=0)
+    return recon.reshape(codes.shape[:-1] + (m * ds,))
+
+
 def _greedy_fill(cand: np.ndarray, n_total: int, k: int, capacity: int
                  ) -> np.ndarray:
     """Place every row into a cluster slot: first choice, then second
@@ -251,6 +331,18 @@ class IVFIPIndex:
     probed-row gather, the HBM bottleneck at scale, shrinks by d'/D — and
     only the top-``candidates`` full rows are gathered for the exact
     rerank. Adds ``[K * capacity, d']`` bf16 storage.
+
+    ``pq_m`` enables residual product quantization (FAISS ``IndexIVFPQ``
+    analog, exclusive with int8/``reduced_dim``): each slot stores ``pq_m``
+    uint8 codes into per-subvector 256-entry codebooks trained on
+    assignment residuals — ``pq_m`` bytes/row vs ``2*dim`` bf16 (32x at
+    m=64, D=1024), the 100M-rows-on-one-chip tier. Search gathers codes,
+    reconstructs rows from the VMEM-resident codebooks, and reranks on the
+    MXU; the q.centroid term comes free from the stage-0 probe. Scores are
+    ADC-style approximations of the true inner product (reconstruction
+    error), unlike the exact-at-storage-precision flat/int8 modes. Builds
+    via ``__init__`` (host fp32) or ``from_chunk_fn`` (streamed — the
+    at-scale path).
     """
 
     def __init__(
@@ -267,6 +359,8 @@ class IVFIPIndex:
         spherical: bool = True,
         reduced_dim: Optional[int] = None,
         candidates: Union[int, str] = "auto",
+        pq_m: Optional[int] = None,
+        pq_iters: int = 25,
         tune_sample: int = TUNE_SAMPLE,
         tune_k: int = TUNE_K,
         max_nprobe: Optional[int] = None,
@@ -283,6 +377,7 @@ class IVFIPIndex:
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
         self._set_hybrid(reduced_dim, candidates)
+        self._set_pq(pq_m, pq_iters)
 
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         self.n_clusters = _resolve_clusters(self.n_total, n_shards, n_clusters)
@@ -325,7 +420,10 @@ class IVFIPIndex:
         self._set_layout_maps(row_ids)
         clustered = emb[np.clip(row_ids, 0, None)]
         clustered[row_ids < 0] = 0.0
-        if self.quantized:
+        if self.pq_m is not None:
+            codes = self._train_pq_and_encode(clustered, row_ids, seed)
+            self._place_storage(codes, row_ids, None)
+        elif self.quantized:
             codes, scale = self._quantize_host(clustered)
             self._place_storage(codes, row_ids, scale)
         else:
@@ -359,6 +457,8 @@ class IVFIPIndex:
         spherical: bool = True,
         reduced_dim: Optional[int] = None,
         candidates: Union[int, str] = "auto",
+        pq_m: Optional[int] = None,
+        pq_iters: int = 25,
         tune_sample: int = TUNE_SAMPLE,
         tune_k: int = TUNE_K,
         max_nprobe: Optional[int] = None,
@@ -382,6 +482,7 @@ class IVFIPIndex:
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
         self._set_hybrid(reduced_dim, candidates)
+        self._set_pq(pq_m, pq_iters)
 
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         n_padded = int(embeddings.shape[0])
@@ -464,6 +565,11 @@ class IVFIPIndex:
                     }
                 ),
             )(embeddings, perm_dev, valid_dev)
+        elif self.pq_m is not None:
+            self._pq_from_gathered(
+                embeddings, perm_dev, valid_dev, row_ids, rep_kw, row_kw,
+                seed,
+            )
         else:
             self.corpus = jax.jit(
                 lambda c, p, v: (
@@ -518,6 +624,8 @@ class IVFIPIndex:
         spherical: bool = True,
         reduced_dim: Optional[int] = None,
         candidates: Union[int, str] = "auto",
+        pq_m: Optional[int] = None,
+        pq_iters: int = 25,
         tune_sample: int = TUNE_SAMPLE,
         tune_k: int = TUNE_K,
         max_nprobe: Optional[int] = None,
@@ -548,6 +656,7 @@ class IVFIPIndex:
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
         self._set_hybrid(reduced_dim, candidates)
+        self._set_pq(pq_m, pq_iters)
         self.n_clusters = _resolve_clusters(self.n_total, 1, n_clusters)
         self.capacity = _resolve_capacity(
             self.n_total, self.n_clusters, capacity_slack
@@ -598,6 +707,27 @@ class IVFIPIndex:
 
         self.centroids = jax.jit(fit)(train, jnp.asarray(init))
         self._centroids_host = np.asarray(self.centroids, np.float32)
+        if self.pq_m is not None:
+            # codebooks train on TOP-1 assignment residuals of the training
+            # sample (FAISS IVFPQ trains the same way); encoding later uses
+            # each row's ACTUAL slot cluster, so spilled rows still encode
+            # against the cluster they landed in
+            pq_target = min(n_train, 1 << 17)
+            stride_pq = max(1, n_train // pq_target)
+            rows = train[::stride_pq][:pq_target]
+            n_rows = int(rows.shape[0])
+            a2 = _chunk_rows(n_rows, k_c)
+
+            def top1_residual(x, cents):
+                x = _pad_to_chunks(x, a2)
+                top2 = _assign_top2_body(x, cents, chunk=a2)
+                return x - jnp.take(cents, top2[:, 0], axis=0)
+
+            res = np.asarray(
+                jax.jit(top1_residual)(rows, self.centroids), np.float32
+            )[:n_rows]
+            self._fit_pq_codebooks(res, seed)
+            del res, rows
         del train
 
         # --- pass 1: streamed top-2 assignment --------------------------
@@ -649,6 +779,19 @@ class IVFIPIndex:
             place_fn = jax.jit(place, donate_argnums=(0, 1))
             buf = jnp.zeros((total_slots, self.dim), jnp.int8)
             sbuf = jnp.zeros((total_slots,), jnp.float32)
+        elif self.pq_m is not None:
+            cap_ = self.capacity
+            cb_f32 = jnp.asarray(self._codebooks_host)
+
+            def place(buf, rows, slots, cents, cb):
+                cl = jnp.clip(slots, 0) // cap_
+                res = rows - jnp.take(cents, cl, axis=0)
+                codes = _pq_encode_block(res, cb)
+                return buf.at[slots].set(codes, mode="drop")
+
+            place_fn = jax.jit(place, donate_argnums=(0,))
+            buf = jnp.zeros((total_slots, self.pq_m), jnp.uint8)
+            sbuf = None
         else:
             out_dtype = jnp.dtype(store_dtype)
 
@@ -672,6 +815,10 @@ class IVFIPIndex:
                 )
             if quantized:
                 buf, sbuf = place_fn(buf, sbuf, rows, jnp.asarray(slots))
+            elif self.pq_m is not None:
+                buf = place_fn(
+                    buf, rows, jnp.asarray(slots), self.centroids, cb_f32
+                )
             else:
                 buf = place_fn(buf, rows, jnp.asarray(slots))
         self.corpus = buf
@@ -682,14 +829,25 @@ class IVFIPIndex:
         self._search_fns = {}
         self._search_lock = threading.Lock()
 
+        pq_m_, pq_ds_ = self.pq_m, (self.dim // self.pq_m if self.pq_m else 0)
+        cap_t = self.capacity
+
         def sample_fn(idx):
-            # pseudo-queries from the STORED rows (dequantized): the fp32
-            # originals are gone by design; storage precision is fine for
-            # tuning (they are self-hit-biased pseudo-queries anyway)
+            # pseudo-queries from the STORED rows (dequantized/decoded): the
+            # fp32 originals are gone by design; storage precision is fine
+            # for tuning (they are self-hit-biased pseudo-queries anyway)
             slots = jnp.asarray(slot_of_row[idx].astype(np.int32))
-            rows = jnp.take(self.corpus, slots, axis=0).astype(jnp.float32)
-            if quantized:
-                rows = rows * jnp.take(self.slot_scale, slots)[:, None]
+            stored = jnp.take(self.corpus, slots, axis=0)
+            if pq_m_ is not None:
+                rows = _pq_reconstruct(
+                    stored, self.codebooks, pq_m_, pq_ds_
+                ).astype(jnp.float32) + jnp.take(
+                    self.centroids, slots // cap_t, axis=0
+                )
+            else:
+                rows = stored.astype(jnp.float32)
+                if quantized:
+                    rows = rows * jnp.take(self.slot_scale, slots)[:, None]
             return np.asarray(rows, np.float32)
 
         self._finish_tuning(
@@ -744,6 +902,202 @@ class IVFIPIndex:
             self.candidates = int(candidates)
         else:
             self.candidates = "auto"
+
+    def _set_pq(self, pq_m, pq_iters):
+        """Validate the product-quantization knobs (residual PQ, the FAISS
+        ``IndexIVFPQ`` analog: rows are stored as ``pq_m`` uint8 codes into
+        per-subvector 256-entry codebooks trained on ASSIGNMENT residuals —
+        row minus its slot's cluster centroid; small for normalized
+        embeddings, so codes spend their bits on the informative part).
+        Storage is ``pq_m`` bytes/row vs ``2*dim`` bf16 (32x at m=64,
+        D=1024) — the 100M-rows-on-one-chip tier."""
+        self.codebooks = None
+        self._codebooks_host = None
+        if pq_m is None:
+            self.pq_m = None
+            self.pq_iters = 0
+            return
+        m = int(pq_m)
+        if m < 1 or self.dim % m:
+            raise ValueError(
+                f"pq_m={pq_m} must be a positive divisor of dim={self.dim}"
+            )
+        if self.quantized:
+            raise ValueError(
+                "pq_m and int8 store_dtype are exclusive storage codecs — "
+                "pick one"
+            )
+        if self.reduced_dim is not None:
+            raise ValueError(
+                "pq_m and reduced_dim are exclusive (PQ codes already cut "
+                "the probed-row gather below the d'-projection's bytes)"
+            )
+        self.pq_m = m
+        self.pq_iters = max(1, int(pq_iters))
+
+    def _train_pq_and_encode(self, clustered: np.ndarray,
+                             row_ids: np.ndarray, seed: int) -> np.ndarray:
+        """Train the residual codebooks on a sample of the ACTUAL slot
+        residuals (spilled rows train and encode against the cluster they
+        landed in — unlike FAISS, whose lists never spill) and encode every
+        slot. Returns host uint8 codes [slots, m]; sets ``self.codebooks``
+        (flattened [m*256, ds] bf16 on device, replicated when sharded) and
+        the fp32 host copy for persistence. Training and encoding are MXU
+        einsums on the default device — the sample and the per-chunk blocks
+        are small regardless of corpus scale."""
+        m, ds = self.pq_m, self.dim // self.pq_m
+        slots = clustered.shape[0]
+        slot_cluster = np.arange(slots, dtype=np.int64) // self.capacity
+        residual = clustered - self._centroids_host[slot_cluster]
+        residual[row_ids < 0] = 0.0
+
+        valid = np.nonzero(row_ids >= 0)[0]
+        rng = np.random.default_rng(seed + 2)
+        n_sample = int(min(len(valid), max(64 * PQ_K, 1 << 16)))
+        sample = residual[rng.choice(valid, size=n_sample, replace=False)]
+        self._fit_pq_codebooks(sample, seed)
+
+        enc = jax.jit(_pq_encode_block)
+        cb_dev = jnp.asarray(self._codebooks_host)
+        enc_chunk = min(slots, 8192)
+        codes = np.empty((slots, m), np.uint8)
+        for lo in range(0, slots, enc_chunk):
+            hi = min(lo + enc_chunk, slots)
+            block = residual[lo:hi]
+            if hi - lo < enc_chunk:
+                block = np.concatenate(
+                    [block,
+                     np.zeros((enc_chunk - (hi - lo), self.dim), np.float32)]
+                )
+            codes[lo:hi] = np.asarray(enc(jnp.asarray(block), cb_dev))[
+                : hi - lo
+            ]
+        return codes
+
+    def _fit_pq_codebooks(self, sample_residuals: np.ndarray, seed: int):
+        """Lloyd-fit the per-subvector codebooks on fp32 residual rows
+        [S, D]; sets the fp32 host copy and the device (bf16, flattened)
+        search copy."""
+        m, ds = self.pq_m, self.dim // self.pq_m
+        n_sample = sample_residuals.shape[0]
+        sample = np.ascontiguousarray(
+            sample_residuals.reshape(n_sample, m, ds), np.float32
+        )
+        rng = np.random.default_rng(seed + 3)
+        init = np.ascontiguousarray(
+            sample[rng.choice(n_sample, size=PQ_K, replace=n_sample < PQ_K)]
+            .transpose(1, 0, 2)
+        ).astype(np.float32)
+        chunk = min(n_sample, 2048)
+        padded = -(-n_sample // chunk) * chunk
+        if padded != n_sample:
+            sample = np.concatenate(
+                [sample, np.zeros((padded - n_sample, m, ds), np.float32)]
+            )
+        n_iters = self.pq_iters
+        fit = jax.jit(
+            lambda x, cb: _pq_lloyd_body(
+                x, cb, n_sample, n_iters=n_iters, chunk=chunk
+            )
+        )
+        cb = fit(jnp.asarray(sample, jnp.float32), jnp.asarray(init))
+        self._codebooks_host = np.asarray(cb, np.float32)
+        self._place_codebooks()
+
+    def _pq_from_gathered(self, embeddings, perm_dev, valid_dev,
+                          row_ids: np.ndarray, rep_kw, row_kw, seed: int):
+        """Device-resident PQ build (``from_sharded``): gather the
+        cluster-major fp32 rows (transient — same footprint the flat modes
+        pay), fetch ONE residual sample to fit the codebooks (the only
+        host round-trip), then encode every slot on device — sharded, each
+        shard against its own centroids."""
+        mesh = self.mesh
+        cap = self.capacity
+        m = self.pq_m
+
+        clustered = jax.jit(
+            lambda c, p, v: jnp.take(c, p, axis=0) * v[:, None], **row_kw
+        )(embeddings, perm_dev, valid_dev)
+
+        # --- codebook fit on a host-fetched residual sample -------------
+        valid = np.nonzero(row_ids >= 0)[0]
+        rng = np.random.default_rng(seed + 2)
+        n_sample = int(min(len(valid), max(64 * PQ_K, 1 << 16)))
+        sample_slots = rng.choice(valid, size=n_sample, replace=False)
+        idx_dev = (
+            jnp.asarray(sample_slots.astype(np.int32)) if mesh is None
+            else replicate_to_mesh(sample_slots.astype(np.int32), mesh)
+        )
+        sample_rows = np.asarray(
+            jax.jit(lambda c, i: jnp.take(c, i, axis=0), **rep_kw)(
+                clustered, idx_dev
+            ),
+            np.float32,
+        )
+        res = sample_rows - self._centroids_host[sample_slots // cap]
+        self._fit_pq_codebooks(res, seed)
+
+        # --- sharded encode: each shard owns whole clusters --------------
+        n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        local_slots = (self.n_clusters // n_shards) * cap
+        chunk = min(local_slots, 8192)
+        n_chunks = -(-local_slots // chunk)
+        padded = n_chunks * chunk
+        cb_f32 = (
+            jnp.asarray(self._codebooks_host) if mesh is None
+            else replicate_to_mesh(self._codebooks_host, mesh)
+        )
+
+        def encode_shard(rows_local, cents_local, cb, axis_name=None):
+            rows_p = jnp.pad(rows_local, ((0, padded - local_slots), (0, 0)))
+            cl = lax.iota(jnp.int32, padded) // cap
+            cl = jnp.minimum(cl, cents_local.shape[0] - 1)
+            res_p = rows_p - jnp.take(cents_local, cl, axis=0)
+
+            def body(ci, buf):
+                blk = lax.dynamic_slice_in_dim(res_p, ci * chunk, chunk)
+                return lax.dynamic_update_slice_in_dim(
+                    buf, _pq_encode_block(blk, cb), ci * chunk, axis=0
+                )
+
+            buf0 = jnp.zeros((padded, m), jnp.uint8)
+            if axis_name is not None:
+                buf0 = lax.pcast(buf0, (axis_name,), to="varying")
+            return lax.fori_loop(0, n_chunks, body, buf0)[:local_slots]
+
+        if mesh is None:
+            self.corpus = jax.jit(encode_shard)(
+                clustered, self.centroids, cb_f32
+            )
+        else:
+            self.corpus = jax.jit(
+                jax.shard_map(
+                    lambda r, c, b: encode_shard(r, c, b, DATA_AXIS),
+                    mesh=mesh,
+                    in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P()),
+                    out_specs=P(DATA_AXIS, None),
+                ),
+                out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)),
+            )(clustered, self.centroids, cb_f32)
+        jax.block_until_ready(self.corpus)  # free the fp32 transient now
+        self.slot_scale = None
+
+    def _place_codebooks(self):
+        """Device codebooks for search: flattened [m*256, ds] bf16 (the
+        reconstruction gather indexes subvector-major), replicated across
+        the mesh."""
+        m, ds = self.pq_m, self.dim // self.pq_m
+        flat = self._codebooks_host.reshape(m * PQ_K, ds)
+        if self.mesh is None:
+            self.codebooks = jax.device_put(
+                jnp.asarray(flat, jnp.bfloat16)
+            )
+        else:
+            self.codebooks = replicate_to_mesh(flat, self.mesh)
+            self.codebooks = jax.jit(
+                lambda x: x.astype(jnp.bfloat16),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )(self.codebooks)
 
     def _init_projection(self):
         """PCA projection + projected cluster-major rows for the hybrid
@@ -1019,6 +1373,8 @@ class IVFIPIndex:
         arrays = (self.corpus, self.row_ids, self.centroids)
         if self.quantized:
             arrays += (self.slot_scale,)
+        if self.pq_m is not None:
+            arrays += (self.codebooks,)
         if self.reduced_dim is not None:
             arrays += (self.corpus_low, self.proj)
         return arrays
@@ -1032,6 +1388,8 @@ class IVFIPIndex:
         )
         if self.quantized:
             specs += (NamedSharding(mesh, P(DATA_AXIS)),)
+        if self.pq_m is not None:
+            specs += (NamedSharding(mesh, P()),)  # codebooks replicated
         if self.reduced_dim is not None:
             specs += (
                 NamedSharding(mesh, P(DATA_AXIS, None)),
@@ -1078,6 +1436,9 @@ class IVFIPIndex:
         local_clusters = self.local_clusters
         hybrid = self.reduced_dim is not None
         quantized = self.quantized
+        pq = self.pq_m is not None
+        pq_m = self.pq_m or 0
+        pq_ds = (self.dim // pq_m) if pq else 0
         c_cand = self._effective_candidates(k, candidates) if hybrid else 0
         cc = min(c_cand, p * cap) if hybrid else 0
         kk_out = min(kk, cc) if hybrid else kk
@@ -1086,13 +1447,15 @@ class IVFIPIndex:
             """(*search_arrays, queries) in the documented layout."""
             clustered, ids, cents, *rest = args
             scale = rest.pop(0) if quantized else None
+            cb = rest.pop(0) if pq else None
             low, proj = (rest.pop(0), rest.pop(0)) if hybrid else (None, None)
             (queries,) = rest
-            return clustered, ids, cents, scale, low, proj, queries
+            return clustered, ids, cents, scale, cb, low, proj, queries
 
         def probe_clusters(ids, cents, queries):
-            """Stage 0 shared by all variants: local top-p clusters and the
-            probed slots' global row ids."""
+            """Stage 0 shared by all variants: local top-p clusters, the
+            probed slots' global row ids, and the probed centroid scores
+            (the PQ path's q.centroid term comes free from here)."""
             id_blocks = ids.reshape(local_clusters, cap)
             qc = jnp.einsum(
                 "qd,kd->qk",
@@ -1100,9 +1463,9 @@ class IVFIPIndex:
                 cents.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
-            _, probe = lax.top_k(qc, p)  # [Q, p] local cluster ids
+            cent_s, probe = lax.top_k(qc, p)  # [Q, p] local cluster ids
             hit_ids = jnp.take(id_blocks, probe, axis=0)  # [Q, p, cap]
-            return probe, hit_ids
+            return probe, hit_ids, cent_s
 
         def rerank_dtype(rows):
             # int8 codes compute in bf16 with the dequant scale applied to
@@ -1112,10 +1475,10 @@ class IVFIPIndex:
         def probe_block(*args):
             """Plain IVF: gather probed full rows, rerank exactly (at
             storage precision; int8 = against the quantized rows)."""
-            clustered, ids, cents, scale, _, _, queries = unpack(args)
+            clustered, ids, cents, scale, _, _, _, queries = unpack(args)
             dim = clustered.shape[1]
             blocks = clustered.reshape(local_clusters, cap, dim)
-            probe, hit_ids = probe_clusters(ids, cents, queries)
+            probe, hit_ids, _ = probe_clusters(ids, cents, queries)
             rows = jnp.take(blocks, probe, axis=0)  # [Q, p, cap, D]
             cdt = rerank_dtype(rows)
             s = jnp.einsum(
@@ -1134,14 +1497,37 @@ class IVFIPIndex:
             top_s, pos = lax.top_k(s, kk)
             return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
 
+        def probe_block_pq(*args):
+            """IVF+PQ: gather probed CODES (m bytes/row — 32x below bf16
+            rows at m=64, D=1024), reconstruct rows from the VMEM-resident
+            codebooks, and rerank on the MXU. Scores are ADC-style
+            approximations: q.centroid (free from stage 0) + q.decode(code);
+            like FAISS IVFPQ they rank well but are not exact inner
+            products."""
+            clustered, ids, cents, _, cb, _, _, queries = unpack(args)
+            code_blocks = clustered.reshape(local_clusters, cap, pq_m)
+            probe, hit_ids, cent_s = probe_clusters(ids, cents, queries)
+            codes = jnp.take(code_blocks, probe, axis=0)  # [Q, p, cap, m]
+            recon = _pq_reconstruct(codes, cb, pq_m, pq_ds)
+            s = jnp.einsum(
+                "qd,qpcd->qpc", queries.astype(jnp.bfloat16), recon,
+                preferred_element_type=jnp.float32,
+            ) + cent_s[:, :, None]
+            s = jnp.where(hit_ids >= 0, s, NEG_INF)
+            q = queries.shape[0]
+            s = s.reshape(q, p * cap)
+            hit_flat = hit_ids.reshape(q, p * cap)
+            top_s, pos = lax.top_k(s, kk)
+            return top_s, jnp.take_along_axis(hit_flat, pos, axis=1)
+
         def probe_block_hybrid(*args):
             """IVF+PCA: score probed rows in the projected d' space (d'/D of
             the gather bytes), gather only the top-C full rows, rerank
             exactly."""
-            clustered, ids, cents, scale, low, proj, queries = unpack(args)
+            clustered, ids, cents, scale, _, low, proj, queries = unpack(args)
             rd = low.shape[1]
             low_blocks = low.reshape(local_clusters, cap, rd)
-            probe, hit_ids = probe_clusters(ids, cents, queries)
+            probe, hit_ids, _ = probe_clusters(ids, cents, queries)
             rows_low = jnp.take(low_blocks, probe, axis=0)  # [Q, p, cap, d']
             q_low = (queries.astype(jnp.float32) @ proj).astype(jnp.bfloat16)
             s1 = jnp.einsum(
@@ -1175,7 +1561,11 @@ class IVFIPIndex:
             top_s, pos = lax.top_k(s2, kk_out)
             return top_s, jnp.take_along_axis(cand_ids, pos, axis=1)
 
-        block_fn = probe_block_hybrid if hybrid else probe_block
+        block_fn = (
+            probe_block_hybrid if hybrid
+            else probe_block_pq if pq
+            else probe_block
+        )
 
         if mesh is None:
 
@@ -1187,6 +1577,7 @@ class IVFIPIndex:
         array_specs = (
             (P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None))
             + ((P(DATA_AXIS),) if quantized else ())
+            + ((P(),) if pq else ())
             + ((P(DATA_AXIS, None), P()) if hybrid else ())
         )
         shard_fn = jax.shard_map(
@@ -1289,6 +1680,9 @@ class IVFIPIndex:
         cap = self.capacity
         local_clusters = self.local_clusters
         quantized = self.quantized
+        pq = self.pq_m is not None
+        pq_m = self.pq_m or 0
+        pq_ds = (self.dim // pq_m) if pq else 0
         mesh = self.mesh
         rows_local = local_clusters * cap
         k_local = min(k, rows_local)
@@ -1299,9 +1693,13 @@ class IVFIPIndex:
         def scan_block(*args):
             if quantized:
                 clustered, ids, scale, queries = args
+                cents = cb = None
+            elif pq:
+                clustered, ids, cents, cb, queries = args
+                scale = None
             else:
                 clustered, ids, queries = args
-                scale = None
+                scale = cents = cb = None
             qn = queries.shape[0]
             clustered_p = jnp.pad(clustered, ((0, padded - rows_local), (0, 0)))
             ids_p = jnp.pad(
@@ -1311,14 +1709,25 @@ class IVFIPIndex:
                 jnp.pad(scale, (0, padded - rows_local))
                 if scale is not None else None
             )
-            cdt = jnp.bfloat16 if quantized else clustered.dtype
+            cdt = jnp.bfloat16 if (quantized or pq) else clustered.dtype
             q_c = queries.astype(cdt)
-            prec = storage_exact_precision(clustered.dtype)
+            prec = (
+                None if pq else storage_exact_precision(clustered.dtype)
+            )
 
             def body(ci, carry):
                 best_s, best_i = carry
                 rows = lax.dynamic_slice_in_dim(clustered_p, ci * chunk, chunk)
                 ids_c = lax.dynamic_slice_in_dim(ids_p, ci * chunk, chunk)
+                if pq:
+                    # decode: residual reconstruction + the slot's cluster
+                    # centroid (padded slots clamp to the last cluster and
+                    # are masked below)
+                    cl = (ci * chunk + lax.iota(jnp.int32, chunk)) // cap
+                    cl = jnp.minimum(cl, local_clusters - 1)
+                    rows = _pq_reconstruct(rows, cb, pq_m, pq_ds) + jnp.take(
+                        cents, cl, axis=0
+                    ).astype(jnp.bfloat16)
                 s = jnp.einsum(
                     "qd,rd->qr", q_c, rows.astype(cdt),
                     preferred_element_type=jnp.float32, precision=prec,
@@ -1349,8 +1758,10 @@ class IVFIPIndex:
         if mesh is None:
             return scan_block
 
-        specs = (P(DATA_AXIS, None), P(DATA_AXIS)) + (
-            (P(DATA_AXIS),) if quantized else ()
+        specs = (
+            (P(DATA_AXIS, None), P(DATA_AXIS))
+            + ((P(DATA_AXIS),) if quantized else ())
+            + ((P(DATA_AXIS, None), P()) if pq else ())
         )
         shard_fn = jax.shard_map(
             scan_block,
@@ -1382,8 +1793,13 @@ class IVFIPIndex:
                 np.zeros((0, k), np.float32),
                 np.zeros((0, k), np.int32),
             )
-        arrays = (self.corpus, self.row_ids) + (
-            (self.slot_scale,) if self.quantized else ()
+        arrays = (
+            (self.corpus, self.row_ids)
+            + ((self.slot_scale,) if self.quantized else ())
+            + (
+                (self.centroids, self.codebooks)
+                if self.pq_m is not None else ()
+            )
         )
         with self._search_lock:
             key = ("exact", k, batch_size)
@@ -1395,6 +1811,11 @@ class IVFIPIndex:
                 else:
                     mesh = self.mesh
                     ext = (NamedSharding(mesh, P(DATA_AXIS)),) if self.quantized else ()
+                    if self.pq_m is not None:
+                        ext += (
+                            NamedSharding(mesh, P(DATA_AXIS, None)),
+                            NamedSharding(mesh, P()),
+                        )
                     fn = jax.jit(
                         inner,
                         in_shardings=(

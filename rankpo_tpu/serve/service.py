@@ -235,9 +235,21 @@ class RetrievalService:
             # row_ids to recover the original corpus order. row_ids stay
             # integer end to end — a float32 hop would corrupt ids above
             # 2^24 (the multi-million-row regime this index targets)
-            clustered = fetch(index.corpus)  # int8 codes cast losslessly
-            if index.quantized:
-                clustered = clustered * fetch(index.slot_scale)[:, None]
+            if index.pq_m is not None:
+                # decode residual codes on host: codebook lookup + the
+                # slot's cluster centroid (rows round-trip with PQ error,
+                # the codec's contract — cf. int8 dequant below)
+                codes = np.asarray(gather(index.corpus))  # [slots, m] uint8
+                m, ds = index.pq_m, index.dim // index.pq_m
+                cb = index._codebooks_host  # [m, 256, ds] fp32
+                recon = cb[np.arange(m)[None, :], codes.astype(np.int64)]
+                clustered = recon.reshape(codes.shape[0], index.dim)
+                cluster = np.arange(codes.shape[0]) // index.capacity
+                clustered = clustered + index._centroids_host[cluster]
+            else:
+                clustered = fetch(index.corpus)  # int8 codes cast losslessly
+                if index.quantized:
+                    clustered = clustered * fetch(index.slot_scale)[:, None]
             row_ids = np.asarray(gather(index.row_ids), np.int64)
             emb = np.zeros((index.n_total, clustered.shape[1]), np.float32)
             valid = row_ids >= 0

@@ -442,6 +442,136 @@ class TestIVFPCAHybrid:
         np.testing.assert_allclose(s, es, atol=1e-5)
 
 
+class TestIVFPQ:
+    """Residual product quantization (FAISS IndexIVFPQ analog). Scores are
+    ADC-style approximations by contract, so tests assert (a) consistency
+    between the two on-device decode paths (probe rerank vs exact_search)
+    under full probing, (b) bounded reconstruction error of returned scores
+    vs true inner products on clustered data, (c) recall against the fp32
+    oracle in the tuned regime, and (d) the validation surface."""
+
+    def test_full_probe_matches_decode_oracle(self):
+        corpus = _blob_corpus(400, 32, seed=60)
+        queries = _blob_corpus(9, 32, seed=61)
+        index = IVFIPIndex(
+            corpus, n_clusters=8, nprobe=8, pq_m=8, kmeans_iters=5,
+            pq_iters=10,
+        )
+        s, i = index.search(queries, k=10, batch_size=4)
+        # exact_search decodes the same codes via one (centroid + residual)
+        # einsum; the probe path splits the centroid term out — bf16-level
+        # differences only
+        es, ei = index.exact_search(queries, k=10, batch_size=4)
+        ref = [set(row.tolist()) for row in ei]
+        assert _recall(i, ref, 10) >= 0.95
+        both = i == ei
+        np.testing.assert_allclose(s[both], es[both], rtol=2e-2, atol=2e-2)
+
+    def test_adc_scores_near_true_inner_products(self):
+        # tight blobs -> small residuals -> accurate codes: returned scores
+        # must track the true fp32 inner products within a loose ADC bound
+        corpus = _blob_corpus(500, 64, n_blobs=10, seed=62, spread=0.1)
+        queries = _blob_corpus(8, 64, n_blobs=10, seed=63, spread=0.1)
+        index = IVFIPIndex(
+            corpus, n_clusters=8, nprobe=8, pq_m=16, kmeans_iters=5,
+            pq_iters=15,
+        )
+        s, i = index.search(queries, k=5)
+        assert (i >= 0).all()
+        true = np.take_along_axis(
+            queries @ corpus.T, i.astype(np.int64), axis=1
+        )
+        assert np.abs(s - true).max() < 0.25
+
+    def test_autotune_and_oracle_recall(self):
+        corpus, queries = _blobs_with_queries(
+            3000, 64, 64, n_blobs=30, seed=64
+        )
+        index = IVFIPIndex(
+            corpus, recall_target=0.9, tune_sample=64, tune_k=10,
+            pq_m=16, kmeans_iters=5, pq_iters=10,
+        )
+        assert 1 <= index.nprobe <= index.n_clusters
+        _, i = index.search(queries, k=10)
+        # vs the index's own decode oracle: probing loss only (the tuner's
+        # contract — quantization loss is the storage trade, cf. int8)
+        _, ei = index.exact_search(queries, k=10)
+        ref = [set(row.tolist()) for row in ei]
+        assert _recall(i, ref, 10) >= 0.8
+        # vs the fp32 oracle: compound loss, bounded but meaningful
+        _, fi = numpy_search(corpus, queries, 10)
+        fref = [set(row.tolist()) for row in fi]
+        assert _recall(i, fref, 10) >= 0.5
+
+    def test_sharded_build_and_search(self, data_mesh):
+        corpus = _blob_corpus(803, 32, seed=65)
+        queries = _blob_corpus(11, 32, seed=66)
+        index = IVFIPIndex(
+            corpus, mesh=data_mesh, n_clusters=16, nprobe=16, pq_m=8,
+            kmeans_iters=5, pq_iters=10,
+        )
+        s, i = index.search(queries, k=20, batch_size=8)
+        assert int(i.max()) < 803  # padding never surfaces
+        _, ei = index.exact_search(queries, k=20, batch_size=8)
+        ref = [set(row.tolist()) for row in ei]
+        assert _recall(i, ref, 20) >= 0.95
+
+    def test_streamed_build(self):
+        corpus = _blob_corpus(900, 32, seed=67)
+        queries = _blob_corpus(9, 32, seed=68)
+        index = IVFIPIndex.from_chunk_fn(
+            lambda lo, hi: corpus[lo:hi], 900, 32, chunk_rows=256,
+            n_clusters=8, nprobe=8, pq_m=8, kmeans_iters=5, pq_iters=10,
+        )
+        assert index.corpus.dtype == jnp.uint8
+        assert index.corpus.shape[1] == 8
+        _, i = index.search(queries, k=10, batch_size=4)
+        _, ei = index.exact_search(queries, k=10, batch_size=4)
+        ref = [set(row.tolist()) for row in ei]
+        assert _recall(i, ref, 10) >= 0.95
+        # self-retrieval through the codes: the quantized self row should
+        # still be a strong neighbor of its own query
+        _, si = index.search(corpus[:8], k=5)
+        hits = np.mean([r in si[r] for r in range(8)])
+        assert hits >= 0.75
+
+    def test_pq_from_sharded(self, data_mesh):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        corpus = _blob_corpus(1600, 32, seed=70)
+        queries = _blob_corpus(11, 32, seed=71)
+        emb_dev = jax.device_put(
+            corpus, NamedSharding(data_mesh, P("data", None))
+        )
+        index = IVFIPIndex.from_sharded(
+            emb_dev, 1600, mesh=data_mesh, n_clusters=16, nprobe=16,
+            pq_m=8, kmeans_iters=5, pq_iters=10,
+        )
+        assert np.asarray(index.corpus).dtype == np.uint8
+        _, i = index.search(queries, k=15, batch_size=8)
+        assert int(i.max()) < 1600
+        _, ei = index.exact_search(queries, k=15, batch_size=8)
+        ref = [set(row.tolist()) for row in ei]
+        assert _recall(i, ref, 15) >= 0.95
+
+    def test_rejects_bad_pq_params(self):
+        corpus = _blob_corpus(50, 16, seed=69)
+        with pytest.raises(ValueError):
+            IVFIPIndex(corpus, n_clusters=2, nprobe=1, pq_m=3)  # 16 % 3
+        with pytest.raises(ValueError):
+            IVFIPIndex(corpus, n_clusters=2, nprobe=1, pq_m=0)
+        with pytest.raises(ValueError):
+            IVFIPIndex(
+                corpus, n_clusters=2, nprobe=1, pq_m=4,
+                store_dtype=jnp.int8,
+            )
+        with pytest.raises(ValueError):
+            IVFIPIndex(
+                corpus, n_clusters=2, nprobe=1, pq_m=4, reduced_dim=8,
+            )
+
+
 class TestIVFIPIndexSharded:
     def test_sharded_full_probe_exact(self, data_mesh):
         # 803 rows over 8 shards (row padding exercised); probing all local

@@ -209,6 +209,49 @@ class TestIVFServing:
         assert len(calls) == 2  # fresh build re-tuned
         assert svc.index_kwargs.get("nprobe") == "auto"  # config not mutated
 
+    def test_pq_ivf_serves(self, data_mesh, ivf_service, tmp_path):
+        # IVF+PQ serving: uint8 residual codes behind the same surface.
+        # Scores are ADC approximations, so assertions are rank-tolerant
+        svc = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"n_clusters": 8, "nprobe": 8, "pq_m": 16,
+                          "pq_iters": 5},
+        )
+        svc.build_index(
+            [f"document {i} on distinct topic {i}" for i in range(16)],
+            max_passage_length=16, batch_size=8,
+        )
+        assert svc.index.pq_m == 16
+        assert np.asarray(svc.index.corpus).dtype == np.uint8
+        res = svc.query("document 9 on distinct topic 9", k=3)
+        assert 9 in [h["index"] for h in res["hits"]]
+        assert res["hits"][0]["score"] == pytest.approx(1.0, abs=0.15)
+        # structural persistence round-trips the codes + codebooks
+        path = str(tmp_path / "pq_index.npz")
+        svc.save_index(path)
+        svc2 = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"n_clusters": 8, "nprobe": 8, "pq_m": 16},
+        )
+        svc2.load_index_file(path)
+        assert svc2.index.pq_m == 16
+        r1 = svc.query("document 5 on distinct topic 5", k=4,
+                       return_passages=False)
+        r2 = svc2.query("document 5 on distinct topic 5", k=4,
+                        return_passages=False)
+        assert [h["index"] for h in r1["hits"]] == [
+            h["index"] for h in r2["hits"]
+        ]
+        # /add rebuild keeps the PQ codec
+        svc.add_passages(["zebra quark lantern umbrella volcano"],
+                         max_passage_length=16, batch_size=8)
+        assert svc.ntotal == 17
+        assert svc.index.pq_m == 16
+        res = svc.query("zebra quark lantern umbrella volcano", k=3)
+        assert 16 in [h["index"] for h in res["hits"]]
+
     def test_int8_ivf_serves(self, data_mesh, ivf_service):
         # int8 storage is a first-class IVF option (4x memory vs fp32);
         # save_index must de-permute AND dequantize
