@@ -47,11 +47,18 @@ parser.add_argument("--reduced_dims", type=int, nargs="+", default=[],
 parser.add_argument("--candidates", type=int, default=512,
                     help="hybrid rerank pool size")
 parser.add_argument("--pq_m", type=int, default=0,
-                    help="also bench residual product quantization at this "
+                    help="bench residual product quantization at this "
                     "subvector count (m uint8 codes/row: 32x below bf16 "
                     "rows at m=64/D=1024 — the 100M-rows-on-one-chip tier; "
                     "ADC-approximate scores, recall reported vs the fp32 "
-                    "oracle)")
+                    "oracle). In the default mode this is an ADDITIONAL "
+                    "index next to the flat-storage ones; with "
+                    "--chunked_build it REPLACES the storage codec "
+                    "(--store / --reduced_dims are ignored)")
+parser.add_argument("--capacity_slack", type=float, default=1.3,
+                    help="per-cluster slot headroom; 1.3 inflates storage "
+                    "30% — at 10M int8 that is 13.4 GB vs 10.3, the "
+                    "difference between fitting a 16 GB chip or not")
 parser.add_argument("--store", default="bfloat16",
                     choices=["float32", "bfloat16", "int8"],
                     help="row storage (int8 = 4x memory vs fp32, dequant "
@@ -143,7 +150,9 @@ def main():
             for r in range(Q)
         ]))
 
-    REPS = 4
+    # small query batches need more in-jit repetitions or the ~25-30ms
+    # tunnel dispatch floor (CLAUDE.md) leaks into the per-rep time
+    REPS = 4 if Q >= 64 else 32
     budget = int(_args.gather_budget_gb * (1 << 30))
 
     def q_fit(per_query_bytes):
@@ -195,6 +204,7 @@ def main():
         approx_base, (queries, corpus_bf16), "approx bf16 full scan",
         recall_of(base_idx), Q,
     )
+    del corpus_bf16  # free 2 GB at 1M before the index builds
 
     queries_np = np.asarray(queries, np.float32)
     row_bytes = np.dtype(STORE).itemsize
@@ -204,6 +214,7 @@ def main():
         index = IVFIPIndex.from_sharded(
             corpus, N, mesh=None, n_clusters=k_c, nprobe=max(_args.nprobes),
             kmeans_iters=_args.kmeans_iters, store_dtype=STORE,
+            capacity_slack=_args.capacity_slack,
         )
         build_s = time.perf_counter() - t0
         print(
@@ -232,6 +243,7 @@ def main():
                 nprobe=max(_args.nprobes), kmeans_iters=_args.kmeans_iters,
                 store_dtype=STORE, reduced_dim=rd,
                 candidates=_args.candidates,
+                capacity_slack=_args.capacity_slack,
             )
             print(
                 f"  hybrid build K={k_c} d'={rd}: "
@@ -259,7 +271,7 @@ def main():
             pqi = IVFIPIndex.from_sharded(
                 corpus, N, mesh=None, n_clusters=k_c,
                 nprobe=max(_args.nprobes), kmeans_iters=_args.kmeans_iters,
-                pq_m=_args.pq_m,
+                pq_m=_args.pq_m, capacity_slack=_args.capacity_slack,
             )
             print(
                 f"  pq build K={k_c} m={_args.pq_m}: "
@@ -348,13 +360,21 @@ def chunked_main(IVFIPIndex):
 
     for k_c in _args.clusters:
         t0 = time.perf_counter()
+        pq = bool(_args.pq_m)
         index = IVFIPIndex.from_chunk_fn(
             get_chunk, N, D, chunk_rows=_args.chunk_rows,
             n_clusters=k_c, nprobe=max(_args.nprobes),
-            kmeans_iters=_args.kmeans_iters, store_dtype=STORE,
-            reduced_dim=(_args.reduced_dims[0] if _args.reduced_dims else None),
+            kmeans_iters=_args.kmeans_iters,
+            # pq REPLACES the storage codec: int8/reduced_dim conflict
+            # with it by contract
+            store_dtype=jnp.bfloat16 if pq else STORE,
+            reduced_dim=(
+                None if pq
+                else (_args.reduced_dims[0] if _args.reduced_dims else None)
+            ),
             candidates=_args.candidates,
             pq_m=(_args.pq_m or None),
+            capacity_slack=_args.capacity_slack,
         )
         print(
             f"  chunked build K={k_c}: {time.perf_counter() - t0:.1f}s "

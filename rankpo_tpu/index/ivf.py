@@ -199,6 +199,7 @@ def _pad_to_chunks(x, chunk):
 # product quantization (residual PQ, FAISS IndexIVFPQ analog)
 
 PQ_K = 256  # 8-bit codes (FAISS default); one uint8 per subvector
+PQ_TRAIN_SAMPLE = 1 << 16  # residual rows the codebook Lloyd fits on
 
 
 def _pq_lloyd_body(sample_sub, codebooks, n_valid, *, n_iters, chunk):
@@ -951,11 +952,8 @@ class IVFIPIndex:
         residual = clustered - self._centroids_host[slot_cluster]
         residual[row_ids < 0] = 0.0
 
-        valid = np.nonzero(row_ids >= 0)[0]
-        rng = np.random.default_rng(seed + 2)
-        n_sample = int(min(len(valid), max(64 * PQ_K, 1 << 16)))
-        sample = residual[rng.choice(valid, size=n_sample, replace=False)]
-        self._fit_pq_codebooks(sample, seed)
+        sample_slots = self._pq_sample_slot_ids(row_ids, seed)
+        self._fit_pq_codebooks(residual[sample_slots], seed)
 
         enc = jax.jit(_pq_encode_block)
         cb_dev = jnp.asarray(self._codebooks_host)
@@ -973,6 +971,16 @@ class IVFIPIndex:
                 : hi - lo
             ]
         return codes
+
+    @staticmethod
+    def _pq_sample_slot_ids(row_ids: np.ndarray, seed: int) -> np.ndarray:
+        """Filled-slot ids sampled for the codebook fit — ONE policy shared
+        by the host and device-resident builds so identical inputs produce
+        identical codebooks on both."""
+        valid = np.nonzero(row_ids >= 0)[0]
+        rng = np.random.default_rng(seed + 2)
+        n_sample = int(min(len(valid), PQ_TRAIN_SAMPLE))
+        return rng.choice(valid, size=n_sample, replace=False)
 
     def _fit_pq_codebooks(self, sample_residuals: np.ndarray, seed: int):
         """Lloyd-fit the per-subvector codebooks on fp32 residual rows
@@ -1020,10 +1028,7 @@ class IVFIPIndex:
         )(embeddings, perm_dev, valid_dev)
 
         # --- codebook fit on a host-fetched residual sample -------------
-        valid = np.nonzero(row_ids >= 0)[0]
-        rng = np.random.default_rng(seed + 2)
-        n_sample = int(min(len(valid), max(64 * PQ_K, 1 << 16)))
-        sample_slots = rng.choice(valid, size=n_sample, replace=False)
+        sample_slots = self._pq_sample_slot_ids(row_ids, seed)
         idx_dev = (
             jnp.asarray(sample_slots.astype(np.int32)) if mesh is None
             else replicate_to_mesh(sample_slots.astype(np.int32), mesh)
@@ -1042,29 +1047,34 @@ class IVFIPIndex:
         local_slots = (self.n_clusters // n_shards) * cap
         chunk = min(local_slots, 8192)
         n_chunks = -(-local_slots // chunk)
-        padded = n_chunks * chunk
         cb_f32 = (
             jnp.asarray(self._codebooks_host) if mesh is None
             else replicate_to_mesh(self._codebooks_host, mesh)
         )
 
         def encode_shard(rows_local, cents_local, cb, axis_name=None):
-            rows_p = jnp.pad(rows_local, ((0, padded - local_slots), (0, 0)))
-            cl = lax.iota(jnp.int32, padded) // cap
-            cl = jnp.minimum(cl, cents_local.shape[0] - 1)
-            res_p = rows_p - jnp.take(cents_local, cl, axis=0)
-
+            # residual + encode PER CHUNK inside the loop — a precomputed
+            # residual matrix would double the fp32 transient (OOM at 1M on
+            # a 16 GB chip, measured). The final partial chunk re-slices
+            # from a clamped start: overlapping positions recompute and
+            # rewrite IDENTICAL codes, so no pad copy is needed either.
             def body(ci, buf):
-                blk = lax.dynamic_slice_in_dim(res_p, ci * chunk, chunk)
+                start = jnp.minimum(ci * chunk, local_slots - chunk)
+                blk = lax.dynamic_slice_in_dim(rows_local, start, chunk)
+                cl = (start + lax.iota(jnp.int32, chunk)) // cap
+                res = blk - jnp.take(cents_local, cl, axis=0)
                 return lax.dynamic_update_slice_in_dim(
-                    buf, _pq_encode_block(blk, cb), ci * chunk, axis=0
+                    buf, _pq_encode_block(res, cb), start, axis=0
                 )
 
-            buf0 = jnp.zeros((padded, m), jnp.uint8)
+            buf0 = jnp.zeros((local_slots, m), jnp.uint8)
             if axis_name is not None:
                 buf0 = lax.pcast(buf0, (axis_name,), to="varying")
-            return lax.fori_loop(0, n_chunks, body, buf0)[:local_slots]
+            return lax.fori_loop(0, n_chunks, body, buf0)
 
+        # (no donate: fp32 rows cannot alias the uint8 codes output, and the
+        # loop reads the input to its last chunk — the real peak-memory fix
+        # is the chunk-local residual above)
         if mesh is None:
             self.corpus = jax.jit(encode_shard)(
                 clustered, self.centroids, cb_f32
@@ -1086,18 +1096,18 @@ class IVFIPIndex:
         """Device codebooks for search: flattened [m*256, ds] bf16 (the
         reconstruction gather indexes subvector-major), replicated across
         the mesh."""
+        import ml_dtypes
+
         m, ds = self.pq_m, self.dim // self.pq_m
-        flat = self._codebooks_host.reshape(m * PQ_K, ds)
+        # host-side bf16 cast (bit-identical round-to-nearest): half the
+        # replicated transfer bytes and no extra jitted cast dispatch
+        flat = self._codebooks_host.reshape(m * PQ_K, ds).astype(
+            ml_dtypes.bfloat16
+        )
         if self.mesh is None:
-            self.codebooks = jax.device_put(
-                jnp.asarray(flat, jnp.bfloat16)
-            )
+            self.codebooks = jax.device_put(jnp.asarray(flat))
         else:
             self.codebooks = replicate_to_mesh(flat, self.mesh)
-            self.codebooks = jax.jit(
-                lambda x: x.astype(jnp.bfloat16),
-                out_shardings=NamedSharding(self.mesh, P()),
-            )(self.codebooks)
 
     def _init_projection(self):
         """PCA projection + projected cluster-major rows for the hybrid
@@ -1368,8 +1378,9 @@ class IVFIPIndex:
     def search_arrays(self) -> tuple:
         """Device arrays ``search_callable`` consumes, in order (the index
         protocol serving composes against: ``fn(*search_arrays, queries)``).
-        Layout: (corpus, row_ids, centroids[, slot_scale][, corpus_low,
-        proj]) — optional groups present when quantized / hybrid."""
+        Layout: (corpus, row_ids, centroids[, slot_scale][, codebooks]
+        [, corpus_low, proj]) — optional groups present when quantized /
+        pq / hybrid."""
         arrays = (self.corpus, self.row_ids, self.centroids)
         if self.quantized:
             arrays += (self.slot_scale,)

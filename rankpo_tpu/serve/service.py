@@ -298,10 +298,18 @@ class RetrievalService:
             }
         elif isinstance(index, IVFIPIndex):
             # same reasoning for the IVF tuner (k-means itself still
-            # re-trains on the merged matrix — new rows need clusters)
+            # re-trains on the merged matrix — new rows need clusters).
+            # Structural codec knobs (pq_m, hybrid projection) must ride
+            # along too: a service restarted from a persisted index file
+            # has them only on the index, not in index_kwargs — without
+            # this an /add would silently rebuild as a plain bf16 IVF
+            # (32x the memory at the scale PQ targets)
             overrides = {
                 "nprobe": index.nprobe,
                 "n_clusters": index.n_clusters,
+                "pq_m": index.pq_m,
+                "reduced_dim": index.reduced_dim,
+                "candidates": index.candidates,
             }
         self.load_index(merged, texts_all, overrides)
         logger.info(

@@ -252,6 +252,38 @@ class TestIVFServing:
         res = svc.query("zebra quark lantern umbrella volcano", k=3)
         assert 16 in [h["index"] for h in res["hits"]]
 
+    def test_pq_codec_survives_restart_then_add(self, data_mesh,
+                                                ivf_service, tmp_path):
+        # a restarted service knows pq_m only from the persisted index (the
+        # operator may omit --ivf_pq_m since the structural load ignores
+        # build knobs); /add must still rebuild WITH the codec, not as a
+        # plain bf16 IVF (32x the memory at the scale PQ targets)
+        svc = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"n_clusters": 8, "nprobe": 8, "pq_m": 16,
+                          "pq_iters": 5},
+        )
+        svc.build_index(
+            [f"document {i} on distinct topic {i}" for i in range(16)],
+            max_passage_length=16, batch_size=8,
+        )
+        path = str(tmp_path / "pq_restart.npz")
+        svc.save_index(path)
+        svc2 = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"n_clusters": 8, "nprobe": 8},  # no pq_m
+        )
+        svc2.load_index_file(path)
+        assert svc2.index.pq_m == 16
+        svc2.add_passages(["zebra quark lantern umbrella volcano"],
+                          max_passage_length=16, batch_size=8)
+        assert svc2.index.pq_m == 16
+        assert np.asarray(svc2.index.corpus).dtype == np.uint8
+        res = svc2.query("zebra quark lantern umbrella volcano", k=3)
+        assert 16 in [h["index"] for h in res["hits"]]
+
     def test_int8_ivf_serves(self, data_mesh, ivf_service):
         # int8 storage is a first-class IVF option (4x memory vs fp32);
         # save_index must de-permute AND dequantize
