@@ -89,8 +89,20 @@ parser.add_argument("--gather_budget_gb", type=float, default=3.0,
                     "OOM on a 16 GB chip)")
 parser.add_argument("--isotropic", action="store_true",
                     help="pure gaussian corpus — IVF's worst case")
+parser.add_argument("--anisotropic_decay", type=float, default=0.0,
+                    help="> 0 scales dimension i by (1+i)^-decay before "
+                    "normalization (power-law spectrum — real text-"
+                    "embedding matrices decay like this; isotropic "
+                    "residuals are PQ's worst case, cf. the refine "
+                    "index's --anisotropic rationale)")
 _args = parser.parse_args()
 N, D, Q, K = _args.n, _args.d, _args.q, _args.k
+
+
+def _spectrum():
+    if _args.anisotropic_decay <= 0.0:
+        return None
+    return (1.0 + jnp.arange(D, dtype=jnp.float32)) ** -_args.anisotropic_decay
 
 
 def make_data(key):
@@ -110,6 +122,9 @@ def make_data(key):
             jnp.take(centers, jax.random.randint(kqa, (Q,), 0, _args.blobs), 0)
             + noise * jax.random.normal(kqn, (Q, D), jnp.float32)
         )
+    w = _spectrum()
+    if w is not None:
+        c, q = c * w, q * w
     c = c / jnp.linalg.norm(c, axis=-1, keepdims=True)
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
     return c, q

@@ -1464,10 +1464,16 @@ class IVFIPIndex:
             return clustered, ids, cents, scale, cb, low, proj, queries
 
         def probe_clusters(ids, cents, queries):
-            """Stage 0 shared by all variants: local top-p clusters, the
-            probed slots' global row ids, and the probed centroid scores
-            (the PQ path's q.centroid term comes free from here)."""
-            id_blocks = ids.reshape(local_clusters, cap)
+            """Stage 0 shared by all variants: local top-p clusters expanded
+            to flat SLOT ids, the probed slots' global row ids, and the
+            probed centroid scores (the PQ path's q.centroid term comes
+            free from here). Row-level slot expansion deliberately replaces
+            the earlier whole-block ``jnp.take(blocks, probe)``: composed
+            with in-jit probe ids the block gather lowered ~8x slower at
+            small query batches (9.2 -> 1.2 ms at Q=8/p=8/1M on v5e,
+            benchmarks/gather_probe.py FULL variants; large batches
+            neutral)."""
+            q = queries.shape[0]
             qc = jnp.einsum(
                 "qd,kd->qk",
                 queries.astype(jnp.bfloat16),
@@ -1475,8 +1481,12 @@ class IVFIPIndex:
                 preferred_element_type=jnp.float32,
             )
             cent_s, probe = lax.top_k(qc, p)  # [Q, p] local cluster ids
-            hit_ids = jnp.take(id_blocks, probe, axis=0)  # [Q, p, cap]
-            return probe, hit_ids, cent_s
+            slots = (
+                probe[:, :, None] * cap
+                + lax.iota(jnp.int32, cap)[None, None, :]
+            ).reshape(q, p * cap)
+            hit_ids = jnp.take(ids, slots, axis=0)  # [Q, p*cap]
+            return slots, hit_ids, cent_s
 
         def rerank_dtype(rows):
             # int8 codes compute in bf16 with the dequant scale applied to
@@ -1487,24 +1497,17 @@ class IVFIPIndex:
             """Plain IVF: gather probed full rows, rerank exactly (at
             storage precision; int8 = against the quantized rows)."""
             clustered, ids, cents, scale, _, _, _, queries = unpack(args)
-            dim = clustered.shape[1]
-            blocks = clustered.reshape(local_clusters, cap, dim)
-            probe, hit_ids, _ = probe_clusters(ids, cents, queries)
-            rows = jnp.take(blocks, probe, axis=0)  # [Q, p, cap, D]
+            slots, hit_ids, _ = probe_clusters(ids, cents, queries)
+            rows = jnp.take(clustered, slots, axis=0)  # [Q, p*cap, D]
             cdt = rerank_dtype(rows)
             s = jnp.einsum(
-                "qd,qpcd->qpc", queries.astype(cdt), rows.astype(cdt),
+                "qd,qnd->qn", queries.astype(cdt), rows.astype(cdt),
                 preferred_element_type=jnp.float32,
                 precision=storage_exact_precision(rows.dtype),
             )
             if scale is not None:
-                s = s * jnp.take(
-                    scale.reshape(local_clusters, cap), probe, axis=0
-                )
+                s = s * jnp.take(scale, slots, axis=0)
             s = jnp.where(hit_ids >= 0, s, NEG_INF)
-            q = queries.shape[0]
-            s = s.reshape(q, p * cap)
-            hit_ids = hit_ids.reshape(q, p * cap)
             top_s, pos = lax.top_k(s, kk)
             return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
 
@@ -1516,50 +1519,74 @@ class IVFIPIndex:
             like FAISS IVFPQ they rank well but are not exact inner
             products."""
             clustered, ids, cents, _, cb, _, _, queries = unpack(args)
-            code_blocks = clustered.reshape(local_clusters, cap, pq_m)
-            probe, hit_ids, cent_s = probe_clusters(ids, cents, queries)
-            codes = jnp.take(code_blocks, probe, axis=0)  # [Q, p, cap, m]
-            recon = _pq_reconstruct(codes, cb, pq_m, pq_ds)
-            s = jnp.einsum(
-                "qd,qpcd->qpc", queries.astype(jnp.bfloat16), recon,
-                preferred_element_type=jnp.float32,
-            ) + cent_s[:, :, None]
-            s = jnp.where(hit_ids >= 0, s, NEG_INF)
             q = queries.shape[0]
-            s = s.reshape(q, p * cap)
-            hit_flat = hit_ids.reshape(q, p * cap)
+            slots, hit_ids, cent_s = probe_clusters(ids, cents, queries)
+            codes = jnp.take(clustered, slots, axis=0)  # [Q, p*cap, m]
+            rows_n = q * p * cap
+            if rows_n < (1 << 16):
+                # small probed sets: the ds-wide codebook take is fastest
+                # (1.12 vs 2.99 ms at Q=8/p=8/1M, pq_decode_probe)
+                recon = _pq_reconstruct(codes, cb, pq_m, pq_ds)
+            else:
+                # large probed sets: decode AS A MATMUL — one_hot(codes)
+                # einsum codebooks, chunked so the one-hot transient stays
+                # bounded. 3x the element-gather reconstruct at Q=256
+                # (57.9 vs 174.7 ms, pq_decode_probe); the remaining cost
+                # is the one-hot's own HBM traffic, not FLOPs
+                cbm = cb.reshape(pq_m, PQ_K, pq_ds)
+                flat_codes = codes.reshape(rows_n, pq_m)
+                chunk = min(rows_n, 1 << 14)
+                n_chunks = -(-rows_n // chunk)
+
+                def body(ci, out):
+                    start = jnp.minimum(ci * chunk, rows_n - chunk)
+                    blk = lax.dynamic_slice_in_dim(flat_codes, start, chunk)
+                    onehot = jax.nn.one_hot(blk, PQ_K, dtype=jnp.bfloat16)
+                    rows = jnp.einsum(
+                        "rmk,mkd->rmd", onehot, cbm,
+                        preferred_element_type=jnp.bfloat16,
+                    ).reshape(chunk, pq_m * pq_ds)
+                    return lax.dynamic_update_slice_in_dim(
+                        out, rows, start, axis=0
+                    )
+
+                buf0 = jnp.zeros((rows_n, pq_m * pq_ds), jnp.bfloat16)
+                if mesh is not None:
+                    buf0 = lax.pcast(buf0, (DATA_AXIS,), to="varying")
+                recon = lax.fori_loop(0, n_chunks, body, buf0).reshape(
+                    q, p * cap, pq_m * pq_ds
+                )
+            s = jnp.einsum(
+                "qd,qnd->qn", queries.astype(jnp.bfloat16), recon,
+                preferred_element_type=jnp.float32,
+            ) + jnp.repeat(cent_s, cap, axis=1)
+            s = jnp.where(hit_ids >= 0, s, NEG_INF)
             top_s, pos = lax.top_k(s, kk)
-            return top_s, jnp.take_along_axis(hit_flat, pos, axis=1)
+            return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
 
         def probe_block_hybrid(*args):
             """IVF+PCA: score probed rows in the projected d' space (d'/D of
             the gather bytes), gather only the top-C full rows, rerank
             exactly."""
             clustered, ids, cents, scale, _, low, proj, queries = unpack(args)
-            rd = low.shape[1]
-            low_blocks = low.reshape(local_clusters, cap, rd)
-            probe, hit_ids, _ = probe_clusters(ids, cents, queries)
-            rows_low = jnp.take(low_blocks, probe, axis=0)  # [Q, p, cap, d']
+            slots, hit_ids, _ = probe_clusters(ids, cents, queries)
+            rows_low = jnp.take(low, slots, axis=0)  # [Q, p*cap, d']
             q_low = (queries.astype(jnp.float32) @ proj).astype(jnp.bfloat16)
             s1 = jnp.einsum(
-                "qe,qpce->qpc", q_low, rows_low,
+                "qe,qne->qn", q_low, rows_low,
                 preferred_element_type=jnp.float32,
             )
             s1 = jnp.where(hit_ids >= 0, s1, NEG_INF)
-            q = queries.shape[0]
-            s1 = s1.reshape(q, p * cap)
-            hit_flat = hit_ids.reshape(q, p * cap)
             # the 0.95 here is approx_max_k's OWN selection recall on the
             # projected scores; the nprobe tuner measures the COMPOUND
             # recall on the final config, so it self-corrects
             _, cpos = lax.approx_max_k(
                 s1, cc, recall_target=0.95, aggregate_to_topk=True
             )
-            # flat probed position -> local slot id -> full row gather
-            probe_exp = jnp.take_along_axis(probe, cpos // cap, axis=1)
-            slots = probe_exp * cap + cpos % cap  # [Q, cc]
-            rows = jnp.take(clustered, slots, axis=0)  # [Q, cc, D]
-            cand_ids = jnp.take_along_axis(hit_flat, cpos, axis=1)
+            # flat probed position -> slot id -> full row gather
+            slots_sel = jnp.take_along_axis(slots, cpos, axis=1)  # [Q, cc]
+            rows = jnp.take(clustered, slots_sel, axis=0)  # [Q, cc, D]
+            cand_ids = jnp.take_along_axis(hit_ids, cpos, axis=1)
             cdt = rerank_dtype(rows)
             s2 = jnp.einsum(
                 "qd,qcd->qc", queries.astype(cdt), rows.astype(cdt),
@@ -1567,7 +1594,7 @@ class IVFIPIndex:
                 precision=storage_exact_precision(rows.dtype),
             )
             if scale is not None:
-                s2 = s2 * jnp.take(scale, slots, axis=0)
+                s2 = s2 * jnp.take(scale, slots_sel, axis=0)
             s2 = jnp.where(cand_ids >= 0, s2, NEG_INF)
             top_s, pos = lax.top_k(s2, kk_out)
             return top_s, jnp.take_along_axis(cand_ids, pos, axis=1)

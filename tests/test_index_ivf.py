@@ -555,6 +555,30 @@ class TestIVFPQ:
         ref = [set(row.tolist()) for row in ei]
         assert _recall(i, ref, 15) >= 0.95
 
+    def test_decode_paths_agree_across_batch_sizes(self):
+        # the search kernel picks take-reconstruct below 65536 probed rows
+        # and the chunked one-hot matmul decode above (measured crossover,
+        # benchmarks/pq_decode_probe.py); both decode the same codes, so
+        # hit sets must agree across the threshold up to ADC near-ties
+        # (fp32 accumulation order differs between the two einsum layouts)
+        corpus = _blob_corpus(3000, 32, n_blobs=30, seed=72)
+        queries = _blob_corpus(32, 32, n_blobs=30, seed=73)
+        index = IVFIPIndex(
+            corpus, n_clusters=16, nprobe=16, pq_m=8, kmeans_iters=5,
+            pq_iters=10,
+        )
+        cap = index.capacity
+        assert 8 * 16 * cap < (1 << 16) <= 32 * 16 * cap, (
+            "test shapes must straddle the decode-path threshold"
+        )
+        _, i_small = index.search(queries, k=10, batch_size=8)
+        _, i_big = index.search(queries, k=10, batch_size=32)
+        overlap = np.mean([
+            len(set(i_small[r].tolist()) & set(i_big[r].tolist())) / 10
+            for r in range(32)
+        ])
+        assert overlap >= 0.9
+
     def test_rejects_bad_pq_params(self):
         corpus = _blob_corpus(50, 16, seed=69)
         with pytest.raises(ValueError):
