@@ -1347,8 +1347,14 @@ class IVFIPIndex:
 
         # bounded verification: one real search; bump if the measured
         # compound recall (hybrid candidate stage, bf16 accumulation
-        # differences) falls short
-        for _ in range(3):
+        # differences) falls short. For the hybrid, a probe bump can HURT:
+        # more probed rows crowd the fixed top-C projected-space selection
+        # (measured: 1M d'=128 C=512 recall 0.896 at p=32 -> 0.650 at
+        # p=64) — when p growth stops helping, grow the candidate pool
+        # instead (sticky on the instance, like the refine index's tuned C)
+        hybrid = self.reduced_dim is not None
+        prev_recall = -1.0
+        for _ in range(4 if hybrid else 3):
             _, idx = self.search(sample, k=k, nprobe=p)
             recall = float(
                 np.mean([
@@ -1357,13 +1363,27 @@ class IVFIPIndex:
                 ])
             )
             logger.info(
-                "IVFIPIndex tune (verify): nprobe=%d recall=%.4f "
-                "(target %.2f)",
-                p, recall, self.recall_target,
+                "IVFIPIndex tune (verify): nprobe=%d candidates=%s "
+                "recall=%.4f (target %.2f)",
+                p, self.candidates, recall, self.recall_target,
             )
-            if recall >= self.recall_target or p >= cap:
+            if recall >= self.recall_target:
                 break
-            p = min(max(p + 1, int(p * 1.5)), cap)
+            if hybrid and recall <= prev_recall:
+                self.candidates = min(
+                    2 * self._effective_candidates(k, None),
+                    p * self.capacity,
+                )
+                logger.info(
+                    "IVFIPIndex tune: probe bump regressed recall "
+                    "(candidate-pool crowding) — candidates -> %d",
+                    self.candidates,
+                )
+            elif p >= cap:
+                break
+            else:
+                p = min(max(p + 1, int(p * 1.5)), cap)
+            prev_recall = recall
         else:
             logger.warning(
                 "IVFIPIndex: recall below target %.2f at nprobe=%d after "
@@ -1485,8 +1505,13 @@ class IVFIPIndex:
                 probe[:, :, None] * cap
                 + lax.iota(jnp.int32, cap)[None, None, :]
             ).reshape(q, p * cap)
-            hit_ids = jnp.take(ids, slots, axis=0)  # [Q, p*cap]
-            return slots, hit_ids, cent_s
+            # ids gather stays BLOCK-shaped: element-gathering Q*p*cap int32
+            # scalars through `slots` hit the same wall (1M/Q=256 plain IVF
+            # regressed 20.7 -> 39 ms, measured) — 1.3 KB id blocks were
+            # never the pathology, only the 655 KB row blocks were
+            id_blocks = ids.reshape(local_clusters, cap)
+            hit_ids = jnp.take(id_blocks, probe, axis=0).reshape(q, p * cap)
+            return probe, slots, hit_ids, cent_s
 
         def rerank_dtype(rows):
             # int8 codes compute in bf16 with the dequant scale applied to
@@ -1497,7 +1522,8 @@ class IVFIPIndex:
             """Plain IVF: gather probed full rows, rerank exactly (at
             storage precision; int8 = against the quantized rows)."""
             clustered, ids, cents, scale, _, _, _, queries = unpack(args)
-            slots, hit_ids, _ = probe_clusters(ids, cents, queries)
+            q = queries.shape[0]
+            probe, slots, hit_ids, _ = probe_clusters(ids, cents, queries)
             rows = jnp.take(clustered, slots, axis=0)  # [Q, p*cap, D]
             cdt = rerank_dtype(rows)
             s = jnp.einsum(
@@ -1506,7 +1532,9 @@ class IVFIPIndex:
                 precision=storage_exact_precision(rows.dtype),
             )
             if scale is not None:
-                s = s * jnp.take(scale, slots, axis=0)
+                s = s * jnp.take(
+                    scale.reshape(local_clusters, cap), probe, axis=0
+                ).reshape(q, p * cap)
             s = jnp.where(hit_ids >= 0, s, NEG_INF)
             top_s, pos = lax.top_k(s, kk)
             return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
@@ -1520,7 +1548,7 @@ class IVFIPIndex:
             products."""
             clustered, ids, cents, _, cb, _, _, queries = unpack(args)
             q = queries.shape[0]
-            slots, hit_ids, cent_s = probe_clusters(ids, cents, queries)
+            _, slots, hit_ids, cent_s = probe_clusters(ids, cents, queries)
             codes = jnp.take(clustered, slots, axis=0)  # [Q, p*cap, m]
             rows_n = q * p * cap
             if rows_n < (1 << 16):
@@ -1569,7 +1597,7 @@ class IVFIPIndex:
             the gather bytes), gather only the top-C full rows, rerank
             exactly."""
             clustered, ids, cents, scale, _, low, proj, queries = unpack(args)
-            slots, hit_ids, _ = probe_clusters(ids, cents, queries)
+            _, slots, hit_ids, _ = probe_clusters(ids, cents, queries)
             rows_low = jnp.take(low, slots, axis=0)  # [Q, p*cap, d']
             q_low = (queries.astype(jnp.float32) @ proj).astype(jnp.bfloat16)
             s1 = jnp.einsum(

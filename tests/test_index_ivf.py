@@ -406,6 +406,32 @@ class TestIVFPCAHybrid:
         with pytest.raises(ValueError):
             IVFIPIndex(corpus, n_clusters=2, nprobe=1, candidates=0)
 
+    def test_tuner_grows_candidates_when_probe_bump_regresses(
+            self, monkeypatch):
+        # measured on v5e at 1M/d'=128/C=512: probe growth past 32 DROPPED
+        # recall 0.896 -> 0.650 — more probed rows crowd the fixed top-C
+        # projected selection. The verify loop must respond by growing the
+        # candidate pool, not by laddering nprobe to its cap
+        corpus = _blob_corpus(400, 16, seed=74)
+        index = IVFIPIndex(
+            corpus, n_clusters=8, nprobe=2, reduced_dim=8, candidates=64,
+            kmeans_iters=2,
+        )
+        real_exact = index.exact_search
+
+        def fake_search(queries, k=100, batch_size=64, nprobe=None,
+                        candidates=None):
+            s, i = real_exact(queries, k=k)
+            if index.candidates != "auto" and int(index.candidates) >= 128:
+                return s, i  # crowding resolved once the pool grew
+            return s, np.full_like(i, -1)  # recall 0 at ANY nprobe
+
+        monkeypatch.setattr(index, "search", fake_search)
+        index.recall_target = 0.9
+        index._tune_nprobe(corpus[:16], 5, 8)
+        assert int(index.candidates) >= 128  # grew from 64 (capped by
+        # p*capacity — the pool can never exceed the probed rows)
+
     def test_hybrid_sharded_full_coverage_exact(self, data_mesh):
         corpus = _blob_corpus(803, 16, seed=26)
         queries = _blob_corpus(17, 16, seed=27)
