@@ -1518,19 +1518,39 @@ class IVFIPIndex:
             # the fp32-accumulated products (FlatIPIndex's int8 scheme)
             return jnp.bfloat16 if rows.dtype == jnp.int8 else rows.dtype
 
+        # bf16/fp32 plain-IVF rerank on TPU: the Pallas streaming kernel
+        # (ops/ivf_gather_pallas.py) double-buffers the probed blocks
+        # HBM->VMEM with a fused dot — measured ~1.7x the XLA row-take on
+        # floor-subtracted time at 1M/Q=256, and EXACT fp32 accumulation
+        # (2.3e-5 vs the numpy oracle) where XLA's fused gather+einsum
+        # carries ~0.7% score error (benchmarks/ivf_pallas_probe.py).
+        # int8/PQ/hybrid keep the XLA path (scale/decode fusion not ported)
+        pallas_gather = (
+            not quantized and not pq and not hybrid
+            and jax.default_backend() == "tpu"
+            and self.dim % 128 == 0 and cap % 8 == 0
+        )
+
         def probe_block(*args):
             """Plain IVF: gather probed full rows, rerank exactly (at
             storage precision; int8 = against the quantized rows)."""
             clustered, ids, cents, scale, _, _, _, queries = unpack(args)
             q = queries.shape[0]
             probe, slots, hit_ids, _ = probe_clusters(ids, cents, queries)
-            rows = jnp.take(clustered, slots, axis=0)  # [Q, p*cap, D]
-            cdt = rerank_dtype(rows)
-            s = jnp.einsum(
-                "qd,qnd->qn", queries.astype(cdt), rows.astype(cdt),
-                preferred_element_type=jnp.float32,
-                precision=storage_exact_precision(rows.dtype),
-            )
+            if pallas_gather:
+                from rankpo_tpu.ops.ivf_gather_pallas import probe_scores
+
+                s = probe_scores(
+                    clustered, probe, queries, cap=cap
+                ).reshape(q, p * cap)
+            else:
+                rows = jnp.take(clustered, slots, axis=0)  # [Q, p*cap, D]
+                cdt = rerank_dtype(rows)
+                s = jnp.einsum(
+                    "qd,qnd->qn", queries.astype(cdt), rows.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                    precision=storage_exact_precision(rows.dtype),
+                )
             if scale is not None:
                 s = s * jnp.take(
                     scale.reshape(local_clusters, cap), probe, axis=0

@@ -1,0 +1,92 @@
+"""Pallas probed-cluster score kernel (ops/ivf_gather_pallas.py) —
+interpret-mode numerics on CPU; the real-TPU win and exactness are
+measured in benchmarks/ivf_pallas_probe.py (1.7x the XLA row-take at
+1M/Q=256, 2.3e-5 vs the numpy oracle where XLA's fused gather+einsum
+carries ~0.7% error)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from rankpo_tpu.ops.ivf_gather_pallas import probe_scores
+
+
+def _setup(k_c=16, cap=16, d=128, q=5, p=3, dtype=jnp.float32, seed=0):
+    kc, kq, kp = jax.random.split(jax.random.key(seed), 3)
+    corpus = jax.random.normal(kc, (k_c * cap, d), jnp.float32).astype(dtype)
+    queries = jax.random.normal(kq, (q, d), jnp.float32)
+    probe = jax.random.randint(kp, (q, p), 0, k_c, jnp.int32)
+    return corpus, probe, queries
+
+
+def _oracle(corpus, probe, queries, cap):
+    c = np.asarray(corpus, np.float32)
+    pr = np.asarray(probe)
+    qs = np.asarray(queries).astype(np.float32)
+    q_n, p_n = pr.shape
+    out = np.zeros((q_n, p_n, cap), np.float32)
+    for qi in range(q_n):
+        for pi in range(p_n):
+            blk = c[pr[qi, pi] * cap : (pr[qi, pi] + 1) * cap]
+            out[qi, pi] = blk @ qs[qi]
+    return out
+
+
+class TestProbeScoresInterpret:
+    def test_fp32_matches_oracle(self):
+        corpus, probe, queries = _setup(dtype=jnp.float32)
+        got = np.asarray(
+            probe_scores(corpus, probe, queries, cap=16, interpret=True)
+        )
+        np.testing.assert_allclose(
+            got, _oracle(corpus, probe, queries, 16), atol=1e-5
+        )
+
+    def test_bf16_matches_bf16_oracle(self):
+        corpus, probe, queries = _setup(dtype=jnp.bfloat16, seed=1)
+        got = np.asarray(
+            probe_scores(corpus, probe, queries, cap=16, interpret=True)
+        )
+        # oracle over the bf16-rounded ROWS; the query stays fp32 — the
+        # kernel upcasts both operands and lets the unit round (interpret
+        # mode: none; real MXU: bf16 inputs — matching the XLA path's
+        # explicit bf16 cast, covered by the TPU-measured probe)
+        ref = _oracle(corpus, probe, queries, 16)
+        np.testing.assert_allclose(got, ref, atol=1e-2, rtol=1e-2)
+
+    def test_repeated_and_boundary_probe_ids(self):
+        corpus, probe, queries = _setup(k_c=8, cap=8, q=3, p=4, seed=2)
+        probe = jnp.asarray([[0, 0, 7, 7], [7, 0, 7, 0], [3, 3, 3, 3]],
+                            jnp.int32)
+        got = np.asarray(
+            probe_scores(corpus, probe, queries, cap=8, interpret=True)
+        )
+        np.testing.assert_allclose(
+            got, _oracle(corpus, probe, queries, 8), atol=1e-5
+        )
+
+    def test_matches_xla_row_take_formulation(self):
+        # the exact expression probe_block's fallback computes
+        corpus, probe, queries = _setup(dtype=jnp.float32, seed=3)
+        cap = 16
+        q_n, p_n = probe.shape
+
+        def xla(c, pr, qs):
+            slots = (
+                pr[:, :, None] * cap
+                + lax.iota(jnp.int32, cap)[None, None, :]
+            ).reshape(q_n, p_n * cap)
+            rows = jnp.take(c, slots, axis=0)
+            return jnp.einsum(
+                "qd,qnd->qn", qs, rows,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).reshape(q_n, p_n, cap)
+
+        ref = np.asarray(jax.jit(xla)(corpus, probe, queries))
+        got = np.asarray(
+            probe_scores(corpus, probe, queries, cap=cap, interpret=True)
+        )
+        np.testing.assert_allclose(got, ref, atol=1e-5)
