@@ -57,7 +57,7 @@ parser.add_argument("--pq_m", type=int, default=0,
                     "(--store / --reduced_dims are ignored)")
 parser.add_argument("--capacity_slack", type=float, default=1.3,
                     help="per-cluster slot headroom; 1.3 inflates storage "
-                    "30% — at 10M int8 that is 13.4 GB vs 10.3, the "
+                    "30%% — at 10M int8 that is 13.4 GB vs 10.3, the "
                     "difference between fitting a 16 GB chip or not")
 parser.add_argument("--store", default="bfloat16",
                     choices=["float32", "bfloat16", "int8"],
