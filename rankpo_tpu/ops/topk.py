@@ -214,6 +214,7 @@ def dense_matmul_topk(
     recall_target: float = 1.0,
     col_scale: jax.Array | None = None,
     precision: str | None = None,
+    int8_mxu: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full [Q, N] score matrix + top_k. Fastest when it fits HBM.
 
@@ -228,10 +229,31 @@ def dense_matmul_topk(
     MXU, which perturbs near-tie score ORDER vs the fp32 reference (FAISS
     computes fp32). Measured v5e engine e2e [4096, 100k, d1024] k=100:
     default 46.1ms (2068/6400 oracle mismatches), X3 52.1ms (14/6400
-    near-ties, 2e-6), "float32"=X6 65.7ms (0/6400, 8e-8)."""
+    near-ties, 2e-6), "float32"=X6 65.7ms (0/6400, 8e-8).
+
+    ``int8_mxu``: for int8 storage, quantize the QUERIES per-row too and
+    issue a TRUE int8 x int8 -> int32 einsum (2x bf16 MXU peak on v5e)
+    instead of fusing a dequant into a bf16 matmul. A per-query scale
+    multiplies its whole score row uniformly, so top-k ORDER only needs
+    the per-corpus-row ``col_scale`` applied before selection; the final
+    scores are rescaled by q_scale after. None = auto (on for int8 storage
+    on TPU). Measured v5e [1024, 1M, d1024] k=100
+    (benchmarks/int8_mxu_probe.py): exact 29.3 -> 25.5 ms (recall 0.9885
+    -> 0.9842 — query quantization costs ~0.4% on top of the storage
+    trade), approx r0.95 12.6 ms = 81k QPS (the dequant path measured no
+    bf16-score gain; int8-MXU removes the dequant entirely)."""
     n = corpus.shape[0]
     k = min(k, n)
     quantized = corpus.dtype == jnp.int8
+    if int8_mxu is None:
+        int8_mxu = quantized and jax.default_backend() == "tpu"
+    int8_mxu = int8_mxu and quantized
+    if int8_mxu:
+        return _dense_matmul_topk_int8(
+            queries, corpus, k=k, n_valid=n_valid,
+            index_offset=index_offset, recall_target=recall_target,
+            col_scale=col_scale,
+        )
     if quantized:
         # symmetric per-row quantized storage: dequant fuses into the matmul
         corpus = corpus.astype(queries.dtype)
@@ -287,6 +309,41 @@ def dense_matmul_topk(
     return top_scores, idx + jnp.int32(index_offset)
 
 
+def _dense_matmul_topk_int8(
+    queries: jax.Array,
+    corpus: jax.Array,
+    *,
+    k: int,
+    n_valid: int | jax.Array | None,
+    index_offset: int | jax.Array,
+    recall_target: float,
+    col_scale: jax.Array | None,
+) -> Tuple[jax.Array, jax.Array]:
+    """True int8 x int8 -> int32 search over int8 storage (see the
+    ``int8_mxu`` decision record on ``dense_matmul_topk``). Scores are
+    ``q_scale * col_scale * (q8 . c8)`` — the same symmetric-quantization
+    contract as the dequant path, with the query now quantized too."""
+    qf = queries.astype(jnp.float32)
+    q_scale = jnp.maximum(jnp.max(jnp.abs(qf), axis=1), 1e-12) / 127.0
+    q8 = jnp.clip(
+        jnp.round(qf / q_scale[:, None]), -127, 127
+    ).astype(jnp.int8)
+    s32 = jnp.einsum("qd,nd->qn", q8, corpus, preferred_element_type=jnp.int32)
+    scores = s32.astype(jnp.float32)
+    if col_scale is not None:
+        scores = scores * col_scale[None, :]
+    if n_valid is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
+        scores = jnp.where(col < n_valid, scores, NEG_INF)
+    if recall_target < 1.0:
+        top_scores, idx = jax.lax.approx_max_k(
+            scores, k, recall_target=recall_target, aggregate_to_topk=True
+        )
+    else:
+        top_scores, idx = exact_topk_blockmax(scores, k)
+    return top_scores * q_scale[:, None], idx + jnp.int32(index_offset)
+
+
 def matmul_topk(
     queries: jax.Array,
     corpus: jax.Array,
@@ -299,6 +356,7 @@ def matmul_topk(
     recall_target: float = 1.0,
     col_scale: jax.Array | None = None,
     precision: str | None = None,
+    int8_mxu: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """queries [Q, D], corpus [N, D] -> (scores [Q, k] fp32, indices [Q, k] int32).
 
@@ -316,7 +374,7 @@ def matmul_topk(
         return dense_matmul_topk(
             queries, corpus, k=k, n_valid=n_valid, index_offset=index_offset,
             recall_target=recall_target, col_scale=col_scale,
-            precision=precision,
+            precision=precision, int8_mxu=int8_mxu,
         )
 
     # beyond the budget: python-unrolled loop over budget-sized column CHUNKS,
@@ -348,6 +406,7 @@ def matmul_topk(
             recall_target=recall_target,
             col_scale=None if col_scale is None else col_scale[lo:hi],
             precision=precision,
+            int8_mxu=int8_mxu,
         )
         # chunks ascend in index; (previous best, current chunk) concat order
         # preserves lowest-index-first tie-breaking
