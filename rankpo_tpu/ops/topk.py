@@ -31,6 +31,39 @@ NEG_INF = float("-inf")  # plain python: a module-level jnp scalar would initial
 # and risks OOM next to an fp32-resident corpus on a 16 GB chip.
 DENSE_SCORE_BUDGET = 1 << 32  # 4 GB
 
+# slack kept free next to the corpus when auto-shrinking the budget
+# (queries, outputs, merge temps)
+_BUDGET_SLACK = 256 << 20
+
+
+def _tpu_hbm_bytes() -> int:
+    """Per-chip HBM capacity; memory_stats when the backend exposes it
+    (the axon tunnel may not), 15.75 GB v5e fallback (the capacity XLA's
+    own OOM report states for a 16 GB chip)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return int(stats.get("bytes_limit") or (63 << 28))
+    except Exception:
+        return 63 << 28
+
+
+def _auto_score_budget(corpus_bytes: int) -> int:
+    """Shrink the per-chunk score budget when a big resident corpus makes
+    the default plan OOM-certain. The engine's true per-chunk HBM peak is
+    ~3x the fp32 score chunk (measured 2M-fp32 OOM dump: the dot fusion,
+    a transposed where-select copy, and the blockmax reshape copy each
+    materialize [Q, chunk] fp32), so a 2M x d1024 fp32 corpus (8 GB) with
+    4 GB chunks asks for ~20 GB on a 16 GB chip. Only engage when even
+    corpus + 2 chunks cannot fit — the measured-good 1M single-dense-pass
+    plan (4 GB corpus + 4 GB scores, 76.1 ms) must stay untouched."""
+    budget = DENSE_SCORE_BUDGET
+    if jax.default_backend() != "tpu":
+        return budget
+    hbm = _tpu_hbm_bytes()
+    if corpus_bytes + 2 * budget + _BUDGET_SLACK > hbm:
+        budget = max((hbm - corpus_bytes - _BUDGET_SLACK) // 3, 256 << 20)
+    return budget
+
 # two-pass exact top-k (block-max prefilter): the candidate pool keeps
 # k + slack blocks so benign near-boundary ties stay on the fast path (mass
 # ties are caught by the exactness check and fall back)
@@ -357,20 +390,26 @@ def matmul_topk(
     col_scale: jax.Array | None = None,
     precision: str | None = None,
     int8_mxu: bool | None = None,
+    score_budget: int | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """queries [Q, D], corpus [N, D] -> (scores [Q, k] fp32, indices [Q, k] int32).
 
     ``n_valid``: number of real corpus rows (rows >= n_valid are padding and
     score -inf). ``index_offset``: added to returned indices (shard offset).
+    ``score_budget``: per-chunk fp32 score-matrix byte cap (None = the 4 GB
+    default, auto-shrunk on TPU when the resident corpus makes that plan
+    OOM-certain — see ``_auto_score_budget``).
     The engine deliberately stays on XLA — a fused Pallas kernel was profiled
     and rejected (decision record: rankpo_tpu/ops/topk_pallas.py).
     """
     n, d = corpus.shape
     q = queries.shape[0]
     k = min(k, n)
+    if score_budget is None:
+        score_budget = _auto_score_budget(n * d * corpus.dtype.itemsize)
 
     # dense fast path when the score matrix fits the budget
-    if allow_dense and q * n * 4 <= DENSE_SCORE_BUDGET:
+    if allow_dense and q * n * 4 <= score_budget:
         return dense_matmul_topk(
             queries, corpus, k=k, n_valid=n_valid, index_offset=index_offset,
             recall_target=recall_target, col_scale=col_scale,
@@ -384,7 +423,7 @@ def matmul_topk(
     # the MXU busy. Compile time stays bounded (few chunks by construction).
     chunk = max(
         min(block_size, n),
-        min(n, DENSE_SCORE_BUDGET // max(4 * q, 1)),
+        min(n, score_budget // max(4 * q, 1)),
     )
     if n_valid is None:
         n_valid = n
@@ -397,8 +436,18 @@ def matmul_topk(
         hi = min(lo + chunk, n)
         blk = corpus[lo:hi]  # static slice: lo/hi are python ints
         n_valid_local = jnp.clip(n_valid - lo, 0, hi - lo)
+        # serialize chunks: without a data dependency XLA schedules the
+        # next chunk's [Q, chunk] fp32 dot+select temps while this chunk's
+        # are still alive (measured 2M-fp32 OOM: three chunk temps resident
+        # at once, 10.4 GB next to an 8 GB corpus). The isfinite guard makes
+        # the term exactly 0.0 even against the -inf sentinel, while the
+        # data dependency survives (XLA cannot fold a float select on
+        # runtime data); float x*0.0 is never folded either (NaN semantics).
+        dep = best_scores[:, :1]
+        dep = jnp.where(jnp.isfinite(dep), dep * 0.0, 0.0)
+        chained_queries = queries + dep.astype(queries.dtype)
         blk_scores, blk_idx = dense_matmul_topk(
-            queries,
+            chained_queries,
             blk,
             k=min(k, hi - lo),
             n_valid=n_valid_local,
