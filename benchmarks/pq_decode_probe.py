@@ -15,6 +15,9 @@ Variants (identical (scores, ids) outputs):
   C onehot-matmul      decode per chunk AS A MATMUL: one_hot(codes) [r, m,
                        256] bf16 einsum codebooks -> rows; one-hot transient
                        bounded by the chunk size; all FLOPs land on the MXU
+  D pallas-adc         fused kernel (ops/pq_adc_pallas.py): per-query LUT
+                       in VMEM, probed code blocks streamed HBM -> VMEM,
+                       one-hot mask+reduce never touches HBM (TPU only)
 
 Run: ``python benchmarks/pq_decode_probe.py --q 8 256``.
 """
@@ -135,11 +138,24 @@ def main():
         )
         return topk(s, q)
 
+    def variant_pallas(codes_arg, cbf, cbm, probe, queries):
+        from rankpo_tpu.ops.pq_adc_pallas import pq_probe_scores
+
+        q = queries.shape[0]
+        q_sub = queries.reshape(q, M, DS).astype(jnp.bfloat16)
+        lut = jnp.einsum(
+            "qmd,mkd->qmk", q_sub, cbm, preferred_element_type=jnp.float32
+        )
+        s = pq_probe_scores(codes_arg, probe, lut, cap=CAP)
+        return topk(s.reshape(q, P_PROBE, CAP), q)
+
     variants = [
         ("take-reconstruct (cur)", variant_take),
         ("lut-gather", variant_lut),
         ("onehot-matmul decode", variant_onehot),
     ]
+    if jax.default_backend() == "tpu":
+        variants.append(("pallas-adc fused", variant_pallas))
 
     for q_n in _args.q:
         reps = 4 if q_n >= 64 else 32

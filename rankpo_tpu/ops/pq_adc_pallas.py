@@ -1,0 +1,132 @@
+"""Pallas fused ADC kernel for the IVF+PQ search path.
+
+The XLA decode formulations materialize per-row transients in HBM — the
+one-hot decode streams a ``[chunk, m, 256]`` bf16 one-hot (64 B per stored
+byte!) plus a ``[rows, D]`` bf16 reconstruction through HBM per search, so
+a 1M-probed-row batch moves ~30 GB for ~0.3 TFLOP of useful work
+(docs/BENCHMARKS.md, IVF+PQ caveat b). But ADC never needs the rows: with
+a per-query lookup table ``lut[q, m, k] = q_sub[m] . codebook[m, k]`` the
+score of a stored code row is ``sum_m lut[m, codes[m]]`` — the only HBM
+traffic a search NEEDS is the probed CODES (m bytes/row) and the scores.
+
+This kernel keeps it that way. Grid = (query, probe): the probed
+``[capacity, m]`` uint8 code block is fetched by the automatic pipeline
+through a scalar-prefetch index_map (manual DMA was tried first and
+rejected by Mosaic — it cannot slice a (4,1)-sublane-packed int8 memref at
+a dynamic offset; the pipeline's own DMA machinery has no such limit and
+double-buffers across grid steps for free), the query's ``[m, 256]`` LUT
+block stays resident across its probe steps (consecutive-index fetch
+elision), and the one-hot mask + select + reduce happens entirely in
+VMEM/registers:
+
+    mask [cap, mch, 256] = (codes[:, mc:mc+mch, None] == iota_256)
+    part [cap, mch]      = sum_lanes(where(mask, lut[mc:mc+mch], 0))
+    out  [1, cap]        = ones[1, mch] . acc[cap, mch]   (MXU matvec)
+
+m is processed in ``mch``-sized chunks so the 3-D mask transient stays a
+few hundred KB of VMEM; the final cross-chunk reduction is a ones-vector
+matmul, which lands the [cap]-lane layout the output block wants without
+a transpose.
+
+Contract: ``pq_probe_scores(codes, probe, lut, cap=...)`` returns fp32
+scores ``[Q, P, capacity]`` equal (fp32 sums of fp32 LUT entries; the XLA
+paths round the reconstruction to bf16 first, so near-ties may reorder)
+to
+
+    lut_flat = lut.reshape(Q, m * 256)
+    idx = codes.reshape(K, cap, m)[probe] + iota(m) * 256
+    scores = take_along_axis(lut_flat, idx).sum(-1)
+
+Used by ``IVFIPIndex`` for pq_m searches on TPU; every caller keeps the
+XLA one-hot/take fallback (CPU tests run the fallback — Mosaic is
+TPU-only). Reference analog: FAISS IndexIVFPQ's ``scan_codes`` ADC loop
+(the reference itself only builds IndexFlatIP, src/utils.py:38-56).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+PQ_K = 256  # 8-bit codes
+
+_MCH = 8  # m-chunk: the [cap, _MCH, 256] mask transient is cap*8 KB fp32
+
+
+def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cap: int, m: int):
+    """One grid step = one (query, probe) pair; blocks arrive pipelined."""
+    # & 255 keeps the value range right whether the codes arrive as uint8
+    # or as an int8 bitcast (sign-extension fixup)
+    codes = codes_ref[...].astype(jnp.int32) & 255  # [cap, m]
+
+    acc = jnp.zeros((cap, _MCH), jnp.float32)
+    for mc in range(0, m, _MCH):  # static unroll, m/_MCH iterations
+        sub = codes[:, mc:mc + _MCH]  # [cap, mch]
+        iota = lax.broadcasted_iota(
+            jnp.int32, (cap, _MCH, PQ_K), dimension=2
+        )
+        mask = sub[:, :, None] == iota
+        lut_sub = lut_ref[0, pl.dslice(mc, _MCH), :]  # [mch, 256] fp32
+        part = jnp.where(mask, lut_sub[None, :, :], 0.0)
+        acc = acc + jnp.sum(part, axis=2)  # lane reduce -> [cap, mch]
+
+    # cross-chunk reduce AND the [cap]-as-lanes relayout in one matvec
+    ones = jnp.ones((1, _MCH), jnp.float32)
+    s = jax.lax.dot_general(
+        ones, acc,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        # HIGHEST: the default rounds the fp32 partials to bf16 on the MXU
+        # (measured 0.022 abs score error); the matvec is tiny, exact fp32
+        # costs nothing
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [1, cap]
+    out_ref[0, 0] = s
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
+def pq_probe_scores(codes, probe, lut, *, cap: int, interpret: bool = False):
+    """fp32 ADC scores [Q, P, cap] of per-query LUTs against probed codes.
+
+    codes: [K_c * cap, m] uint8 cluster-major PQ codes
+    probe: [Q, P] int32 local cluster ids
+    lut:   [Q, m, 256] fp32 per-query tables (q_sub . codebook entries)
+    interpret: run the kernel in interpret mode (CPU tests)
+    """
+    q_n, p_probe = probe.shape
+    m = codes.shape[1]
+    if m % _MCH != 0:
+        raise ValueError(f"pq_m must be a multiple of {_MCH}, got {m}")
+    kernel = functools.partial(_kernel, cap=cap, m=m)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(q_n, p_probe),
+        in_specs=[
+            pl.BlockSpec((1, m, PQ_K), lambda qi, pi, probe_ref: (qi, 0, 0)),
+            # the probed code block, in units of cap rows: the pipeline
+            # fetches block probe[qi, pi] of the [K_c, cap, m]-viewed codes
+            pl.BlockSpec(
+                (cap, m), lambda qi, pi, probe_ref: (probe_ref[qi, pi], 0)
+            ),
+        ],
+        # 4-D output block: the last two dims of a block must tile the
+        # array exactly (or be x8/x128); (1, 1, 1, cap) vs (Q, P, 1, cap)
+        # satisfies that for any cap, where a (1, 1, cap) block of a
+        # (Q, P, cap) array would put a size-1 block on the P dim
+        out_specs=pl.BlockSpec(
+            (1, 1, 1, cap), lambda qi, pi, probe_ref: (qi, pi, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q_n, p_probe, 1, cap), jnp.float32),
+        interpret=interpret,
+    )(probe, lut.astype(jnp.float32), codes)
+    return out.reshape(q_n, p_probe, cap)

@@ -5,6 +5,7 @@ measured in benchmarks/ivf_pallas_probe.py (1.7x the XLA row-take at
 carries ~0.7% error)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -90,3 +91,61 @@ class TestProbeScoresInterpret:
             probe_scores(corpus, probe, queries, cap=cap, interpret=True)
         )
         np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+class TestPqAdcScoresInterpret:
+    """Fused ADC kernel (ops/pq_adc_pallas.py) — interpret-mode numerics;
+    the real-TPU win is measured in benchmarks/pq_decode_probe.py."""
+
+    def _setup(self, k_c=16, cap=16, m=16, q=4, p=3, seed=0):
+        rng = np.random.RandomState(seed)
+        codes = rng.randint(0, 256, (k_c * cap, m)).astype(np.uint8)
+        lut = rng.randn(q, m, 256).astype(np.float32)
+        probe = rng.randint(0, k_c, (q, p)).astype(np.int32)
+        return jnp.asarray(codes), jnp.asarray(probe), jnp.asarray(lut)
+
+    @staticmethod
+    def _oracle(codes, probe, lut, cap):
+        c = np.asarray(codes)
+        pr = np.asarray(probe)
+        lt = np.asarray(lut)
+        q_n, p_n = pr.shape
+        m = c.shape[1]
+        blocks = c.reshape(-1, cap, m)
+        out = np.zeros((q_n, p_n, cap), np.float32)
+        for qi in range(q_n):
+            for pi in range(p_n):
+                blk = blocks[pr[qi, pi]].astype(np.int64)  # [cap, m]
+                # sum_m lut[m, code[c, m]]
+                out[qi, pi] = lt[qi][np.arange(m)[None, :], blk].sum(axis=1)
+        return out
+
+    def test_matches_lut_sum_oracle(self):
+        from rankpo_tpu.ops.pq_adc_pallas import pq_probe_scores
+
+        codes, probe, lut = self._setup()
+        got = np.asarray(
+            pq_probe_scores(codes, probe, lut, cap=16, interpret=True)
+        )
+        ref = self._oracle(codes, probe, lut, 16)
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+    def test_extreme_codes_and_repeated_probes(self):
+        from rankpo_tpu.ops.pq_adc_pallas import pq_probe_scores
+
+        codes, _, lut = self._setup(k_c=8, cap=8, m=8, q=2, p=4, seed=1)
+        # force boundary code values (0 and 255 exercise the & 255 fixup)
+        codes = codes.at[:4].set(0).at[4:8].set(255)
+        probe = jnp.asarray([[0, 0, 7, 7], [7, 0, 7, 0]], jnp.int32)
+        got = np.asarray(
+            pq_probe_scores(codes, probe, lut, cap=8, interpret=True)
+        )
+        ref = self._oracle(codes, probe, lut, 8)
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+    def test_rejects_non_multiple_m(self):
+        from rankpo_tpu.ops.pq_adc_pallas import pq_probe_scores
+
+        codes, probe, lut = self._setup(m=12)
+        with pytest.raises(ValueError, match="multiple"):
+            pq_probe_scores(codes, probe, lut, cap=16, interpret=True)
