@@ -25,6 +25,7 @@ Run: ``python benchmarks/pq_decode_probe.py --q 8 256``.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -138,7 +139,7 @@ def main():
         )
         return topk(s, q)
 
-    def variant_pallas(codes_arg, cbf, cbm, probe, queries):
+    def variant_pallas(codes_arg, cbf, cbm, probe, queries, mxu=False):
         from rankpo_tpu.ops.pq_adc_pallas import pq_probe_scores
 
         q = queries.shape[0]
@@ -146,7 +147,7 @@ def main():
         lut = jnp.einsum(
             "qmd,mkd->qmk", q_sub, cbm, preferred_element_type=jnp.float32
         )
-        s = pq_probe_scores(codes_arg, probe, lut, cap=CAP)
+        s = pq_probe_scores(codes_arg, probe, lut, cap=CAP, mxu=mxu)
         return topk(s.reshape(q, P_PROBE, CAP), q)
 
     variants = [
@@ -156,6 +157,10 @@ def main():
     ]
     if jax.default_backend() == "tpu":
         variants.append(("pallas-adc fused", variant_pallas))
+        variants.append((
+            "pallas-adc mxu-reduce",
+            functools.partial(variant_pallas, mxu=True),
+        ))
 
     for q_n in _args.q:
         reps = 4 if q_n >= 64 else 32

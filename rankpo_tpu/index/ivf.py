@@ -1531,6 +1531,24 @@ class IVFIPIndex:
             and self.dim % 128 == 0 and cap % 8 == 0
         )
 
+        # IVF+PQ large-probe scoring on TPU: the fused ADC kernel
+        # (ops/pq_adc_pallas.py) never reconstructs rows — per-query LUTs
+        # stay in VMEM, only the probed uint8 CODE blocks move, and the
+        # one-hot mask+reduce never touches HBM. 2.0x the chunked
+        # one-hot-matmul decode and 6.3x the element-gather reconstruct at
+        # 1M/Q=256 (27.8 vs 56.6 vs 174.5 ms, pq_decode_probe on v5e);
+        # below the threshold the ds-wide take still wins (1.2 vs 1.5 ms
+        # at Q=8 — grid dispatch overhead), so the small-probe path keeps
+        # it. FORCE_INTERPRET routes CPU tests through the kernel.
+        if pq:
+            from rankpo_tpu.ops import pq_adc_pallas as _adc
+
+            pallas_adc = pq_m % _adc._MCH == 0 and (
+                jax.default_backend() == "tpu" or _adc.FORCE_INTERPRET
+            )
+        else:
+            pallas_adc = False
+
         def probe_block(*args):
             """Plain IVF: gather probed full rows, rerank exactly (at
             storage precision; int8 = against the quantized rows)."""
@@ -1568,9 +1586,33 @@ class IVFIPIndex:
             products."""
             clustered, ids, cents, _, cb, _, _, queries = unpack(args)
             q = queries.shape[0]
-            _, slots, hit_ids, cent_s = probe_clusters(ids, cents, queries)
-            codes = jnp.take(clustered, slots, axis=0)  # [Q, p*cap, m]
+            probe, slots, hit_ids, cent_s = probe_clusters(
+                ids, cents, queries
+            )
             rows_n = q * p * cap
+            if rows_n >= (1 << 16) and pallas_adc:
+                # large probed sets, TPU: fused ADC — the kernel gathers
+                # the code blocks itself (scalar-prefetch index_map), so
+                # no jnp.take here at all
+                from rankpo_tpu.ops.pq_adc_pallas import (
+                    FORCE_INTERPRET, pq_probe_scores,
+                )
+
+                cbm = cb.reshape(pq_m, PQ_K, pq_ds)
+                q_sub = queries.astype(jnp.bfloat16).reshape(q, pq_m, pq_ds)
+                lut = jnp.einsum(
+                    "qmd,mkd->qmk", q_sub, cbm,
+                    preferred_element_type=jnp.float32,
+                )
+                s = pq_probe_scores(
+                    clustered, probe, lut, cap=cap,
+                    interpret=FORCE_INTERPRET,
+                ).reshape(q, p * cap)
+                s = s + jnp.repeat(cent_s, cap, axis=1)
+                s = jnp.where(hit_ids >= 0, s, NEG_INF)
+                top_s, pos = lax.top_k(s, kk)
+                return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
+            codes = jnp.take(clustered, slots, axis=0)  # [Q, p*cap, m]
             if rows_n < (1 << 16):
                 # small probed sets: the ds-wide codebook take is fastest
                 # (1.12 vs 2.99 ms at Q=8/p=8/1M, pq_decode_probe)

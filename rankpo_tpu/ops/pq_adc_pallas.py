@@ -58,8 +58,13 @@ PQ_K = 256  # 8-bit codes
 
 _MCH = 8  # m-chunk: the [cap, _MCH, 256] mask transient is cap*8 KB fp32
 
+# CPU tests monkeypatch this to route the IVF+PQ search path through the
+# kernel in interpret mode (the TPU gate in index/ivf.py honors it)
+FORCE_INTERPRET = False
 
-def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cap: int, m: int):
+
+def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cap: int, m: int,
+            mxu: bool):
     """One grid step = one (query, probe) pair; blocks arrive pipelined."""
     # & 255 keeps the value range right whether the codes arrive as uint8
     # or as an int8 bitcast (sign-extension fixup)
@@ -68,13 +73,28 @@ def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cap: int, m: int):
     acc = jnp.zeros((cap, _MCH), jnp.float32)
     for mc in range(0, m, _MCH):  # static unroll, m/_MCH iterations
         sub = codes[:, mc:mc + _MCH]  # [cap, mch]
-        iota = lax.broadcasted_iota(
-            jnp.int32, (cap, _MCH, PQ_K), dimension=2
-        )
-        mask = sub[:, :, None] == iota
         lut_sub = lut_ref[0, pl.dslice(mc, _MCH), :]  # [mch, 256] fp32
-        part = jnp.where(mask, lut_sub[None, :, :], 0.0)
-        acc = acc + jnp.sum(part, axis=2)  # lane reduce -> [cap, mch]
+        if mxu:
+            # the select+lane-reduce as a batched matvec: mask [mch, cap,
+            # 256] bf16 x lut [mch, 256] — the compare is the only VPU
+            # pass; the 256-lane reduction rides the MXU
+            iota = lax.broadcasted_iota(
+                jnp.int32, (_MCH, cap, PQ_K), dimension=2
+            )
+            mask = (sub.T[:, :, None] == iota).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                mask, lut_sub.astype(jnp.bfloat16)[:, :, None],
+                dimension_numbers=((((2,), (1,)), ((0,), (0,)))),
+                preferred_element_type=jnp.float32,
+            )[:, :, 0]  # [mch, cap]
+            acc = acc + part.T
+        else:
+            iota = lax.broadcasted_iota(
+                jnp.int32, (cap, _MCH, PQ_K), dimension=2
+            )
+            mask = sub[:, :, None] == iota
+            part = jnp.where(mask, lut_sub[None, :, :], 0.0)
+            acc = acc + jnp.sum(part, axis=2)  # lane reduce -> [cap, mch]
 
     # cross-chunk reduce AND the [cap]-as-lanes relayout in one matvec
     ones = jnp.ones((1, _MCH), jnp.float32)
@@ -90,20 +110,23 @@ def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cap: int, m: int):
     out_ref[0, 0] = s
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
-def pq_probe_scores(codes, probe, lut, *, cap: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("cap", "interpret", "mxu"))
+def pq_probe_scores(codes, probe, lut, *, cap: int, interpret: bool = False,
+                    mxu: bool = False):
     """fp32 ADC scores [Q, P, cap] of per-query LUTs against probed codes.
 
     codes: [K_c * cap, m] uint8 cluster-major PQ codes
     probe: [Q, P] int32 local cluster ids
     lut:   [Q, m, 256] fp32 per-query tables (q_sub . codebook entries)
     interpret: run the kernel in interpret mode (CPU tests)
+    mxu: route the one-hot select+reduce through the MXU as a batched
+        matvec (rounds LUT entries to bf16 — ADC-level accuracy only)
     """
     q_n, p_probe = probe.shape
     m = codes.shape[1]
     if m % _MCH != 0:
         raise ValueError(f"pq_m must be a multiple of {_MCH}, got {m}")
-    kernel = functools.partial(_kernel, cap=cap, m=m)
+    kernel = functools.partial(_kernel, cap=cap, m=m, mxu=mxu)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(q_n, p_probe),

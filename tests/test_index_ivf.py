@@ -605,6 +605,32 @@ class TestIVFPQ:
         ])
         assert overlap >= 0.9
 
+    def test_pallas_adc_search_path_matches_xla(self, monkeypatch):
+        # FORCE_INTERPRET routes the large-probe branch through the fused
+        # ADC kernel (interpret mode on CPU); its hit sets must agree with
+        # the XLA one-hot decode up to ADC near-ties (the kernel sums fp32
+        # LUT entries; XLA rounds the reconstruction to bf16 first)
+        from rankpo_tpu.ops import pq_adc_pallas
+
+        corpus = _blob_corpus(3000, 32, n_blobs=30, seed=74)
+        queries = _blob_corpus(32, 32, n_blobs=30, seed=75)
+        index = IVFIPIndex(
+            corpus, n_clusters=16, nprobe=16, pq_m=8, kmeans_iters=5,
+            pq_iters=10,
+        )
+        assert 32 * 16 * index.capacity >= (1 << 16), (
+            "batch must exceed the large-probe threshold"
+        )
+        _, i_xla = index.search(queries, k=10, batch_size=32)
+        monkeypatch.setattr(pq_adc_pallas, "FORCE_INTERPRET", True)
+        index._search_fns = {}  # drop programs built with the XLA branch
+        _, i_adc = index.search(queries, k=10, batch_size=32)
+        overlap = np.mean([
+            len(set(i_adc[r].tolist()) & set(i_xla[r].tolist())) / 10
+            for r in range(32)
+        ])
+        assert overlap >= 0.9
+
     def test_rejects_bad_pq_params(self):
         corpus = _blob_corpus(50, 16, seed=69)
         with pytest.raises(ValueError):

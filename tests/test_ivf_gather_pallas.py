@@ -143,6 +143,21 @@ class TestPqAdcScoresInterpret:
         ref = self._oracle(codes, probe, lut, 8)
         np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
 
+    def test_mxu_reduce_matches_oracle_at_bf16(self):
+        from rankpo_tpu.ops.pq_adc_pallas import pq_probe_scores
+
+        codes, probe, lut = self._setup()
+        got = np.asarray(
+            pq_probe_scores(codes, probe, lut, cap=16, interpret=True,
+                            mxu=True)
+        )
+        # the mxu path rounds LUT entries to bf16 before the matvec
+        lut_bf16 = np.asarray(
+            jnp.asarray(lut).astype(jnp.bfloat16).astype(jnp.float32)
+        )
+        ref = self._oracle(codes, probe, lut_bf16, 16)
+        np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-4)
+
     def test_rejects_non_multiple_m(self):
         from rankpo_tpu.ops.pq_adc_pallas import pq_probe_scores
 
