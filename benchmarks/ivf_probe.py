@@ -55,6 +55,14 @@ parser.add_argument("--pq_m", type=int, default=0,
                     "index next to the flat-storage ones; with "
                     "--chunked_build it REPLACES the storage codec "
                     "(--store / --reduced_dims are ignored)")
+parser.add_argument("--pq_rotate", default="none",
+                    choices=("none", "random", "opq"),
+                    help="orthogonal pre-rotation for the PQ codec "
+                    "('random' seeded QR / 'opq' trained, FAISS OPQMatrix "
+                    "analog); requires --pq_m")
+parser.add_argument("--pq_only", action="store_true",
+                    help="skip the flat-scan baseline and plain-IVF/hybrid "
+                    "sections (codec A/B runs: oracle + pq index only)")
 parser.add_argument("--capacity_slack", type=float, default=1.3,
                     help="per-cluster slot headroom; 1.3 inflates storage "
                     "30%% — at 10M int8 that is 13.4 GB vs 10.3, the "
@@ -202,7 +210,9 @@ def main():
         )
 
     # single-stage approx baseline (current bf16 serving mode)
-    corpus_bf16 = jax.jit(lambda c: c.astype(jnp.bfloat16))(corpus)
+    corpus_bf16 = None if _args.pq_only else jax.jit(
+        lambda c: c.astype(jnp.bfloat16)
+    )(corpus)
 
     def approx_base(q, c):
         s = jnp.einsum(
@@ -214,44 +224,49 @@ def main():
         )
         return ts.astype(jnp.float32), i
 
-    base_idx = np.asarray(jax.jit(approx_base)(queries, corpus_bf16)[1])
-    bench(
-        approx_base, (queries, corpus_bf16), "approx bf16 full scan",
-        recall_of(base_idx), Q,
-    )
+    if corpus_bf16 is not None:
+        base_idx = np.asarray(jax.jit(approx_base)(queries, corpus_bf16)[1])
+        bench(
+            approx_base, (queries, corpus_bf16), "approx bf16 full scan",
+            recall_of(base_idx), Q,
+        )
     del corpus_bf16  # free 2 GB at 1M before the index builds
 
     queries_np = np.asarray(queries, np.float32)
     row_bytes = np.dtype(STORE).itemsize
 
     for k_c in _args.clusters:
-        t0 = time.perf_counter()
-        index = IVFIPIndex.from_sharded(
-            corpus, N, mesh=None, n_clusters=k_c, nprobe=max(_args.nprobes),
-            kmeans_iters=_args.kmeans_iters, store_dtype=STORE,
-            capacity_slack=_args.capacity_slack,
-        )
-        build_s = time.perf_counter() - t0
-        print(
-            f"  build K={k_c}: {build_s:.1f}s "
-            f"(capacity={index.capacity}, iters={_args.kmeans_iters})",
-            flush=True,
-        )
-        for p in _args.nprobes:
-            q_eff = q_fit(p * index.capacity * D * row_bytes)
-            _, idx = index.search(
-                queries_np, k=K, nprobe=p, batch_size=q_eff
+        if not _args.pq_only:
+            t0 = time.perf_counter()
+            index = IVFIPIndex.from_sharded(
+                corpus, N, mesh=None, n_clusters=k_c,
+                nprobe=max(_args.nprobes),
+                kmeans_iters=_args.kmeans_iters, store_dtype=STORE,
+                capacity_slack=_args.capacity_slack,
             )
-            fn = index.search_callable(K, nprobe=p)
-            bench(
-                # bench perturbs its FIRST arg (the queries) per iteration
-                lambda q, *arrs, fn=fn: fn(*arrs, q),
-                (queries[:q_eff],) + index.search_arrays,
-                f"ivf K={k_c} nprobe={p}",
-                recall_of(idx), q_eff,
+            build_s = time.perf_counter() - t0
+            print(
+                f"  build K={k_c}: {build_s:.1f}s "
+                f"(capacity={index.capacity}, iters={_args.kmeans_iters})",
+                flush=True,
             )
-        del index  # free plain-index HBM before the hybrid build (1M: ~3GB)
-        for rd in _args.reduced_dims:
+            for p in _args.nprobes:
+                q_eff = q_fit(p * index.capacity * D * row_bytes)
+                _, idx = index.search(
+                    queries_np, k=K, nprobe=p, batch_size=q_eff
+                )
+                fn = index.search_callable(K, nprobe=p)
+                bench(
+                    # bench perturbs its FIRST arg (the queries) per
+                    # iteration
+                    lambda q, *arrs, fn=fn: fn(*arrs, q),
+                    (queries[:q_eff],) + index.search_arrays,
+                    f"ivf K={k_c} nprobe={p}",
+                    recall_of(idx), q_eff,
+                )
+            # free plain-index HBM before the hybrid build (1M: ~3GB)
+            del index
+        for rd in ([] if _args.pq_only else _args.reduced_dims):
             t0 = time.perf_counter()
             hyb = IVFIPIndex.from_sharded(
                 corpus, N, mesh=None, n_clusters=k_c,
@@ -286,10 +301,14 @@ def main():
             pqi = IVFIPIndex.from_sharded(
                 corpus, N, mesh=None, n_clusters=k_c,
                 nprobe=max(_args.nprobes), kmeans_iters=_args.kmeans_iters,
-                pq_m=_args.pq_m, capacity_slack=_args.capacity_slack,
+                pq_m=_args.pq_m, pq_rotate=_args.pq_rotate,
+                capacity_slack=_args.capacity_slack,
+            )
+            rot_tag = (
+                "" if _args.pq_rotate == "none" else f" rot={_args.pq_rotate}"
             )
             print(
-                f"  pq build K={k_c} m={_args.pq_m}: "
+                f"  pq build K={k_c} m={_args.pq_m}{rot_tag}: "
                 f"{time.perf_counter() - t0:.1f}s "
                 f"(storage {k_c * pqi.capacity * _args.pq_m / 1e6:.0f} MB "
                 f"vs bf16 {k_c * pqi.capacity * D * 2 / 1e9:.1f} GB)",
@@ -306,7 +325,7 @@ def main():
                 bench(
                     lambda q, *arrs, fn=fn: fn(*arrs, q),
                     (queries[:q_eff],) + pqi.search_arrays,
-                    f"ivf+pq K={k_c} m={_args.pq_m} p={p}",
+                    f"ivf+pq K={k_c} m={_args.pq_m}{rot_tag} p={p}",
                     recall_of(idx), q_eff,
                 )
 
@@ -389,6 +408,7 @@ def chunked_main(IVFIPIndex):
             ),
             candidates=_args.candidates,
             pq_m=(_args.pq_m or None),
+            pq_rotate=(_args.pq_rotate if _args.pq_m else "none"),
             capacity_slack=_args.capacity_slack,
         )
         print(

@@ -71,6 +71,24 @@ def _json_str(obj) -> str:
     return json.dumps(dataclasses.asdict(obj), indent=2, default=str)
 
 
+def parse_index_kwargs(raw: str) -> Optional[dict]:
+    """Parse the ``index_kwargs`` JSON field (extra refine/ivf constructor
+    knobs on the offline CLIs — the programmatic ``index_kwargs`` dict the
+    evaluator/tools accept, exposed as one flag instead of one flag per
+    index knob)."""
+    if not raw:
+        return None
+    try:
+        out = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"--index_kwargs is not valid JSON: {e}") from e
+    if not isinstance(out, dict):
+        raise ValueError(
+            f"--index_kwargs must be a JSON object, got {type(out).__name__}"
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Shared argument groups (reference src/arguments.py analogs)
 # ---------------------------------------------------------------------------
@@ -219,6 +237,13 @@ class EvaluateArguments:
         default=0.95,
         metadata={"help": "refine/ivf index build-time recall-tune target"},
     )
+    index_kwargs: str = dataclasses.field(
+        default="",
+        metadata={"help": "JSON dict of extra refine/ivf index-constructor "
+                          "knobs, e.g. '{\"pq_m\": 64, \"pq_rotate\": "
+                          "\"opq\", \"n_clusters\": 4096}'; ignored "
+                          "for flat"},
+    )
     wandb_project: str = dataclasses.field(default="")
     log_level: str = dataclasses.field(default="info")
 
@@ -256,6 +281,13 @@ class HardNegativeArguments:
         default=0.95,
         metadata={"help": "refine/ivf index build-time recall-tune target"},
     )
+    index_kwargs: str = dataclasses.field(
+        default="",
+        metadata={"help": "JSON dict of extra refine/ivf index-constructor "
+                          "knobs, e.g. '{\"pq_m\": 64, \"pq_rotate\": "
+                          "\"opq\", \"n_clusters\": 4096}'; ignored "
+                          "for flat"},
+    )
     seed: int = dataclasses.field(default=42)
     log_level: str = dataclasses.field(default="info")
 
@@ -285,6 +317,13 @@ class PredictionArguments:
     index_recall_target: float = dataclasses.field(
         default=0.95,
         metadata={"help": "refine/ivf index build-time recall-tune target"},
+    )
+    index_kwargs: str = dataclasses.field(
+        default="",
+        metadata={"help": "JSON dict of extra refine/ivf index-constructor "
+                          "knobs, e.g. '{\"pq_m\": 64, \"pq_rotate\": "
+                          "\"opq\", \"n_clusters\": 4096}'; ignored "
+                          "for flat"},
     )
     seed: int = dataclasses.field(default=42)
     log_level: str = dataclasses.field(default="info")

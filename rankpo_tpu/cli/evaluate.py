@@ -10,6 +10,7 @@ from rankpo_tpu.cli.arguments import (
     DistributedArguments,
     EvaluateArguments,
     parse_dataclasses,
+    parse_index_kwargs,
     resolve_tokenizer,
 )
 from rankpo_tpu.core.mesh import local_mesh
@@ -49,6 +50,7 @@ def main(argv=None):
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         index_type=args.index_type,
         index_recall_target=args.index_recall_target,
+        index_kwargs=parse_index_kwargs(args.index_kwargs),
     )
     for name, metrics in results.items():
         print(f"== {name} ==")

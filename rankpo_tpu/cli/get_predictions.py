@@ -11,6 +11,7 @@ from rankpo_tpu.cli.arguments import (
     DistributedArguments,
     PredictionArguments,
     parse_dataclasses,
+    parse_index_kwargs,
     resolve_tokenizer,
 )
 from rankpo_tpu.core.mesh import local_mesh
@@ -54,6 +55,7 @@ def main(argv=None):
         mesh=mesh,
         index_type=args.index_type,
         index_recall_target=args.index_recall_target,
+        index_kwargs=parse_index_kwargs(args.index_kwargs),
     )
 
 

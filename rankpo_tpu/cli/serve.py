@@ -160,6 +160,14 @@ def main(argv=None):
                              "the 100M-passage tier; scores are ADC "
                              "approximations (exclusive with int8 storage "
                              "and --ivf_reduced_dim)")
+    parser.add_argument("--ivf_pq_rotate", default="none",
+                        choices=("none", "random", "opq"),
+                        help="orthogonal pre-rotation for the PQ codec: "
+                             "'random' (seeded QR — spreads an anisotropic "
+                             "spectrum over the m subspaces) or 'opq' "
+                             "(rotation trained against the codec, Ge et "
+                             "al. / FAISS OPQMatrix analog); requires "
+                             "--ivf_pq_m")
     parser.add_argument("--index_file", default=None,
                         help="persisted index (.npz): loaded if it exists, "
                              "else built from --corpus_data and saved here")
@@ -222,6 +230,8 @@ def main(argv=None):
             )
         if args.ivf_pq_m > 0:
             index_kwargs["pq_m"] = args.ivf_pq_m
+            if args.ivf_pq_rotate != "none":
+                index_kwargs["pq_rotate"] = args.ivf_pq_rotate
     service = RetrievalService(
         encoder, mesh=mesh, max_query_length=args.max_query_length,
         recall_target=args.recall_target, index_dtype=dtype,

@@ -160,6 +160,7 @@ def evaluate_path(
     compute_dtype=None,
     index_type: str = "flat",
     index_recall_target: float = 0.95,
+    index_kwargs: Optional[dict] = None,
 ) -> Dict[str, Dict[str, float]]:
     """Full harness over one model dir or all its checkpoints."""
     queries, labels = load_eval_queries(query_data)
@@ -212,6 +213,7 @@ def evaluate_path(
             compute_dtype=compute_dtype,
             index_type=index_type,
             index_recall_target=index_recall_target,
+            index_kwargs=index_kwargs,
         )
         if jax.process_index() != 0:  # multi-host: rank 0 owns the artifacts
             results[os.path.basename(save_path).split(".")[0]] = metrics

@@ -190,6 +190,7 @@ def index_state(index) -> Dict[str, np.ndarray]:
         cfg["spherical"] = index.spherical
         cfg["reduced_dim"] = index.reduced_dim
         cfg["pq_m"] = index.pq_m
+        cfg["pq_rotate"] = getattr(index, "pq_rotate", "none")
         cfg["candidates"] = (
             index.candidates if index.candidates == "auto"
             else int(index.candidates)
@@ -203,6 +204,9 @@ def index_state(index) -> Dict[str, np.ndarray]:
             # fp32 host codebooks [m, 256, ds]; the device bf16 search copy
             # is re-derived at load (bit-identical cast)
             _pack(out, meta, "pq_codebooks", index._codebooks_host)
+            if index._rotation_host is not None:
+                # fp32 orthogonal [D, D] pre-rotation (pq_rotate)
+                _pack(out, meta, "pq_rotation", index._rotation_host)
         if index.reduced_dim is not None:
             _pack(out, meta, "proj", index.proj)
             _pack(out, meta, "corpus_low", index.corpus_low)
@@ -293,7 +297,7 @@ def _load_ivf(cfg, data, meta, mesh):
     self.spherical = bool(cfg["spherical"])
     rd = cfg["reduced_dim"]
     self._set_hybrid(rd, cfg["candidates"])
-    self._set_pq(cfg.get("pq_m"), 1)
+    self._set_pq(cfg.get("pq_m"), 1, cfg.get("pq_rotate", "none"))
     self.n_clusters = int(cfg["n_clusters"])
     self.capacity = int(cfg["capacity"])
     n_shards = _n_shards(mesh)
@@ -325,6 +329,10 @@ def _load_ivf(cfg, data, meta, mesh):
         self._codebooks_host = _unpack(
             data, meta, "pq_codebooks"
         ).astype(np.float32, copy=False)
+        if self.pq_rotate != "none":
+            self._rotation_host = _unpack(
+                data, meta, "pq_rotation"
+            ).astype(np.float32, copy=False)
         self._place_codebooks()
     if self.reduced_dim is not None:
         self.proj = _put_replicated(_unpack(data, meta, "proj"), mesh)

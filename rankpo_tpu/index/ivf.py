@@ -48,6 +48,7 @@ tail with index -1 / score -inf. Callers needing exact semantics use
 
 from __future__ import annotations
 
+import functools
 import logging
 import math
 import threading
@@ -199,6 +200,21 @@ def _pad_to_chunks(x, chunk):
 # product quantization (residual PQ, FAISS IndexIVFPQ analog)
 
 PQ_K = 256  # 8-bit codes (FAISS default); one uint8 per subvector
+
+# OPQ alternations (Lloyd fit <-> Procrustes rotation update); FAISS
+# OPQMatrix uses a similar fixed outer count — the objective plateaus fast
+_OPQ_OUTER = 8
+
+
+def _rotate_rows(x, rot):
+    """Rows rotated by the orthogonal [D, D] ``rot`` (``x @ rot``), fp32:
+    the default TPU matmul rounds to bf16 and the same rotation must
+    reproduce bit-comparable geometry at train, encode, and query time."""
+    return jnp.dot(
+        x.astype(jnp.float32), rot,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
 PQ_TRAIN_SAMPLE = 1 << 16  # residual rows the codebook Lloyd fits on
 
 
@@ -249,10 +265,13 @@ def _pq_lloyd_body(sample_sub, codebooks, n_valid, *, n_iters, chunk):
     return lax.fori_loop(0, n_iters, one_iter, codebooks)
 
 
-def _pq_encode_block(residuals, codebooks):
+def _pq_encode_block(residuals, codebooks, rot=None):
     """[R, D] fp32 residuals -> [R, m] uint8 codes (argmin L2 per
     subvector, computed as the same matmul-minus-half-norm the trainer
-    uses — encode and train see identical geometry)."""
+    uses — encode and train see identical geometry). ``rot`` pre-rotates
+    the residuals (``pq_rotate``: codes store the ROTATED residual)."""
+    if rot is not None:
+        residuals = _rotate_rows(residuals, rot)
     m, k, ds = codebooks.shape
     x = residuals.reshape(residuals.shape[0], m, ds)
     half = 0.5 * jnp.sum(codebooks.astype(jnp.float32) ** 2, axis=-1)
@@ -362,6 +381,7 @@ class IVFIPIndex:
         candidates: Union[int, str] = "auto",
         pq_m: Optional[int] = None,
         pq_iters: int = 25,
+        pq_rotate: str = "none",
         tune_sample: int = TUNE_SAMPLE,
         tune_k: int = TUNE_K,
         max_nprobe: Optional[int] = None,
@@ -378,7 +398,7 @@ class IVFIPIndex:
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
         self._set_hybrid(reduced_dim, candidates)
-        self._set_pq(pq_m, pq_iters)
+        self._set_pq(pq_m, pq_iters, pq_rotate)
 
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         self.n_clusters = _resolve_clusters(self.n_total, n_shards, n_clusters)
@@ -460,6 +480,7 @@ class IVFIPIndex:
         candidates: Union[int, str] = "auto",
         pq_m: Optional[int] = None,
         pq_iters: int = 25,
+        pq_rotate: str = "none",
         tune_sample: int = TUNE_SAMPLE,
         tune_k: int = TUNE_K,
         max_nprobe: Optional[int] = None,
@@ -483,7 +504,7 @@ class IVFIPIndex:
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
         self._set_hybrid(reduced_dim, candidates)
-        self._set_pq(pq_m, pq_iters)
+        self._set_pq(pq_m, pq_iters, pq_rotate)
 
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         n_padded = int(embeddings.shape[0])
@@ -627,6 +648,7 @@ class IVFIPIndex:
         candidates: Union[int, str] = "auto",
         pq_m: Optional[int] = None,
         pq_iters: int = 25,
+        pq_rotate: str = "none",
         tune_sample: int = TUNE_SAMPLE,
         tune_k: int = TUNE_K,
         max_nprobe: Optional[int] = None,
@@ -657,7 +679,7 @@ class IVFIPIndex:
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
         self._set_hybrid(reduced_dim, candidates)
-        self._set_pq(pq_m, pq_iters)
+        self._set_pq(pq_m, pq_iters, pq_rotate)
         self.n_clusters = _resolve_clusters(self.n_total, 1, n_clusters)
         self.capacity = _resolve_capacity(
             self.n_total, self.n_clusters, capacity_slack
@@ -783,11 +805,15 @@ class IVFIPIndex:
         elif self.pq_m is not None:
             cap_ = self.capacity
             cb_f32 = jnp.asarray(self._codebooks_host)
+            rot_f32 = (
+                jnp.asarray(self._rotation_host)
+                if self._rotation_host is not None else None
+            )
 
-            def place(buf, rows, slots, cents, cb):
+            def place(buf, rows, slots, cents, cb, rot=None):
                 cl = jnp.clip(slots, 0) // cap_
                 res = rows - jnp.take(cents, cl, axis=0)
-                codes = _pq_encode_block(res, cb)
+                codes = _pq_encode_block(res, cb, rot)
                 return buf.at[slots].set(codes, mode="drop")
 
             place_fn = jax.jit(place, donate_argnums=(0,))
@@ -818,7 +844,8 @@ class IVFIPIndex:
                 buf, sbuf = place_fn(buf, sbuf, rows, jnp.asarray(slots))
             elif self.pq_m is not None:
                 buf = place_fn(
-                    buf, rows, jnp.asarray(slots), self.centroids, cb_f32
+                    buf, rows, jnp.asarray(slots), self.centroids, cb_f32,
+                    rot_f32,
                 )
             else:
                 buf = place_fn(buf, rows, jnp.asarray(slots))
@@ -904,17 +931,35 @@ class IVFIPIndex:
         else:
             self.candidates = "auto"
 
-    def _set_pq(self, pq_m, pq_iters):
+    def _set_pq(self, pq_m, pq_iters, pq_rotate="none"):
         """Validate the product-quantization knobs (residual PQ, the FAISS
         ``IndexIVFPQ`` analog: rows are stored as ``pq_m`` uint8 codes into
         per-subvector 256-entry codebooks trained on ASSIGNMENT residuals —
         row minus its slot's cluster centroid; small for normalized
         embeddings, so codes spend their bits on the informative part).
         Storage is ``pq_m`` bytes/row vs ``2*dim`` bf16 (32x at m=64,
-        D=1024) — the 100M-rows-on-one-chip tier."""
+        D=1024) — the 100M-rows-on-one-chip tier.
+
+        ``pq_rotate`` pre-rotates residuals with an orthogonal [D, D]
+        matrix before encoding (codes store the ROTATED residual; searches
+        rotate the query instead of un-rotating rows — one [Q, D] matmul):
+        'random' spreads a power-law spectrum's variance evenly over the m
+        subspaces (FAISS ``RandomRotationMatrix`` pre-transform analog);
+        'opq' additionally trains the rotation against the codec
+        (alternating Lloyd fits and orthogonal-Procrustes updates — the
+        non-parametric OPQ of Ge et al., FAISS ``OPQMatrix`` analog)."""
         self.codebooks = None
         self._codebooks_host = None
+        self.rotation = None
+        self._rotation_host = None
+        if pq_rotate not in ("none", "random", "opq"):
+            raise ValueError(
+                f"pq_rotate={pq_rotate!r} must be 'none', 'random' or 'opq'"
+            )
+        self.pq_rotate = pq_rotate
         if pq_m is None:
+            if pq_rotate != "none":
+                raise ValueError("pq_rotate requires pq_m")
             self.pq_m = None
             self.pq_iters = 0
             return
@@ -957,6 +1002,10 @@ class IVFIPIndex:
 
         enc = jax.jit(_pq_encode_block)
         cb_dev = jnp.asarray(self._codebooks_host)
+        rot_dev = (
+            jnp.asarray(self._rotation_host)
+            if self._rotation_host is not None else None
+        )
         enc_chunk = min(slots, 8192)
         codes = np.empty((slots, m), np.uint8)
         for lo in range(0, slots, enc_chunk):
@@ -967,9 +1016,9 @@ class IVFIPIndex:
                     [block,
                      np.zeros((enc_chunk - (hi - lo), self.dim), np.float32)]
                 )
-            codes[lo:hi] = np.asarray(enc(jnp.asarray(block), cb_dev))[
-                : hi - lo
-            ]
+            codes[lo:hi] = np.asarray(
+                enc(jnp.asarray(block), cb_dev, rot_dev)
+            )[: hi - lo]
         return codes
 
     @staticmethod
@@ -985,31 +1034,83 @@ class IVFIPIndex:
     def _fit_pq_codebooks(self, sample_residuals: np.ndarray, seed: int):
         """Lloyd-fit the per-subvector codebooks on fp32 residual rows
         [S, D]; sets the fp32 host copy and the device (bf16, flattened)
-        search copy."""
+        search copy.
+
+        With ``pq_rotate`` the codebooks are fit on ROTATED residuals
+        ``z = x @ rot`` ('random': one seeded QR rotation — spreads a
+        power-law spectrum's variance evenly over the m subspaces;
+        'opq': additionally alternates Lloyd fits with orthogonal-
+        Procrustes updates ``rot = UV^T`` of ``X^T decode(encode(X rot))``
+        — non-parametric OPQ, Ge et al. / FAISS OPQMatrix). All heavy
+        steps (rotation matmuls, Lloyd, encode/decode, the [D, D] cross
+        moment) run on device; only the [D, D] SVD runs on host."""
         m, ds = self.pq_m, self.dim // self.pq_m
         n_sample = sample_residuals.shape[0]
-        sample = np.ascontiguousarray(
-            sample_residuals.reshape(n_sample, m, ds), np.float32
-        )
+        sample_dev = jnp.asarray(
+            np.ascontiguousarray(sample_residuals, np.float32)
+        )  # [S, D]
         rng = np.random.default_rng(seed + 3)
-        init = np.ascontiguousarray(
-            sample[rng.choice(n_sample, size=PQ_K, replace=n_sample < PQ_K)]
-            .transpose(1, 0, 2)
-        ).astype(np.float32)
+        pick = jnp.asarray(
+            rng.choice(n_sample, size=PQ_K, replace=n_sample < PQ_K)
+        )
         chunk = min(n_sample, 2048)
         padded = -(-n_sample // chunk) * chunk
-        if padded != n_sample:
-            sample = np.concatenate(
-                [sample, np.zeros((padded - n_sample, m, ds), np.float32)]
+
+        def fit_fn(z, cb0, *, n_iters):
+            zs = jnp.pad(z, ((0, padded - n_sample), (0, 0))).reshape(
+                padded, m, ds
             )
-        n_iters = self.pq_iters
-        fit = jax.jit(
-            lambda x, cb: _pq_lloyd_body(
-                x, cb, n_sample, n_iters=n_iters, chunk=chunk
+            return _pq_lloyd_body(
+                zs, cb0, n_sample, n_iters=n_iters, chunk=chunk
             )
+
+        def init_cb(z):
+            return jnp.transpose(
+                jnp.take(z, pick, axis=0).reshape(PQ_K, m, ds), (1, 0, 2)
+            )
+
+        rot = None
+        cb = None
+        if self.pq_rotate != "none":
+            g = np.random.default_rng(seed + 11).standard_normal(
+                (self.dim, self.dim)
+            )
+            rot, _ = np.linalg.qr(g)  # orthogonal; rotated = x @ rot
+            rot = np.ascontiguousarray(rot, np.float32)
+        if self.pq_rotate == "opq":
+            inner = max(2, self.pq_iters // 5)
+            fit_inner = jax.jit(functools.partial(fit_fn, n_iters=inner))
+
+            @jax.jit
+            def cross_moment(x, z, cb):
+                codes = _pq_encode_block(z, cb)
+                recon = _pq_reconstruct(
+                    codes, cb.reshape(m * PQ_K, ds), m, ds
+                ).astype(jnp.float32)
+                # fp32-accurate: the Procrustes update is a [D, D] moment
+                # of S rows — bf16 MXU rounding here would feed noise into
+                # every subsequent rotation
+                return jnp.einsum(
+                    "sd,se->de", x, recon,
+                    preferred_element_type=jnp.float32,
+                    precision=lax.Precision.HIGHEST,
+                )
+            for _ in range(_OPQ_OUTER):
+                z = _rotate_rows(sample_dev, jnp.asarray(rot))
+                cb = fit_inner(z, cb if cb is not None else init_cb(z))
+                mtx = np.asarray(
+                    cross_moment(sample_dev, z, cb), np.float64
+                )
+                u, _, vt = np.linalg.svd(mtx)
+                rot = np.ascontiguousarray(u @ vt, np.float32)
+        fit = jax.jit(functools.partial(fit_fn, n_iters=self.pq_iters))
+        z = (
+            sample_dev if rot is None
+            else _rotate_rows(sample_dev, jnp.asarray(rot))
         )
-        cb = fit(jnp.asarray(sample, jnp.float32), jnp.asarray(init))
+        cb = fit(z, cb if cb is not None else init_cb(z))
         self._codebooks_host = np.asarray(cb, np.float32)
+        self._rotation_host = rot
         self._place_codebooks()
 
     def _pq_from_gathered(self, embeddings, perm_dev, valid_dev,
@@ -1051,8 +1152,15 @@ class IVFIPIndex:
             jnp.asarray(self._codebooks_host) if mesh is None
             else replicate_to_mesh(self._codebooks_host, mesh)
         )
+        if self._rotation_host is None:
+            rot_f32 = None
+        elif mesh is None:
+            rot_f32 = jnp.asarray(self._rotation_host)
+        else:
+            rot_f32 = replicate_to_mesh(self._rotation_host, mesh)
 
-        def encode_shard(rows_local, cents_local, cb, axis_name=None):
+        def encode_shard(rows_local, cents_local, cb, rot,
+                         axis_name=None):
             # residual + encode PER CHUNK inside the loop — a precomputed
             # residual matrix would double the fp32 transient (OOM at 1M on
             # a 16 GB chip, measured). The final partial chunk re-slices
@@ -1064,7 +1172,7 @@ class IVFIPIndex:
                 cl = (start + lax.iota(jnp.int32, chunk)) // cap
                 res = blk - jnp.take(cents_local, cl, axis=0)
                 return lax.dynamic_update_slice_in_dim(
-                    buf, _pq_encode_block(res, cb), start, axis=0
+                    buf, _pq_encode_block(res, cb, rot), start, axis=0
                 )
 
             buf0 = jnp.zeros((local_slots, m), jnp.uint8)
@@ -1077,18 +1185,26 @@ class IVFIPIndex:
         # is the chunk-local residual above)
         if mesh is None:
             self.corpus = jax.jit(encode_shard)(
-                clustered, self.centroids, cb_f32
+                clustered, self.centroids, cb_f32, rot_f32
             )
         else:
+            rot_spec = () if rot_f32 is None else (P(),)
             self.corpus = jax.jit(
                 jax.shard_map(
-                    lambda r, c, b: encode_shard(r, c, b, DATA_AXIS),
+                    lambda r, c, b, *rt: encode_shard(
+                        r, c, b, rt[0] if rt else None, DATA_AXIS
+                    ),
                     mesh=mesh,
-                    in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P()),
+                    in_specs=(
+                        P(DATA_AXIS, None), P(DATA_AXIS, None), P()
+                    ) + rot_spec,
                     out_specs=P(DATA_AXIS, None),
                 ),
                 out_shardings=NamedSharding(mesh, P(DATA_AXIS, None)),
-            )(clustered, self.centroids, cb_f32)
+            )(
+                clustered, self.centroids, cb_f32,
+                *(() if rot_f32 is None else (rot_f32,))
+            )
         jax.block_until_ready(self.corpus)  # free the fp32 transient now
         self.slot_scale = None
 
@@ -1108,6 +1224,19 @@ class IVFIPIndex:
             self.codebooks = jax.device_put(jnp.asarray(flat))
         else:
             self.codebooks = replicate_to_mesh(flat, self.mesh)
+        if self._rotation_host is not None:
+            # fp32 on device: queries rotate through it at search time and
+            # residuals at encode time — bf16 storage would blur the codec
+            if self.mesh is None:
+                self.rotation = jax.device_put(
+                    jnp.asarray(self._rotation_host)
+                )
+            else:
+                self.rotation = replicate_to_mesh(
+                    self._rotation_host, self.mesh
+                )
+        else:
+            self.rotation = None
 
     def _init_projection(self):
         """PCA projection + projected cluster-major rows for the hybrid
@@ -1399,13 +1528,15 @@ class IVFIPIndex:
         """Device arrays ``search_callable`` consumes, in order (the index
         protocol serving composes against: ``fn(*search_arrays, queries)``).
         Layout: (corpus, row_ids, centroids[, slot_scale][, codebooks]
-        [, corpus_low, proj]) — optional groups present when quantized /
-        pq / hybrid."""
+        [, rotation][, corpus_low, proj]) — optional groups present when
+        quantized / pq / pq_rotate / hybrid."""
         arrays = (self.corpus, self.row_ids, self.centroids)
         if self.quantized:
             arrays += (self.slot_scale,)
         if self.pq_m is not None:
             arrays += (self.codebooks,)
+            if self.rotation is not None:
+                arrays += (self.rotation,)
         if self.reduced_dim is not None:
             arrays += (self.corpus_low, self.proj)
         return arrays
@@ -1421,6 +1552,8 @@ class IVFIPIndex:
             specs += (NamedSharding(mesh, P(DATA_AXIS)),)
         if self.pq_m is not None:
             specs += (NamedSharding(mesh, P()),)  # codebooks replicated
+            if self.rotation is not None:
+                specs += (NamedSharding(mesh, P()),)
         if self.reduced_dim is not None:
             specs += (
                 NamedSharding(mesh, P(DATA_AXIS, None)),
@@ -1470,6 +1603,7 @@ class IVFIPIndex:
         pq = self.pq_m is not None
         pq_m = self.pq_m or 0
         pq_ds = (self.dim // pq_m) if pq else 0
+        pq_rot = pq and self.rotation is not None
         c_cand = self._effective_candidates(k, candidates) if hybrid else 0
         cc = min(c_cand, p * cap) if hybrid else 0
         kk_out = min(kk, cc) if hybrid else kk
@@ -1479,9 +1613,10 @@ class IVFIPIndex:
             clustered, ids, cents, *rest = args
             scale = rest.pop(0) if quantized else None
             cb = rest.pop(0) if pq else None
+            rot = rest.pop(0) if pq_rot else None
             low, proj = (rest.pop(0), rest.pop(0)) if hybrid else (None, None)
             (queries,) = rest
-            return clustered, ids, cents, scale, cb, low, proj, queries
+            return clustered, ids, cents, scale, cb, rot, low, proj, queries
 
         def probe_clusters(ids, cents, queries):
             """Stage 0 shared by all variants: local top-p clusters expanded
@@ -1552,7 +1687,7 @@ class IVFIPIndex:
         def probe_block(*args):
             """Plain IVF: gather probed full rows, rerank exactly (at
             storage precision; int8 = against the quantized rows)."""
-            clustered, ids, cents, scale, _, _, _, queries = unpack(args)
+            clustered, ids, cents, scale, _, _, _, _, queries = unpack(args)
             q = queries.shape[0]
             probe, slots, hit_ids, _ = probe_clusters(ids, cents, queries)
             if pallas_gather:
@@ -1584,11 +1719,15 @@ class IVFIPIndex:
             approximations: q.centroid (free from stage 0) + q.decode(code);
             like FAISS IVFPQ they rank well but are not exact inner
             products."""
-            clustered, ids, cents, _, cb, _, _, queries = unpack(args)
+            clustered, ids, cents, _, cb, rot, _, _, queries = unpack(args)
             q = queries.shape[0]
             probe, slots, hit_ids, cent_s = probe_clusters(
                 ids, cents, queries
             )
+            # pq_rotate: codes store ROTATED residuals z = x @ rot; the
+            # decode score term q . x_hat = (q @ rot) . z, so one [Q, D]
+            # rotation replaces un-rotating every reconstructed row
+            q_dec = queries if rot is None else _rotate_rows(queries, rot)
             rows_n = q * p * cap
             if rows_n >= (1 << 16) and pallas_adc:
                 # large probed sets, TPU: fused ADC — the kernel gathers
@@ -1599,7 +1738,7 @@ class IVFIPIndex:
                 )
 
                 cbm = cb.reshape(pq_m, PQ_K, pq_ds)
-                q_sub = queries.astype(jnp.bfloat16).reshape(q, pq_m, pq_ds)
+                q_sub = q_dec.astype(jnp.bfloat16).reshape(q, pq_m, pq_ds)
                 lut = jnp.einsum(
                     "qmd,mkd->qmk", q_sub, cbm,
                     preferred_element_type=jnp.float32,
@@ -1647,7 +1786,7 @@ class IVFIPIndex:
                     q, p * cap, pq_m * pq_ds
                 )
             s = jnp.einsum(
-                "qd,qnd->qn", queries.astype(jnp.bfloat16), recon,
+                "qd,qnd->qn", q_dec.astype(jnp.bfloat16), recon,
                 preferred_element_type=jnp.float32,
             ) + jnp.repeat(cent_s, cap, axis=1)
             s = jnp.where(hit_ids >= 0, s, NEG_INF)
@@ -1658,7 +1797,9 @@ class IVFIPIndex:
             """IVF+PCA: score probed rows in the projected d' space (d'/D of
             the gather bytes), gather only the top-C full rows, rerank
             exactly."""
-            clustered, ids, cents, scale, _, low, proj, queries = unpack(args)
+            clustered, ids, cents, scale, _, _, low, proj, queries = (
+                unpack(args)
+            )
             _, slots, hit_ids, _ = probe_clusters(ids, cents, queries)
             rows_low = jnp.take(low, slots, axis=0)  # [Q, p*cap, d']
             q_low = (queries.astype(jnp.float32) @ proj).astype(jnp.bfloat16)
@@ -1706,6 +1847,7 @@ class IVFIPIndex:
             (P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None))
             + ((P(DATA_AXIS),) if quantized else ())
             + ((P(),) if pq else ())
+            + ((P(),) if pq_rot else ())
             + ((P(DATA_AXIS, None), P()) if hybrid else ())
         )
         shard_fn = jax.shard_map(
@@ -1811,6 +1953,7 @@ class IVFIPIndex:
         pq = self.pq_m is not None
         pq_m = self.pq_m or 0
         pq_ds = (self.dim // pq_m) if pq else 0
+        pq_rot = pq and self.rotation is not None
         mesh = self.mesh
         rows_local = local_clusters * cap
         k_local = min(k, rows_local)
@@ -1822,12 +1965,17 @@ class IVFIPIndex:
             if quantized:
                 clustered, ids, scale, queries = args
                 cents = cb = None
+            elif pq and pq_rot:
+                clustered, ids, cents, cb, rot, queries = args
+                scale = None
             elif pq:
                 clustered, ids, cents, cb, queries = args
                 scale = None
             else:
                 clustered, ids, queries = args
                 scale = cents = cb = None
+            if not pq_rot:
+                rot = None
             qn = queries.shape[0]
             clustered_p = jnp.pad(clustered, ((0, padded - rows_local), (0, 0)))
             ids_p = jnp.pad(
@@ -1842,24 +1990,43 @@ class IVFIPIndex:
             prec = (
                 None if pq else storage_exact_precision(clustered.dtype)
             )
+            if rot is not None:
+                # rotated codec: decode term scores (q @ rot) . z; the
+                # centroid term comes from ONE [Q, K_c] matmul instead of
+                # adding centroids to every decoded row (Q*K_c*D once vs
+                # Q*rows*D across chunks)
+                q_dec = _rotate_rows(queries, rot).astype(cdt)
+                qc_all = jnp.einsum(
+                    "qd,kd->qk", q_c, cents.astype(cdt),
+                    preferred_element_type=jnp.float32,
+                )
 
             def body(ci, carry):
                 best_s, best_i = carry
                 rows = lax.dynamic_slice_in_dim(clustered_p, ci * chunk, chunk)
                 ids_c = lax.dynamic_slice_in_dim(ids_p, ci * chunk, chunk)
+                cent_term = None
                 if pq:
                     # decode: residual reconstruction + the slot's cluster
                     # centroid (padded slots clamp to the last cluster and
                     # are masked below)
                     cl = (ci * chunk + lax.iota(jnp.int32, chunk)) // cap
                     cl = jnp.minimum(cl, local_clusters - 1)
-                    rows = _pq_reconstruct(rows, cb, pq_m, pq_ds) + jnp.take(
-                        cents, cl, axis=0
-                    ).astype(jnp.bfloat16)
+                    recon = _pq_reconstruct(rows, cb, pq_m, pq_ds)
+                    if rot is not None:
+                        rows = recon
+                        cent_term = jnp.take(qc_all, cl, axis=1)
+                    else:
+                        rows = recon + jnp.take(
+                            cents, cl, axis=0
+                        ).astype(jnp.bfloat16)
                 s = jnp.einsum(
-                    "qd,rd->qr", q_c, rows.astype(cdt),
+                    "qd,rd->qr", (q_c if cent_term is None else q_dec),
+                    rows.astype(cdt),
                     preferred_element_type=jnp.float32, precision=prec,
                 )
+                if cent_term is not None:
+                    s = s + cent_term
                 if scale_p is not None:
                     s = s * lax.dynamic_slice_in_dim(
                         scale_p, ci * chunk, chunk
@@ -1890,6 +2057,7 @@ class IVFIPIndex:
             (P(DATA_AXIS, None), P(DATA_AXIS))
             + ((P(DATA_AXIS),) if quantized else ())
             + ((P(DATA_AXIS, None), P()) if pq else ())
+            + ((P(),) if pq_rot else ())
         )
         shard_fn = jax.shard_map(
             scan_block,
@@ -1928,6 +2096,11 @@ class IVFIPIndex:
                 (self.centroids, self.codebooks)
                 if self.pq_m is not None else ()
             )
+            + (
+                (self.rotation,)
+                if self.pq_m is not None and self.rotation is not None
+                else ()
+            )
         )
         with self._search_lock:
             key = ("exact", k, batch_size)
@@ -1944,6 +2117,8 @@ class IVFIPIndex:
                             NamedSharding(mesh, P(DATA_AXIS, None)),
                             NamedSharding(mesh, P()),
                         )
+                        if self.rotation is not None:
+                            ext += (NamedSharding(mesh, P()),)
                     fn = jax.jit(
                         inner,
                         in_shardings=(

@@ -75,19 +75,32 @@ def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cap: int, m: int,
         sub = codes[:, mc:mc + _MCH]  # [cap, mch]
         lut_sub = lut_ref[0, pl.dslice(mc, _MCH), :]  # [mch, 256] fp32
         if mxu:
-            # the select+lane-reduce as a batched matvec: mask [mch, cap,
-            # 256] bf16 x lut [mch, 256] — the compare is the only VPU
-            # pass; the 256-lane reduction rides the MXU
+            # the select+lane-reduce as ONE 2-D matmul: one-hot mask
+            # [cap, mch*256] bf16 x block-diagonal LUT [mch*256, mch] —
+            # the compare is the only elementwise pass over the big
+            # transient; the 2048-deep reduction rides the MXU. (A
+            # batched [mch, cap, 256] x [mch, 256, 1] matvec was tried
+            # first: Mosaic rejects minor-dim insertion on bf16.)
             iota = lax.broadcasted_iota(
-                jnp.int32, (_MCH, cap, PQ_K), dimension=2
+                jnp.int32, (cap, _MCH, PQ_K), dimension=2
             )
-            mask = (sub.T[:, :, None] == iota).astype(jnp.bfloat16)
-            part = jax.lax.dot_general(
-                mask, lut_sub.astype(jnp.bfloat16)[:, :, None],
-                dimension_numbers=((((2,), (1,)), ((0,), (0,)))),
+            mask = (sub[:, :, None] == iota).astype(jnp.bfloat16).reshape(
+                cap, _MCH * PQ_K
+            )
+            t_row = lax.broadcasted_iota(
+                jnp.int32, (_MCH, PQ_K, _MCH), dimension=0
+            )
+            t_col = lax.broadcasted_iota(
+                jnp.int32, (_MCH, PQ_K, _MCH), dimension=2
+            )
+            lutblk = jnp.where(
+                t_row == t_col, lut_sub[:, :, None], 0.0
+            ).reshape(_MCH * PQ_K, _MCH).astype(jnp.bfloat16)
+            acc = acc + jax.lax.dot_general(
+                mask, lutblk,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )[:, :, 0]  # [mch, cap]
-            acc = acc + part.T
+            )
         else:
             iota = lax.broadcasted_iota(
                 jnp.int32, (cap, _MCH, PQ_K), dimension=2
@@ -119,8 +132,16 @@ def pq_probe_scores(codes, probe, lut, *, cap: int, interpret: bool = False,
     probe: [Q, P] int32 local cluster ids
     lut:   [Q, m, 256] fp32 per-query tables (q_sub . codebook entries)
     interpret: run the kernel in interpret mode (CPU tests)
-    mxu: route the one-hot select+reduce through the MXU as a batched
-        matvec (rounds LUT entries to bf16 — ADC-level accuracy only)
+    mxu: route the one-hot select+reduce through the MXU as one
+        [cap, m_ch*256] x block-diag-LUT matmul (rounds LUT entries to
+        bf16). Measured on v5e at [1.31M slots, m=64, p=8]: wins only at
+        Q=8 (1.69 vs 2.31 ms) where the search path dispatches
+        take-reconstruct anyway (1.17 ms), and LOSES at the kernel's
+        actual shapes (Q=64: 13.9 vs 12.2 ms; Q=256: 33.1 vs 28.5 ms) —
+        building the one-hot mask is the bound either way, and the MXU
+        path pays an extra mask relayout plus the block-diagonal LUT
+        materialization per m-chunk. Kept as a measured variant; the
+        search path uses the VPU default.
     """
     q_n, p_probe = probe.shape
     m = codes.shape[1]

@@ -308,6 +308,7 @@ class RetrievalService:
                 "nprobe": index.nprobe,
                 "n_clusters": index.n_clusters,
                 "pq_m": index.pq_m,
+                "pq_rotate": getattr(index, "pq_rotate", "none"),
                 "reduced_dim": index.reduced_dim,
                 "candidates": index.candidates,
             }

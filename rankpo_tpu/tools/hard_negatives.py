@@ -151,6 +151,7 @@ def find_hard_negatives(
     mesh=None,
     index_type: str = "flat",
     index_recall_target: float = 0.95,
+    index_kwargs: Optional[dict] = None,
 ) -> Dict[str, str]:
     """Run the full mining pipeline; returns {output-name: path}."""
     if isinstance(search_range, str):
@@ -187,16 +188,18 @@ def find_hard_negatives(
         # mining tolerates approximate candidates (negatives are sampled
         # from the range anyway; the reference itself randomizes): the
         # two-stage index cuts the candidate search cost on large corpora
-        index = RefineIPIndex(
-            c_emb, mesh=mesh, recall_target=index_recall_target,
+        kwargs = dict(
+            recall_target=index_recall_target,
             reduced_dim=min(256, int(c_emb.shape[1])),
         )
+        kwargs.update(index_kwargs or {})
+        index = RefineIPIndex(c_emb, mesh=mesh, **kwargs)
     elif index_type == "ivf":
         from rankpo_tpu.index import IVFIPIndex
 
-        index = IVFIPIndex(
-            c_emb, mesh=mesh, recall_target=index_recall_target,
-        )
+        kwargs = dict(recall_target=index_recall_target)
+        kwargs.update(index_kwargs or {})
+        index = IVFIPIndex(c_emb, mesh=mesh, **kwargs)
     else:
         index = FlatIPIndex(c_emb, mesh=mesh)
     _scores, indices = index.search(q_emb, k=hi, batch_size=batch_size)

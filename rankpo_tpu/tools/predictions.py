@@ -21,7 +21,7 @@ from __future__ import annotations
 import itertools
 import logging
 import os
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -49,6 +49,7 @@ def generate_predictions(
     emit_pairs: bool = True,
     index_type: str = "flat",
     index_recall_target: float = 0.95,
+    index_kwargs: Optional[dict] = None,
 ) -> List[dict]:
     """Retrieve candidates and emit annotation-ready pairs.
 
@@ -80,17 +81,21 @@ def generate_predictions(
         # retrieval is fine (the range is sampled/truncated anyway)
         from rankpo_tpu.index import RefineIPIndex
 
-        index = RefineIPIndex.from_sharded(
-            c_emb_dev, n_corpus, mesh=mesh,
+        kwargs = dict(
             recall_target=index_recall_target,
             reduced_dim=min(256, int(c_emb_dev.shape[1])),
+        )
+        kwargs.update(index_kwargs or {})
+        index = RefineIPIndex.from_sharded(
+            c_emb_dev, n_corpus, mesh=mesh, **kwargs
         )
     elif index_type == "ivf":
         from rankpo_tpu.index import IVFIPIndex
 
+        kwargs = dict(recall_target=index_recall_target)
+        kwargs.update(index_kwargs or {})
         index = IVFIPIndex.from_sharded(
-            c_emb_dev, n_corpus, mesh=mesh,
-            recall_target=index_recall_target,
+            c_emb_dev, n_corpus, mesh=mesh, **kwargs
         )
     else:
         index = FlatIPIndex.from_sharded(c_emb_dev, n_corpus, mesh=mesh)

@@ -178,6 +178,30 @@ class TestIVFRoundTrip:
         np.testing.assert_array_equal(i0, i1)
         np.testing.assert_array_equal(s0, s1)
 
+    def test_pq_rotated_round_trip(self, tmp_path, monkeypatch):
+        # pq_rotate: the orthogonal pre-rotation must persist byte-exact
+        # (codes store ROTATED residuals — losing or refitting the
+        # rotation silently breaks every stored code)
+        corpus = _corpus(240, 32, seed=17)
+        index = IVFIPIndex(
+            corpus, n_clusters=4, nprobe=4, pq_m=8, kmeans_iters=3,
+            pq_iters=5, pq_rotate="random",
+        )
+        monkeypatch.setattr(
+            IVFIPIndex, "_fit_pq_codebooks",
+            lambda *a, **k: pytest.fail("load re-trained PQ codebooks"),
+        )
+        loaded = _roundtrip(index, tmp_path)
+        assert loaded.pq_rotate == "random"
+        np.testing.assert_array_equal(
+            index._rotation_host, loaded._rotation_host
+        )
+        queries = _corpus(5, 32, seed=18)
+        s0, i0 = index.search(queries, k=4)
+        s1, i1 = loaded.search(queries, k=4)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_array_equal(s0, s1)
+
     def test_mesh_width_change_rescales_nprobe(self, tmp_path, data_mesh):
         # unsharded nprobe=4 of 8 clusters -> on 8 shards each shard owns 1
         # cluster; preserving the TOTAL probed count (4) needs ceil(4/8)=1

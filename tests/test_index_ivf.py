@@ -714,3 +714,109 @@ class TestIVFIPIndexSharded:
         _, i = index.search(queries, k=10)
         ref = _storage_exact_sets(corpus, queries, 10)
         assert _recall(i, ref, 10) >= 0.85
+
+
+def _aniso_corpus(n, d, seed=0):
+    """Unit-norm rows with a power-law per-dim spectrum — variance piles
+    into the leading dims, so a plain subvector split starves most PQ
+    codebooks. The regime pre-rotation (pq_rotate) exists for."""
+    rng = np.random.RandomState(seed)
+    scale = (1.0 / np.sqrt(1.0 + np.arange(d))).astype(np.float32)
+    x = rng.randn(n, d).astype(np.float32) * scale
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x
+
+
+class TestIVFPQRotate:
+    """pq_rotate: orthogonal pre-rotation of PQ residuals ('random' QR /
+    'opq' alternating-Procrustes). Codes store the ROTATED residual and
+    searches rotate the query instead, so both decode paths (probe rerank
+    and exact_search) must stay mutually consistent, the rotation must be
+    orthogonal, and on anisotropic data the rotated codec must beat the
+    axis-aligned one at its own job (ADC score error)."""
+
+    def test_random_full_probe_consistency(self):
+        corpus = _blob_corpus(400, 32, seed=80)
+        queries = _blob_corpus(9, 32, seed=81)
+        index = IVFIPIndex(
+            corpus, n_clusters=8, nprobe=8, pq_m=8, kmeans_iters=5,
+            pq_iters=10, pq_rotate="random",
+        )
+        assert index._rotation_host is not None
+        s, i = index.search(queries, k=10, batch_size=4)
+        es, ei = index.exact_search(queries, k=10, batch_size=4)
+        ref = [set(row.tolist()) for row in ei]
+        assert _recall(i, ref, 10) >= 0.95
+        both = i == ei
+        np.testing.assert_allclose(s[both], es[both], rtol=2e-2, atol=2e-2)
+
+    def test_opq_rotation_is_orthogonal(self):
+        corpus = _aniso_corpus(600, 32, seed=82)
+        index = IVFIPIndex(
+            corpus, n_clusters=4, nprobe=4, pq_m=8, kmeans_iters=5,
+            pq_iters=10, pq_rotate="opq",
+        )
+        rot = index._rotation_host
+        np.testing.assert_allclose(
+            rot.T @ rot, np.eye(32, dtype=np.float32), atol=1e-5
+        )
+
+    def test_rotation_cuts_adc_error_on_anisotropic_data(self):
+        # same data, same knobs, three codecs: the rotated ones must beat
+        # the axis-aligned codec's mean |returned - true| score error on a
+        # power-law spectrum, and OPQ must not lose to the random rotation
+        # it is initialized from
+        corpus = _aniso_corpus(1500, 64, seed=83)
+        queries = _aniso_corpus(16, 64, seed=84)
+        errs = {}
+        for mode in ("none", "random", "opq"):
+            index = IVFIPIndex(
+                corpus, n_clusters=4, nprobe=4, pq_m=16, kmeans_iters=5,
+                pq_iters=15, pq_rotate=mode,
+            )
+            s, i = index.search(queries, k=10)
+            true = np.take_along_axis(
+                queries @ corpus.T, i.astype(np.int64), axis=1
+            )
+            errs[mode] = float(np.abs(s - true).mean())
+        assert errs["random"] < errs["none"]
+        assert errs["opq"] <= errs["random"] * 1.05
+
+    def test_streamed_build_with_rotation(self):
+        # the streamed placement pass encodes per-chunk through the same
+        # rotated codec the search decodes: under full probing the probe
+        # rerank and exact_search hit sets must agree on the SAME index
+        corpus = _blob_corpus(700, 32, seed=85)
+        queries = _blob_corpus(8, 32, seed=86)
+        streamed = IVFIPIndex.from_chunk_fn(
+            lambda lo, hi: corpus[lo:hi], 700, 32, chunk_rows=256,
+            n_clusters=8, nprobe=8, pq_m=8, kmeans_iters=5, pq_iters=10,
+            pq_rotate="random", seed=3,
+        )
+        assert streamed._rotation_host is not None
+        _, i = streamed.search(queries, k=10, batch_size=8)
+        _, ei = streamed.exact_search(queries, k=10, batch_size=8)
+        ref = [set(row.tolist()) for row in ei]
+        assert _recall(i, ref, 10) >= 0.95
+
+    def test_sharded_rotated_build(self, data_mesh):
+        corpus = _blob_corpus(803, 32, seed=87)
+        queries = _blob_corpus(11, 32, seed=88)
+        index = IVFIPIndex(
+            corpus, mesh=data_mesh, n_clusters=16, nprobe=16, pq_m=8,
+            kmeans_iters=5, pq_iters=10, pq_rotate="random",
+        )
+        _, i = index.search(queries, k=20, batch_size=8)
+        assert int(i.max()) < 803
+        _, ei = index.exact_search(queries, k=20, batch_size=8)
+        ref = [set(row.tolist()) for row in ei]
+        assert _recall(i, ref, 20) >= 0.95
+
+    def test_rejects_bad_rotate_params(self):
+        corpus = _blob_corpus(50, 16, seed=89)
+        with pytest.raises(ValueError):
+            IVFIPIndex(corpus, n_clusters=2, nprobe=1, pq_rotate="random")
+        with pytest.raises(ValueError):
+            IVFIPIndex(
+                corpus, n_clusters=2, nprobe=1, pq_m=4, pq_rotate="qr"
+            )

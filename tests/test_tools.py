@@ -164,6 +164,31 @@ class TestFindHardNegatives:
                 assert neg != row["query"]
                 assert neg not in row["positives"]
 
+    def test_index_kwargs_reach_constructor(self, tmp_path, encoder,
+                                            data_mesh, monkeypatch):
+        # the CLI's --index_kwargs JSON dict must override the tool's
+        # defaults on the index constructor (e.g. a pinned n_clusters)
+        from rankpo_tpu.index import IVFIPIndex
+
+        seen = {}
+        orig = IVFIPIndex.__init__
+
+        def spy(self, *a, **k):
+            seen.update(k)
+            return orig(self, *a, **k)
+
+        monkeypatch.setattr(IVFIPIndex, "__init__", spy)
+        inp = _mining_file(tmp_path, n=6, n_pos=2)
+        find_hard_negatives(
+            encoder, inp, str(tmp_path / "mined_kw"),
+            max_query_length=16, max_passage_length=16,
+            num_negatives=3, search_range=(0, 10), method="topk",
+            batch_size=8, num_clusters=2, lambda_=0.5, seed=0,
+            mesh=data_mesh, index_type="ivf",
+            index_kwargs={"n_clusters": 4, "nprobe": 4},
+        )
+        assert seen.get("n_clusters") == 4 and seen.get("nprobe") == 4
+
     def test_lambda_sweep_when_unset(self, tmp_path, encoder, data_mesh):
         inp = _mining_file(tmp_path, n=6)
         outputs = find_hard_negatives(
