@@ -63,6 +63,16 @@ parser.add_argument("--pq_rotate", default="none",
 parser.add_argument("--pq_only", action="store_true",
                     help="skip the flat-scan baseline and plain-IVF/hybrid "
                     "sections (codec A/B runs: oracle + pq index only)")
+parser.add_argument("--fp32_oracle_queries", type=int, default=0,
+                    help="chunked mode only: ALSO compute a true fp32 "
+                    "oracle for this many queries by re-streaming the "
+                    "deterministic chunks (running top-k merge — the fp32 "
+                    "matrix still never exists whole) and report recall "
+                    "against it. The default chunked oracle is "
+                    "exact_search over the STORED rows, which for pq_m "
+                    "measures probing loss only (it decodes the same "
+                    "codes) — this knob is how codec quality itself is "
+                    "measured at no-fp32-matrix scales")
 parser.add_argument("--capacity_slack", type=float, default=1.3,
                     help="per-cluster slot headroom; 1.3 inflates storage "
                     "30%% — at 10M int8 that is 13.4 GB vs 10.3, the "
@@ -361,6 +371,9 @@ def chunked_main(IVFIPIndex):
                 )
                 + noise * jax.random.normal(kn, (m, D), jnp.float32)
             )
+        w = _spectrum()
+        if w is not None:  # same power-law shaping as main()'s make_data
+            rows = rows * w
         return rows / jnp.linalg.norm(rows, axis=-1, keepdims=True)
 
     def get_chunk(lo, hi):
@@ -425,18 +438,66 @@ def chunked_main(IVFIPIndex):
             flush=True,
         )
         ref_sets = [set(row.tolist()) for row in ref_idx]
+
+        fp32_sets = None
+        n_fq = min(_args.fp32_oracle_queries, Q)
+        if n_fq > 0:
+            # true fp32 oracle by re-streaming the deterministic chunks:
+            # a running top-k merge — scores one [n_fq, chunk] fp32 block
+            # at a time, the full matrix never exists
+            @jax.jit
+            def merge(rows, lo, q, bs, bi):
+                s = jnp.einsum(
+                    "qd,nd->qn", q, rows,
+                    preferred_element_type=jnp.float32, precision="float32",
+                )
+                ids = lo + jax.lax.iota(jnp.int32, rows.shape[0])
+                cat_s = jnp.concatenate([bs, s], axis=1)
+                cat_i = jnp.concatenate(
+                    [bi, jnp.broadcast_to(ids, s.shape)], axis=1
+                )
+                # ids enter in ascending global order (carry first, then
+                # this chunk ascending) and lax.top_k keeps the FIRST of
+                # equal scores — the FAISS lowest-index-first tie rule
+                # holds across the stream for free
+                top_s, pos = jax.lax.top_k(cat_s, K)
+                return top_s, jnp.take_along_axis(cat_i, pos, axis=1)
+
+            q_f = jnp.asarray(queries[:n_fq])
+            bs = jnp.full((n_fq, K), -jnp.inf, jnp.float32)
+            bi = jnp.full((n_fq, K), -1, jnp.int32)
+            t0 = time.perf_counter()
+            for lo in range(0, N, _args.chunk_rows):
+                hi = min(lo + _args.chunk_rows, N)
+                rows = jnp.asarray(get_chunk(lo, hi), jnp.float32)
+                bs, bi = merge(rows, lo, q_f, bs, bi)
+            fp32_idx = np.asarray(bi)
+            print(
+                f"  fp32 streamed oracle ({n_fq} queries): "
+                f"{time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
+            fp32_sets = [set(row.tolist()) for row in fp32_idx]
+
         for p in _args.nprobes:
             _, idx = index.search(queries, k=K, nprobe=p)
             recall = float(np.mean([
                 len(set(idx[r].tolist()) & ref_sets[r]) / K
                 for r in range(Q)
             ]))
+            tag = ""
+            if fp32_sets is not None:
+                r32 = float(np.mean([
+                    len(set(idx[r].tolist()) & fp32_sets[r]) / K
+                    for r in range(n_fq)
+                ]))
+                tag = f" [recall_fp32={r32:.4f}]"
             fn = index.search_callable(K, nprobe=p)
             q_dev = jnp.asarray(queries)
             bench(
                 lambda q, *arrs, fn=fn: fn(*arrs, q),
                 (q_dev,) + index.search_arrays,
-                f"ivf[chunked] K={k_c} nprobe={p}",
+                f"ivf[chunked] K={k_c} nprobe={p}{tag}",
                 recall,
             )
 

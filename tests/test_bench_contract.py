@@ -29,6 +29,26 @@ def test_bench_functions_tiny(monkeypatch):
     assert dt > 0
 
 
+def test_bench_1m_ivfpq_tiny(monkeypatch):
+    # the approximate-tier function must run end to end on shrunken shapes
+    # (CPU): build + oracle recall + amortized QPS loop
+    import bench
+
+    monkeypatch.setattr(bench, "N_CORPUS_1M", 2048)
+    monkeypatch.setattr(bench, "BATCH_1M", 32)
+    monkeypatch.setattr(bench, "ORACLE_PROBE_1M", 4)
+    monkeypatch.setattr(bench, "DIM", 64)
+    monkeypatch.setattr(bench, "K", 10)
+    monkeypatch.setattr(bench, "PQ_1M_CLUSTERS", 8)
+    monkeypatch.setattr(bench, "PQ_1M_NPROBE", 8)
+    monkeypatch.setattr(bench, "PQ_1M_M", 8)
+    monkeypatch.setattr(bench, "PQ_1M_BLOBS", 32)
+    qps, recall = bench._device_1m_ivfpq()
+    assert qps > 0
+    # full probe + tight blobs: the rotated codec must rank well
+    assert recall >= 0.5
+
+
 def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     import bench
 
