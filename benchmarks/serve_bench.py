@@ -73,6 +73,12 @@ def main():
                         help="None = auto (~4*sqrt(N))")
     parser.add_argument("--ivf_nprobe", type=int, default=None,
                         help="None = build-time auto-tune at 0.95")
+    parser.add_argument("--ivf_pq_m", type=int, default=0,
+                        help="> 0 serves the IVF+PQ codec (m uint8 "
+                             "codes/row)")
+    parser.add_argument("--ivf_pq_rotate", default="none",
+                        choices=["none", "random", "opq"],
+                        help="orthogonal pre-rotation for the PQ codec")
     parser.add_argument("--ivf_reduced_dim", type=int, default=0,
                         help="> 0 = IVF+PCA hybrid stage-1 dimension")
     args = parser.parse_args()
@@ -109,6 +115,10 @@ def main():
             index_kwargs["nprobe"] = args.ivf_nprobe
         if args.ivf_reduced_dim > 0:
             index_kwargs["reduced_dim"] = min(args.ivf_reduced_dim, args.hidden)
+        if args.ivf_pq_m > 0:
+            index_kwargs["pq_m"] = args.ivf_pq_m
+            if args.ivf_pq_rotate != "none":
+                index_kwargs["pq_rotate"] = args.ivf_pq_rotate
     service = RetrievalService(encoder, mesh=mesh, max_query_length=64,
                                query_batch_size=64,
                                index_type=args.index_type,

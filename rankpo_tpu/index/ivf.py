@@ -405,6 +405,11 @@ class IVFIPIndex:
         self.capacity = _resolve_capacity(
             self.n_total, self.n_clusters, capacity_slack
         )
+        if self.pq_m is not None:
+            # x64 guarantees the fused ADC kernel a legal capacity tiling
+            # (ops/pq_adc_pallas._cap_block); costs <= 63 spare slots per
+            # cluster (1 B/slot/subvector)
+            self.capacity = -(-self.capacity // 64) * 64
         pad = (-self.n_total) % n_shards
         n_padded = self.n_total + pad
 
@@ -517,6 +522,11 @@ class IVFIPIndex:
         self.capacity = _resolve_capacity(
             self.n_total, self.n_clusters, capacity_slack
         )
+        if self.pq_m is not None:
+            # x64 guarantees the fused ADC kernel a legal capacity tiling
+            # (ops/pq_adc_pallas._cap_block); costs <= 63 spare slots per
+            # cluster (1 B/slot/subvector)
+            self.capacity = -(-self.capacity // 64) * 64
 
         rep_kw = (
             {} if mesh is None
@@ -684,6 +694,11 @@ class IVFIPIndex:
         self.capacity = _resolve_capacity(
             self.n_total, self.n_clusters, capacity_slack
         )
+        if self.pq_m is not None:
+            # x64 guarantees the fused ADC kernel a legal capacity tiling
+            # (ops/pq_adc_pallas._cap_block); costs <= 63 spare slots per
+            # cluster (1 B/slot/subvector)
+            self.capacity = -(-self.capacity // 64) * 64
         k_c = self.n_clusters
         chunk_rows = max(1, int(chunk_rows))
 
@@ -1678,7 +1693,10 @@ class IVFIPIndex:
         if pq:
             from rankpo_tpu.ops import pq_adc_pallas as _adc
 
-            pallas_adc = pq_m % _adc._MCH == 0 and (
+            # supported() also guards capacities without a legal VMEM
+            # tiling (legacy persisted indexes built before PQ capacities
+            # were rounded to x64) — those keep the XLA decode
+            pallas_adc = _adc.supported(cap, pq_m) and (
                 jax.default_backend() == "tpu" or _adc.FORCE_INTERPRET
             )
         else:

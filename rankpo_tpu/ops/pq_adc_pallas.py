@@ -9,8 +9,8 @@ a per-query lookup table ``lut[q, m, k] = q_sub[m] . codebook[m, k]`` the
 score of a stored code row is ``sum_m lut[m, codes[m]]`` — the only HBM
 traffic a search NEEDS is the probed CODES (m bytes/row) and the scores.
 
-This kernel keeps it that way. Grid = (query, probe): the probed
-``[capacity, m]`` uint8 code block is fetched by the automatic pipeline
+This kernel keeps it that way. Grid = (query, probe, capacity-block): the
+probed ``[cblk, m]`` uint8 code block is fetched by the automatic pipeline
 through a scalar-prefetch index_map (manual DMA was tried first and
 rejected by Mosaic — it cannot slice a (4,1)-sublane-packed int8 memref at
 a dynamic offset; the pipeline's own DMA machinery has no such limit and
@@ -19,14 +19,24 @@ block stays resident across its probe steps (consecutive-index fetch
 elision), and the one-hot mask + select + reduce happens entirely in
 VMEM/registers:
 
-    mask [cap, mch, 256] = (codes[:, mc:mc+mch, None] == iota_256)
-    part [cap, mch]      = sum_lanes(where(mask, lut[mc:mc+mch], 0))
-    out  [1, cap]        = ones[1, mch] . acc[cap, mch]   (MXU matvec)
+    mask [cblk, mch, 256] = (codes[:, mc:mc+mch, None] == iota_256)
+    part [cblk, mch]      = sum_lanes(where(mask, lut[mc:mc+mch], 0))
+    out  [1, cblk]        = ones[1, mch] . acc[cblk, mch]   (MXU matvec)
 
-m is processed in ``mch``-sized chunks so the 3-D mask transient stays a
-few hundred KB of VMEM; the final cross-chunk reduction is a ones-vector
-matmul, which lands the [cap]-lane layout the output block wants without
-a transpose.
+Two tilings bound the scoped-VMEM stack (Mosaic keeps every PYTHON-
+unrolled iteration's mask transient live simultaneously — measured:
+cap=1592, m=64 blew the 16 MB limit with "Scoped allocation with size
+50.00M"; in-kernel fori_loop/dynamic_slice alternatives do not lower —
+lane-dim dynamic slicing is unimplemented in Mosaic):
+- m is processed in ``_MCH``-sized statically-unrolled chunks, and
+- the capacity dimension is split into ``cblk``-row grid blocks
+  (``_cap_block``: the largest x64 divisor of cap whose unrolled mask
+  stack fits ``_STACK_BUDGET``). ``IVFIPIndex`` rounds PQ capacities up
+  to x64 at build so a valid cblk always exists; loaded legacy indexes
+  with unfriendly capacities fall back to the XLA decode (``supported``).
+
+The output is written as ``[Q, P, cap/cblk, cblk]`` blocks and reshaped
+to ``[Q, P, cap]`` by the caller (same memory order — free).
 
 Contract: ``pq_probe_scores(codes, probe, lut, cap=...)`` returns fp32
 scores ``[Q, P, capacity]`` equal (fp32 sums of fp32 LUT entries; the XLA
@@ -46,6 +56,7 @@ TPU-only). Reference analog: FAISS IndexIVFPQ's ``scan_codes`` ADC loop
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -56,36 +67,63 @@ from jax.experimental.pallas import tpu as pltpu
 
 PQ_K = 256  # 8-bit codes
 
-_MCH = 8  # m-chunk: the [cap, _MCH, 256] mask transient is cap*8 KB fp32
+_MCH = 8  # m-chunk: the [cblk, _MCH, 256] mask transient is cblk*8 KB fp32
+
+# scoped-VMEM stack budget for the unrolled mask transients: the full
+# m-unroll keeps ~cblk * m * 256 * 2 B live (measured from the cap=1592
+# OOM: 50 MB = 8 chunks x cap*2048*2 B); 10 MB leaves margin under the
+# 16 MB scoped limit. cap=320 (the 1M regime) stays a single block.
+_STACK_BUDGET = 10 * (1 << 20)
 
 # CPU tests monkeypatch this to route the IVF+PQ search path through the
 # kernel in interpret mode (the TPU gate in index/ivf.py honors it)
 FORCE_INTERPRET = False
 
 
-def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cap: int, m: int,
+def _cap_block(cap: int, m: int) -> Optional[int]:
+    """Largest divisor of ``cap`` whose unrolled mask stack fits the
+    budget: cap itself when small (x8 for the sublane rule), else the
+    largest x64 divisor under the budget. None = no legal tiling (the
+    caller falls back to the XLA decode)."""
+    limit = max(1, _STACK_BUDGET // (m * PQ_K * 2))
+    if cap <= limit and cap % 8 == 0:
+        return cap
+    best = None
+    for blk in range(64, min(cap, limit) + 1, 64):
+        if cap % blk == 0:
+            best = blk
+    return best
+
+
+def supported(cap: int, m: int) -> bool:
+    """Whether the kernel has a legal, budget-fitting tiling at this
+    (capacity, pq_m) — the ``IVFIPIndex`` dispatch gate."""
+    return m % _MCH == 0 and _cap_block(cap, m) is not None
+
+
+def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cblk: int, m: int,
             mxu: bool):
-    """One grid step = one (query, probe) pair; blocks arrive pipelined."""
+    """One grid step = one (query, probe, cap-block) triple."""
     # & 255 keeps the value range right whether the codes arrive as uint8
     # or as an int8 bitcast (sign-extension fixup)
-    codes = codes_ref[...].astype(jnp.int32) & 255  # [cap, m]
+    codes = codes_ref[...].astype(jnp.int32) & 255  # [cblk, m]
 
-    acc = jnp.zeros((cap, _MCH), jnp.float32)
+    acc = jnp.zeros((cblk, _MCH), jnp.float32)
     for mc in range(0, m, _MCH):  # static unroll, m/_MCH iterations
-        sub = codes[:, mc:mc + _MCH]  # [cap, mch]
+        sub = codes[:, mc:mc + _MCH]  # [cblk, mch]
         lut_sub = lut_ref[0, pl.dslice(mc, _MCH), :]  # [mch, 256] fp32
         if mxu:
             # the select+lane-reduce as ONE 2-D matmul: one-hot mask
-            # [cap, mch*256] bf16 x block-diagonal LUT [mch*256, mch] —
+            # [cblk, mch*256] bf16 x block-diagonal LUT [mch*256, mch] —
             # the compare is the only elementwise pass over the big
             # transient; the 2048-deep reduction rides the MXU. (A
-            # batched [mch, cap, 256] x [mch, 256, 1] matvec was tried
+            # batched [mch, cblk, 256] x [mch, 256, 1] matvec was tried
             # first: Mosaic rejects minor-dim insertion on bf16.)
             iota = lax.broadcasted_iota(
-                jnp.int32, (cap, _MCH, PQ_K), dimension=2
+                jnp.int32, (cblk, _MCH, PQ_K), dimension=2
             )
             mask = (sub[:, :, None] == iota).astype(jnp.bfloat16).reshape(
-                cap, _MCH * PQ_K
+                cblk, _MCH * PQ_K
             )
             t_row = lax.broadcasted_iota(
                 jnp.int32, (_MCH, PQ_K, _MCH), dimension=0
@@ -103,13 +141,13 @@ def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cap: int, m: int,
             )
         else:
             iota = lax.broadcasted_iota(
-                jnp.int32, (cap, _MCH, PQ_K), dimension=2
+                jnp.int32, (cblk, _MCH, PQ_K), dimension=2
             )
             mask = sub[:, :, None] == iota
             part = jnp.where(mask, lut_sub[None, :, :], 0.0)
-            acc = acc + jnp.sum(part, axis=2)  # lane reduce -> [cap, mch]
+            acc = acc + jnp.sum(part, axis=2)  # lane reduce -> [cblk, mch]
 
-    # cross-chunk reduce AND the [cap]-as-lanes relayout in one matvec
+    # cross-chunk reduce AND the [cblk]-as-lanes relayout in one matvec
     ones = jnp.ones((1, _MCH), jnp.float32)
     s = jax.lax.dot_general(
         ones, acc,
@@ -119,8 +157,8 @@ def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cap: int, m: int,
         # (measured 0.022 abs score error); the matvec is tiny, exact fp32
         # costs nothing
         precision=jax.lax.Precision.HIGHEST,
-    )  # [1, cap]
-    out_ref[0, 0] = s
+    )  # [1, cblk]
+    out_ref[0, 0, 0] = s
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "interpret", "mxu"))
@@ -133,7 +171,7 @@ def pq_probe_scores(codes, probe, lut, *, cap: int, interpret: bool = False,
     lut:   [Q, m, 256] fp32 per-query tables (q_sub . codebook entries)
     interpret: run the kernel in interpret mode (CPU tests)
     mxu: route the one-hot select+reduce through the MXU as one
-        [cap, m_ch*256] x block-diag-LUT matmul (rounds LUT entries to
+        [cblk, m_ch*256] x block-diag-LUT matmul (rounds LUT entries to
         bf16). Measured on v5e at [1.31M slots, m=64, p=8]: wins only at
         Q=8 (1.69 vs 2.31 ms) where the search path dispatches
         take-reconstruct anyway (1.17 ms), and LOSES at the kernel's
@@ -147,30 +185,48 @@ def pq_probe_scores(codes, probe, lut, *, cap: int, interpret: bool = False,
     m = codes.shape[1]
     if m % _MCH != 0:
         raise ValueError(f"pq_m must be a multiple of {_MCH}, got {m}")
-    kernel = functools.partial(_kernel, cap=cap, m=m, mxu=mxu)
+    cblk = _cap_block(cap, m)
+    if cblk is None:
+        raise ValueError(
+            f"no legal capacity tiling for cap={cap}, m={m} — gate the "
+            "dispatch on pq_adc_pallas.supported()"
+        )
+    n_cblk = cap // cblk
+    kernel = functools.partial(_kernel, cblk=cblk, m=m, mxu=mxu)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(q_n, p_probe),
+        grid=(q_n, p_probe, n_cblk),
         in_specs=[
-            pl.BlockSpec((1, m, PQ_K), lambda qi, pi, probe_ref: (qi, 0, 0)),
-            # the probed code block, in units of cap rows: the pipeline
-            # fetches block probe[qi, pi] of the [K_c, cap, m]-viewed codes
             pl.BlockSpec(
-                (cap, m), lambda qi, pi, probe_ref: (probe_ref[qi, pi], 0)
+                (1, m, PQ_K), lambda qi, pi, ci, probe_ref: (qi, 0, 0)
+            ),
+            # the probed code sub-block, in units of cblk rows: cluster
+            # probe[qi, pi] starts at block probe * n_cblk of the
+            # [K_c * n_cblk, cblk, m]-viewed codes
+            pl.BlockSpec(
+                (cblk, m),
+                lambda qi, pi, ci, probe_ref: (
+                    probe_ref[qi, pi] * n_cblk + ci, 0
+                ),
             ),
         ],
-        # 4-D output block: the last two dims of a block must tile the
-        # array exactly (or be x8/x128); (1, 1, 1, cap) vs (Q, P, 1, cap)
-        # satisfies that for any cap, where a (1, 1, cap) block of a
-        # (Q, P, cap) array would put a size-1 block on the P dim
+        # 5-D output: [Q, P, n_cblk, 1, cblk] blocks, reshaped to
+        # [Q, P, cap] by the caller (identical memory order). The size-1
+        # fourth dim exists for the same reason the old 4-D spec had one:
+        # a block's last two dims must tile the array exactly (or be
+        # x8/x128), and (1, cblk) against array dims (1, cblk) satisfies
+        # that for any cblk — against (n_cblk, cblk) it would not.
         out_specs=pl.BlockSpec(
-            (1, 1, 1, cap), lambda qi, pi, probe_ref: (qi, pi, 0, 0)
+            (1, 1, 1, 1, cblk),
+            lambda qi, pi, ci, probe_ref: (qi, pi, ci, 0, 0),
         ),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((q_n, p_probe, 1, cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (q_n, p_probe, n_cblk, 1, cblk), jnp.float32
+        ),
         interpret=interpret,
     )(probe, lut.astype(jnp.float32), codes)
     return out.reshape(q_n, p_probe, cap)

@@ -164,3 +164,31 @@ class TestPqAdcScoresInterpret:
         codes, probe, lut = self._setup(m=12)
         with pytest.raises(ValueError, match="multiple"):
             pq_probe_scores(codes, probe, lut, cap=16, interpret=True)
+
+    def test_multi_cap_block_grid(self, monkeypatch):
+        # 10M-scale capacities split into cblk-row grid blocks (the whole-
+        # cap block blew the scoped-VMEM stack, measured at cap=1592).
+        # Force the tiling at test scale by shrinking the stack budget:
+        # cap=128 with budget for 64 rows -> two cap-blocks per probe.
+        from rankpo_tpu.ops import pq_adc_pallas
+
+        monkeypatch.setattr(
+            pq_adc_pallas, "_STACK_BUDGET", 64 * 16 * 256 * 2
+        )
+        assert pq_adc_pallas._cap_block(128, 16) == 64
+        codes, probe, lut = self._setup(k_c=6, cap=128, m=16, q=3, p=2)
+        got = np.asarray(
+            pq_adc_pallas.pq_probe_scores(
+                codes, probe, lut, cap=128, interpret=True
+            )
+        )
+        ref = self._oracle(codes, probe, lut, 128)
+        np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-5)
+
+    def test_supported_gate(self):
+        from rankpo_tpu.ops import pq_adc_pallas as adc
+
+        assert adc.supported(320, 64)       # the 1M regime, single block
+        assert adc.supported(1600, 64)      # 10M regime, 5 x 320 blocks
+        assert not adc.supported(1592, 64)  # legacy x8-only capacity
+        assert not adc.supported(320, 12)   # m not a multiple of _MCH
