@@ -114,6 +114,8 @@ parser.add_argument("--anisotropic_decay", type=float, default=0.0,
                     "residuals are PQ's worst case, cf. the refine "
                     "index's --anisotropic rationale)")
 _args = parser.parse_args()
+if _args.pq_rotate != "none" and not _args.pq_m:
+    parser.error("--pq_rotate requires --pq_m")
 N, D, Q, K = _args.n, _args.d, _args.q, _args.k
 
 
@@ -405,6 +407,48 @@ def chunked_main(IVFIPIndex):
             flush=True,
         )
 
+    # true fp32 oracle by re-streaming the deterministic chunks: a running
+    # top-k merge — scores one [n_fq, chunk] fp32 block at a time, the full
+    # matrix never exists. Depends only on the data and queries, so it is
+    # computed ONCE outside the cluster-config loop (at 10M a pass is
+    # seconds of matmul but minutes of chunk regeneration)
+    fp32_sets = None
+    n_fq = min(_args.fp32_oracle_queries, Q)
+    if n_fq > 0:
+        @jax.jit
+        def merge(rows, lo, q, bs, bi):
+            s = jnp.einsum(
+                "qd,nd->qn", q, rows,
+                preferred_element_type=jnp.float32, precision="float32",
+            )
+            ids = lo + jax.lax.iota(jnp.int32, rows.shape[0])
+            cat_s = jnp.concatenate([bs, s], axis=1)
+            cat_i = jnp.concatenate(
+                [bi, jnp.broadcast_to(ids, s.shape)], axis=1
+            )
+            # ids enter in ascending global order (carry first, then this
+            # chunk ascending) and lax.top_k keeps the FIRST of equal
+            # scores — the FAISS lowest-index-first tie rule holds across
+            # the stream for free
+            top_s, pos = jax.lax.top_k(cat_s, K)
+            return top_s, jnp.take_along_axis(cat_i, pos, axis=1)
+
+        q_f = jnp.asarray(queries[:n_fq])
+        bs = jnp.full((n_fq, K), -jnp.inf, jnp.float32)
+        bi = jnp.full((n_fq, K), -1, jnp.int32)
+        t0 = time.perf_counter()
+        for lo in range(0, N, _args.chunk_rows):
+            hi = min(lo + _args.chunk_rows, N)
+            rows = jnp.asarray(get_chunk(lo, hi), jnp.float32)
+            bs, bi = merge(rows, lo, q_f, bs, bi)
+        fp32_idx = np.asarray(bi)
+        print(
+            f"  fp32 streamed oracle ({n_fq} queries): "
+            f"{time.perf_counter() - t0:.1f}s",
+            flush=True,
+        )
+        fp32_sets = [set(row.tolist()) for row in fp32_idx]
+
     for k_c in _args.clusters:
         t0 = time.perf_counter()
         pq = bool(_args.pq_m)
@@ -438,46 +482,6 @@ def chunked_main(IVFIPIndex):
             flush=True,
         )
         ref_sets = [set(row.tolist()) for row in ref_idx]
-
-        fp32_sets = None
-        n_fq = min(_args.fp32_oracle_queries, Q)
-        if n_fq > 0:
-            # true fp32 oracle by re-streaming the deterministic chunks:
-            # a running top-k merge — scores one [n_fq, chunk] fp32 block
-            # at a time, the full matrix never exists
-            @jax.jit
-            def merge(rows, lo, q, bs, bi):
-                s = jnp.einsum(
-                    "qd,nd->qn", q, rows,
-                    preferred_element_type=jnp.float32, precision="float32",
-                )
-                ids = lo + jax.lax.iota(jnp.int32, rows.shape[0])
-                cat_s = jnp.concatenate([bs, s], axis=1)
-                cat_i = jnp.concatenate(
-                    [bi, jnp.broadcast_to(ids, s.shape)], axis=1
-                )
-                # ids enter in ascending global order (carry first, then
-                # this chunk ascending) and lax.top_k keeps the FIRST of
-                # equal scores — the FAISS lowest-index-first tie rule
-                # holds across the stream for free
-                top_s, pos = jax.lax.top_k(cat_s, K)
-                return top_s, jnp.take_along_axis(cat_i, pos, axis=1)
-
-            q_f = jnp.asarray(queries[:n_fq])
-            bs = jnp.full((n_fq, K), -jnp.inf, jnp.float32)
-            bi = jnp.full((n_fq, K), -1, jnp.int32)
-            t0 = time.perf_counter()
-            for lo in range(0, N, _args.chunk_rows):
-                hi = min(lo + _args.chunk_rows, N)
-                rows = jnp.asarray(get_chunk(lo, hi), jnp.float32)
-                bs, bi = merge(rows, lo, q_f, bs, bi)
-            fp32_idx = np.asarray(bi)
-            print(
-                f"  fp32 streamed oracle ({n_fq} queries): "
-                f"{time.perf_counter() - t0:.1f}s",
-                flush=True,
-            )
-            fp32_sets = [set(row.tolist()) for row in fp32_idx]
 
         for p in _args.nprobes:
             _, idx = index.search(queries, k=K, nprobe=p)

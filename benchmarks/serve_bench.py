@@ -119,6 +119,8 @@ def main():
             index_kwargs["pq_m"] = args.ivf_pq_m
             if args.ivf_pq_rotate != "none":
                 index_kwargs["pq_rotate"] = args.ivf_pq_rotate
+        elif args.ivf_pq_rotate != "none":
+            parser.error("--ivf_pq_rotate requires --ivf_pq_m")
     service = RetrievalService(encoder, mesh=mesh, max_query_length=64,
                                query_batch_size=64,
                                index_type=args.index_type,

@@ -232,6 +232,10 @@ def main(argv=None):
             index_kwargs["pq_m"] = args.ivf_pq_m
             if args.ivf_pq_rotate != "none":
                 index_kwargs["pq_rotate"] = args.ivf_pq_rotate
+        elif args.ivf_pq_rotate != "none":
+            # fail loudly rather than silently build a plain bf16 IVF index
+            # 32x the memory of the codec the operator asked for
+            parser.error("--ivf_pq_rotate requires --ivf_pq_m")
     service = RetrievalService(
         encoder, mesh=mesh, max_query_length=args.max_query_length,
         recall_target=args.recall_target, index_dtype=dtype,

@@ -88,12 +88,15 @@ def _resolve_clusters(n_total: int, n_shards: int, requested) -> int:
     return k
 
 
-def _resolve_capacity(n_total: int, k: int, slack: float) -> int:
-    """Per-cluster slot count: mean fill x slack, rounded up to a sublane
-    multiple; total slots always cover the corpus."""
+def _resolve_capacity(n_total: int, k: int, slack: float,
+                      multiple: int = 8) -> int:
+    """Per-cluster slot count: mean fill x slack, rounded up to
+    ``multiple`` (8 = the sublane rule; PQ indexes pass 64 so the fused
+    ADC kernel always has a legal capacity tiling,
+    ops/pq_adc_pallas._cap_block); total slots always cover the corpus."""
     cap = -(-max(n_total, 1) * slack // k)
     cap = max(int(cap), -(-max(n_total, 1) // k))
-    return max(8, -(-int(cap) // 8) * 8)
+    return max(multiple, -(-int(cap) // multiple) * multiple)
 
 
 def _chunk_rows(rows: int, k: int) -> int:
@@ -403,13 +406,9 @@ class IVFIPIndex:
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         self.n_clusters = _resolve_clusters(self.n_total, n_shards, n_clusters)
         self.capacity = _resolve_capacity(
-            self.n_total, self.n_clusters, capacity_slack
+            self.n_total, self.n_clusters, capacity_slack,
+            multiple=8 if self.pq_m is None else 64,
         )
-        if self.pq_m is not None:
-            # x64 guarantees the fused ADC kernel a legal capacity tiling
-            # (ops/pq_adc_pallas._cap_block); costs <= 63 spare slots per
-            # cluster (1 B/slot/subvector)
-            self.capacity = -(-self.capacity // 64) * 64
         pad = (-self.n_total) % n_shards
         n_padded = self.n_total + pad
 
@@ -520,13 +519,9 @@ class IVFIPIndex:
             )
         self.n_clusters = _resolve_clusters(self.n_total, n_shards, n_clusters)
         self.capacity = _resolve_capacity(
-            self.n_total, self.n_clusters, capacity_slack
+            self.n_total, self.n_clusters, capacity_slack,
+            multiple=8 if self.pq_m is None else 64,
         )
-        if self.pq_m is not None:
-            # x64 guarantees the fused ADC kernel a legal capacity tiling
-            # (ops/pq_adc_pallas._cap_block); costs <= 63 spare slots per
-            # cluster (1 B/slot/subvector)
-            self.capacity = -(-self.capacity // 64) * 64
 
         rep_kw = (
             {} if mesh is None
@@ -692,13 +687,9 @@ class IVFIPIndex:
         self._set_pq(pq_m, pq_iters, pq_rotate)
         self.n_clusters = _resolve_clusters(self.n_total, 1, n_clusters)
         self.capacity = _resolve_capacity(
-            self.n_total, self.n_clusters, capacity_slack
+            self.n_total, self.n_clusters, capacity_slack,
+            multiple=8 if self.pq_m is None else 64,
         )
-        if self.pq_m is not None:
-            # x64 guarantees the fused ADC kernel a legal capacity tiling
-            # (ops/pq_adc_pallas._cap_block); costs <= 63 spare slots per
-            # cluster (1 B/slot/subvector)
-            self.capacity = -(-self.capacity // 64) * 64
         k_c = self.n_clusters
         chunk_rows = max(1, int(chunk_rows))
 
