@@ -89,6 +89,11 @@ parser.add_argument("--chunked_build", action="store_true",
                     "streamed storage-precision scan) since no fp32 "
                     "oracle can be materialized")
 parser.add_argument("--chunk_rows", type=int, default=262144)
+parser.add_argument("--train_rows", type=int, default=0,
+                    help="chunked mode: cap the k-means training sample "
+                    "(0 = the from_chunk_fn default, ~64 rows/cluster — "
+                    "8.6 GB of device fp32 at 100M/K_c=32k; 16/cluster "
+                    "keeps the 100M build on one 16 GB chip)")
 parser.add_argument("--blobs", type=int, default=2048,
                     help="synthetic blob count (clusterable structure)")
 parser.add_argument("--spread", type=float, default=1.0,
@@ -456,6 +461,7 @@ def chunked_main(IVFIPIndex):
             get_chunk, N, D, chunk_rows=_args.chunk_rows,
             n_clusters=k_c, nprobe=max(_args.nprobes),
             kmeans_iters=_args.kmeans_iters,
+            train_rows=(_args.train_rows or None),
             # pq REPLACES the storage codec: int8/reduced_dim conflict
             # with it by contract
             store_dtype=jnp.bfloat16 if pq else STORE,

@@ -68,12 +68,25 @@ i_metrics, i_indices, _ = evaluate_checkpoint(
     index_kwargs={"n_clusters": 8, "nprobe": 8,
                   "store_dtype": jnp.float32, "kmeans_iters": 2},
 )
+# IVF+PQ with the rotated codec across processes: the codebook/rotation
+# fit runs per process on an identical replicated-fetch sample, so the
+# codec must come out identical everywhere; scores are ADC-approximate,
+# so the parent asserts hit-set OVERLAP vs single-process, not equality.
+p_metrics, p_indices, _ = evaluate_checkpoint(
+    model, queries, labels, corpus, tokenizer=tok, mesh=mesh,
+    batch_size=16, max_query_length=16, max_passage_length=16,
+    k=10, cutoffs=(1, 5, 10), compute_dtype=jnp.float32,
+    index_type="ivf",
+    index_kwargs={"n_clusters": 8, "nprobe": 8, "kmeans_iters": 2,
+                  "pq_m": 8, "pq_iters": 5, "pq_rotate": "random"},
+)
 with open(os.path.join(outdir, f"metrics_{pid}.json"), "w") as f:
     json.dump({"metrics": metrics, "indices": indices.tolist(),
                "refine_metrics": r_metrics,
                "refine_indices": r_indices.tolist(),
                "ivf_metrics": i_metrics,
-               "ivf_indices": i_indices.tolist()}, f)
+               "ivf_indices": i_indices.tolist(),
+               "pq_indices": p_indices.tolist()}, f)
 """
 
 
@@ -161,3 +174,20 @@ def test_two_process_eval_matches_single(tmp_path):
         assert set(row) == set(multi_row), "ivf hit sets differ"
     for key, value in i_metrics.items():
         assert abs(value - multi0["ivf_metrics"][key]) < 1e-9, key
+
+    # IVF+PQ (rotated codec): collective k-means bit noise can nudge the
+    # centroids the codes are fit against, and ADC scores are approximate
+    # by contract — assert strong per-row hit-set overlap, not equality
+    _, p_indices, _ = evaluate_checkpoint(
+        str(model_dir), queries, labels, corpus, tokenizer=tok, mesh=mesh,
+        batch_size=16, max_query_length=16, max_passage_length=16,
+        k=10, cutoffs=(1, 5, 10), compute_dtype=jnp.float32,
+        index_type="ivf",
+        index_kwargs={"n_clusters": 8, "nprobe": 8, "kmeans_iters": 2,
+                      "pq_m": 8, "pq_iters": 5, "pq_rotate": "random"},
+    )
+    overlaps = [
+        len(set(row) & set(multi_row)) / 10
+        for row, multi_row in zip(p_indices.tolist(), multi0["pq_indices"])
+    ]
+    assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
