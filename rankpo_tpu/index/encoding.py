@@ -52,6 +52,7 @@ class InferenceEncoder:
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
         self.length_multiple = length_multiple
+        self._packed_fns: dict = {}  # max_segments -> jitted packed embed
 
         # multi-host: every process runs the SAME encode() over a global mesh
         # (each tokenizes the full chunk, contributes its contiguous row
@@ -217,6 +218,171 @@ class InferenceEncoder:
             inverse[order] = np.arange(len(order))
             result = result[inverse]
         return result[0] if single else result
+
+    # ------------------------------------------------------------------
+    # sequence-packed encode
+    # ------------------------------------------------------------------
+    def _packed_embed_fn(self, max_segments: int):
+        """jit-compiled packed embed, cached per max_segments (the one
+        static knob; shapes recompile under the same jit as usual)."""
+        fn = self._packed_fns.get(max_segments)
+        if fn is not None:
+            return fn
+
+        def _embed(params, batch):
+            reps, _valid = enc.embed_packed(
+                params,
+                self.config,
+                batch,
+                max_segments,
+                normalize=self.normalize,
+                compute_dtype=self.compute_dtype,
+                deterministic=True,
+                attn_impl=self.attn_impl,
+            )
+            return reps
+
+        if self._batch_sharding is not None:
+            fn = jax.jit(
+                _embed,
+                in_shardings=(
+                    NamedSharding(self.mesh, P()),
+                    {
+                        "input_ids": self._batch_sharding,
+                        "segment_ids": self._batch_sharding,
+                    },
+                ),
+                out_shardings=NamedSharding(self.mesh, P()),
+            )
+        else:
+            fn = jax.jit(_embed)
+        self._packed_fns[max_segments] = fn
+        return fn
+
+    def encode_packed(
+        self,
+        sentences: List[str],
+        *,
+        max_length: int = 512,
+        pack_length: int = 0,
+        tokens_per_batch: int = 65536,
+        pack_chunk: int = 8192,
+        description: str = "Encoding (packed)",
+    ) -> np.ndarray:
+        """Sequence-packed encode: fp32 [N, H] embeddings in input order.
+
+        Each text is truncated to ``max_length`` then bin-packed with its
+        neighbors into rows of ``pack_length`` tokens (default: the chunk's
+        longest text, rounded up to a power of two >= 256 so row shapes
+        rarely change) — near-zero pad waste instead of pad-to-bucket. The
+        per-text embeddings bit-match :meth:`encode`'s for the same
+        tokenization (tests/test_packing.py); only the batching differs.
+
+        ``pack_chunk`` texts are tokenized and packed at a time (bounds host
+        memory and keeps the best-fit packer O(chunk log chunk)); rows
+        dispatch in groups of ~``tokens_per_batch`` tokens.
+        """
+        if isinstance(sentences, str):
+            raise ValueError("encode_packed takes a list of texts")
+        if sentences and not isinstance(sentences[0], str):
+            raise ValueError("Input items should be text.")
+        from rankpo_tpu.data.packing import occupancy, pack_token_lists
+
+        n = len(sentences)
+        hidden = int(self.config.hidden_size)
+        out = np.zeros((n, hidden), np.float32)
+        if n == 0:
+            return out
+        pad_id = self.config.pad_token_id or 0
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+
+        logged = False
+        pending: list = []
+        max_in_flight = 16  # same bounded-window rationale as encode()
+
+        def _drain(entry):
+            reps, tidx = entry  # [R, M, H] fetched lazily; [R, M] host
+            reps = np.asarray(reps, np.float32)
+            flat_idx = tidx.reshape(-1)
+            sel = flat_idx >= 0
+            out[flat_idx[sel]] = reps.reshape(-1, hidden)[sel]
+
+        for lo in range(0, n, pack_chunk):
+            chunk = sentences[lo : lo + pack_chunk]
+            encoded = self.tokenizer(
+                chunk, max_length=max_length, truncation=True
+            )
+            ids_list = encoded["input_ids"]
+            longest = max(len(x) for x in ids_list)
+            if pack_length:
+                cap = pack_length
+                if longest > cap:
+                    raise ValueError(
+                        f"pack_length {cap} < longest tokenized text "
+                        f"{longest}; raise it or lower max_length"
+                    )
+            else:
+                cap = 256
+                while cap < longest:
+                    cap *= 2
+            # segment cap: a power of two so the pooling table's static
+            # width (and its compile) rarely changes across chunks
+            mseg = 8
+            while mseg < min(cap, 4 * max(1, cap // max(1, longest))):
+                mseg *= 2
+            packed = pack_token_lists(ids_list, cap, mseg, pad_id)
+            m = 8
+            while m < packed.max_segments:
+                m *= 2
+            rows_per_batch = max(1, tokens_per_batch // cap)
+            rows_per_batch = max(n_dev, rows_per_batch // n_dev * n_dev)
+            embed_fn = self._packed_embed_fn(m)
+            if not logged:
+                logger.info(
+                    "%s: %d texts, rows %dx%d tokens, <=%d texts/row, "
+                    "occupancy %.1f%%",
+                    description, n, rows_per_batch, cap, m,
+                    100 * occupancy(packed),
+                )
+                logged = True
+            for rlo in range(0, packed.n_rows, rows_per_batch):
+                ids = packed.input_ids[rlo : rlo + rows_per_batch]
+                seg = packed.segment_ids[rlo : rlo + rows_per_batch]
+                tidx = packed.text_index[rlo : rlo + rows_per_batch]
+                pad_rows = rows_per_batch - ids.shape[0]
+                if pad_rows:  # filler rows: all-pad, 0 segments -> zeros
+                    ids = np.pad(ids, ((0, pad_rows), (0, 0)),
+                                 constant_values=pad_id)
+                    seg = np.pad(seg, ((0, pad_rows), (0, 0)))
+                if pad_rows or tidx.shape[1] < m:
+                    tidx = np.pad(
+                        tidx,
+                        ((0, pad_rows), (0, m - tidx.shape[1])),
+                        constant_values=-1,
+                    )
+                batch = {
+                    "input_ids": ids.astype(np.int32),
+                    "segment_ids": seg.astype(np.int32),
+                }
+                if self.process_count > 1:
+                    local = rows_per_batch // self.process_count
+                    sl = slice(self.process_index * local,
+                               (self.process_index + 1) * local)
+                    batch = jax.tree_util.tree_map(
+                        lambda x: jax.make_array_from_process_local_data(
+                            self._batch_sharding, np.ascontiguousarray(x[sl])
+                        ),
+                        batch,
+                    )
+                reps = embed_fn(self.params, batch)
+                reps.copy_to_host_async()
+                # chunk-local text ids -> global
+                pending.append((reps, np.where(tidx >= 0, tidx + lo, -1)))
+                if len(pending) > max_in_flight:
+                    _drain(pending.pop(0))
+        for entry in pending:
+            _drain(entry)
+        return out
 
     def encode_sharded(
         self,

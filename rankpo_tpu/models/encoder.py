@@ -39,6 +39,7 @@ def forward_hidden(
     dropout_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     mesh=None,
+    segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     if config.is_llama:
         return llama.apply(
@@ -51,6 +52,7 @@ def forward_hidden(
             remat_policy=remat_policy,
             attn_impl=attn_impl,
             mesh=mesh,
+            segment_ids=segment_ids,
         )
     return roberta.apply(
         params,
@@ -64,6 +66,7 @@ def forward_hidden(
         dropout_key=dropout_key,
         attn_impl=attn_impl,
         mesh=mesh,
+        segment_ids=segment_ids,
     )
 
 
@@ -107,6 +110,59 @@ def embed(
     if normalize:
         reps = l2_normalize(reps)
     return reps
+
+
+def embed_packed(
+    params: dict,
+    config: EncoderConfig,
+    batch: Dict[str, jax.Array],
+    max_segments: int,
+    *,
+    normalize: Optional[bool] = None,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+    remat_policy: str = "full",
+    deterministic: bool = True,
+    dropout_key: Optional[jax.Array] = None,
+    attn_impl: str = "auto",
+    mesh=None,
+    output_dtype=jnp.float32,
+) -> tuple:
+    """Sentence embeddings for SEQUENCE-PACKED inputs.
+
+    ``batch``: {'input_ids' [B, S], 'segment_ids' [B, S]} with several texts
+    per row as contiguous segments 1..n and a 0-id pad tail (see
+    rankpo_tpu.data.packing). Returns ``(reps [B, max_segments, H],
+    valid [B, max_segments])`` — slot j of row b is the embedding of
+    segment j+1, bit-matching what :func:`embed` computes for that text
+    alone. Invalid slots are zeros.
+    """
+    if normalize is None:
+        normalize = config.normalize
+    from rankpo_tpu.models.packing import packed_pool
+
+    hidden = forward_hidden(
+        params,
+        config,
+        batch["input_ids"],
+        None,
+        compute_dtype=compute_dtype,
+        remat=remat,
+        remat_policy=remat_policy,
+        deterministic=deterministic,
+        dropout_key=dropout_key,
+        attn_impl=attn_impl,
+        mesh=mesh,
+        segment_ids=batch["segment_ids"],
+    )
+    reps, valid = packed_pool(
+        hidden, batch["segment_ids"], max_segments, config.pooling
+    )
+    reps = reps.astype(output_dtype)
+    if normalize:
+        reps = l2_normalize(reps)
+    reps = jnp.where(valid[..., None], reps, 0)
+    return reps, valid
 
 
 def resize_token_embeddings(

@@ -207,12 +207,14 @@ def _layer(
     mask: jax.Array,
     attn_impl: str,
     mesh=None,
+    segment_ids=None,
 ) -> jax.Array:
     q, k, v = _layer_qkv(config, x, lp, cos, sin)
     # self-attention with everywhere-masked pad keys: pad q rows are skippable
     attn = multi_head_attention(
         q, k, v, mask=mask, causal=True, impl=attn_impl, mesh=mesh,
         skip_pad_q=True, window=config.sliding_window,
+        segment_ids=segment_ids,
     )
     return _layer_post(config, x, attn, lp)
 
@@ -228,6 +230,7 @@ def apply(
     remat_policy: str = "full",
     attn_impl: str = "auto",
     mesh=None,
+    segment_ids=None,
 ) -> jax.Array:
     """Returns last_hidden_state [B, S, H] in compute_dtype.
 
@@ -244,6 +247,11 @@ def apply(
     Positions are ``arange`` regardless of padding (HF LlamaModel default when
     position_ids is None); with right padding + causal attention pad positions
     never influence non-pad tokens, so this matches the reference numerics.
+
+    ``segment_ids`` [B, S] (sequence packing, replaces ``attention_mask``):
+    several texts per row as contiguous segments 1..n with a 0-id pad tail.
+    Attention is block-diagonal and RoPE positions restart per segment, so
+    every packed text computes exactly what it would alone.
     """
     b, s = input_ids.shape
     x = params["embed_tokens"]["weight"][input_ids].astype(compute_dtype)
@@ -251,9 +259,15 @@ def apply(
         # HF GemmaModel scales embeddings by sqrt(hidden), with the
         # normalizer rounded to the compute dtype first
         x = x * jnp.asarray(config.hidden_size**0.5, compute_dtype)
-    positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    if segment_ids is not None:
+        from rankpo_tpu.models.packing import packed_positions
+
+        positions = packed_positions(segment_ids)
+        key_mask = None
+    else:
+        positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+        key_mask = attention_mask.astype(bool)
     cos, sin = rope_cos_sin(config, positions)
-    key_mask = attention_mask.astype(bool)
 
     layer_params = jax.tree_util.tree_map(
         lambda p: p.astype(compute_dtype)
@@ -280,6 +294,7 @@ def apply(
                 attn = multi_head_attention(
                     q, k, v, mask=key_mask, causal=True, impl=attn_impl,
                     mesh=mesh, skip_pad_q=True, window=config.sliding_window,
+                    segment_ids=segment_ids,
                 )
                 post_fn = jax.checkpoint(
                     lambda c, a, p: _layer_post(config, c, a, p)
@@ -292,12 +307,15 @@ def apply(
                 )
             fn = jax.checkpoint(
                 lambda c, p: _layer(
-                    config, c, p, cos, sin, key_mask, attn_impl, mesh
+                    config, c, p, cos, sin, key_mask, attn_impl, mesh,
+                    segment_ids,
                 ),
                 **kwargs,
             )
             return fn(carry, lp), None
-        return _layer(config, carry, lp, cos, sin, key_mask, attn_impl, mesh), None
+        return _layer(
+            config, carry, lp, cos, sin, key_mask, attn_impl, mesh, segment_ids
+        ), None
 
     x, _ = jax.lax.scan(body, x, layer_params)
     x = rms_norm(

@@ -156,6 +156,7 @@ def _layer(
     deterministic: bool,
     attn_impl: str,
     mesh=None,
+    segment_ids=None,
 ) -> jax.Array:
     q, k, v = _layer_qkv(config, x, lp)
     attn_rate, attn_key, post_key = _attn_dropout_args(
@@ -167,6 +168,7 @@ def _layer(
     attn = multi_head_attention(
         q, k, v, mask=mask, causal=False, impl=attn_impl, mesh=mesh,
         skip_pad_q=True, dropout_rate=attn_rate, dropout_key=attn_key,
+        segment_ids=segment_ids,
     )
     return _layer_post(config, x, attn, lp, post_key, deterministic)
 
@@ -184,12 +186,28 @@ def apply(
     dropout_key: Optional[jax.Array] = None,
     attn_impl: str = "auto",
     mesh=None,
+    segment_ids=None,
 ) -> jax.Array:
     """Returns last_hidden_state [B, S, H] in compute_dtype.
-    ``remat_policy``: see llama.apply."""
+    ``remat_policy``: see llama.apply; ``segment_ids`` (sequence packing,
+    replaces ``attention_mask``): see llama.apply — here the learned
+    absolute positions restart per segment (with the Roberta pad offset)."""
     b, s = input_ids.shape
     emb = params["embeddings"]
-    if config.model_type == "bert":
+    if segment_ids is not None:
+        from rankpo_tpu.models.packing import packed_positions
+
+        within = packed_positions(segment_ids)
+        if config.model_type == "bert":
+            pos_ids = within
+        else:
+            # Roberta rule per packed text: non-pad token i gets
+            # padding_idx + 1 + i (create_position_ids_from_input_ids)
+            pad_id = (
+                config.pad_token_id if config.pad_token_id is not None else 1
+            )
+            pos_ids = jnp.where(segment_ids != 0, within + pad_id + 1, pad_id)
+    elif config.model_type == "bert":
         # BERT (BGE family): absolute positions are plain arange
         pos_ids = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
     else:
@@ -207,7 +225,7 @@ def apply(
         emb["layer_norm"]["bias"].astype(compute_dtype),
         config.layer_norm_eps,
     )
-    key_mask = attention_mask.astype(bool)
+    key_mask = None if segment_ids is not None else attention_mask.astype(bool)
 
     if dropout_key is not None and not deterministic:
         # HF applies hidden dropout to the embedding output too
@@ -233,7 +251,8 @@ def apply(
         else:
             lp, lk = inputs, None
         fn = lambda c, p: _layer(
-            config, c, p, key_mask, lk, deterministic, attn_impl, mesh
+            config, c, p, key_mask, lk, deterministic, attn_impl, mesh,
+            segment_ids,
         )
         if remat:
             if remat_policy not in ("full", "dots", "attn"):
@@ -253,6 +272,7 @@ def apply(
                     q, k, v, mask=key_mask, causal=False, impl=attn_impl,
                     mesh=mesh, skip_pad_q=True,
                     dropout_rate=attn_rate, dropout_key=attn_key,
+                    segment_ids=segment_ids,
                 )
                 post_fn = jax.checkpoint(
                     lambda c, a, p: _layer_post(

@@ -31,6 +31,7 @@ def _xla_attention(
     window: Optional[int] = None,
     dropout_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
@@ -43,6 +44,14 @@ def _xla_attention(
         "bqhgd,bkhd->bhgqk", qf, k, preferred_element_type=jnp.float32
     )
 
+    if segment_ids is not None:
+        # sequence packing: tokens attend only within their own segment
+        # (ids 1..n per packed text, 0 = pad); see flash_attention docstring
+        seg = segment_ids
+        pair = jnp.logical_and(
+            seg[:, :, None] == seg[:, None, :], seg[:, None, :] != 0
+        )  # [B, Sq, Sk]
+        logits = jnp.where(pair[:, None, None, :, :], logits, NEG_INF)
     if mask is not None:
         key_mask = mask[:, None, None, None, :]  # [B,1,1,1,Sk]
         logits = jnp.where(key_mask, logits, NEG_INF)
@@ -93,21 +102,29 @@ def multi_head_attention(
     window: Optional[int] = None,
     dropout_rate: float = 0.0,
     dropout_key: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Scaled dot-product attention with GQA, padding mask, optional causality.
 
     impl: "auto" (flash on TPU when profitable), "xla", or "flash".
+
+    ``segment_ids`` [B, S] (self-attention only, replaces ``mask``): sequence
+    packing — attention stays within each packed text's segment (0 = pad,
+    1..n = texts); see rankpo_tpu.ops.flash_attention.
 
     ``mesh``: when given with a model axis > 1, the flash kernel is wrapped in
     a shard_map with heads sharded over the model axis (GSPMD cannot partition
     a pallas_call by itself) — batch stays sharded over the data axis. Falls
     back to XLA attention when shapes don't divide the mesh.
     """
+    if segment_ids is not None and mask is not None:
+        raise ValueError("pass segment_ids OR mask, not both")
     if dropout_rate > 0.0 and dropout_key is not None:
         # attention-probs dropout is training-only and not implemented in the
         # Pallas kernel; the XLA path handles it (GSPMD shards the einsums)
         return _xla_attention(
-            q, k, v, mask, causal, window, dropout_rate, dropout_key
+            q, k, v, mask, causal, window, dropout_rate, dropout_key,
+            segment_ids,
         )
     if impl == "auto":
         impl = "flash" if _use_flash(q) else "xla"
@@ -125,11 +142,14 @@ def multi_head_attention(
             b, _, hq, _ = q.shape
             hkv = k.shape[2]
             if b % dp == 0 and hq % mp == 0 and hkv % mp == 0:
+                packed = segment_ids is not None
                 spec = P(DATA_AXIS, None, MODEL_AXIS, None)
                 fn = shard_map(
                     lambda q_, k_, v_, m_: flash_attention(
-                        q_, k_, v_, mask=m_, causal=causal,
-                        skip_pad_q=skip_pad_q, window=window,
+                        q_, k_, v_,
+                        mask=None if packed else m_,
+                        segment_ids=m_ if packed else None,
+                        causal=causal, skip_pad_q=skip_pad_q, window=window,
                     ),
                     mesh=mesh,
                     in_specs=(spec, spec, spec, P(DATA_AXIS, None)),
@@ -137,14 +157,17 @@ def multi_head_attention(
                     # pallas_call outputs carry no varying-axis metadata yet
                     check_vma=False,
                 )
-                if mask is None:
-                    mask = jnp.ones(
+                m_arg = segment_ids if packed else mask
+                if m_arg is None:
+                    m_arg = jnp.ones(
                         (q.shape[0], k.shape[1]), jnp.int32
                     )
-                return fn(q, k, v, mask)
-            return _xla_attention(q, k, v, mask, causal, window)
+                return fn(q, k, v, m_arg)
+            return _xla_attention(
+                q, k, v, mask, causal, window, segment_ids=segment_ids
+            )
         return flash_attention(
             q, k, v, mask=mask, causal=causal, skip_pad_q=skip_pad_q,
-            window=window,
+            window=window, segment_ids=segment_ids,
         )
-    return _xla_attention(q, k, v, mask, causal, window)
+    return _xla_attention(q, k, v, mask, causal, window, segment_ids=segment_ids)

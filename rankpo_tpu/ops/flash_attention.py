@@ -53,7 +53,7 @@ def _row(ref):
 
 def _fwd_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale, causal, k_block,
-    skip_pad_q, window, q_shift,
+    skip_pad_q, window, q_shift, packed,
 ):
     q = q_ref[0]  # [Bq, D] in input dtype — keep dots on the bf16 MXU path
     bq, d = q.shape
@@ -64,6 +64,10 @@ def _fwd_kernel(
     # tril(k=sk-sq) and HF): query row r has global position r + q_shift
     q_offset = qi * bq + q_shift
     mask_row = _row(mask_ref)
+    if packed:
+        # mask carries per-position SEGMENT IDS (0 = pad, 1..n = packed texts,
+        # contiguous, pad tail); sq == sk enforced by the wrapper
+        seg_q = mask_ref[mask_row, pl.ds(qi * bq, bq)]  # [Bq]
 
     m = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l = jnp.zeros((bq, 1), jnp.float32)
@@ -79,6 +83,10 @@ def _fwd_kernel(
         )  # [Bq, Bk] fp32 accumulation off the bf16 MXU
         key_valid = mask_ref[mask_row, pl.ds(kb * k_block, k_block)]  # [Bk]
         valid = jnp.broadcast_to(key_valid[None, :] != 0, s.shape)
+        if packed:
+            valid = jnp.logical_and(
+                valid, key_valid[None, :] == seg_q[:, None]
+            )
         if causal:
             q_pos = q_offset + jax.lax.broadcasted_iota(
                 jnp.int32, s.shape, dimension=0
@@ -109,7 +117,8 @@ def _fwd_kernel(
     # skip fully-masked key blocks: collators right-pad, so the valid key
     # count bounds the loop (huge win when texts are far shorter than the
     # static max length)
-    key_len = jnp.sum(mask_ref[mask_row, :])
+    seg_row = mask_ref[mask_row, :]
+    key_len = jnp.sum((seg_row != 0).astype(jnp.int32))
     n_iter = jnp.minimum((key_len + k_block - 1) // k_block, n_kb)
     start = 0
     if causal:
@@ -119,6 +128,22 @@ def _fwd_kernel(
         if window is not None:
             # blocks entirely below the window see no valid keys
             start = jnp.maximum(0, q_offset - window + 1) // k_block
+    if packed:
+        # band bounds from the segment layout: keys of segments < the block's
+        # first segment (or > its last) are invisible to every row here, so the
+        # loop covers only key blocks whose segments intersect the q block's.
+        # A fully-pad q block has seg_last == 0 -> zero iterations (zeros path)
+        seg_first = seg_q[0]
+        seg_last = jnp.max(seg_q)
+        start = jnp.maximum(
+            start,
+            jnp.sum(((seg_row != 0) & (seg_row < seg_first)).astype(jnp.int32))
+            // k_block,
+        )
+        end_keys = jnp.sum(
+            ((seg_row != 0) & (seg_row <= seg_last)).astype(jnp.int32)
+        )
+        n_iter = jnp.minimum(n_iter, (end_keys + k_block - 1) // k_block)
     if skip_pad_q:
         # self-attention opt-in: a q block past the valid length runs zero
         # iterations — its rows output zeros, which masked keys make invisible
@@ -134,7 +159,7 @@ def _fwd_kernel(
 
 def _dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, scale, causal, k_block, skip_pad_q, window, q_shift,
+    *, scale, causal, k_block, skip_pad_q, window, q_shift, packed,
 ):
     q = q_ref[0]
     do = do_ref[0]
@@ -148,6 +173,8 @@ def _dq_kernel(
     lse = lse_ref[row, pl.ds(lse_offset, bq)][:, None]
     delta = delta_ref[row, pl.ds(lse_offset, bq)][:, None]
     mask_row = _row(mask_ref)
+    if packed:
+        seg_q = mask_ref[mask_row, pl.ds(qi * bq, bq)]  # see _fwd_kernel
 
     def body(kb, dq):
         k_blk = k_ref[0, pl.ds(kb * k_block, k_block), :]
@@ -158,6 +185,10 @@ def _dq_kernel(
         )
         key_valid = mask_ref[mask_row, pl.ds(kb * k_block, k_block)]
         valid = jnp.broadcast_to(key_valid[None, :] != 0, s.shape)
+        if packed:
+            valid = jnp.logical_and(
+                valid, key_valid[None, :] == seg_q[:, None]
+            )
         if causal:
             q_pos = q_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
             k_pos = kb * k_block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -178,7 +209,8 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    key_len = jnp.sum(mask_ref[mask_row, :])
+    seg_row = mask_ref[mask_row, :]
+    key_len = jnp.sum((seg_row != 0).astype(jnp.int32))
     n_iter = jnp.minimum((key_len + k_block - 1) // k_block, n_kb)
     start = 0
     if causal:
@@ -186,6 +218,18 @@ def _dq_kernel(
         n_iter = jnp.minimum(n_iter, last_kb)
         if window is not None:
             start = jnp.maximum(0, q_offset - window + 1) // k_block
+    if packed:
+        seg_first = seg_q[0]
+        seg_last = jnp.max(seg_q)
+        start = jnp.maximum(
+            start,
+            jnp.sum(((seg_row != 0) & (seg_row < seg_first)).astype(jnp.int32))
+            // k_block,
+        )
+        end_keys = jnp.sum(
+            ((seg_row != 0) & (seg_row <= seg_last)).astype(jnp.int32)
+        )
+        n_iter = jnp.minimum(n_iter, (end_keys + k_block - 1) // k_block)
     if skip_pad_q:
         n_iter = jnp.where(q_offset < key_len, n_iter, 0)
     dq = jax.lax.fori_loop(start, n_iter, body, jnp.zeros((bq, d), jnp.float32))
@@ -194,7 +238,7 @@ def _dq_kernel(
 
 def _dkv_kernel(
     q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    *, scale, causal, q_block, skip_pad_q, window, q_shift,
+    *, scale, causal, q_block, skip_pad_q, window, q_shift, packed,
 ):
     k = k_ref[0]  # [Bk, D]
     v = v_ref[0]
@@ -205,6 +249,7 @@ def _dkv_kernel(
     k_offset = ki * bk
     key_valid = mask_ref[_row(mask_ref), pl.ds(k_offset, bk)]
     stats_row = _row(lse_ref)
+    mask_row = _row(mask_ref)
 
     def body(qb, carry):
         dk, dv = carry
@@ -217,6 +262,13 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )  # [Bq, Bk]
         valid = jnp.broadcast_to(key_valid[None, :] != 0, s.shape)
+        if packed:
+            # sq == sk in packed mode, so the q block's segment ids live in
+            # the same mask row at the q-block offset
+            seg_q = mask_ref[mask_row, pl.ds(qb * q_block, q_block)]
+            valid = jnp.logical_and(
+                valid, key_valid[None, :] == seg_q[:, None]
+            )
         if causal:
             q_pos = (
                 qb * q_block + q_shift
@@ -249,7 +301,8 @@ def _dkv_kernel(
     else:
         start = 0
     # a key block entirely beyond the valid key length contributes nothing
-    key_len = jnp.sum(mask_ref[_row(mask_ref), :])
+    seg_row = mask_ref[mask_row, :]
+    key_len = jnp.sum((seg_row != 0).astype(jnp.int32))
     end_q = n_qb
     if causal and window is not None:
         # q rows beyond k_pos + window - 1 cannot see this key block
@@ -257,6 +310,21 @@ def _dkv_kernel(
             jnp.maximum(k_offset + bk + window - 2 - q_shift, 0) // q_block + 1,
             n_qb,
         )
+    if packed:
+        # only q blocks whose segments intersect this key block's contribute
+        seg_k_first = key_valid[0]
+        seg_k_last = jnp.max(key_valid)
+        start = jnp.maximum(
+            start,
+            jnp.sum(
+                ((seg_row != 0) & (seg_row < seg_k_first)).astype(jnp.int32)
+            )
+            // q_block,
+        )
+        end_rows = jnp.sum(
+            ((seg_row != 0) & (seg_row <= seg_k_last)).astype(jnp.int32)
+        )
+        end_q = jnp.minimum(end_q, (end_rows + q_block - 1) // q_block)
     if skip_pad_q:
         # pad q rows carry zero cotangents in self-attention use; skip them
         end_q = jnp.minimum((key_len + q_block - 1) // q_block, end_q)
@@ -312,17 +380,18 @@ def _stats_spec(s):
     return pl.BlockSpec((SUBLANES, s), lambda bhi, i: (bhi // SUBLANES, 0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _flash(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q,
-           window):
+           window, packed):
     out, _lse = _flash_fwd_impl(
-        q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q, window
+        q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q, window,
+        packed,
     )
     return out
 
 
 def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret,
-                    skip_pad_q, window):
+                    skip_pad_q, window, packed=False):
     bh, sq, d = q.shape
     bhkv, sk, _ = k.shape
     groups = bh // bhkv
@@ -331,7 +400,7 @@ def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret,
 
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, k_block=k_block,
-        skip_pad_q=skip_pad_q, window=window, q_shift=sk - sq,
+        skip_pad_q=skip_pad_q, window=window, q_shift=sk - sq, packed=packed,
     )
     out, lse3 = pl.pallas_call(
         kernel,
@@ -356,15 +425,16 @@ def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret,
 
 
 def _flash_fwd(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q,
-               window):
+               window, packed):
     out, lse = _flash_fwd_impl(
-        q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q, window
+        q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q, window,
+        packed,
     )
     return out, (q, k, v, mask, out, lse)
 
 
 def flash_dq(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
-             interpret, skip_pad_q, window=None):
+             interpret, skip_pad_q, window=None, packed=False):
     """dq for flattened [BH, S, D] inputs given upstream g and the forward's
     lse/delta stats [BH, S]. Reused by both the custom_vjp below and the ring
     attention backward (parallel/ring_attention.py)."""
@@ -375,7 +445,7 @@ def flash_dq(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
     return pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           k_block=k_block, skip_pad_q=skip_pad_q,
-                          window=window, q_shift=sk - sq),
+                          window=window, q_shift=sk - sq, packed=packed),
         grid=(bh, sq // q_block),
         in_specs=[
             pl.BlockSpec((1, q_block, d), lambda bhi, qi: (bhi, qi, 0)),
@@ -393,7 +463,7 @@ def flash_dq(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
 
 
 def flash_dkv(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
-              interpret, skip_pad_q, window=None):
+              interpret, skip_pad_q, window=None, packed=False):
     """dk/dv (fp32, GQA-summed to [BHKV, S, D]) for flattened inputs; see
     flash_dq. dk/dv are computed per (query head, key block) and summed over
     each GQA group."""
@@ -404,7 +474,7 @@ def flash_dkv(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
     dk_per_head, dv_per_head = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
                           q_block=q_block, skip_pad_q=skip_pad_q,
-                          window=window, q_shift=sk - sq),
+                          window=window, q_shift=sk - sq, packed=packed),
         grid=(bh, sk // k_block),
         in_specs=[
             pl.BlockSpec((1, sq, d), lambda bhi, ki: (bhi, 0, 0)),
@@ -434,11 +504,13 @@ def flash_dkv(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
     return dk, dv
 
 
-def _flash_bwd(causal, q_block, k_block, interpret, skip_pad_q, window, res, g):
+def _flash_bwd(causal, q_block, k_block, interpret, skip_pad_q, window, packed,
+               res, g):
     q, k, v, mask, out, lse = res
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     kwargs = dict(causal=causal, q_block=q_block, k_block=k_block,
-                  interpret=interpret, skip_pad_q=skip_pad_q, window=window)
+                  interpret=interpret, skip_pad_q=skip_pad_q, window=window,
+                  packed=packed)
     dq = flash_dq(q, k, v, mask, g, lse, delta, **kwargs)
     dk, dv = flash_dkv(q, k, v, mask, g, lse, delta, **kwargs)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
@@ -459,9 +531,18 @@ def flash_attention(
     interpret: Optional[bool] = None,
     skip_pad_q: bool = False,
     window: Optional[int] = None,
+    segment_ids: Optional[jax.Array] = None,
 ) -> jax.Array:
     """q [B, Sq, Hq, D]; k/v [B, Sk, Hkv, D]; mask [B, Sk] key validity.
     Returns [B, Sq, Hq, D] in q.dtype.
+
+    ``segment_ids`` [B, S] (requires Sq == Sk, replaces ``mask``): sequence
+    PACKING — multiple texts per row as contiguous segments with ids 1..n and
+    a 0-id pad tail. Attention is block-diagonal (tokens attend only within
+    their segment; with ``causal`` also only backwards). Whole key blocks
+    outside a q block's segment span are skipped, so cost is O(Σ lenᵢ²) per
+    row instead of O(S²) — the TPU answer to padding waste on variable-length
+    corpora.
 
     ``window`` (requires ``causal``): sliding-window attention, the HF
     mistral/qwen2 rule — row q attends keys with q_pos - k_pos < window.
@@ -483,6 +564,17 @@ def flash_attention(
     b, sq, hq, d = q.shape
     _, sk, hkv, _ = k.shape
 
+    packed = segment_ids is not None
+    if packed:
+        if sq != sk:
+            raise ValueError(
+                f"segment_ids requires self-attention shapes (sq == sk), "
+                f"got sq={sq} sk={sk}"
+            )
+        if mask is not None:
+            raise ValueError("pass segment_ids OR mask, not both "
+                             "(key validity is segment_ids != 0)")
+        mask = segment_ids
     if mask is None:
         mask = jnp.ones((b, sk), jnp.int32)
     mask = mask.astype(jnp.int32)
@@ -506,6 +598,6 @@ def flash_attention(
 
     out = _flash(
         qf, kf, vf, mask_bh, causal, q_block, k_block, interpret, skip_pad_q,
-        window,
+        window, packed,
     )
     return _unflatten_heads(out, b, hq)

@@ -281,3 +281,112 @@ class TestCrossLengthCausal:
         out = flash_attention(q, k, v, mask=mask, causal=True, window=8,
                               q_block=16, k_block=16, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def _segment_ids(seg_lens, s):
+    """[[len, len, ...] per row] -> [B, S] int32 ids 1..n with a 0 pad tail."""
+    rows = []
+    for lens in seg_lens:
+        row = []
+        for i, L in enumerate(lens):
+            row += [i + 1] * L
+        row += [0] * (s - len(row))
+        rows.append(row)
+    return jnp.asarray(rows, jnp.int32)
+
+
+class TestPacked:
+    """Sequence packing (segment_ids): the packed kernel must equal running
+    every packed text alone — per-segment slices through the unmasked oracle —
+    and the packed XLA fallback, values and grads, causal and bidirectional."""
+
+    SEG_LENS = [[20, 30, 10], [5, 39]]  # pads: 4 and 20 of S=64
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_forward_matches_per_segment_oracle(self, causal):
+        q, k, v, _ = _inputs()
+        seg = _segment_ids(self.SEG_LENS, 64)
+        out = flash_attention(q, k, v, segment_ids=seg, causal=causal,
+                              q_block=16, k_block=16, interpret=True)
+        for b, lens in enumerate(self.SEG_LENS):
+            off = 0
+            for L in lens:
+                sl = slice(off, off + L)
+                ref = _xla_attention(
+                    q[b:b + 1, sl], k[b:b + 1, sl], v[b:b + 1, sl],
+                    None, causal,
+                )
+                np.testing.assert_allclose(
+                    np.asarray(out[b:b + 1, sl]), np.asarray(ref), atol=2e-5,
+                    err_msg=f"row {b} segment at {off}:{off + L}",
+                )
+                off += L
+            # pad tail outputs zeros (no attendable key)
+            assert float(jnp.abs(out[b, off:]).max()) == 0.0
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_forward_matches_packed_xla(self, causal):
+        q, k, v, _ = _inputs(hq=8, hkv=2)  # GQA
+        seg = _segment_ids(self.SEG_LENS, 64)
+        ref = _xla_attention(q, k, v, None, causal, segment_ids=seg)
+        out = flash_attention(q, k, v, segment_ids=seg, causal=causal,
+                              q_block=16, k_block=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_gradients_match_packed_xla(self, causal):
+        q, k, v, _ = _inputs(b=2, sq=32, sk=32, d=8)
+        seg = _segment_ids([[10, 14], [6, 20, 6]], 32)
+
+        def loss_flash(q, k, v):
+            out = flash_attention(q, k, v, segment_ids=seg, causal=causal,
+                                  q_block=8, k_block=8, interpret=True)
+            return jnp.sum(jnp.square(out))
+
+        def loss_ref(q, k, v):
+            out = _xla_attention(q, k, v, None, causal, segment_ids=seg)
+            return jnp.sum(jnp.square(out))
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-4,
+                err_msg=f"grad mismatch for {name}",
+            )
+
+    def test_segment_not_block_aligned(self):
+        # segments straddling block boundaries + a segment smaller than a block
+        q, k, v, _ = _inputs(b=1, sq=64, sk=64)
+        seg = _segment_ids([[3, 45, 13]], 64)
+        ref = _xla_attention(q, k, v, None, True, segment_ids=seg)
+        out = flash_attention(q, k, v, segment_ids=seg, causal=True,
+                              q_block=16, k_block=16, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_single_segment_equals_plain_mask(self):
+        # one segment per row == the ordinary padding-mask semantics at every
+        # VALID position (the packed path additionally zeroes pad q rows
+        # inside partially-valid blocks, which skip_pad_q leaves as garbage)
+        q, k, v, mask = _inputs(mask_lens=[64, 40])
+        seg = _segment_ids([[64], [40]], 64)
+        a = flash_attention(q, k, v, segment_ids=seg, causal=True,
+                            q_block=16, k_block=16, interpret=True)
+        b = flash_attention(q, k, v, mask=mask, causal=True, skip_pad_q=True,
+                            q_block=16, k_block=16, interpret=True)
+        m = np.asarray(mask)[:, :, None, None].astype(bool)
+        np.testing.assert_allclose(
+            np.asarray(a) * m, np.asarray(b) * m, atol=2e-5
+        )
+        assert float(jnp.abs(a[1, 40:]).max()) == 0.0  # packed pads are zeros
+
+    def test_rejects_cross_length_and_double_mask(self):
+        q, k, v, mask = _inputs(sq=32, sk=64)
+        seg = _segment_ids([[32], [32]], 64)
+        with pytest.raises(ValueError, match="sq == sk"):
+            flash_attention(q, k, v, segment_ids=seg, interpret=True)
+        q, k, v, mask = _inputs()
+        seg = _segment_ids([[64], [64]], 64)
+        with pytest.raises(ValueError, match="not both"):
+            flash_attention(q, k, v, mask=mask, segment_ids=seg,
+                            interpret=True)
