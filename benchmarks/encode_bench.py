@@ -1,4 +1,4 @@
-"""Corpus-encode throughput: length-sorted vs input-order batching.
+"""Corpus-encode throughput: input-order vs length-sorted vs packed batching.
 
 The offline corpus encode dominates evaluation/mining/index-build cost
 (reference: ModelForInference.encode, src/modeling.py:473-554, pads each
@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--max_length", type=int, default=512)
     ap.add_argument("--hidden", type=int, default=1024)
     ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--tokens_per_batch", type=int, default=131072,
+                    help="packed mode: tokens per dispatch (rows x capacity)")
     args = ap.parse_args()
 
     import jax
@@ -86,14 +88,27 @@ def main():
 
     results = {}
     out = {}
-    for mode in (False, True):
-        name = "sorted" if mode else "input-order"
+    modes = {
+        "input-order": lambda: encoder.encode(
+            texts, batch_size=args.batch, max_length=args.max_length,
+            sort_by_length=False,
+        ),
+        "sorted": lambda: encoder.encode(
+            texts, batch_size=args.batch, max_length=args.max_length,
+            sort_by_length=True,
+        ),
+        # sequence packing: several texts per row, block-diagonal flash
+        # attention — pad waste ~0 in EVERY op (MLP/norms too), vs sorted
+        # batching which still pads each chunk to its bucket
+        "packed": lambda: encoder.encode_packed(
+            texts, max_length=args.max_length,
+            tokens_per_batch=args.tokens_per_batch,
+        ),
+    }
+    for name, run in modes.items():
         for attempt in range(2):  # second run: compiles cached
             t0 = time.perf_counter()
-            emb = encoder.encode(
-                texts, batch_size=args.batch, max_length=args.max_length,
-                sort_by_length=mode,
-            )
+            emb = run()
             dt = time.perf_counter() - t0
             print(f"  {name} run{attempt}: {dt:.1f}s "
                   f"({args.n / dt:,.0f} texts/s)", flush=True)
@@ -102,7 +117,11 @@ def main():
     np.testing.assert_allclose(
         out["sorted"], out["input-order"], atol=2e-2
     )  # same rows, independent of batching order (bf16 bucket jitter)
-    print(f"speedup: {results['sorted'] / results['input-order']:.2f}x",
+    np.testing.assert_allclose(out["packed"], out["sorted"], atol=2e-2)
+    print(f"sorted speedup: {results['sorted'] / results['input-order']:.2f}x",
+          flush=True)
+    print(f"packed speedup: {results['packed'] / results['input-order']:.2f}x "
+          f"(vs sorted: {results['packed'] / results['sorted']:.2f}x)",
           flush=True)
 
 

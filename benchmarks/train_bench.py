@@ -39,6 +39,16 @@ def main():
     parser.add_argument("--grad_cache", action="store_true")
     parser.add_argument("--pad_frac", type=float, default=0.0,
                         help="fraction of each row that is padding (realistic batches)")
+    parser.add_argument("--var_len", action="store_true",
+                        help="per-row random lengths with mean "
+                             "(1-pad_frac)*seq (instead of one uniform pad "
+                             "tail) — the realistic mixed-length regime")
+    parser.add_argument("--pack", action="store_true",
+                        help="sequence packing (implies --var_len): same "
+                             "texts bin-packed into full rows, block-"
+                             "diagonal flash attention; samples/sec counts "
+                             "the same examples either way")
+    parser.add_argument("--pack_max_segments", type=int, default=16)
     parser.add_argument("--optim", default="adamw",
                         choices=["adamw", "adamw8bit", "adafactor"])
     parser.add_argument("--max_grad_norm", type=float, default=1.0,
@@ -137,23 +147,57 @@ def main():
 
     b = args.batch * n_dev
     rng = np.random.RandomState(0)
+    if args.pack:
+        args.var_len = True
+
+    def row_lengths(rows, seq):
+        if not args.var_len:
+            return np.full(rows, max(1, int(seq * (1 - args.pad_frac))))
+        mean = max(1.0, seq * (1 - args.pad_frac))
+        lens = rng.normal(mean, 0.4 * mean, size=rows)
+        return np.clip(lens.round(), 1, seq).astype(int)
 
     def block(rows, seq):
+        ids = rng.randint(
+            5, args.vocab, (args.accum, rows, seq)
+        ).astype(np.int32)
         mask = np.ones((args.accum, rows, seq), np.int32)
-        if args.pad_frac > 0:
-            valid = max(1, int(seq * (1 - args.pad_frac)))
-            mask[..., valid:] = 0
-        return {
-            "input_ids": rng.randint(
-                5, args.vocab, (args.accum, rows, seq)
-            ).astype(np.int32),
-            "attention_mask": mask,
-        }
+        for a in range(args.accum):
+            for i, L in enumerate(row_lengths(rows, seq)):
+                mask[a, i, L:] = 0
+        ids = np.where(mask > 0, ids, 0)
+        return {"input_ids": ids, "attention_mask": mask}
 
+    def packed_block(rows, seq):
+        import jax.tree_util as jtu
+
+        from rankpo_tpu.data.loader import _stack_microbatches
+        from rankpo_tpu.data.packing import _BlockPacker
+
+        packer = _BlockPacker(
+            seq, args.pack_max_segments, 0, rows_multiple=n_dev
+        )
+        steps = []
+        for a in range(args.accum):
+            seqs = [
+                list(rng.randint(5, args.vocab, L))
+                for L in row_lengths(rows, seq)
+            ]
+            steps.append(packer(seqs))
+        return jtu.tree_map_with_path(_stack_microbatches, *steps)
+
+    make_block = packed_block if args.pack else block
     batch = {
-        "query": block(b, args.q_seq),
-        "passage": block(b * args.group, args.p_seq),
+        "query": make_block(b, args.q_seq),
+        "passage": make_block(b * args.group, args.p_seq),
     }
+    if args.pack:
+        qs = batch["query"]["input_ids"].shape
+        ps = batch["passage"]["input_ids"].shape
+        print(f"packed rows: query {qs} passage {ps} "
+              f"(unpacked: {(args.accum, b, args.q_seq)} / "
+              f"{(args.accum, b * args.group, args.p_seq)})",
+              file=sys.stderr, flush=True)
     key = jax.random.key(0)
 
     metrics = trainer.train_step(batch, key)  # compile

@@ -162,6 +162,17 @@ class TrainDataArguments:
         default=False,
         metadata={"help": "Lazy mmap-backed dataset for >RAM corpora."},
     )
+    pack_sequences: bool = dataclasses.field(
+        default=False,
+        metadata={"help": "Sequence packing: several texts per row with "
+                          "block-diagonal flash attention — removes pad "
+                          "FLOPs on variable-length data. Same sampled "
+                          "examples and loss as unpacked (data/packing.py)."},
+    )
+    pack_max_segments: int = dataclasses.field(
+        default=16,
+        metadata={"help": "Packing: max texts per packed row."},
+    )
 
     def to_json_string(self):
         return _json_str(self)

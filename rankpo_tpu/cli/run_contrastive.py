@@ -118,14 +118,39 @@ def main(argv=None):
         max_query_length=data_args.max_query_length,
         max_passage_length=data_args.max_passage_length,
     )
-    collator = ContrastiveCollator(
-        pad_token_id=pad_id,
-        num_negatives=data_args.num_negatives,
-        max_query_length=data_args.max_query_length,
-        max_passage_length=data_args.max_passage_length,
-        pad_multiple=data_args.pad_multiple,
-        seed=train_cfg.seed,
-    )
+    if data_args.pack_sequences:
+        from rankpo_tpu.data.packing import PackedContrastiveCollator
+
+        if c_args.grad_cache:
+            raise ValueError(
+                "--pack_sequences is not supported with --grad_cache "
+                "(gradcache re-chunks the batch; pack one or the other)"
+            )
+        if jax.process_count() > 1:
+            raise ValueError(
+                "--pack_sequences is single-process for now: the packed row "
+                "budget is derived from each process's local data and can "
+                "disagree across hosts (see docs/ROADMAP.md)"
+            )
+        collator = PackedContrastiveCollator(
+            pad_token_id=pad_id,
+            num_negatives=data_args.num_negatives,
+            max_query_length=data_args.max_query_length,
+            max_passage_length=data_args.max_passage_length,
+            query_max_segments=data_args.pack_max_segments,
+            passage_max_segments=data_args.pack_max_segments,
+            rows_multiple=mesh.shape.get(DATA_AXIS, 1),
+            seed=train_cfg.seed,
+        )
+    else:
+        collator = ContrastiveCollator(
+            pad_token_id=pad_id,
+            num_negatives=data_args.num_negatives,
+            max_query_length=data_args.max_query_length,
+            max_passage_length=data_args.max_passage_length,
+            pad_multiple=data_args.pad_multiple,
+            seed=train_cfg.seed,
+        )
 
     global_micro = train_cfg.per_device_train_batch_size * mesh.devices.size
     steps_per_epoch = len(dataset) // (

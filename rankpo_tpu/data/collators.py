@@ -66,7 +66,10 @@ class ContrastiveCollator:
         self.pad_multiple = pad_multiple
         self.rng = np.random.default_rng(seed)
 
-    def __call__(self, rows: List[dict]) -> Dict[str, Dict[str, np.ndarray]]:
+    def sample(self, rows: List[dict]):
+        """Reference-faithful example sampling (src/data_utils.py:44,50):
+        per row, ONE random positive + ``num_negatives`` sampled negatives.
+        Returns (queries, passages) with passages flattened to [B*(1+n)]."""
         queries, passages = [], []
         for row in rows:
             queries.append(row["query"])
@@ -83,6 +86,10 @@ class ContrastiveCollator:
                 len(negatives), size=self.num_negatives, replace=False
             )
             passages.extend(negatives[j] for j in neg_ids)
+        return queries, passages
+
+    def __call__(self, rows: List[dict]) -> Dict[str, Dict[str, np.ndarray]]:
+        queries, passages = self.sample(rows)
         return {
             "query": _pad_block(
                 queries, self.pad_token_id, self.max_query_length, self.pad_multiple

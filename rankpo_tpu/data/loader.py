@@ -16,6 +16,29 @@ from typing import Callable, Iterator
 import numpy as np
 
 
+def _stack_microbatches(path, *xs):
+    """np.stack one leaf across an accumulation group, padding the leading
+    (row) dim to the group max first when microbatches disagree — packed
+    collators (data/packing.py) keep a sticky row budget, but a rare
+    overflow batch can be taller than its group peers. Pad rows are inert:
+    segment_ids 0 (= no text) and slot_index -1 (= no slot); input ids pad
+    with 0, a valid vocab row that inert rows never surface."""
+    if len({x.shape for x in xs}) == 1:
+        return np.stack(xs, axis=0)
+    rows = max(x.shape[0] for x in xs)
+    name = getattr(path[-1], "key", None) if path else None
+    fill = -1 if name == "slot_index" else 0
+    xs = [
+        np.pad(
+            x,
+            [(0, rows - x.shape[0])] + [(0, 0)] * (x.ndim - 1),
+            constant_values=fill,
+        )
+        for x in xs
+    ]
+    return np.stack(xs, axis=0)
+
+
 class DataLoader:
     def __init__(
         self,
@@ -118,8 +141,8 @@ class DataLoader:
                     if len(group) == stack:
                         import jax
 
-                        stacked = jax.tree_util.tree_map(
-                            lambda *xs: np.stack(xs, axis=0), *group
+                        stacked = jax.tree_util.tree_map_with_path(
+                            _stack_microbatches, *group
                         )
                         group = []
                         if not put(("batch", stacked)):

@@ -117,3 +117,113 @@ def occupancy(packed: PackedRows) -> float:
     if packed.n_rows == 0:
         return 1.0
     return float((packed.segment_ids != 0).mean())
+
+
+# ---------------------------------------------------------------------------
+# training collation
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class _BlockPacker:
+    """Packs one field (queries or passages) into static-shape batches.
+
+    Static-shape discipline for the jitted train step: capacity and the
+    segment-table width are fixed; the ROW count uses a sticky budget — the
+    first batch sets it (rows needed + ~12% slack, rounded to
+    ``rows_multiple`` for mesh divisibility), later batches reuse it, and a
+    rare overflow rounds up to a multiple of the budget (one extra compile,
+    then cached). Steady-state training therefore compiles exactly one step
+    program, same as the unpacked path.
+    """
+
+    def __init__(self, capacity: int, max_segments: int, pad_id: int,
+                 rows_multiple: int = 1):
+        self.capacity = capacity
+        self.max_segments = max_segments
+        self.pad_id = pad_id
+        self.rows_multiple = rows_multiple
+        self._budget: int | None = None
+
+    def __call__(self, seqs) -> dict:
+        seqs = [list(s)[: self.capacity] for s in seqs]
+        packed = pack_token_lists(
+            seqs, self.capacity, self.max_segments, self.pad_id
+        )
+        need = max(packed.n_rows, 1)
+        if self._budget is None:
+            # ~12% slack absorbs batch-to-batch packing jitter without
+            # recompiles; tiny batches (need < 8) take no slack row — a rare
+            # overflow there costs one extra cached compile, cheaper than a
+            # permanently wasted row
+            self._budget = _round_up(need + need // 8, self.rows_multiple)
+        rows = (
+            self._budget
+            if need <= self._budget
+            else _round_up(need, self._budget)
+        )
+        m = self.max_segments
+        ids = np.pad(
+            packed.input_ids, ((0, rows - packed.n_rows), (0, 0)),
+            constant_values=self.pad_id,
+        )
+        seg = np.pad(packed.segment_ids, ((0, rows - packed.n_rows), (0, 0)))
+        slot = np.pad(
+            packed.text_index,
+            ((0, rows - packed.n_rows), (0, m - packed.max_segments)),
+            constant_values=-1,
+        )
+        return {
+            "input_ids": ids,
+            "segment_ids": seg,
+            "slot_index": slot,
+            # shape-only carrier of the text count for the jitted scatter
+            "slots": np.arange(len(seqs), dtype=np.int32),
+        }
+
+
+class PackedContrastiveCollator:
+    """Sequence-packing drop-in for ContrastiveCollator: identical example
+    sampling (random 1-positive + ``num_negatives`` sampled negatives,
+    src/data_utils.py:44,50) but query/passage blocks come out PACKED —
+    several texts per fixed-width row plus a slot table mapping each packed
+    segment back to its batch position. The loss consumes them via
+    ``embed_packed`` + ``scatter_packed_reps`` and is bit-equal to the
+    unpacked step on the same sampled examples (tests/test_packing.py).
+    """
+
+    def __init__(
+        self,
+        pad_token_id: int = 0,
+        num_negatives: int = 5,
+        max_query_length: int = 512,
+        max_passage_length: int = 512,
+        query_max_segments: int = 16,
+        passage_max_segments: int = 16,
+        rows_multiple: int = 1,
+        seed: int = 0,
+    ):
+        from rankpo_tpu.data.collators import ContrastiveCollator
+
+        # reuse the reference-faithful sampling (and its seeded RNG contract)
+        self._sampler = ContrastiveCollator(
+            pad_token_id=pad_token_id,
+            num_negatives=num_negatives,
+            max_query_length=max_query_length,
+            max_passage_length=max_passage_length,
+            seed=seed,
+        )
+        self.num_negatives = num_negatives
+        self._q = _BlockPacker(
+            max_query_length, query_max_segments, pad_token_id, rows_multiple
+        )
+        self._p = _BlockPacker(
+            max_passage_length, passage_max_segments, pad_token_id,
+            rows_multiple,
+        )
+
+    def __call__(self, rows) -> dict:
+        queries, passages = self._sampler.sample(rows)
+        return {"query": self._q(queries), "passage": self._p(passages)}

@@ -81,3 +81,20 @@ def packed_pool(
     idx = jnp.clip(idx, 0, s - 1)  # empty slots gather position 0, masked out
     reps = jnp.take_along_axis(hidden, idx[..., None], axis=1)
     return reps, valid
+
+
+def scatter_packed_reps(
+    reps: jax.Array, slot_index: jax.Array, num_slots: int
+) -> jax.Array:
+    """Restore batch order: [R, M, H] packed reps + [R, M] slot table
+    (values in [0, num_slots) or -1 for empty) -> [num_slots, H].
+
+    Differentiable (the transpose is the gather the packed layout implies),
+    so the packed train step backprops exactly like the unpacked one.
+    """
+    h = reps.shape[-1]
+    flat = reps.reshape(-1, h)
+    idx = slot_index.reshape(-1)
+    safe = jnp.where(idx >= 0, idx, num_slots)  # -1 -> dump row, sliced off
+    out = jnp.zeros((num_slots + 1, h), flat.dtype).at[safe].set(flat)
+    return out[:num_slots]

@@ -46,36 +46,42 @@ def make_contrastive_loss_fn(
     """
     temperature = validate_temperature(normalize_embeddings, temperature)
 
+    def _embed_block(params, block, drop, rng):
+        """One field (query or passage block), packed or plain.
+
+        Packed blocks (PackedContrastiveCollator: 'segment_ids' +
+        'slot_index' + shape-carrier 'slots') run the block-diagonal packed
+        forward, then scatter per-segment reps back to batch order — same
+        values as the plain path on the same texts, minus the pad FLOPs.
+        """
+        kwargs = dict(
+            normalize=normalize_embeddings,
+            compute_dtype=compute_dtype,
+            remat=remat,
+            remat_policy=remat_policy,
+            deterministic=rng is None,
+            dropout_key=drop,
+            attn_impl=attn_impl,
+            mesh=mesh,
+        )
+        if "segment_ids" in block:
+            from rankpo_tpu.models.packing import scatter_packed_reps
+
+            reps, _valid = enc.embed_packed(
+                params, model_config, block,
+                block["slot_index"].shape[1], **kwargs,
+            )
+            return scatter_packed_reps(
+                reps, block["slot_index"], block["slots"].shape[0]
+            )
+        return enc.embed(params, model_config, block, **kwargs)
+
     def loss_fn(params, batch, rng):
         drop_q, drop_p = (
             jax.random.split(rng) if rng is not None else (None, None)
         )
-        q_reps = enc.embed(
-            params,
-            model_config,
-            batch["query"],
-            normalize=normalize_embeddings,
-            compute_dtype=compute_dtype,
-            remat=remat,
-            remat_policy=remat_policy,
-            deterministic=rng is None,
-            dropout_key=drop_q,
-            attn_impl=attn_impl,
-            mesh=mesh,
-        )
-        p_reps = enc.embed(
-            params,
-            model_config,
-            batch["passage"],
-            normalize=normalize_embeddings,
-            compute_dtype=compute_dtype,
-            remat=remat,
-            remat_policy=remat_policy,
-            deterministic=rng is None,
-            dropout_key=drop_p,
-            attn_impl=attn_impl,
-            mesh=mesh,
-        )
+        q_reps = _embed_block(params, batch["query"], drop_q, rng)
+        p_reps = _embed_block(params, batch["passage"], drop_p, rng)
         b = q_reps.shape[0]
         group_size = p_reps.shape[0] // b
         row_valid = batch.get("row_valid")  # static-shape eval padding mask

@@ -370,3 +370,37 @@ def test_resume_restores_checkpoint_weights(workspace, tmp_path):
     # resumed-final == checkpoint (0 further steps ran), and trained != base
     np.testing.assert_allclose(final_state[key], ckpt_state[key], atol=1e-6)
     assert np.abs(ckpt_state[key] - base_state[key]).max() > 1e-6
+
+
+def test_pack_sequences_contrastive(workspace, tmp_path):
+    """--pack_sequences trains end to end and the loss decreases; the
+    gradcache combination is rejected with a clear error."""
+    from rankpo_tpu.cli.run_contrastive import main as run_contrastive
+
+    root, base_model = workspace
+    out = str(tmp_path / "packed-run")
+    args = [
+        "--model_name_or_path", base_model,
+        "--tokenizer_name", TOK,
+        "--train_data", str(root / "train.jsonl"),
+        "--output_dir", out,
+        "--learning_rate", "1e-3",
+        "--num_train_epochs", "2",
+        "--per_device_train_batch_size", "1",
+        "--num_negatives", "3",
+        "--temperature", "0.05",
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--pack_sequences",
+        "--pack_max_segments", "4",
+        "--bf16", "False",
+        "--save_strategy", "no",
+        "--logging_steps", "1",
+    ]
+    history = run_contrastive(args)
+    assert history[-1]["loss"] < history[0]["loss"]
+
+    gc_args = list(args) + ["--grad_cache"]
+    gc_args[gc_args.index("--output_dir") + 1] = str(tmp_path / "packed-gc")
+    with pytest.raises(ValueError, match="grad_cache"):
+        run_contrastive(gc_args)

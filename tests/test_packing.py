@@ -256,3 +256,99 @@ class TestEncodePacked:
         base = e.encode(texts, batch_size=8, max_length=32)
         packed = e.encode_packed(texts, max_length=32, tokens_per_batch=512)
         np.testing.assert_allclose(packed, base, atol=2e-4)
+
+
+class TestPackedTraining:
+    """PackedContrastiveCollator + the packed loss path vs the plain
+    collator + plain path on the SAME sampled examples (same seed): loss,
+    accuracy, and parameter gradients must match."""
+
+    def _rows(self, rng, n, vocab=64, n_neg=2):
+        def text(lo, hi):
+            return list(rng.randint(5, vocab, size=rng.randint(lo, hi)))
+
+        return [
+            {
+                "query": text(3, 12),
+                "positives": [text(4, 20) for _ in range(2)],
+                "negatives": [text(4, 20) for _ in range(4)],
+            }
+            for _ in range(n)
+        ]
+
+    def test_loss_and_grads_match(self):
+        from rankpo_tpu.data.collators import ContrastiveCollator
+        from rankpo_tpu.data.packing import PackedContrastiveCollator
+        from rankpo_tpu.train.steps import make_contrastive_loss_fn
+
+        cfg = tiny_llama_config(vocab_size=64)
+        params = init_params(jax.random.key(0), cfg)
+        rng = np.random.RandomState(0)
+        rows = self._rows(rng, 4)
+
+        plain = ContrastiveCollator(
+            pad_token_id=0, num_negatives=2,
+            max_query_length=16, max_passage_length=24,
+        )
+        packed = PackedContrastiveCollator(
+            pad_token_id=0, num_negatives=2,
+            max_query_length=16, max_passage_length=24,
+            query_max_segments=4, passage_max_segments=4,
+        )
+        b_plain = plain(rows)
+        b_packed = packed(rows)
+        # identical sampling (same seeded RNG contract)
+        loss_fn = make_contrastive_loss_fn(
+            cfg, temperature=0.05, compute_dtype=jnp.float32,
+        )
+
+        def as_jnp(b):
+            return jax.tree_util.tree_map(jnp.asarray, b)
+
+        (l0, m0), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, as_jnp(b_plain), None
+        )
+        (l1, m1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, as_jnp(b_packed), None
+        )
+        np.testing.assert_allclose(float(l0), float(l1), atol=1e-5)
+        np.testing.assert_allclose(
+            float(m0["accuracy"]), float(m1["accuracy"]), atol=1e-6
+        )
+        flat0 = jax.tree_util.tree_leaves(g0)
+        flat1 = jax.tree_util.tree_leaves(g1)
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4
+            )
+
+    def test_sticky_row_budget(self):
+        from rankpo_tpu.data.packing import PackedContrastiveCollator
+
+        rng = np.random.RandomState(1)
+        coll = PackedContrastiveCollator(
+            pad_token_id=0, num_negatives=2,
+            max_query_length=16, max_passage_length=24,
+            query_max_segments=4, passage_max_segments=4,
+        )
+        shapes = set()
+        for _ in range(5):
+            b = coll(self._rows(rng, 4))
+            shapes.add(
+                (b["query"]["input_ids"].shape, b["passage"]["input_ids"].shape)
+            )
+        assert len(shapes) == 1  # steady state: one compiled step shape
+
+    def test_loader_stacks_overflow_groups(self):
+        from rankpo_tpu.data.loader import _stack_microbatches
+
+        a = {"x": {"input_ids": np.zeros((2, 4), np.int32),
+                   "slot_index": np.zeros((2, 3), np.int32)}}
+        b = {"x": {"input_ids": np.ones((4, 4), np.int32),
+                   "slot_index": np.ones((4, 3), np.int32)}}
+        stacked = jax.tree_util.tree_map_with_path(_stack_microbatches, a, b)
+        assert stacked["x"]["input_ids"].shape == (2, 4, 4)
+        assert stacked["x"]["slot_index"].shape == (2, 4, 3)
+        # padded rows: ids filled 0, slot_index filled -1
+        assert np.all(stacked["x"]["input_ids"][0, 2:] == 0)
+        assert np.all(stacked["x"]["slot_index"][0, 2:] == -1)
