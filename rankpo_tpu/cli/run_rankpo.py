@@ -72,12 +72,30 @@ def main(argv=None):
         max_query_length=data_args.max_query_length,
         max_passage_length=data_args.max_passage_length,
     )
-    collator = RankPOCollator(
-        pad_token_id=pad_id,
-        max_query_length=data_args.max_query_length,
-        max_passage_length=data_args.max_passage_length,
-        pad_multiple=data_args.pad_multiple,
-    )
+    if data_args.pack_sequences:
+        from rankpo_tpu.core.mesh import DATA_AXIS
+        from rankpo_tpu.data.packing import PackedRankPOCollator
+
+        if jax.process_count() > 1:
+            raise ValueError(
+                "--pack_sequences is single-process for now (per-host row "
+                "budgets can disagree; see docs/ROADMAP.md)"
+            )
+        collator = PackedRankPOCollator(
+            pad_token_id=pad_id,
+            max_query_length=data_args.max_query_length,
+            max_passage_length=data_args.max_passage_length,
+            query_max_segments=data_args.pack_max_segments,
+            passage_max_segments=data_args.pack_max_segments,
+            rows_multiple=mesh.shape.get(DATA_AXIS, 1),
+        )
+    else:
+        collator = RankPOCollator(
+            pad_token_id=pad_id,
+            max_query_length=data_args.max_query_length,
+            max_passage_length=data_args.max_passage_length,
+            pad_multiple=data_args.pad_multiple,
+        )
 
     global_micro = train_cfg.per_device_train_batch_size * mesh.devices.size
     steps_per_epoch = len(dataset) // (

@@ -148,16 +148,22 @@ class _BlockPacker:
         self._budget: int | None = None
 
     def __call__(self, seqs) -> dict:
-        seqs = [list(s)[: self.capacity] for s in seqs]
+        # an empty tokenization becomes a single pad token (finite garbage
+        # embedding, like the unpacked path's all-pad row) instead of a
+        # packer error
+        seqs = [list(s)[: self.capacity] or [self.pad_id] for s in seqs]
         packed = pack_token_lists(
             seqs, self.capacity, self.max_segments, self.pad_id
         )
         need = max(packed.n_rows, 1)
         if self._budget is None:
-            # ~12% slack absorbs batch-to-batch packing jitter without
-            # recompiles; tiny batches (need < 8) take no slack row — a rare
-            # overflow there costs one extra cached compile, cheaper than a
-            # permanently wasted row
+            # ~12% slack absorbs batch-to-batch packing jitter at scale; NO
+            # forced slack row for small needs — at flagship batch sizes one
+            # extra 4096-token row is a 1.5-2x FLOP/memory tax paid every
+            # step (measured: it tips 1.24B group-4 packed over the HBM
+            # budget), while the alternative is one extra compiled shape
+            # when a batch overflows (cached; bounded by the worst-case
+            # need, which is tiny exactly when overflow is possible)
             self._budget = _round_up(need + need // 8, self.rows_multiple)
         rows = (
             self._budget
@@ -226,4 +232,39 @@ class PackedContrastiveCollator:
 
     def __call__(self, rows) -> dict:
         queries, passages = self._sampler.sample(rows)
+        return {"query": self._q(queries), "passage": self._p(passages)}
+
+
+class PackedRankPOCollator:
+    """Sequence-packing drop-in for RankPOCollator: the passage block keeps
+    the reference's chosen/rejected interleave (src/data_utils.py:190-200 —
+    slot 2i = chosen, 2i+1 = rejected) through the slot table, so the
+    RankPO loss's [B, 2] grouped scores are unchanged."""
+
+    def __init__(
+        self,
+        pad_token_id: int = 0,
+        max_query_length: int = 512,
+        max_passage_length: int = 512,
+        query_max_segments: int = 16,
+        passage_max_segments: int = 16,
+        rows_multiple: int = 1,
+    ):
+        self._q = _BlockPacker(
+            max_query_length, query_max_segments, pad_token_id, rows_multiple
+        )
+        self._p = _BlockPacker(
+            max_passage_length, passage_max_segments, pad_token_id,
+            rows_multiple,
+        )
+
+    def __call__(self, rows) -> dict:
+        for key in ("query", "chosen", "rejected"):
+            if key not in rows[0]:
+                raise KeyError(f"key '{key}' is missing from batch rows")
+        queries = [row["query"] for row in rows]
+        passages = []
+        for row in rows:
+            passages.append(row["chosen"])
+            passages.append(row["rejected"])
         return {"query": self._q(queries), "passage": self._p(passages)}

@@ -312,7 +312,9 @@ class InferenceEncoder:
             encoded = self.tokenizer(
                 chunk, max_length=max_length, truncation=True
             )
-            ids_list = encoded["input_ids"]
+            # empty tokenizations pack as a single pad token (finite garbage
+            # embedding, like the unpacked path's all-pad row)
+            ids_list = [x or [pad_id] for x in encoded["input_ids"]]
             longest = max(len(x) for x in ids_list)
             if pack_length:
                 cap = pack_length

@@ -23,6 +23,27 @@ from rankpo_tpu.models import encoder as enc
 from rankpo_tpu.models.config import EncoderConfig
 
 
+def _embed_field(params, model_config, block, **kwargs):
+    """Embed one batch field (query or passage block), packed or plain.
+
+    Packed blocks (data/packing.py collators: 'segment_ids' + 'slot_index'
+    + shape-carrier 'slots') run the block-diagonal packed forward, then
+    scatter per-segment reps back to batch order — same values as the plain
+    path on the same texts, minus the pad FLOPs.
+    """
+    if "segment_ids" in block:
+        from rankpo_tpu.models.packing import scatter_packed_reps
+
+        reps, _valid = enc.embed_packed(
+            params, model_config, block,
+            block["slot_index"].shape[1], **kwargs,
+        )
+        return scatter_packed_reps(
+            reps, block["slot_index"], block["slots"].shape[0]
+        )
+    return enc.embed(params, model_config, block, **kwargs)
+
+
 def make_contrastive_loss_fn(
     model_config: EncoderConfig,
     *,
@@ -47,14 +68,10 @@ def make_contrastive_loss_fn(
     temperature = validate_temperature(normalize_embeddings, temperature)
 
     def _embed_block(params, block, drop, rng):
-        """One field (query or passage block), packed or plain.
-
-        Packed blocks (PackedContrastiveCollator: 'segment_ids' +
-        'slot_index' + shape-carrier 'slots') run the block-diagonal packed
-        forward, then scatter per-segment reps back to batch order — same
-        values as the plain path on the same texts, minus the pad FLOPs.
-        """
-        kwargs = dict(
+        return _embed_field(
+            params,
+            model_config,
+            block,
             normalize=normalize_embeddings,
             compute_dtype=compute_dtype,
             remat=remat,
@@ -64,17 +81,6 @@ def make_contrastive_loss_fn(
             attn_impl=attn_impl,
             mesh=mesh,
         )
-        if "segment_ids" in block:
-            from rankpo_tpu.models.packing import scatter_packed_reps
-
-            reps, _valid = enc.embed_packed(
-                params, model_config, block,
-                block["slot_index"].shape[1], **kwargs,
-            )
-            return scatter_packed_reps(
-                reps, block["slot_index"], block["slots"].shape[0]
-            )
-        return enc.embed(params, model_config, block, **kwargs)
 
     def loss_fn(params, batch, rng):
         drop_q, drop_p = (
@@ -157,31 +163,20 @@ def make_rankpo_loss_fn(
 
     def _scores(params, batch, rng, deterministic):
         dq, dp = jax.random.split(rng) if rng is not None else (None, None)
-        q_reps = enc.embed(
-            params,
-            model_config,
-            batch["query"],
+        kwargs = dict(
             normalize=True,
             compute_dtype=compute_dtype,
             remat=remat,
             remat_policy=remat_policy,
             deterministic=deterministic,
-            dropout_key=dq,
             attn_impl=attn_impl,
             mesh=mesh,
         )
-        p_reps = enc.embed(
-            params,
-            model_config,
-            batch["passage"],
-            normalize=True,
-            compute_dtype=compute_dtype,
-            remat=remat,
-            remat_policy=remat_policy,
-            deterministic=deterministic,
-            dropout_key=dp,
-            attn_impl=attn_impl,
-            mesh=mesh,
+        q_reps = _embed_field(
+            params, model_config, batch["query"], dropout_key=dq, **kwargs
+        )
+        p_reps = _embed_field(
+            params, model_config, batch["passage"], dropout_key=dp, **kwargs
         )
         b = q_reps.shape[0]
         grouped = p_reps.reshape(b, 2, -1)  # [chosen, rejected] interleaved
