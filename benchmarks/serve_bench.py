@@ -28,15 +28,27 @@ def pct(xs, p):
     return float(np.percentile(np.asarray(xs), p))
 
 
-def run_load(fn, n_threads: int, n_per_thread: int):
+def make_query_text(tid: int, i: int, max_words: int = 0) -> str:
+    base = f"document {(tid * 131 + i * 17) % 10000} on some topic"
+    if max_words <= 0:
+        return base
+    # mixed-length load: lengths spread over [1, max_words] words, so most
+    # micro-batch groups contain at least one near-max query and the
+    # unpacked path pays the long length bucket for the whole group
+    n = 1 + (tid * 37 + i * 101) % max_words
+    return base + " filler" * n
+
+
+def run_load(fn, n_threads: int, n_per_thread: int, max_words: int = 0):
     lat = []
     lock = threading.Lock()
 
     def client(tid):
         mine = []
         for i in range(n_per_thread):
+            text = make_query_text(tid, i, max_words)
             t0 = time.perf_counter()
-            fn(f"document {(tid * 131 + i * 17) % 10000} on some topic", 10)
+            fn(text, 10)
             mine.append(time.perf_counter() - t0)
         with lock:
             lat.extend(mine)
@@ -81,6 +93,12 @@ def main():
                         help="orthogonal pre-rotation for the PQ codec")
     parser.add_argument("--ivf_reduced_dim", type=int, default=0,
                         help="> 0 = IVF+PCA hybrid stage-1 dimension")
+    parser.add_argument("--max_query_length", type=int, default=64)
+    parser.add_argument("--mixed_len_words", type=int, default=0,
+                        help="> 0: query lengths spread over [1, N] words "
+                             "(the regime sequence packing targets)")
+    parser.add_argument("--pack_queries", action="store_true",
+                        help="sequence-pack micro-batch groups")
     args = parser.parse_args()
 
     import jax
@@ -121,30 +139,41 @@ def main():
                 index_kwargs["pq_rotate"] = args.ivf_pq_rotate
         elif args.ivf_pq_rotate != "none":
             parser.error("--ivf_pq_rotate requires --ivf_pq_m")
-    service = RetrievalService(encoder, mesh=mesh, max_query_length=64,
+    service = RetrievalService(encoder, mesh=mesh,
+                               max_query_length=args.max_query_length,
                                query_batch_size=64,
                                index_type=args.index_type,
-                               index_kwargs=index_kwargs)
+                               index_kwargs=index_kwargs,
+                               pack_queries=args.pack_queries)
     corpus = [f"document {i} on some topic number {i}" for i in range(args.n_corpus)]
     service.build_index(corpus, max_passage_length=64, batch_size=256)
 
     # warm every batch bucket (each distinct batch shape is an XLA compile);
     # k_max matches the direct path's k so the two share the search program.
-    # All bench queries land in the shortest length bucket -> lengths=(64,)
-    service.warmup(k=10, lengths=(64,))
+    # Uniform short queries land in the shortest length bucket -> (64,);
+    # mixed-length load needs the full grid (packed mode ignores lengths and
+    # warms its row buckets instead)
+    if args.mixed_len_words > 0 or args.pack_queries:
+        service.warmup(k=10)
+    else:
+        service.warmup(k=10, lengths=(64,))
     mb = MicroBatcher(service, max_batch=64, max_wait_ms=args.wait_ms, k_max=10)
     mb.query("warmup", k=10)
     mb.n_dispatches = mb.n_queries = 0  # don't count warmup in grouping stats
 
     direct = run_load(
-        lambda q, k: service.query(q, k=k), args.threads, args.per_thread
+        lambda q, k: service.query(q, k=k), args.threads, args.per_thread,
+        args.mixed_len_words,
     )
-    batched = run_load(lambda q, k: mb.query(q, k=k), args.threads, args.per_thread)
+    batched = run_load(lambda q, k: mb.query(q, k=k), args.threads,
+                       args.per_thread, args.mixed_len_words)
     out = {
         "metric": "serve_latency_concurrent",
         "threads": args.threads,
         "n_corpus": args.n_corpus,
         "index_type": args.index_type,
+        "pack_queries": args.pack_queries,
+        "mixed_len_words": args.mixed_len_words,
         "direct": direct,
         "microbatch": batched,
         "dispatches_microbatch": mb.n_dispatches,

@@ -171,6 +171,13 @@ def main(argv=None):
     parser.add_argument("--index_file", default=None,
                         help="persisted index (.npz): loaded if it exists, "
                              "else built from --corpus_data and saved here")
+    parser.add_argument("--pack_queries", action="store_true",
+                        help="sequence-pack each micro-batch group's queries "
+                             "(mixed-length groups stop paying the longest "
+                             "member's length bucket; one compiled program "
+                             "per row bucket)")
+    parser.add_argument("--pack_max_segments", type=int, default=16,
+                        help="packing: max queries per packed row")
     parser.add_argument("--microbatch_wait_ms", type=float, default=3.0,
                         help="dynamic micro-batching window for concurrent "
                              "single-query requests; 0 disables")
@@ -240,6 +247,8 @@ def main(argv=None):
         encoder, mesh=mesh, max_query_length=args.max_query_length,
         recall_target=args.recall_target, index_dtype=dtype,
         index_type=args.index_type, index_kwargs=index_kwargs,
+        pack_queries=args.pack_queries,
+        pack_max_segments=args.pack_max_segments,
     )
     import os
 

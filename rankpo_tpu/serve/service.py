@@ -51,6 +51,8 @@ class RetrievalService:
         index_dtype=None,
         index_type: str = "flat",
         index_kwargs: Optional[Dict] = None,
+        pack_queries: bool = False,
+        pack_max_segments: int = 16,
     ):
         """recall_target < 1.0 enables the approx serving mode (flat index:
         PartialReduce top-k, 8x QPS at recall 0.95 on v5e; refine index: the
@@ -79,6 +81,14 @@ class RetrievalService:
             )
         self.index_type = index_type
         self.index_kwargs = dict(index_kwargs or {})
+        # sequence-packed query encode (data/packing.py): micro-batch groups
+        # with MIXED lengths stop paying the longest member's length bucket —
+        # texts pack into full rows, the fused program scatters per-segment
+        # reps into a FIXED query_batch_size slot block, search unchanged.
+        # Compile surface: one program per ROW bucket (vs batch x length
+        # buckets unpacked).
+        self.pack_queries = pack_queries
+        self.pack_max_segments = pack_max_segments
         # (index, corpus_texts) swap ATOMICALLY as one tuple: a query must
         # never decorate one index's hit ids with another corpus's texts
         # (build_index/add_passages can race in-flight queries)
@@ -429,6 +439,19 @@ class RetrievalService:
         Length targeting is tokenizer-approximate (one word ≈ one token)."""
         q_fn = query_fn or self.query
         m = getattr(self.encoder, "length_multiple", 64)
+        if self.pack_queries:
+            # packed mode: one program per ROW bucket (slot block is fixed),
+            # so warm each bucket with enough full-length texts to fill it
+            full = "warm " * self.max_query_length  # truncates to one row
+            n_dev = self.mesh.devices.size if self.mesh is not None else 1
+            r = n_dev
+            while True:
+                q_fn([full] * min(r, self.query_batch_size), k=k,
+                     return_passages=False)
+                if r >= self._rows_bucket(self.query_batch_size):
+                    break
+                r *= 2
+            return
         if lengths is None:
             lengths = self._default_warmup_lengths()
         for length in lengths:
@@ -476,6 +499,8 @@ class RetrievalService:
             # loop and rebuild against the current one
 
     def _build_fused(self, k: int, index):
+        if self.pack_queries:
+            return self._build_fused_packed(k, index)
         import jax
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -527,6 +552,118 @@ class RetrievalService:
             )
         return fn
 
+    def _build_fused_packed(self, k: int, index):
+        """Packed variant of the fused program: packed token rows + slot
+        table in, per-segment embeddings scattered to a fixed slot block,
+        then the same sharded search. See _build_fused for the snapshot /
+        TOCTOU contract (shared via _get_fused)."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from rankpo_tpu.core.mesh import DATA_AXIS
+        from rankpo_tpu.models import encoder as enc_mod
+        from rankpo_tpu.models.packing import scatter_packed_reps
+
+        enc_obj = self.encoder
+        search = index.search_callable(k)
+        mesh = self.mesh
+
+        def fused(params, *rest):
+            *arrays, ids, segs, slot_idx, slots = rest
+            reps, _valid = enc_mod.embed_packed(
+                params,
+                enc_obj.config,
+                {"input_ids": ids, "segment_ids": segs},
+                slot_idx.shape[1],
+                normalize=enc_obj.normalize,
+                compute_dtype=enc_obj.compute_dtype,
+                deterministic=True,
+                attn_impl=enc_obj.attn_impl,
+            )
+            reps = scatter_packed_reps(reps, slot_idx, slots.shape[0])
+            reps = reps.astype(jnp.float32)
+            if mesh is not None:
+                reps = jax.lax.with_sharding_constraint(
+                    reps, NamedSharding(mesh, P())
+                )
+            return search(*arrays, reps)
+
+        if mesh is None:
+            return jax.jit(fused)
+        row_sharded = NamedSharding(mesh, P(DATA_AXIS, None))
+        return jax.jit(
+            fused,
+            in_shardings=(
+                (NamedSharding(mesh, P()),)  # params replicated
+                + index.search_arg_shardings(mesh)
+                + (
+                    row_sharded,  # ids
+                    row_sharded,  # segment_ids
+                    row_sharded,  # slot_index
+                    NamedSharding(mesh, P()),  # slots (shape carrier)
+                )
+            ),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+
+    def _rows_bucket(self, rows: int) -> int:
+        """Power-of-two row buckets (starting at the device count for mesh
+        divisibility): same compile-storm rationale as _batch_bucket."""
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        b = n_dev
+        while b < rows:
+            b *= 2
+        return b
+
+    def _prepare_packed_queries(self, chunk: List[str]):
+        """Tokenize + bin-pack one micro-batch group into static-shape
+        packed arrays; the slot table maps segments to the group's request
+        order, so result row i is request i."""
+        import jax
+
+        from rankpo_tpu.data.packing import pack_token_lists
+
+        pad_id = self.encoder.config.pad_token_id or 0
+        encoded = self.encoder.tokenizer(
+            list(chunk), max_length=self.max_query_length, truncation=True
+        )
+        ids_list = [x or [pad_id] for x in encoded["input_ids"]]
+        cap = self.max_query_length
+        packed = pack_token_lists(
+            ids_list, cap, self.pack_max_segments, pad_id
+        )
+        rows = self._rows_bucket(packed.n_rows)
+        m = self.pack_max_segments
+        pad_rows = rows - packed.n_rows
+        ids = np.pad(packed.input_ids, ((0, pad_rows), (0, 0)),
+                     constant_values=pad_id)
+        segs = np.pad(packed.segment_ids, ((0, pad_rows), (0, 0)))
+        slot_idx = np.pad(
+            packed.text_index,
+            ((0, pad_rows), (0, m - packed.max_segments)),
+            constant_values=-1,
+        )
+        # FIXED slot block: every packed program scatters into
+        # query_batch_size slots, so only the ROW count varies across groups
+        slots = np.arange(self.query_batch_size, dtype=np.int32)
+        batch = {
+            "ids": ids.astype(np.int32),
+            "segs": segs.astype(np.int32),
+            "slot_idx": slot_idx.astype(np.int32),
+        }
+        if self.encoder.process_count > 1:
+            local = rows // self.encoder.process_count
+            sl = slice(self.encoder.process_index * local,
+                       (self.encoder.process_index + 1) * local)
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    self.encoder._batch_sharding, np.ascontiguousarray(x[sl])
+                ),
+                batch,
+            )
+        return batch["ids"], batch["segs"], batch["slot_idx"], slots
+
     def _query_fused(self, texts: List[str], k: int):
         """Fused-dispatch top-k: returns (scores, indices, corpus_texts) —
         numpy [Q, k] arrays plus the text list of the index snapshot actually
@@ -551,20 +688,30 @@ class RetrievalService:
         pending = []
         for lo in range(0, len(texts), self.query_batch_size):
             chunk = texts[lo : lo + self.query_batch_size]
-            b = self._batch_bucket(max(len(chunk), 1))
-            if b % n_dev != 0:
-                b = -(-b // n_dev) * n_dev
-            # single-process: prepare_batch returns host numpy and jit's
-            # in_shardings place it; multi-process: already globally sharded
-            batch = self.encoder.prepare_batch(
-                list(chunk), b, self.max_query_length
-            )
-            scores, indices = fn(
-                self.encoder.params,
-                *index.search_arrays,
-                batch["input_ids"],
-                batch["attention_mask"],
-            )
+            if self.pack_queries:
+                ids, segs, slot_idx, slots = self._prepare_packed_queries(
+                    list(chunk)
+                )
+                scores, indices = fn(
+                    self.encoder.params, *index.search_arrays,
+                    ids, segs, slot_idx, slots,
+                )
+            else:
+                b = self._batch_bucket(max(len(chunk), 1))
+                if b % n_dev != 0:
+                    b = -(-b // n_dev) * n_dev
+                # single-process: prepare_batch returns host numpy and jit's
+                # in_shardings place it; multi-process: already globally
+                # sharded
+                batch = self.encoder.prepare_batch(
+                    list(chunk), b, self.max_query_length
+                )
+                scores, indices = fn(
+                    self.encoder.params,
+                    *index.search_arrays,
+                    batch["input_ids"],
+                    batch["attention_mask"],
+                )
             scores.copy_to_host_async()
             indices.copy_to_host_async()
             pending.append((scores, indices, len(chunk)))

@@ -553,3 +553,51 @@ class TestAddPassages:
         finally:
             server.shutdown()
             service.load_index(emb_before, texts_before)
+
+
+class TestPackedQueries:
+    """pack_queries=True: identical hits to the unpacked fused path on
+    mixed-length query groups (same tokenization; only the batching packs)."""
+
+    def _build(self, data_mesh, pack):
+        cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(0), cfg)
+        tok = HashTokenizer(vocab_size=256)
+        encoder = InferenceEncoder(cfg, params, tok, mesh=data_mesh,
+                                   compute_dtype=jnp.float32,
+                                   length_multiple=8)
+        svc = RetrievalService(encoder, mesh=data_mesh, max_query_length=24,
+                               query_batch_size=8, pack_queries=pack,
+                               pack_max_segments=4)
+        corpus = [f"document {i} on distinct topic {i}" for i in range(32)]
+        svc.build_index(corpus, max_passage_length=16, batch_size=8)
+        return svc
+
+    def test_matches_unpacked(self, data_mesh):
+        plain = self._build(data_mesh, pack=False)
+        packed = self._build(data_mesh, pack=True)
+        # mixed lengths: short + long in one group, plus a multi-chunk batch
+        queries = [
+            "document 3 on distinct topic 3",
+            "q",
+            "document 19 on distinct topic 19 with a much longer tail "
+            "of extra words to stretch the tokenized length out",
+            "document 7 on distinct topic 7",
+        ] + [f"document {i} on distinct topic {i}" for i in range(11)]
+        a = plain.query(queries, k=3)
+        b = packed.query(queries, k=3)
+        for ra, rb in zip(a, b):
+            assert [h["index"] for h in ra["hits"]] == [
+                h["index"] for h in rb["hits"]
+            ]
+            np.testing.assert_allclose(
+                [h["score"] for h in ra["hits"]],
+                [h["score"] for h in rb["hits"]],
+                atol=2e-4,
+            )
+
+    def test_warmup_and_single(self, data_mesh):
+        svc = self._build(data_mesh, pack=True)
+        svc.warmup(k=3)
+        res = svc.query("document 5 on distinct topic 5", k=3)
+        assert res["hits"][0]["index"] == 5

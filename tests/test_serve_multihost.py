@@ -22,7 +22,7 @@ _WORKER = r"""
 import json, os, sys, threading
 sys.path.insert(0, "/root/repo")
 pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
-model = sys.argv[4]
+model = sys.argv[4]; pack = bool(int(sys.argv[5]))
 
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -42,7 +42,8 @@ encoder = InferenceEncoder.from_pretrained(
     model, tokenizer=tok, mesh=mesh, compute_dtype=jnp.float32, length_multiple=8
 )
 service = RetrievalService(encoder, mesh=mesh, max_query_length=16,
-                           query_batch_size=8)
+                           query_batch_size=8, pack_queries=pack,
+                           pack_max_segments=4)
 corpus = [f"document {i} on distinct topic {i}" for i in range(32)]
 service.build_index(corpus, max_passage_length=16, batch_size=16)
 
@@ -77,7 +78,8 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_serving_matches_single(tmp_path):
+@pytest.mark.parametrize("pack", [0, 1])
+def test_two_process_serving_matches_single(tmp_path, pack):
     from rankpo_tpu.index import InferenceEncoder
     from rankpo_tpu.models import init_params, save_pretrained, tiny_llama_config
     from rankpo_tpu.serve import RetrievalService
@@ -98,7 +100,7 @@ def test_two_process_serving_matches_single(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(pid), str(port), str(tmp_path),
-             str(model_dir)],
+             str(model_dir), str(pack)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for pid in range(2)
