@@ -119,19 +119,11 @@ def main(argv=None):
         max_passage_length=data_args.max_passage_length,
     )
     if data_args.pack_sequences:
-        from rankpo_tpu.data.packing import PackedContrastiveCollator
+        from rankpo_tpu.data.packing import (
+            PackedContrastiveCollator,
+            sync_packed_budgets,
+        )
 
-        if c_args.grad_cache:
-            raise ValueError(
-                "--pack_sequences is not supported with --grad_cache "
-                "(gradcache re-chunks the batch; pack one or the other)"
-            )
-        if jax.process_count() > 1:
-            raise ValueError(
-                "--pack_sequences is single-process for now: the packed row "
-                "budget is derived from each process's local data and can "
-                "disagree across hosts (see docs/ROADMAP.md)"
-            )
         collator = PackedContrastiveCollator(
             pad_token_id=pad_id,
             num_negatives=data_args.num_negatives,
@@ -142,6 +134,21 @@ def main(argv=None):
             rows_multiple=mesh.shape.get(DATA_AXIS, 1),
             seed=train_cfg.seed,
         )
+        if jax.process_count() > 1:
+            # hosts must agree on the packed row shapes forever: one
+            # startup allgather fixes both budgets to the global max need
+            # (+25% slack); rare overflow truncates-to-fit locally
+            local_bs = (
+                train_cfg.per_device_train_batch_size
+                * jax.local_device_count()
+            )
+            probe = [dataset[i] for i in range(min(local_bs, len(dataset)))]
+            q_rows, p_rows = sync_packed_budgets(collator, probe)
+            collator.set_process_shard(jax.process_index(), local_bs)
+            logger.info(
+                "packed multi-process budgets: query %d rows, passage %d "
+                "rows per host", q_rows, p_rows,
+            )
     else:
         collator = ContrastiveCollator(
             pad_token_id=pad_id,
@@ -211,6 +218,7 @@ def main(argv=None):
             remat=train_cfg.gradient_checkpointing,
             remat_policy=train_cfg.gradient_checkpointing_policy,
             attn_impl=model_args.attn_impl,
+            mesh=mesh if train_cfg.model_parallel > 1 else None,
         )
         logger.info("gradient-cache accumulation: negative pool spans all "
                     "%d accumulation steps", train_cfg.gradient_accumulation_steps)

@@ -74,13 +74,11 @@ def main(argv=None):
     )
     if data_args.pack_sequences:
         from rankpo_tpu.core.mesh import DATA_AXIS
-        from rankpo_tpu.data.packing import PackedRankPOCollator
+        from rankpo_tpu.data.packing import (
+            PackedRankPOCollator,
+            sync_packed_budgets,
+        )
 
-        if jax.process_count() > 1:
-            raise ValueError(
-                "--pack_sequences is single-process for now (per-host row "
-                "budgets can disagree; see docs/ROADMAP.md)"
-            )
         collator = PackedRankPOCollator(
             pad_token_id=pad_id,
             max_query_length=data_args.max_query_length,
@@ -89,6 +87,20 @@ def main(argv=None):
             passage_max_segments=data_args.pack_max_segments,
             rows_multiple=mesh.shape.get(DATA_AXIS, 1),
         )
+        if jax.process_count() > 1:
+            # startup allgather fixes both packed row budgets to the global
+            # max (+slack); overflow truncates-to-fit (see data/packing.py)
+            local_bs = (
+                train_cfg.per_device_train_batch_size
+                * jax.local_device_count()
+            )
+            probe = [dataset[i] for i in range(min(local_bs, len(dataset)))]
+            q_rows, p_rows = sync_packed_budgets(collator, probe)
+            collator.set_process_shard(jax.process_index(), local_bs)
+            logger.info(
+                "packed multi-process budgets: query %d rows, passage %d "
+                "rows per host", q_rows, p_rows,
+            )
     else:
         collator = RankPOCollator(
             pad_token_id=pad_id,

@@ -137,6 +137,16 @@ class _BlockPacker:
     rare overflow rounds up to a multiple of the budget (one extra compile,
     then cached). Steady-state training therefore compiles exactly one step
     program, same as the unpacked path.
+
+    Multi-process mode: :meth:`set_budget` FIXES the budget (all hosts agree
+    on one value via :func:`sync_packed_budgets`'s startup allgather). The
+    row count then never varies — a rare overflow batch is truncated-to-fit
+    deterministically (the longest texts are clipped until the pack fits)
+    instead of changing shape, because hosts cannot renegotiate shapes
+    mid-training without a collective on the hot path. ``slot_offset``
+    shifts slot-table entries to GLOBAL batch positions (host k's queries
+    occupy global slots [k*B_local, (k+1)*B_local)) so the jitted scatter
+    assembles the global rep matrix correctly.
     """
 
     def __init__(self, capacity: int, max_segments: int, pad_id: int,
@@ -146,6 +156,68 @@ class _BlockPacker:
         self.pad_id = pad_id
         self.rows_multiple = rows_multiple
         self._budget: int | None = None
+        self._fixed = False
+        self.slot_offset = 0
+        self.n_truncated = 0  # overflow batches clipped to fit (fixed mode)
+
+    def set_budget(self, rows: int) -> int:
+        """Fix the row budget (rounded up to ``rows_multiple``). Later
+        batches ALWAYS come out at exactly this many rows."""
+        self._budget = _round_up(int(rows), self.rows_multiple)
+        self._fixed = True
+        return self._budget
+
+    def probe_rows(self, seqs) -> int:
+        """Rows a batch would need, without touching the sticky budget."""
+        seqs = [list(s)[: self.capacity] or [self.pad_id] for s in seqs]
+        return max(
+            len(pack_lengths([len(s) for s in seqs], self.capacity,
+                             self.max_segments)),
+            1,
+        )
+
+    def _truncate_to_fit(self, seqs, rows: int):
+        """Deterministic overflow repair for the fixed-budget mode: clip all
+        texts to the largest length L whose packing fits ``rows`` rows
+        (binary search; each probe packs exactly). Purely local — shapes
+        stay fixed so hosts never disagree."""
+        n = len(seqs)
+        per_row = min(self.capacity, self.max_segments)
+        if rows * per_row < n:
+            raise ValueError(
+                f"packed row budget {rows} cannot hold {n} texts even at "
+                f"1 token each (max {per_row} segments/row); raise the "
+                "budget or max_segments"
+            )
+
+        def fits(cap_len: int) -> bool:
+            lengths = [min(len(s), cap_len) for s in seqs]
+            return (
+                len(pack_lengths(lengths, self.capacity, self.max_segments))
+                <= rows
+            )
+
+        lo, hi = 1, self.capacity  # fits(1) holds by the check above
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if fits(mid):
+                lo = mid
+            else:
+                hi = mid - 1
+        clipped = [s[:lo] for s in seqs]
+        self.n_truncated += 1
+        if self.n_truncated <= 3:
+            import warnings
+
+            warnings.warn(
+                f"packed batch overflowed its fixed row budget ({rows} "
+                f"rows); texts clipped to {lo} tokens to fit. Frequent "
+                "overflow means the calibrated budget is too tight — raise "
+                "the slack or the explicit budget."
+            )
+        return pack_token_lists(
+            clipped, self.capacity, self.max_segments, self.pad_id
+        )
 
     def __call__(self, seqs) -> dict:
         # an empty tokenization becomes a single pad token (finite garbage
@@ -165,11 +237,16 @@ class _BlockPacker:
             # when a batch overflows (cached; bounded by the worst-case
             # need, which is tiny exactly when overflow is possible)
             self._budget = _round_up(need + need // 8, self.rows_multiple)
-        rows = (
-            self._budget
-            if need <= self._budget
-            else _round_up(need, self._budget)
-        )
+        if self._fixed:
+            rows = self._budget
+            if need > rows:
+                packed = self._truncate_to_fit(seqs, rows)
+        else:
+            rows = (
+                self._budget
+                if need <= self._budget
+                else _round_up(need, self._budget)
+            )
         m = self.max_segments
         ids = np.pad(
             packed.input_ids, ((0, rows - packed.n_rows), (0, 0)),
@@ -181,6 +258,8 @@ class _BlockPacker:
             ((0, rows - packed.n_rows), (0, m - packed.max_segments)),
             constant_values=-1,
         )
+        if self.slot_offset:
+            slot = np.where(slot >= 0, slot + self.slot_offset, slot)
         return {
             "input_ids": ids,
             "segment_ids": seg,
@@ -234,6 +313,29 @@ class PackedContrastiveCollator:
         queries, passages = self._sampler.sample(rows)
         return {"query": self._q(queries), "passage": self._p(passages)}
 
+    def probe_needs(self, rows) -> tuple:
+        """(query_rows, passage_rows) a batch like ``rows`` would need.
+        Samples on a COPY of the collator RNG, so the training stream is
+        untouched."""
+        import copy
+
+        queries, passages = copy.deepcopy(self._sampler).sample(rows)
+        return self._q.probe_rows(queries), self._p.probe_rows(passages)
+
+    def set_budgets(self, query_rows: int, passage_rows: int) -> tuple:
+        """Fix both row budgets (multi-process mode; see _BlockPacker)."""
+        return self._q.set_budget(query_rows), self._p.set_budget(passage_rows)
+
+    def set_process_shard(self, process_index: int, batch_rows_local: int):
+        """Point slot tables at GLOBAL batch positions: host k's B_local
+        queries are global slots [k·B, (k+1)·B), its passages
+        [k·B·(1+n), ...) — matching make_array_from_process_local_data's
+        process-order concatenation in Trainer._globalize."""
+        self._q.slot_offset = process_index * batch_rows_local
+        self._p.slot_offset = (
+            process_index * batch_rows_local * (1 + self.num_negatives)
+        )
+
 
 class PackedRankPOCollator:
     """Sequence-packing drop-in for RankPOCollator: the passage block keeps
@@ -268,3 +370,44 @@ class PackedRankPOCollator:
             passages.append(row["chosen"])
             passages.append(row["rejected"])
         return {"query": self._q(queries), "passage": self._p(passages)}
+
+    def probe_needs(self, rows) -> tuple:
+        queries = [row["query"] for row in rows]
+        passages = []
+        for row in rows:
+            passages.append(row["chosen"])
+            passages.append(row["rejected"])
+        return self._q.probe_rows(queries), self._p.probe_rows(passages)
+
+    def set_budgets(self, query_rows: int, passage_rows: int) -> tuple:
+        return self._q.set_budget(query_rows), self._p.set_budget(passage_rows)
+
+    def set_process_shard(self, process_index: int, batch_rows_local: int):
+        # chosen/rejected interleave: 2 passages per example
+        self._q.slot_offset = process_index * batch_rows_local
+        self._p.slot_offset = process_index * batch_rows_local * 2
+
+
+def sync_packed_budgets(collator, sample_rows, *, slack: float = 0.25):
+    """Multi-process packing bring-up: agree on FIXED packed row budgets.
+
+    Each host probes its packing need on ``sample_rows`` (a local-batch-sized
+    sample), the needs are allgathered (ONE collective, main thread, before
+    the train loop — never on the loader thread, where interleaved
+    collectives can deadlock ranks), and every host fixes its budget to the
+    global max plus ``slack``. From then on every packed batch has the same
+    static shape on every host; rare overflow truncates-to-fit locally
+    (see _BlockPacker). Returns (query_rows, passage_rows) as fixed.
+    """
+    import numpy as np  # noqa: F811 — local to keep module import light
+
+    needs = np.asarray(collator.probe_needs(sample_rows), np.int32)
+    from jax.experimental import multihost_utils
+
+    all_needs = np.asarray(multihost_utils.process_allgather(needs))
+    all_needs = all_needs.reshape(-1, 2)
+    q_need, p_need = (int(x) for x in all_needs.max(axis=0))
+    return collator.set_budgets(
+        q_need + max(1, int(q_need * slack)),
+        p_need + max(1, int(p_need * slack)),
+    )

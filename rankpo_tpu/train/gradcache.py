@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from rankpo_tpu.losses.contrastive import info_nce_loss, validate_temperature
-from rankpo_tpu.models import encoder as enc
 from rankpo_tpu.models.config import EncoderConfig
+from rankpo_tpu.train.steps import _embed_field
 
 
 def make_contrastive_gradcache_grad_fn(
@@ -43,9 +43,18 @@ def make_contrastive_gradcache_grad_fn(
     remat: bool = False,
     remat_policy: str = "full",
     attn_impl: str = "auto",
+    mesh=None,
 ) -> Callable:
     """Returns grad_fn(params, batch, rng) -> (loss, metrics, grads) for the
-    Trainer's gradient-cache path. ``batch`` leaves are [accum, rows, seq]."""
+    Trainer's gradient-cache path. ``batch`` leaves are [accum, rows, seq].
+
+    Sequence-packed microbatches (data/packing.py collators: blocks carry
+    'segment_ids' + 'slot_index' + 'slots') work unchanged: each scan step
+    embeds its packed rows and scatters per-segment reps back to batch
+    order, so the bridge sees the same [accum*B, H] rep matrix as the plain
+    path and the gradient contract (identical to one full-batch InfoNCE)
+    carries over — per-chunk packing composes with cross-chunk negatives.
+    """
     temperature = validate_temperature(normalize_embeddings, temperature)
 
     def embed_pair(params, mb, rng):
@@ -58,12 +67,13 @@ def make_contrastive_gradcache_grad_fn(
             remat=remat,
             remat_policy=remat_policy,
             attn_impl=attn_impl,
+            mesh=mesh,
         )
-        q = enc.embed(
+        q = _embed_field(
             params, model_config, mb["query"],
             deterministic=rng is None, dropout_key=dq, **kwargs,
         )
-        p = enc.embed(
+        p = _embed_field(
             params, model_config, mb["passage"],
             deterministic=rng is None, dropout_key=dp, **kwargs,
         )

@@ -373,8 +373,8 @@ def test_resume_restores_checkpoint_weights(workspace, tmp_path):
 
 
 def test_pack_sequences_contrastive(workspace, tmp_path):
-    """--pack_sequences trains end to end and the loss decreases; the
-    gradcache combination is rejected with a clear error."""
+    """--pack_sequences trains end to end and the loss decreases, with and
+    without --grad_cache (packed microbatches through the cache)."""
     from rankpo_tpu.cli.run_contrastive import main as run_contrastive
 
     root, base_model = workspace
@@ -400,7 +400,8 @@ def test_pack_sequences_contrastive(workspace, tmp_path):
     history = run_contrastive(args)
     assert history[-1]["loss"] < history[0]["loss"]
 
-    gc_args = list(args) + ["--grad_cache"]
+    gc_args = list(args) + ["--grad_cache",
+                            "--gradient_accumulation_steps", "2"]
     gc_args[gc_args.index("--output_dir") + 1] = str(tmp_path / "packed-gc")
-    with pytest.raises(ValueError, match="grad_cache"):
-        run_contrastive(gc_args)
+    gc_history = run_contrastive(gc_args)
+    assert gc_history[-1]["loss"] < gc_history[0]["loss"]

@@ -67,6 +67,57 @@ class TestGradCache:
                 err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}",
             )
 
+    def test_packed_matches_full_batch_gradients(self, setup):
+        """Sequence-packed microbatches through the cache: gradients must
+        still equal ONE full-batch InfoNCE on the same sampled examples
+        (per-chunk packing must not perturb the cross-chunk negative pool)."""
+        from rankpo_tpu.data.loader import _stack_microbatches
+        from rankpo_tpu.data.packing import PackedContrastiveCollator
+
+        cfg, params, ds, _ = setup
+        accum, mb = 4, 4
+        # fresh seeded collators: identical example sampling across the two
+        # paths (the ContrastiveCollator RNG contract)
+        plain_coll = ContrastiveCollator(
+            pad_token_id=0, num_negatives=2,
+            max_query_length=8, max_passage_length=8, seed=7,
+        )
+        packed_coll = PackedContrastiveCollator(
+            pad_token_id=0, num_negatives=2,
+            max_query_length=8, max_passage_length=8,
+            query_max_segments=4, passage_max_segments=4, seed=7,
+        )
+        plain = _stacked_batch(ds, plain_coll, accum, mb)
+        micros = [
+            packed_coll([ds[i] for i in range(a * mb, (a + 1) * mb)])
+            for a in range(accum)
+        ]
+        packed = jax.tree_util.tree_map_with_path(_stack_microbatches, *micros)
+
+        grad_fn = make_contrastive_gradcache_grad_fn(
+            cfg, temperature=0.05, compute_dtype=jnp.float32,
+        )
+        loss_gc, _, grads_gc = jax.jit(grad_fn)(params, packed, None)
+
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), plain
+        )
+        loss_fn = make_contrastive_loss_fn(
+            cfg, temperature=0.05, compute_dtype=jnp.float32,
+        )
+        (loss_ref, _), grads_ref = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, flat, None
+        )
+        np.testing.assert_allclose(float(loss_gc), float(loss_ref), rtol=1e-5)
+        for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(grads_gc),
+            jax.tree_util.tree_leaves_with_path(grads_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4,
+                err_msg=f"grad mismatch at {jax.tree_util.keystr(pa)}",
+            )
+
     def test_negatives_cross_accumulation(self, setup):
         """The cache loss must differ from per-microbatch accumulation — the
         negative pool is the FULL batch."""

@@ -341,6 +341,63 @@ class TestPackedTraining:
         # variant (small batches take no slack row — see _BlockPacker)
         assert len(shapes) <= 2
 
+    def test_fixed_budget_and_slot_offset(self):
+        """Multi-process mode: a fixed budget never changes the row count —
+        small batches pad, overflow batches truncate-to-fit deterministically
+        — and slot_offset shifts slot tables to global positions."""
+        from rankpo_tpu.data.packing import _BlockPacker
+
+        p = _BlockPacker(capacity=16, max_segments=4, pad_id=0)
+        p.set_budget(3)
+        p.slot_offset = 10
+        rng = np.random.RandomState(0)
+
+        # small batch: padded up to exactly 3 rows
+        small = p([[1, 2, 3], [4, 5]])
+        assert small["input_ids"].shape[0] == 3
+        used = small["slot_index"][small["slot_index"] >= 0]
+        assert sorted(used.tolist()) == [10, 11]  # offset applied
+        assert (small["slot_index"] >= 0).sum() == 2
+
+        # overflow batch: 8 texts of 15 tokens need 8 rows; budget 3 forces
+        # truncation, but ALL texts stay present at exactly 3 rows
+        big = [[int(x) for x in rng.randint(1, 9, size=15)] for _ in range(8)]
+        out = p(big)
+        assert out["input_ids"].shape[0] == 3
+        used = sorted(out["slot_index"][out["slot_index"] >= 0].tolist())
+        assert used == list(range(10, 18))
+        assert p.n_truncated == 1
+        # deterministic: same inputs, same layout
+        out2 = p(big)
+        np.testing.assert_array_equal(out["input_ids"], out2["input_ids"])
+
+        # impossible budget (more texts than slots) is a clear error
+        p2 = _BlockPacker(capacity=16, max_segments=2, pad_id=0)
+        p2.set_budget(1)
+        with pytest.raises(ValueError, match="cannot hold"):
+            p2([[1]] * 5)
+
+    def test_probe_needs_leaves_rng_untouched(self):
+        from rankpo_tpu.data.packing import PackedContrastiveCollator
+
+        rng = np.random.RandomState(3)
+        rows = self._rows(rng, 4)
+        a = PackedContrastiveCollator(
+            pad_token_id=0, num_negatives=2,
+            max_query_length=16, max_passage_length=24, seed=5,
+        )
+        b = PackedContrastiveCollator(
+            pad_token_id=0, num_negatives=2,
+            max_query_length=16, max_passage_length=24, seed=5,
+        )
+        needs = a.probe_needs(rows)
+        assert all(n >= 1 for n in needs)
+        ba = a(rows)
+        bb = b(rows)  # b never probed; identical sampling => identical batch
+        np.testing.assert_array_equal(
+            ba["passage"]["input_ids"], bb["passage"]["input_ids"]
+        )
+
     def test_loader_stacks_overflow_groups(self):
         from rankpo_tpu.data.loader import _stack_microbatches
 
