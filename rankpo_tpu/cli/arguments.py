@@ -242,7 +242,8 @@ class EvaluateArguments:
                           "comparisons); refine = two-stage approximate "
                           "index; ivf = clustered inverted-file probing "
                           "(both faster on huge corpora, metrics lose "
-                          "bit-parity)"},
+                          "bit-parity); or a FAISS index_factory-style "
+                          "spec, e.g. 'OPQ64,IVF4096,PQ64'"},
     )
     index_recall_target: float = dataclasses.field(
         default=0.95,
@@ -286,7 +287,8 @@ class HardNegativeArguments:
                           "exact rerank; ivf = clustered inverted-file "
                           "probing (both approximate, much faster on "
                           "multi-million corpora — mining samples "
-                          "negatives anyway)"},
+                          "negatives anyway); or a FAISS "
+                          "index_factory-style spec"},
     )
     index_recall_target: float = dataclasses.field(
         default=0.95,
@@ -323,7 +325,8 @@ class PredictionArguments:
     index_type: str = dataclasses.field(
         default="flat",
         metadata={"help": "flat = exact candidate search; refine / ivf = "
-                          "approximate (faster on huge corpora)"},
+                          "approximate (faster on huge corpora); or a "
+                          "FAISS index_factory-style spec"},
     )
     index_recall_target: float = dataclasses.field(
         default=0.95,

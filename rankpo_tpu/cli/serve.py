@@ -130,12 +130,15 @@ def main(argv=None):
                         choices=["float32", "bfloat16", "int8"],
                         help="index storage: fp32 exact / bf16 2x / int8 4x memory")
     parser.add_argument("--index_type", default="flat",
-                        choices=["flat", "refine", "ivf"],
                         help="flat = exact brute force (FAISS IndexFlatIP "
                              "parity); refine = two-stage PCA prefilter + "
                              "exact rerank; ivf = clustered inverted-file "
                              "probing (both approximate, tuned to "
-                             "--recall_target, fewer FLOPs per query)")
+                             "--recall_target, fewer FLOPs per query); or "
+                             "a FAISS index_factory-style spec, e.g. "
+                             "'OPQ64,IVF4096,PQ64' or 'PCA128,Flat' (the "
+                             "spec then supplies the per-tier knobs and "
+                             "the --refine_*/--ivf_* flags are ignored)")
     parser.add_argument("--refine_dim", type=int, default=256,
                         help="refine index stage-1 PCA dimension")
     parser.add_argument("--refine_candidates", default="auto",
@@ -215,6 +218,11 @@ def main(argv=None):
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
              "int8": jnp.int8}[args.index_dtype]
+    if args.index_type not in ("flat", "refine", "ivf") and \
+            args.index_dtype == "float32":
+        # factory spec ("SQ8", "IVF..,SQ8", ...): let the spec's storage
+        # component through; a non-default --index_dtype still wins
+        dtype = None
     index_kwargs = {}
     if args.index_type == "refine":
         index_kwargs["reduced_dim"] = args.refine_dim

@@ -107,6 +107,11 @@ def evaluate_checkpoint(
         list(corpus_texts), batch_size=batch_size,
         max_length=max_passage_length, description="Embedding corpus",
     )
+    # FAISS index_factory-style strings ("IVF4096,PQ64", "PCA128,Flat", ...)
+    # resolve to a tier + constructor kwargs (rankpo_tpu/index/factory.py)
+    from rankpo_tpu.index.factory import resolve_index_spec
+
+    index_type, index_kwargs = resolve_index_spec(index_type, index_kwargs)
     if index_type == "refine":
         from rankpo_tpu.index import RefineIPIndex
 
@@ -114,7 +119,7 @@ def evaluate_checkpoint(
             recall_target=index_recall_target,
             reduced_dim=min(256, int(c_emb_dev.shape[1])),
         )
-        kwargs.update(index_kwargs or {})
+        kwargs.update(index_kwargs)
         index = RefineIPIndex.from_sharded(
             c_emb_dev, n_corpus, mesh=mesh, **kwargs
         )
@@ -122,12 +127,14 @@ def evaluate_checkpoint(
         from rankpo_tpu.index import IVFIPIndex
 
         kwargs = dict(recall_target=index_recall_target)
-        kwargs.update(index_kwargs or {})
+        kwargs.update(index_kwargs)
         index = IVFIPIndex.from_sharded(
             c_emb_dev, n_corpus, mesh=mesh, **kwargs
         )
     else:
-        index = FlatIPIndex.from_sharded(c_emb_dev, n_corpus, mesh=mesh)
+        index = FlatIPIndex.from_sharded(
+            c_emb_dev, n_corpus, mesh=mesh, **index_kwargs
+        )
     scores, indices = index.search(q_emb, k=k, batch_size=batch_size)
     invalid = indices < 0
     if invalid.any():

@@ -59,11 +59,14 @@ class RetrievalService:
         build-time candidate-tune target). 1.0 = exact/FAISS-parity (flat).
         index_dtype: fp32 (default) / bf16 (2x memory) / int8 (4x memory,
         flat only). index_type: "flat" (exact brute force), "refine"
-        (two-stage PCA prefilter + exact rerank, RefineIPIndex) or "ivf"
+        (two-stage PCA prefilter + exact rerank, RefineIPIndex), "ivf"
         (clustered inverted-file probing, IVFIPIndex) — the latter two are
-        approximate by contract, tuned to recall_target. index_kwargs:
-        forwarded to the index constructor (e.g. reduced_dim / candidates
-        for refine; n_clusters / nprobe for ivf)."""
+        approximate by contract, tuned to recall_target — or a FAISS
+        index_factory-style spec string ("IVF4096,PQ64", "PCA128,Flat",
+        "SQ8", ...; rankpo_tpu/index/factory.py). index_kwargs: forwarded
+        to the index constructor (e.g. reduced_dim / candidates for refine;
+        n_clusters / nprobe for ivf); explicit kwargs win over factory-spec
+        components."""
         import jax.numpy as jnp
 
         self.encoder = encoder
@@ -71,9 +74,20 @@ class RetrievalService:
         self.max_query_length = max_query_length
         self.query_batch_size = query_batch_size
         self.recall_target = recall_target
-        self.index_dtype = index_dtype if index_dtype is not None else jnp.float32
         if index_type not in ("flat", "refine", "ivf"):
-            raise ValueError(f"unknown index_type {index_type!r}")
+            from rankpo_tpu.index.factory import resolve_index_spec
+
+            index_type, spec_kwargs = resolve_index_spec(
+                index_type, index_kwargs
+            )
+            # flat storage ("SQ8"/"SQbf16") rides index_dtype, not kwargs
+            if index_type == "flat" and "dtype" in spec_kwargs:
+                if index_dtype is None:
+                    index_dtype = spec_kwargs.pop("dtype")
+                else:
+                    spec_kwargs.pop("dtype")
+            index_kwargs = spec_kwargs
+        self.index_dtype = index_dtype if index_dtype is not None else jnp.float32
         if index_type == "refine" and self.index_dtype == jnp.int8:
             raise ValueError(
                 "index_type='refine' stores fp32/bf16 rerank rows; int8 "

@@ -184,6 +184,9 @@ def find_hard_negatives(
         corpus, batch_size=batch_size, max_length=max_passage_length,
         description="Embedding corpus",
     )
+    from rankpo_tpu.index.factory import resolve_index_spec
+
+    index_type, index_kwargs = resolve_index_spec(index_type, index_kwargs)
     if index_type == "refine":
         # mining tolerates approximate candidates (negatives are sampled
         # from the range anyway; the reference itself randomizes): the
@@ -192,16 +195,16 @@ def find_hard_negatives(
             recall_target=index_recall_target,
             reduced_dim=min(256, int(c_emb.shape[1])),
         )
-        kwargs.update(index_kwargs or {})
+        kwargs.update(index_kwargs)
         index = RefineIPIndex(c_emb, mesh=mesh, **kwargs)
     elif index_type == "ivf":
         from rankpo_tpu.index import IVFIPIndex
 
         kwargs = dict(recall_target=index_recall_target)
-        kwargs.update(index_kwargs or {})
+        kwargs.update(index_kwargs)
         index = IVFIPIndex(c_emb, mesh=mesh, **kwargs)
     else:
-        index = FlatIPIndex(c_emb, mesh=mesh)
+        index = FlatIPIndex(c_emb, mesh=mesh, **index_kwargs)
     _scores, indices = index.search(q_emb, k=hi, batch_size=batch_size)
     # drop IVF's -1 tail padding (unreachable slots) before sampling
     candidate_ids = [row[lo:hi][row[lo:hi] >= 0] for row in indices]

@@ -76,6 +76,9 @@ def generate_predictions(
         corpus, batch_size=batch_size, max_length=max_passage_length,
         description="Embedding corpus",
     )
+    from rankpo_tpu.index.factory import resolve_index_spec
+
+    index_type, index_kwargs = resolve_index_spec(index_type, index_kwargs)
     if index_type == "refine":
         # prediction pairs go to human/LLM judges — approximate candidate
         # retrieval is fine (the range is sampled/truncated anyway)
@@ -85,7 +88,7 @@ def generate_predictions(
             recall_target=index_recall_target,
             reduced_dim=min(256, int(c_emb_dev.shape[1])),
         )
-        kwargs.update(index_kwargs or {})
+        kwargs.update(index_kwargs)
         index = RefineIPIndex.from_sharded(
             c_emb_dev, n_corpus, mesh=mesh, **kwargs
         )
@@ -93,12 +96,14 @@ def generate_predictions(
         from rankpo_tpu.index import IVFIPIndex
 
         kwargs = dict(recall_target=index_recall_target)
-        kwargs.update(index_kwargs or {})
+        kwargs.update(index_kwargs)
         index = IVFIPIndex.from_sharded(
             c_emb_dev, n_corpus, mesh=mesh, **kwargs
         )
     else:
-        index = FlatIPIndex.from_sharded(c_emb_dev, n_corpus, mesh=mesh)
+        index = FlatIPIndex.from_sharded(
+            c_emb_dev, n_corpus, mesh=mesh, **index_kwargs
+        )
     scores, indices = index.search(q_emb, k=hi, batch_size=batch_size)
 
     rows: List[dict] = []
