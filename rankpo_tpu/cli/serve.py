@@ -178,7 +178,12 @@ def main(argv=None):
                         help="sequence-pack each micro-batch group's queries "
                              "(mixed-length groups stop paying the longest "
                              "member's length bucket; one compiled program "
-                             "per row bucket)")
+                             "per row bucket). Measured win for long/"
+                             "heavy-tailed query loads (>=~512 tokens mixed "
+                             "lengths: +27%% micro-batched, 3x direct at "
+                             "S1024); LOSES under short-query traffic where "
+                             "the dispatch floor hides the encode "
+                             "(docs/BENCHMARKS.md)")
     parser.add_argument("--pack_max_segments", type=int, default=16,
                         help="packing: max queries per packed row")
     parser.add_argument("--microbatch_wait_ms", type=float, default=3.0,

@@ -105,6 +105,21 @@ def zero1_partition_specs(tree, data_axis_size: int, model_axis_size: int = 1):
     )
 
 
+def fsdp_partition_specs(params, data_axis_size: int, model_axis_size: int = 1):
+    """ZeRO-3 / FSDP analog (the tier ABOVE the reference's DeepSpeed
+    configs — it ships only stage 1/2, configs/ds_zero*_config_*.json, and
+    a stage-3 path for the frozen RankPO ref model,
+    rankpo_trainer.py:307-321): the PARAMETERS themselves shard over the
+    data axis, on each leaf's largest divisible dim not already taken by
+    tensor parallelism — the exact rule ZeRO-1 applies to the moments.
+    Under ``jit`` GSPMD all-gathers each weight right before its matmul and
+    reduce-scatters its gradient, the communication schedule FSDP
+    hand-implements; with remat the backward re-gathers instead of keeping
+    the full weight alive. Per-device param memory drops ~1/dp; the cost is
+    an all-gather per weight per use."""
+    return zero1_partition_specs(params, data_axis_size, model_axis_size)
+
+
 def make_shardings(mesh: Mesh, specs):
     """PartitionSpec pytree → NamedSharding pytree."""
     return jax.tree_util.tree_map(

@@ -65,6 +65,11 @@ class TrainConfig:
     # parallelism (replaces configs/*.json DeepSpeed ZeRO)
     model_parallel: int = 1
     zero1: bool = True  # shard optimizer state over the data axis
+    # ZeRO-3/FSDP analog: PARAMETERS shard over the data axis too (largest
+    # divisible dim); GSPMD all-gathers each weight at use and
+    # reduce-scatters its grad. ~1/dp param memory per device — for models
+    # whose replicated weights don't fit a chip. Implies sharded moments.
+    fsdp: bool = False
 
     # robustness / observability (SURVEY.md §5 gaps the reference lacks)
     skip_nonfinite_updates: bool = True  # hold params when loss/grads go NaN/Inf

@@ -41,6 +41,7 @@ from rankpo_tpu.core.mesh import (
 from rankpo_tpu.data.loader import DataLoader
 from rankpo_tpu.parallel.sharding import (
     make_shardings,
+    fsdp_partition_specs,
     param_partition_specs,
     zero1_partition_specs,
 )
@@ -133,9 +134,15 @@ class Trainer:
         dp = mesh.shape[DATA_AXIS]
         mp = mesh.shape.get(MODEL_AXIS, 1)
 
-        param_specs = param_partition_specs(params, mp)
+        if config.fsdp:
+            # ZeRO-3/FSDP analog: params shard over data on their largest
+            # divisible dim (parallel/sharding.py fsdp_partition_specs);
+            # moments co-shard by the same rule
+            param_specs = fsdp_partition_specs(params, dp, mp)
+        else:
+            param_specs = param_partition_specs(params, mp)
         opt_shapes = jax.eval_shape(self.tx.init, params)
-        if config.zero1:
+        if config.zero1 or config.fsdp:
             opt_specs = zero1_partition_specs(opt_shapes, dp, mp)
         else:
             opt_specs = jax.tree_util.tree_map(lambda _: P(), opt_shapes)

@@ -232,6 +232,38 @@ class TestTrainerContrastive:
         spec = leaf.sharding.spec
         assert DATA_AXIS in tuple(spec), f"expected data-sharded moments, got {spec}"
 
+    def test_fsdp_params_sharded_and_loss_matches(self, data_mesh, tmp_path,
+                                                  tok):
+        """ZeRO-3/FSDP analog: with fsdp=True the PARAMETERS shard over the
+        data axis (largest divisible dim) and the training math is
+        unchanged — loss history matches the replicated run step for step
+        (GSPMD all-gather/reduce-scatter is numerically the same program)."""
+        ds = ContrastiveDataset(_contrastive_rows(32), tok, 16, 16)
+
+        def run(extra):
+            trainer, _ = _make_trainer(
+                data_mesh, tmp_path / str(len(extra)), tok, total_steps=4,
+                cfg_extra={"save_strategy": "no", **extra},
+            )
+            coll = ContrastiveCollator(
+                pad_token_id=0, num_negatives=3,
+                max_query_length=16, max_passage_length=16, seed=0,
+            )
+            return trainer, [h["loss"] for h in trainer.train(ds, coll)]
+
+        fsdp_trainer, fsdp_losses = run({"fsdp": True})
+        kernel = fsdp_trainer.state.params["layers"]["q_proj"]["kernel"]
+        assert DATA_AXIS in tuple(kernel.sharding.spec), (
+            f"expected data-sharded params under fsdp, got "
+            f"{kernel.sharding.spec}"
+        )
+        mu = fsdp_trainer.state.opt_state[1][0].mu
+        assert DATA_AXIS in tuple(
+            mu["layers"]["q_proj"]["kernel"].sharding.spec
+        )
+        _, repl_losses = run({"fsdp": False})
+        np.testing.assert_allclose(fsdp_losses, repl_losses, rtol=2e-4)
+
     def test_grad_accum_matches_mean_of_micro_grads(self, data_mesh, tmp_path, tok):
         """accum=2 must produce the identical update to manually averaging the
         two microbatch gradients (DeepSpeed grad-accum semantics)."""
