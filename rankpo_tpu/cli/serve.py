@@ -68,6 +68,18 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
                 except Exception as e:
                     self._reply(400, {"error": str(e)})
                 return
+            if self.path == "/remove":
+                # FAISS remove_ids analog: drop passages by corpus position;
+                # remaining ids shift down (FAISS renumbering semantics).
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length))
+                    removed = service.remove_passages(req["ids"])
+                    self._reply(200, {"status": "ok", "removed": removed,
+                                      "ntotal": service.ntotal})
+                except Exception as e:
+                    self._reply(400, {"error": str(e)})
+                return
             if self.path != "/search":
                 self._reply(404, {"error": "not found"})
                 return

@@ -112,6 +112,15 @@ class MultihostFrontend:
             self._broadcast({"op": "add", "texts": list(texts), "kwargs": kwargs})
             self.service.add_passages(list(texts), **kwargs)
 
+    def remove_passages(self, ids) -> int:
+        """Broadcast a removal (collective rebuild) to every process."""
+        if self.process_index != 0:
+            raise RuntimeError("remove_passages() is rank-0 only")
+        with self._lock:
+            ids = [int(i) for i in ids]
+            self._broadcast({"op": "remove", "ids": ids})
+            return self.service.remove_passages(ids)
+
     def stop(self) -> None:
         """Release followers (rank 0)."""
         if self.process_index == 0:
@@ -135,6 +144,8 @@ class MultihostFrontend:
                     self.service.add_passages(
                         msg["texts"], **msg.get("kwargs", {})
                     )
+                elif msg["op"] == "remove":
+                    self.service.remove_passages(msg["ids"])
                 else:
                     self.service.query(
                         msg["texts"], k=msg["k"], return_passages=False

@@ -309,26 +309,28 @@ class RetrievalService:
         )
         merged = np.concatenate([self._stored_embeddings(index), new_emb], axis=0)
         texts_all = old_texts + list(texts)
-        overrides = {}
+        self.load_index(merged, texts_all, self._rebuild_overrides(index))
+        logger.info(
+            "added %d passages (index now %d)", len(texts), self.ntotal
+        )
+
+    @staticmethod
+    def _rebuild_overrides(index) -> Dict:
+        """Tuned/structural knobs an in-place rebuild (/add, /remove) must
+        carry from the LIVE index: re-running the recall tuner on every
+        mutation would stall serving, and codec knobs (pq_m, hybrid
+        projection) exist only on the index after a persisted-file restart —
+        dropping them would silently rebuild a plain bf16 IVF at 32x the
+        memory the codec targets. Overrides never stick to the service
+        config — a later build_index on a fresh corpus re-tunes from
+        scratch."""
         if isinstance(index, RefineIPIndex):
-            # reuse the live index's tuned candidate count FOR THIS REBUILD:
-            # re-running the recall ladder on every /add would stall serving,
-            # and a small append leaves the tuned C approximately right. The
-            # override never sticks to the service config — a later
-            # build_index on a fresh corpus re-tunes from scratch.
-            overrides = {
+            return {
                 "candidates": index.candidates,
                 "reduced_dim": index.reduced_dim,
             }
-        elif isinstance(index, IVFIPIndex):
-            # same reasoning for the IVF tuner (k-means itself still
-            # re-trains on the merged matrix — new rows need clusters).
-            # Structural codec knobs (pq_m, hybrid projection) must ride
-            # along too: a service restarted from a persisted index file
-            # has them only on the index, not in index_kwargs — without
-            # this an /add would silently rebuild as a plain bf16 IVF
-            # (32x the memory at the scale PQ targets)
-            overrides = {
+        if isinstance(index, IVFIPIndex):
+            return {
                 "nprobe": index.nprobe,
                 "n_clusters": index.n_clusters,
                 "pq_m": index.pq_m,
@@ -336,10 +338,46 @@ class RetrievalService:
                 "reduced_dim": index.reduced_dim,
                 "candidates": index.candidates,
             }
-        self.load_index(merged, texts_all, overrides)
+        return {}
+
+    def remove_passages(self, ids: Sequence[int]) -> int:
+        """Drop passages by corpus position (FAISS ``remove_ids`` analog,
+        with the same renumbering semantics: remaining ids SHIFT DOWN to
+        stay sequential — callers tracking external keys should keep their
+        own id map, exactly as with FAISS).
+
+        Brute-force storage has no incremental structure, so removal is
+        compact + re-place: fetch stored rows, drop the masked ones, rebuild
+        with the live index's tuned knobs (no re-encode — the model never
+        runs). int8 storage round-trips bit-exactly (the max-abs scale is
+        per-row); IVF+PQ rebuilds from DECODED rows, so codes can drift by
+        one ADC quantization step — same documented semantics as /add.
+        Returns the number of removed passages."""
+        index, old_texts = self._state
+        if index is None:
+            raise RuntimeError("no index built; call build_index first")
+        n = len(old_texts)
+        uniq = sorted({int(i) for i in ids})
+        if not uniq:
+            return 0
+        if uniq[0] < 0 or uniq[-1] >= n:
+            raise ValueError(
+                f"remove id out of range: corpus has {n} passages, got "
+                f"ids in [{uniq[0]}, {uniq[-1]}]"
+            )
+        keep = np.ones(n, bool)
+        keep[uniq] = False
+        if not keep.any():
+            raise ValueError(
+                "cannot remove every passage; build a new index instead"
+            )
+        kept_emb = self._stored_embeddings(index)[keep]
+        kept_texts = [t for t, k in zip(old_texts, keep) if k]
+        self.load_index(kept_emb, kept_texts, self._rebuild_overrides(index))
         logger.info(
-            "added %d passages (index now %d)", len(texts), self.ntotal
+            "removed %d passages (index now %d)", len(uniq), self.ntotal
         )
+        return len(uniq)
 
     def save_index(self, path: str) -> None:
         """Persist the BUILT index structurally + the passages (FAISS

@@ -555,6 +555,103 @@ class TestAddPassages:
             service.load_index(emb_before, texts_before)
 
 
+class TestRemovePassages:
+    """FAISS remove_ids analog: drop by corpus position, remaining ids
+    shift down (FAISS renumbering), search never returns removed rows."""
+
+    def _service(self, data_mesh, **kw):
+        from rankpo_tpu.index import InferenceEncoder
+        from rankpo_tpu.models import init_params, tiny_llama_config
+
+        cfg = tiny_llama_config(vocab_size=256)
+        enc = InferenceEncoder(cfg, init_params(jax.random.key(0), cfg),
+                               HashTokenizer(vocab_size=256), mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+        svc = RetrievalService(enc, mesh=data_mesh, max_query_length=16,
+                               query_batch_size=8, **kw)
+        corpus = [f"document {i} on distinct topic {i}" for i in range(16)]
+        svc.build_index(corpus, max_passage_length=16, batch_size=8)
+        return svc
+
+    def test_remove_shifts_ids_and_hides_rows(self, data_mesh):
+        svc = self._service(data_mesh)
+        # before: exact-text query hits its own row
+        assert svc.query("document 7 on distinct topic 7", k=1)["hits"][0][
+            "index"] == 7
+        removed = svc.remove_passages([3, 5])
+        assert removed == 2 and svc.ntotal == 14
+        # id 7 shifted down by the 2 removals before it
+        hit = svc.query("document 7 on distinct topic 7", k=1)["hits"][0]
+        assert hit["index"] == 5
+        assert hit["passage"] == "document 7 on distinct topic 7"
+        # removed text no longer retrievable as itself
+        top = svc.query("document 3 on distinct topic 3", k=svc.ntotal)
+        assert all(
+            h["passage"] != "document 3 on distinct topic 3"
+            for h in top["hits"]
+        )
+        # duplicates collapse; empty list is a no-op
+        assert svc.remove_passages([]) == 0
+        assert svc.remove_passages([0, 0]) == 1 and svc.ntotal == 13
+
+    def test_remove_int8_roundtrip_bitexact(self, data_mesh):
+        """int8 storage: per-row max-abs scales are unaffected by removing
+        OTHER rows, so surviving rows' quantized storage is bit-identical."""
+        import numpy as np
+
+        svc = self._service(data_mesh, index_dtype=jnp.int8)
+        before = np.asarray(svc.index.corpus)[4:]  # rows surviving below
+        svc.remove_passages([0, 1, 2, 3])
+        after = np.asarray(svc.index.corpus)[: before.shape[0]]
+        np.testing.assert_array_equal(before, after)
+
+    def test_remove_errors(self, data_mesh):
+        svc = self._service(data_mesh)
+        with pytest.raises(ValueError, match="out of range"):
+            svc.remove_passages([16])
+        with pytest.raises(ValueError, match="every passage"):
+            svc.remove_passages(list(range(16)))
+
+    def test_http_remove_endpoint(self, service):
+        from http.server import ThreadingHTTPServer
+
+        from rankpo_tpu.cli.serve import make_handler
+
+        emb_before = service._stored_embeddings(service.index)
+        texts_before = list(service.corpus_texts)
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(service, None, k_max=10)
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            n0 = service.ntotal
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/remove",
+                data=json.dumps({"ids": [0]}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            assert body["removed"] == 1 and body["ntotal"] == n0 - 1
+            # bad ids surface as JSON 400, not a wedged server
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/remove",
+                data=json.dumps({"ids": [10**6]}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req)
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            server.shutdown()
+            # module-scoped fixture: restore the index for later tests
+            service.load_index(emb_before, texts_before)
+
+
 class TestPackedQueries:
     """pack_queries=True: identical hits to the unpacked fused path on
     mixed-length query groups (same tokenization; only the batching packs)."""

@@ -63,10 +63,15 @@ batch = frontend.query(
 frontend.add_passages(["document 70 on distinct topic 70"],
                       max_passage_length=16, batch_size=16)
 added = frontend.query("document 70 on distinct topic 70", k=1)
+# removal replays as a collective rebuild on every process (remove id 0:
+# every later id shifts down by one, FAISS remove_ids renumbering)
+n_removed = frontend.remove_passages([0])
+after_remove = frontend.query("document 70 on distinct topic 70", k=1)
 mb.close()
 frontend.stop()
 with open(os.path.join(outdir, "results.json"), "w") as f:
-    json.dump({"single": single, "batch": batch, "added": added}, f)
+    json.dump({"single": single, "batch": batch, "added": added,
+               "n_removed": n_removed, "after_remove": after_remove}, f)
 """
 
 
@@ -141,3 +146,9 @@ def test_two_process_serving_matches_single(tmp_path, pack):
     # retrievable from the shard-extended index
     assert got["added"]["hits"][0]["index"] == 32
     assert got["added"]["hits"][0]["passage"] == "document 70 on distinct topic 70"
+    # removal broadcast: id 0 dropped on every process, later ids shift
+    # down (the added passage 32 -> 31), passages stay attached correctly
+    assert got["n_removed"] == 1
+    assert got["after_remove"]["hits"][0]["index"] == 31
+    assert (got["after_remove"]["hits"][0]["passage"]
+            == "document 70 on distinct topic 70")
