@@ -104,9 +104,9 @@ def parse_index_spec(spec: str) -> Tuple[str, dict]:
             flat_seen = True
             continue
         raise ValueError(
-            f"unknown index factory component {part!r} in {spec!r}; "
-            "supported: Flat, SQ8, SQbf16, PCA<d>, IVF<n>, PQ<m>, "
-            "OPQ<m>, RR<m>"
+            f"unknown index_type / factory component {part!r} in {spec!r}; "
+            "expected a tier name (flat|refine|ivf) or factory components: "
+            "Flat, SQ8, SQbf16, PCA<d>, IVF<n>, PQ<m>, OPQ<m>, RR<m>"
         )
 
     if rotate is not None and pq_m is None:
