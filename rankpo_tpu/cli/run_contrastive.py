@@ -121,7 +121,7 @@ def main(argv=None):
     if data_args.pack_sequences:
         from rankpo_tpu.data.packing import (
             PackedContrastiveCollator,
-            sync_packed_budgets,
+            configure_multiprocess_packing,
         )
 
         collator = PackedContrastiveCollator(
@@ -138,13 +138,11 @@ def main(argv=None):
             # hosts must agree on the packed row shapes forever: one
             # startup allgather fixes both budgets to the global max need
             # (+25% slack); rare overflow truncates-to-fit locally
-            local_bs = (
+            q_rows, p_rows = configure_multiprocess_packing(
+                collator, dataset,
                 train_cfg.per_device_train_batch_size
-                * jax.local_device_count()
+                * jax.local_device_count(),
             )
-            probe = [dataset[i] for i in range(min(local_bs, len(dataset)))]
-            q_rows, p_rows = sync_packed_budgets(collator, probe)
-            collator.set_process_shard(jax.process_index(), local_bs)
             logger.info(
                 "packed multi-process budgets: query %d rows, passage %d "
                 "rows per host", q_rows, p_rows,

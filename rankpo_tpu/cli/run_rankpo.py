@@ -76,7 +76,7 @@ def main(argv=None):
         from rankpo_tpu.core.mesh import DATA_AXIS
         from rankpo_tpu.data.packing import (
             PackedRankPOCollator,
-            sync_packed_budgets,
+            configure_multiprocess_packing,
         )
 
         collator = PackedRankPOCollator(
@@ -90,13 +90,11 @@ def main(argv=None):
         if jax.process_count() > 1:
             # startup allgather fixes both packed row budgets to the global
             # max (+slack); overflow truncates-to-fit (see data/packing.py)
-            local_bs = (
+            q_rows, p_rows = configure_multiprocess_packing(
+                collator, dataset,
                 train_cfg.per_device_train_batch_size
-                * jax.local_device_count()
+                * jax.local_device_count(),
             )
-            probe = [dataset[i] for i in range(min(local_bs, len(dataset)))]
-            q_rows, p_rows = sync_packed_budgets(collator, probe)
-            collator.set_process_shard(jax.process_index(), local_bs)
             logger.info(
                 "packed multi-process budgets: query %d rows, passage %d "
                 "rows per host", q_rows, p_rows,

@@ -399,8 +399,6 @@ def sync_packed_budgets(collator, sample_rows, *, slack: float = 0.25):
     static shape on every host; rare overflow truncates-to-fit locally
     (see _BlockPacker). Returns (query_rows, passage_rows) as fixed.
     """
-    import numpy as np  # noqa: F811 — local to keep module import light
-
     needs = np.asarray(collator.probe_needs(sample_rows), np.int32)
     from jax.experimental import multihost_utils
 
@@ -411,3 +409,19 @@ def sync_packed_budgets(collator, sample_rows, *, slack: float = 0.25):
         q_need + max(1, int(q_need * slack)),
         p_need + max(1, int(p_need * slack)),
     )
+
+
+def configure_multiprocess_packing(
+    collator, dataset, local_batch_rows: int, *, slack: float = 0.25
+):
+    """The whole multi-process packed-training bring-up the CLIs share:
+    probe a local-batch-sized sample from the dataset, fix row budgets via
+    the startup allgather (:func:`sync_packed_budgets`), and point this
+    host's slot tables at its global shard. Call from the MAIN thread
+    before training. Returns the fixed (query_rows, passage_rows)."""
+    import jax
+
+    probe = [dataset[i] for i in range(min(local_batch_rows, len(dataset)))]
+    budgets = sync_packed_budgets(collator, probe, slack=slack)
+    collator.set_process_shard(jax.process_index(), local_batch_rows)
+    return budgets

@@ -97,6 +97,13 @@ def evaluate_checkpoint(
         encoder = InferenceEncoder.from_pretrained(
             model_path, tokenizer=tokenizer, mesh=mesh, **kwargs
         )
+    # FAISS index_factory-style strings ("IVF4096,PQ64", "PCA128,Flat", ...)
+    # resolve to a tier + constructor kwargs (rankpo_tpu/index/factory.py).
+    # Resolve BEFORE the corpus encode: an invalid spec must fail in
+    # milliseconds, not after minutes of embedding work.
+    from rankpo_tpu.index.factory import resolve_index_spec
+
+    index_type, index_kwargs = resolve_index_spec(index_type, index_kwargs)
     q_emb = encoder.encode(
         list(query_texts), batch_size=batch_size, max_length=max_query_length,
         description="Embedding queries",
@@ -107,11 +114,6 @@ def evaluate_checkpoint(
         list(corpus_texts), batch_size=batch_size,
         max_length=max_passage_length, description="Embedding corpus",
     )
-    # FAISS index_factory-style strings ("IVF4096,PQ64", "PCA128,Flat", ...)
-    # resolve to a tier + constructor kwargs (rankpo_tpu/index/factory.py)
-    from rankpo_tpu.index.factory import resolve_index_spec
-
-    index_type, index_kwargs = resolve_index_spec(index_type, index_kwargs)
     if index_type == "refine":
         from rankpo_tpu.index import RefineIPIndex
 

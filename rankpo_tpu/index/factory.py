@@ -48,6 +48,8 @@ def parse_index_spec(spec: str) -> Tuple[str, dict]:
     if not spec or not spec.strip():
         raise ValueError("empty index factory spec")
     parts = [p.strip().lower() for p in spec.split(",") if p.strip()]
+    if not parts:
+        raise ValueError(f"empty index factory spec: {spec!r}")
 
     pca_dim = None
     ivf = False
@@ -81,11 +83,15 @@ def parse_index_spec(spec: str) -> Tuple[str, dict]:
             continue
         m = _OPQ.match(part)
         if m:
+            if rotate is not None:
+                raise ValueError(f"duplicate rotation component in {spec!r}")
             rotate = "opq"
             rotate_m = int(m.group(1)) if m.group(1) else None
             continue
         m = _RR.match(part)
         if m:
+            if rotate is not None:
+                raise ValueError(f"duplicate rotation component in {spec!r}")
             rotate = "random"
             rotate_m = int(m.group(1)) if m.group(1) else None
             continue
@@ -93,6 +99,8 @@ def parse_index_spec(spec: str) -> Tuple[str, dict]:
         if m:
             import jax.numpy as jnp
 
+            if store is not None:
+                raise ValueError(f"duplicate SQ component in {spec!r}")
             kind = m.group(1)
             if kind == "8":
                 store = jnp.int8

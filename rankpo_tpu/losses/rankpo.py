@@ -13,6 +13,17 @@ DPO/SimPO-style objective applied to cosine scores instead of log-probs:
 The auxiliary SFT branch applies ITS OWN temperature to the raw scores
 (rankpo_trainer.py:500) — the two temperature applications are distinct and
 must not be conflated (SURVEY.md hard-part #5).
+
+Decision record — why this is NOT a hand-written Pallas kernel (the
+BASELINE.json north-star text floats one): the loss consumes a [B, 2]
+score matrix — a few hundred scalars per step next to the ~1e11 FLOPs of
+the encoder forwards that produce them. XLA already fuses this entire
+elementwise chain (sub, div, logistic, mul, add, mean) into a single
+fusion with the score einsum's epilogue; a Pallas kernel here would add a
+dispatch boundary and (8, 128) tile-padding for tensors ~60x smaller than
+one tile, saving nothing. The Pallas budget goes where the FLOPs are:
+flash attention (ops/flash_attention.py) and the retrieval engine
+(ops/topk.py, ops/pq_adc_pallas.py).
 """
 
 from __future__ import annotations

@@ -86,6 +86,15 @@ class RetrievalService:
                     index_dtype = spec_kwargs.pop("dtype")
                 else:
                     spec_kwargs.pop("dtype")
+            if (index_type in ("refine", "ivf") and index_dtype is None
+                    and "pq_m" not in spec_kwargs):
+                # keep the tier's documented bf16 storage default: without
+                # this, _approx_kwargs would setdefault store_dtype from
+                # index_dtype's fp32 fallback — 2x the HBM the spec
+                # promises, and different rows than the same spec builds
+                # via evaluate/mining (an explicit SQ component or
+                # index_dtype still wins)
+                spec_kwargs.setdefault("store_dtype", jnp.bfloat16)
             index_kwargs = spec_kwargs
         self.index_dtype = index_dtype if index_dtype is not None else jnp.float32
         if index_type == "refine" and self.index_dtype == jnp.int8:
@@ -107,6 +116,12 @@ class RetrievalService:
         # never decorate one index's hit ids with another corpus's texts
         # (build_index/add_passages can race in-flight queries)
         self._state: tuple = (None, [])
+        # WRITERS serialize: /add and /remove are read-modify-swap on
+        # _state — two concurrent mutations would both read the same tuple
+        # and the second swap would silently erase the first (each HTTP
+        # POST runs on its own ThreadingHTTPServer thread). Readers stay
+        # lock-free on the atomic tuple.
+        self._mutate_lock = threading.Lock()
         # fused serving: tokens -> embed -> sharded search in ONE compiled
         # program. The embeddings never leave HBM between the two stages, and
         # one dispatch replaces two — through a ~25-30ms-floor remote tunnel
@@ -260,14 +275,18 @@ class RetrievalService:
             # integer end to end — a float32 hop would corrupt ids above
             # 2^24 (the multi-million-row regime this index targets)
             if index.pq_m is not None:
-                # decode residual codes on host: codebook lookup + the
-                # slot's cluster centroid (rows round-trip with PQ error,
-                # the codec's contract — cf. int8 dequant below)
+                # decode residual codes on host: codebook lookup, UN-rotate
+                # (codes store z = residual @ rot — ivf.py encode_shard —
+                # and the codebooks live in that rotated space), then add
+                # the slot's cluster centroid (rows round-trip with PQ
+                # error, the codec's contract — cf. int8 dequant below)
                 codes = np.asarray(gather(index.corpus))  # [slots, m] uint8
                 m, ds = index.pq_m, index.dim // index.pq_m
                 cb = index._codebooks_host  # [m, 256, ds] fp32
                 recon = cb[np.arange(m)[None, :], codes.astype(np.int64)]
                 clustered = recon.reshape(codes.shape[0], index.dim)
+                if index._rotation_host is not None:
+                    clustered = clustered @ index._rotation_host.T
                 cluster = np.arange(codes.shape[0]) // index.capacity
                 clustered = clustered + index._centroids_host[cluster]
             else:
@@ -298,18 +317,21 @@ class RetrievalService:
         structure to maintain, so "add" is concat + re-place in HBM (the
         encode of the NEW passages is the only model work). New passages get
         the next corpus indices, preserving existing ids."""
-        index, old_texts = self._state
-        if index is None:
-            raise RuntimeError("no index built; call build_index first")
-        new_emb = self.encoder.encode(
-            list(texts),
-            batch_size=batch_size,
-            max_length=max_passage_length,
-            description="Encoding added passages",
-        )
-        merged = np.concatenate([self._stored_embeddings(index), new_emb], axis=0)
-        texts_all = old_texts + list(texts)
-        self.load_index(merged, texts_all, self._rebuild_overrides(index))
+        with self._mutate_lock:
+            index, old_texts = self._state
+            if index is None:
+                raise RuntimeError("no index built; call build_index first")
+            new_emb = self.encoder.encode(
+                list(texts),
+                batch_size=batch_size,
+                max_length=max_passage_length,
+                description="Encoding added passages",
+            )
+            merged = np.concatenate(
+                [self._stored_embeddings(index), new_emb], axis=0
+            )
+            texts_all = old_texts + list(texts)
+            self.load_index(merged, texts_all, self._rebuild_overrides(index))
         logger.info(
             "added %d passages (index now %d)", len(texts), self.ntotal
         )
@@ -353,27 +375,30 @@ class RetrievalService:
         per-row); IVF+PQ rebuilds from DECODED rows, so codes can drift by
         one ADC quantization step — same documented semantics as /add.
         Returns the number of removed passages."""
-        index, old_texts = self._state
-        if index is None:
-            raise RuntimeError("no index built; call build_index first")
-        n = len(old_texts)
-        uniq = sorted({int(i) for i in ids})
-        if not uniq:
-            return 0
-        if uniq[0] < 0 or uniq[-1] >= n:
-            raise ValueError(
-                f"remove id out of range: corpus has {n} passages, got "
-                f"ids in [{uniq[0]}, {uniq[-1]}]"
+        with self._mutate_lock:
+            index, old_texts = self._state
+            if index is None:
+                raise RuntimeError("no index built; call build_index first")
+            n = len(old_texts)
+            uniq = sorted({int(i) for i in ids})
+            if not uniq:
+                return 0
+            if uniq[0] < 0 or uniq[-1] >= n:
+                raise ValueError(
+                    f"remove id out of range: corpus has {n} passages, got "
+                    f"ids in [{uniq[0]}, {uniq[-1]}]"
+                )
+            keep = np.ones(n, bool)
+            keep[uniq] = False
+            if not keep.any():
+                raise ValueError(
+                    "cannot remove every passage; build a new index instead"
+                )
+            kept_emb = self._stored_embeddings(index)[keep]
+            kept_texts = [t for t, k in zip(old_texts, keep) if k]
+            self.load_index(
+                kept_emb, kept_texts, self._rebuild_overrides(index)
             )
-        keep = np.ones(n, bool)
-        keep[uniq] = False
-        if not keep.any():
-            raise ValueError(
-                "cannot remove every passage; build a new index instead"
-            )
-        kept_emb = self._stored_embeddings(index)[keep]
-        kept_texts = [t for t, k in zip(old_texts, keep) if k]
-        self.load_index(kept_emb, kept_texts, self._rebuild_overrides(index))
         logger.info(
             "removed %d passages (index now %d)", len(uniq), self.ntotal
         )

@@ -176,6 +176,12 @@ def find_hard_negatives(
         len(queries), len(corpus), lo, hi, methods,
     )
 
+    # resolve factory-style index specs BEFORE the corpus encode: an
+    # invalid spec must fail fast, not after minutes of embedding
+    from rankpo_tpu.index.factory import resolve_index_spec
+
+    index_type, index_kwargs = resolve_index_spec(index_type, index_kwargs)
+
     q_emb = encoder.encode(
         queries, batch_size=batch_size, max_length=max_query_length,
         description="Embedding queries",
@@ -184,9 +190,6 @@ def find_hard_negatives(
         corpus, batch_size=batch_size, max_length=max_passage_length,
         description="Embedding corpus",
     )
-    from rankpo_tpu.index.factory import resolve_index_spec
-
-    index_type, index_kwargs = resolve_index_spec(index_type, index_kwargs)
     if index_type == "refine":
         # mining tolerates approximate candidates (negatives are sampled
         # from the range anyway; the reference itself randomizes): the

@@ -67,6 +67,12 @@ def generate_predictions(
     queries, _labels = load_eval_queries(query_data)
     corpus = load_eval_corpus(corpus_data)
 
+    # resolve factory-style index specs BEFORE the corpus encode: an
+    # invalid spec must fail fast, not after minutes of embedding
+    from rankpo_tpu.index.factory import resolve_index_spec
+
+    index_type, index_kwargs = resolve_index_spec(index_type, index_kwargs)
+
     q_emb = encoder.encode(
         queries, batch_size=batch_size, max_length=max_query_length,
         description="Embedding queries",
@@ -76,9 +82,6 @@ def generate_predictions(
         corpus, batch_size=batch_size, max_length=max_passage_length,
         description="Embedding corpus",
     )
-    from rankpo_tpu.index.factory import resolve_index_spec
-
-    index_type, index_kwargs = resolve_index_spec(index_type, index_kwargs)
     if index_type == "refine":
         # prediction pairs go to human/LLM judges — approximate candidate
         # retrieval is fine (the range is sampled/truncated anyway)

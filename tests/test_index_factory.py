@@ -71,8 +71,14 @@ class TestParse:
             parse_index_spec("IVF16,PQ8,SQ8")  # PQ replaces row storage
         with pytest.raises(ValueError, match="empty"):
             parse_index_spec("  ")
+        with pytest.raises(ValueError, match="empty"):
+            parse_index_spec(",")  # only separators is a typo, not Flat
         with pytest.raises(ValueError, match="duplicate"):
             parse_index_spec("IVF16,IVF32,Flat")
+        with pytest.raises(ValueError, match="duplicate"):
+            parse_index_spec("SQ8,SQbf16")
+        with pytest.raises(ValueError, match="duplicate rotation"):
+            parse_index_spec("OPQ8,RR8,IVF16,PQ8")
 
     def test_resolve_passthrough_and_merge(self):
         # plain tier names untouched
@@ -139,3 +145,26 @@ class TestEndToEnd:
         assert svc2.index_kwargs == {
             "n_clusters": 16, "pq_m": 8, "pq_rotate": "opq", "nprobe": 2,
         }
+
+    def test_service_spec_keeps_bf16_tier_default(self):
+        """Regression (round-3 review): an ivf/refine spec without an SQ
+        component must get the tier's documented bf16 storage — the service
+        used to collapse index_dtype=None to fp32 and setdefault it into
+        store_dtype, doubling HBM vs the same spec on evaluate/mining."""
+        from rankpo_tpu.serve.service import RetrievalService
+
+        svc = RetrievalService.__new__(RetrievalService)
+        RetrievalService.__init__(svc, encoder=None, index_type="IVF16,Flat")
+        assert svc.index_kwargs["store_dtype"] == jnp.bfloat16
+        assert svc._approx_kwargs()["store_dtype"] == jnp.bfloat16
+        # explicit SQ component still wins
+        svc2 = RetrievalService.__new__(RetrievalService)
+        RetrievalService.__init__(svc2, encoder=None, index_type="IVF16,SQ8")
+        assert svc2._approx_kwargs()["store_dtype"] == jnp.int8
+        # explicit index_dtype wins over the tier default
+        svc3 = RetrievalService.__new__(RetrievalService)
+        RetrievalService.__init__(
+            svc3, encoder=None, index_type="IVF16,Flat",
+            index_dtype=jnp.float32,
+        )
+        assert svc3._approx_kwargs()["store_dtype"] == jnp.float32

@@ -252,6 +252,45 @@ class TestIVFServing:
         res = svc.query("zebra quark lantern umbrella volcano", k=3)
         assert 16 in [h["index"] for h in res["hits"]]
 
+    def test_rotated_pq_stored_embeddings_unrotate(self, data_mesh,
+                                                   ivf_service):
+        """Regression (round-3 review): _stored_embeddings must UN-rotate
+        rotated-codec reconstructions (codes store z = residual @ rot). The
+        bug fed /add and /remove rebuilds essentially random vectors —
+        decode error 1.67 vs 0.19 on unit rows — and recall collapsed
+        silently after any mutation of an OPQ/RR index."""
+        corpus = [f"document {i} on distinct topic {i}" for i in range(16)]
+        svc_plain = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"n_clusters": 4, "nprobe": 4, "pq_m": 16,
+                          "pq_iters": 5},
+        )
+        svc_plain.build_index(corpus, max_passage_length=16, batch_size=8)
+        svc_rot = RetrievalService(
+            ivf_service.encoder, mesh=data_mesh, max_query_length=16,
+            query_batch_size=8, index_type="ivf",
+            index_kwargs={"n_clusters": 4, "nprobe": 4, "pq_m": 16,
+                          "pq_iters": 5, "pq_rotate": "random"},
+        )
+        svc_rot.build_index(corpus, max_passage_length=16, batch_size=8)
+        true_emb = ivf_service.encoder.encode(
+            corpus, batch_size=8, max_length=16
+        )
+        err_plain = np.linalg.norm(
+            svc_plain._stored_embeddings(svc_plain.index) - true_emb, axis=1
+        ).mean()
+        err_rot = np.linalg.norm(
+            svc_rot._stored_embeddings(svc_rot.index) - true_emb, axis=1
+        ).mean()
+        # rotated decode must be as accurate as the unrotated codec (both
+        # carry only PQ quantization error), not ~unit-norm garbage
+        assert err_rot < max(2.0 * err_plain, 0.35), (err_rot, err_plain)
+        # and a mutation keeps the index searchable: remove then self-query
+        svc_rot.remove_passages([0])
+        res = svc_rot.query("document 9 on distinct topic 9", k=3)
+        assert 8 in [h["index"] for h in res["hits"]]  # 9 shifted down by 1
+
     def test_pq_codec_survives_restart_then_add(self, data_mesh,
                                                 ivf_service, tmp_path):
         # a restarted service knows pq_m only from the persisted index (the
