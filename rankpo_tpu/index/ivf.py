@@ -71,6 +71,10 @@ TUNE_SAMPLE = 256
 TUNE_K = 100
 # row-chunk budget for the streamed k-means matmuls: chunk*K score elements
 _CHUNK_BUDGET = 1 << 22
+# device-byte ceiling for one search dispatch's probed-row gather (+ fp32
+# rerank temps); search() shrinks the query batch to stay under it. 4 GB
+# leaves the rest of a 16 GB v5e for the index storage itself.
+_GATHER_BUDGET = 4 << 30
 
 
 def _resolve_clusters(n_total: int, n_shards: int, requested) -> int:
@@ -1907,6 +1911,25 @@ class IVFIPIndex:
             self._effective_candidates(k, candidates)
             if self.reduced_dim is not None else 0
         )
+        # gather-budget guard: the probed-row gather + fp32 rerank temps are
+        # ~(storage + 4) bytes per gathered element; at a large tuned nprobe
+        # (data that genuinely needs many probes) a caller-supplied batch can
+        # otherwise request a 100+ GB allocation. Shrinking the query batch
+        # is always safe — each (k, p) already compiles its own program.
+        elem = 4 + (
+            self.pq_m / self.dim if self.pq_m is not None
+            else (1 if self.quantized else 4)
+        )
+        per_q = p_used * self.capacity * self.dim * elem
+        max_bq = max(1, int(_GATHER_BUDGET // max(per_q, 1)))
+        if max_bq < batch_size:
+            logger.info(
+                "IVF search: shrinking query batch %d -> %d (nprobe %d x "
+                "capacity %d x dim %d gather would exceed the %.1f GB "
+                "budget)", batch_size, max_bq, p_used, self.capacity,
+                self.dim, _GATHER_BUDGET / (1 << 30),
+            )
+            batch_size = max_bq
         queries = np.asarray(queries, np.float32)
         if queries.shape[0] == 0:
             return (
