@@ -31,12 +31,16 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rankpo_tpu.core.mesh import DATA_AXIS, replicate_to_mesh, shard_rows_to_mesh
 
 NEG_INF = float("-inf")  # plain python: a module-level jnp scalar would initialize
 # the XLA backend at import time, breaking jax.distributed.initialize in CLIs
+
+_RECON_BATCH = 1024  # fixed reconstruct-gather batch: one compiled program
+# regardless of how many ids a caller asks for
 
 
 def numpy_search(
@@ -358,6 +362,166 @@ class FlatIPIndex:
         all_scores = [np.asarray(s)[:r].astype(np.float32, copy=False) for s, _, r in pending]
         all_indices = [np.asarray(i)[:r].astype(np.int32, copy=False) for _, i, r in pending]
         return np.concatenate(all_scores), np.concatenate(all_indices)
+
+    def reconstruct(self, ids) -> np.ndarray:
+        """Stored rows for corpus ids, decoded to fp32 — the FAISS
+        ``reconstruct``/``reconstruct_batch`` analog (the reference keeps
+        its fp32 rows inside faiss.IndexFlatIP, src/utils.py:38-51). fp32
+        storage returns rows exactly; bf16 at storage precision; int8
+        dequantizes through the per-row max-abs scale (the stored
+        approximation — FAISS scalar-quantizer decode semantics, not the
+        original vector)."""
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        if ids.ndim != 1:
+            raise ValueError("ids must be a scalar or 1-D sequence")
+        if ids.size == 0:
+            return np.zeros((0, self.dim), np.float32)
+        if ids.min() < 0 or ids.max() >= self.n_total:
+            raise IndexError(
+                f"ids must be in [0, {self.n_total}); got "
+                f"[{ids.min()}, {ids.max()}]"
+            )
+        with self._search_lock:
+            fn = self._search_fns.get("reconstruct")
+            if fn is None:
+                quantized = self.quantized
+
+                def gather(corpus, scale, idx):
+                    rows = jnp.take(corpus, idx, axis=0).astype(jnp.float32)
+                    if quantized:
+                        rows = rows * jnp.take(scale, idx)[:, None]
+                    return rows
+
+                if self.mesh is None:
+                    fn = jax.jit(gather)
+                else:
+                    fn = jax.jit(
+                        gather,
+                        in_shardings=self.search_arg_shardings(self.mesh)
+                        + (NamedSharding(self.mesh, P()),),
+                        out_shardings=NamedSharding(self.mesh, P()),
+                    )
+                self._search_fns["reconstruct"] = fn
+        out = []
+        for lo in range(0, ids.size, _RECON_BATCH):
+            chunk = ids[lo : lo + _RECON_BATCH].astype(np.int32)
+            real = chunk.size
+            if real < _RECON_BATCH:  # one compiled program for any len(ids)
+                chunk = np.concatenate(
+                    [chunk, np.zeros(_RECON_BATCH - real, np.int32)]
+                )
+            if self.mesh is not None and jax.process_count() > 1:
+                idx_dev = replicate_to_mesh(chunk, self.mesh)
+            else:
+                idx_dev = jnp.asarray(chunk)
+            rows = fn(self.corpus, self.row_scale, idx_dev)
+            out.append(np.asarray(rows)[:real])
+        return np.concatenate(out).astype(np.float32, copy=False)
+
+    def range_search(
+        self, queries, radius: float, *, batch_size: int = 256,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All corpus items scoring STRICTLY above ``radius`` per query —
+        the FAISS ``range_search`` analog for inner product (FAISS's
+        RangeSearchResult keeps hits with score > radius). Returns
+        CSR-style ``(lims [Q+1] int64, scores, ids)``: query q's hits are
+        ``ids[lims[q]:lims[q+1]]`` in descending-score order (FAISS
+        leaves within-query order unspecified; sorted is a superset of
+        that contract).
+
+        TPU shape discipline: one compiled pass counts hits per query
+        batch, then the existing exact top-k engine runs at k = the
+        batch's max count rounded up to a power of two (one program per
+        bucket). A completeness guard re-runs at larger k when the k-th
+        returned score still clears the radius (the bf16 count pass and
+        the fp32-faithful top-k pass may disagree at the boundary); final
+        membership always comes from the search path's scores. In
+        ``recall_target < 1`` serving mode the result is approximate,
+        like ``search``."""
+        queries = np.asarray(queries, np.float32)
+        radius = float(radius)
+        n_q = queries.shape[0]
+        if n_q == 0:
+            return (
+                np.zeros(1, np.int64),
+                np.zeros(0, np.float32),
+                np.zeros(0, np.int64),
+            )
+        with self._search_lock:
+            count_fn = self._search_fns.get("range_count")
+            if count_fn is None:
+                quantized = self.quantized
+                n_total, n_padded = self.n_total, self.n_padded
+
+                def count(corpus, scale, q, r):
+                    s = jnp.einsum(
+                        "qd,nd->qn",
+                        q.astype(jnp.bfloat16),
+                        corpus.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if quantized:
+                        s = s * scale[None, :]
+                    valid = (
+                        lax.iota(jnp.int32, n_padded) < n_total
+                    )[None, :]
+                    return jnp.sum((s > r) & valid, axis=1)
+
+                if self.mesh is None:
+                    count_fn = jax.jit(count)
+                else:
+                    count_fn = jax.jit(
+                        count,
+                        in_shardings=self.search_arg_shardings(self.mesh)
+                        + (
+                            NamedSharding(self.mesh, P()),
+                            NamedSharding(self.mesh, P()),
+                        ),
+                        out_shardings=NamedSharding(self.mesh, P()),
+                    )
+                self._search_fns["range_count"] = count_fn
+        per_query_scores: list = []
+        per_query_ids: list = []
+        for lo in range(0, n_q, batch_size):
+            block = queries[lo : lo + batch_size]
+            real = block.shape[0]
+            padded = block
+            if real < batch_size:
+                padded = np.concatenate(
+                    [block, np.zeros((batch_size - real, self.dim), np.float32)]
+                )
+            if self.mesh is not None and jax.process_count() > 1:
+                block_dev = replicate_to_mesh(padded, self.mesh)
+            else:
+                block_dev = jnp.asarray(padded)
+            counts = np.asarray(
+                count_fn(self.corpus, self.row_scale, block_dev,
+                         jnp.float32(radius))
+            )[:real]
+            max_c = int(counts.max()) if counts.size else 0
+            if max_c == 0:
+                # the count pass is bf16; a boundary-straddling hit could
+                # still exist — probe the top-1 to be sure
+                max_c = 1
+            k = min(self.n_total, 1 << (max_c - 1).bit_length())
+            while True:
+                s, i = self.search(block, k=k, batch_size=real)
+                if k >= self.n_total or not (s[:, -1] > radius).any():
+                    break
+                k = min(self.n_total, k * 2)  # guard: k-th hit still clears
+            for r in range(real):
+                m = s[r] > radius
+                per_query_scores.append(s[r][m])
+                per_query_ids.append(i[r][m].astype(np.int64))
+        lims = np.zeros(n_q + 1, np.int64)
+        np.cumsum([len(x) for x in per_query_ids], out=lims[1:])
+        return (
+            lims,
+            (np.concatenate(per_query_scores) if per_query_scores
+             else np.zeros(0, np.float32)).astype(np.float32, copy=False),
+            (np.concatenate(per_query_ids) if per_query_ids
+             else np.zeros(0, np.int64)),
+        )
 
     @property
     def ntotal(self) -> int:

@@ -867,26 +867,13 @@ class IVFIPIndex:
         self._search_fns = {}
         self._search_lock = threading.Lock()
 
-        pq_m_, pq_ds_ = self.pq_m, (self.dim // self.pq_m if self.pq_m else 0)
-        cap_t = self.capacity
-
         def sample_fn(idx):
             # pseudo-queries from the STORED rows (dequantized/decoded): the
             # fp32 originals are gone by design; storage precision is fine
-            # for tuning (they are self-hit-biased pseudo-queries anyway)
-            slots = jnp.asarray(slot_of_row[idx].astype(np.int32))
-            stored = jnp.take(self.corpus, slots, axis=0)
-            if pq_m_ is not None:
-                rows = _pq_reconstruct(
-                    stored, self.codebooks, pq_m_, pq_ds_
-                ).astype(jnp.float32) + jnp.take(
-                    self.centroids, slots // cap_t, axis=0
-                )
-            else:
-                rows = stored.astype(jnp.float32)
-                if quantized:
-                    rows = rows * jnp.take(self.slot_scale, slots)[:, None]
-            return np.asarray(rows, np.float32)
+            # for tuning (they are self-hit-biased pseudo-queries anyway).
+            # reconstruct() also un-rotates pq_rotate codecs — decoding the
+            # raw codes without rot^T fed the tuner rotated-space rows.
+            return self.reconstruct(idx)
 
         self._finish_tuning(
             nprobe, max_nprobe, tune_sample, tune_k, seed,
@@ -1377,13 +1364,17 @@ class IVFIPIndex:
         return np.asarray(cand_dev)
 
     def _set_layout_maps(self, row_ids: np.ndarray):
-        """Host-side row -> global cluster map (N*4 bytes), kept for the
-        analytic nprobe tuner (recall(p) follows from each true hit's
-        cluster probe-rank — no per-p search compiles)."""
+        """Host-side row -> global cluster / slot maps (N*4 + N*8 bytes),
+        kept for the analytic nprobe tuner (recall(p) follows from each
+        true hit's cluster probe-rank — no per-p search compiles) and for
+        ``reconstruct`` (original id -> storage slot)."""
         cluster = np.zeros(self.n_total, np.int32)
         filled = np.nonzero(row_ids >= 0)[0]
         cluster[row_ids[filled]] = (filled // self.capacity).astype(np.int32)
         self._cluster_of_row = cluster
+        slot = np.full(self.n_total, -1, np.int64)
+        slot[row_ids[filled]] = filled
+        self._slot_of_row = slot
 
     def _place_storage(self, clustered_host: np.ndarray, row_ids: np.ndarray,
                        scale: Optional[np.ndarray]):
@@ -1868,6 +1859,11 @@ class IVFIPIndex:
             mesh=mesh,
             in_specs=array_specs + (P(),),
             out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+            # pallas_call outputs carry no vma metadata; with the default
+            # check_vma=True the Pallas gather/ADC paths fail to trace on a
+            # TPU mesh (same workaround as ops/attention.py flash-TP and
+            # parallel/ring_attention.py)
+            check_vma=not (pallas_gather or pallas_adc),
         )
         n_shards = mesh.shape[DATA_AXIS]
         k_final = min(k, n_shards * kk_out)
@@ -2106,6 +2102,98 @@ class IVFIPIndex:
             return top_s, jnp.take_along_axis(cand_i, pos, axis=1)
 
         return sharded
+
+    def reconstruct(self, ids) -> np.ndarray:
+        """Stored rows for original corpus ids, decoded to fp32 — the
+        FAISS ``IndexIVF.reconstruct``/``reconstruct_batch`` analog (the
+        stored approximation, not the original vector): fp32/bf16 rows at
+        storage precision, int8 dequantized through the slot scale, PQ as
+        cluster centroid + codebook decode, un-rotating the codec for
+        ``pq_rotate`` builds. Also the tuner's pseudo-query source in
+        streamed builds where the fp32 originals are gone by design."""
+        from rankpo_tpu.index.flat import _RECON_BATCH
+
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
+        if ids.ndim != 1:
+            raise ValueError("ids must be a scalar or 1-D sequence")
+        if ids.size == 0:
+            return np.zeros((0, self.dim), np.float32)
+        if ids.min() < 0 or ids.max() >= self.n_total:
+            raise IndexError(
+                f"ids must be in [0, {self.n_total}); got "
+                f"[{ids.min()}, {ids.max()}]"
+            )
+        slots = self._slot_of_row[ids]
+        with self._search_lock:
+            fn = self._search_fns.get("reconstruct")
+            if fn is None:
+                pq_m, cap = self.pq_m, self.capacity
+                pq_ds = self.dim // pq_m if pq_m else 0
+                quantized = self.quantized
+                has_rot = self.pq_m is not None and self.rotation is not None
+
+                def gather(corpus, scale, cents, cb, rot, slot_idx):
+                    stored = jnp.take(corpus, slot_idx, axis=0)
+                    if pq_m is not None:
+                        z = _pq_reconstruct(stored, cb, pq_m, pq_ds).astype(
+                            jnp.float32
+                        )
+                        if has_rot:
+                            # codes store ROTATED residuals z = res @ rot;
+                            # res_hat = z_hat @ rot^T (rot orthogonal)
+                            z = jnp.dot(
+                                z, rot.T,
+                                preferred_element_type=jnp.float32,
+                                precision=lax.Precision.HIGHEST,
+                            )
+                        return z + jnp.take(
+                            cents, slot_idx // cap, axis=0
+                        ).astype(jnp.float32)
+                    rows = stored.astype(jnp.float32)
+                    if quantized:
+                        rows = rows * jnp.take(scale, slot_idx)[:, None]
+                    return rows
+
+                if self.mesh is None:
+                    fn = jax.jit(gather)
+                else:
+                    mesh = self.mesh
+                    fn = jax.jit(
+                        gather,
+                        in_shardings=(
+                            NamedSharding(mesh, P(DATA_AXIS, None)),
+                            NamedSharding(mesh, P(DATA_AXIS))
+                            if self.quantized else None,
+                            NamedSharding(mesh, P(DATA_AXIS, None)),
+                            NamedSharding(mesh, P())
+                            if self.pq_m is not None else None,
+                            NamedSharding(mesh, P()) if has_rot else None,
+                            NamedSharding(mesh, P()),
+                        ),
+                        out_shardings=NamedSharding(mesh, P()),
+                    )
+                self._search_fns["reconstruct"] = fn
+        scale = self.slot_scale if self.quantized else None
+        cb = self.codebooks if self.pq_m is not None else None
+        rot = (
+            self.rotation
+            if self.pq_m is not None and self.rotation is not None else None
+        )
+        out = []
+        for lo in range(0, slots.size, _RECON_BATCH):
+            chunk = slots[lo : lo + _RECON_BATCH].astype(np.int32)
+            real = chunk.size
+            if real < _RECON_BATCH:
+                chunk = np.concatenate(
+                    [chunk, np.zeros(_RECON_BATCH - real, np.int32)]
+                )
+            if self.mesh is not None and jax.process_count() > 1:
+                slot_dev = replicate_to_mesh(chunk, self.mesh)
+            else:
+                slot_dev = jnp.asarray(chunk)
+            rows = fn(self.corpus, scale, self.centroids, cb, rot, slot_dev)
+            out.append(np.asarray(rows)[:real])
+        return np.concatenate(out).astype(np.float32, copy=False)
 
     def exact_search(
         self, queries, k: int = 100, batch_size: int = 256,

@@ -477,3 +477,203 @@ def test_bucket_length_respects_max_length_below_multiple():
     assert enc._bucket_length(10, 32) == 32
     assert enc._bucket_length(100, 512) == 128
     assert enc._bucket_length(1000, 512) == 512
+
+
+class TestReconstruct:
+    """FAISS reconstruct/reconstruct_batch analogs across the tiers."""
+
+    def _rows(self, n, d, seed=0):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def test_flat_fp32_exact(self):
+        emb = self._rows(100, 16)
+        index = FlatIPIndex(emb)
+        ids = np.array([0, 7, 99, 7])
+        np.testing.assert_array_equal(index.reconstruct(ids), emb[ids])
+
+    def test_flat_scalar_id_and_bf16(self):
+        emb = self._rows(50, 8)
+        index = FlatIPIndex(emb, dtype=jnp.bfloat16)
+        got = index.reconstruct(3)
+        assert got.shape == (1, 8) and got.dtype == np.float32
+        expect = emb[3:4].astype(jnp.bfloat16).astype(np.float32)
+        np.testing.assert_array_equal(got, expect)
+
+    def test_flat_int8_dequantizes(self):
+        emb = self._rows(64, 32, seed=1)
+        index = FlatIPIndex(emb, dtype=jnp.int8)
+        got = index.reconstruct(np.arange(64))
+        # symmetric max-abs int8: one quantization step of error per element
+        step = np.abs(emb).max(axis=1, keepdims=True) / 127.0
+        assert np.all(np.abs(got - emb) <= step + 1e-7)
+
+    def test_flat_rejects_bad_ids(self):
+        index = FlatIPIndex(self._rows(10, 8))
+        with pytest.raises(IndexError):
+            index.reconstruct([10])
+        with pytest.raises(IndexError):
+            index.reconstruct([-1])
+        assert index.reconstruct([]).shape == (0, 8)
+
+    def test_flat_sharded(self, data_mesh):
+        emb = self._rows(37, 16, seed=2)  # pad rows must never surface
+        index = FlatIPIndex(emb, mesh=data_mesh)
+        ids = np.array([0, 36, 18])
+        np.testing.assert_array_equal(index.reconstruct(ids), emb[ids])
+
+    def test_refine_storage_precision(self):
+        from rankpo_tpu.index import RefineIPIndex
+
+        emb = self._rows(80, 32, seed=3)
+        index = RefineIPIndex(emb, reduced_dim=8, candidates=16)
+        ids = np.array([5, 79, 0])
+        expect = emb[ids].astype(jnp.bfloat16).astype(np.float32)
+        np.testing.assert_array_equal(index.reconstruct(ids), expect)
+
+    def test_ivf_fp32_exact(self):
+        from rankpo_tpu.index import IVFIPIndex
+
+        emb = self._rows(200, 16, seed=4)
+        index = IVFIPIndex(emb, n_clusters=4, nprobe=2,
+                           store_dtype=jnp.float32)
+        ids = np.array([0, 123, 199, 50])
+        np.testing.assert_allclose(index.reconstruct(ids), emb[ids],
+                                   atol=1e-6)
+
+    def test_ivf_int8_dequantizes(self):
+        from rankpo_tpu.index import IVFIPIndex
+
+        emb = self._rows(150, 32, seed=5)
+        index = IVFIPIndex(emb, n_clusters=4, nprobe=2,
+                           store_dtype=jnp.int8)
+        ids = np.arange(150)
+        got = index.reconstruct(ids)
+        step = np.abs(emb).max(axis=1, keepdims=True) / 127.0
+        assert np.all(np.abs(got - emb) <= step + 1e-7)
+
+    def test_ivf_pq_decodes_near_original(self):
+        from rankpo_tpu.index import IVFIPIndex
+
+        emb = self._rows(600, 32, seed=6)
+        index = IVFIPIndex(emb, n_clusters=4, nprobe=4, pq_m=8,
+                           kmeans_iters=5, pq_iters=10)
+        got = index.reconstruct(np.arange(600))
+        # PQ is lossy; decoded rows must still be far closer to their own
+        # original than to an unrelated row
+        cos_own = np.sum(got * emb, axis=1) / np.maximum(
+            np.linalg.norm(got, axis=1), 1e-9
+        )
+        assert float(np.mean(cos_own)) > 0.8
+
+    def test_ivf_rotated_pq_unrotates(self):
+        from rankpo_tpu.index import IVFIPIndex
+
+        emb = self._rows(600, 32, seed=7)
+        plain = IVFIPIndex(emb, n_clusters=4, nprobe=4, pq_m=8,
+                           kmeans_iters=5, pq_iters=10)
+        rot = IVFIPIndex(emb, n_clusters=4, nprobe=4, pq_m=8,
+                         kmeans_iters=5, pq_iters=10, pq_rotate="random")
+        # if reconstruct forgot rot^T the rows would live in rotated space
+        # and correlate with the originals no better than chance
+        def mean_cos(index):
+            got = index.reconstruct(np.arange(600))
+            return float(np.mean(
+                np.sum(got * emb, axis=1)
+                / np.maximum(np.linalg.norm(got, axis=1), 1e-9)
+            ))
+
+        assert mean_cos(rot) > 0.8
+        assert mean_cos(rot) > mean_cos(plain) - 0.1
+
+    def test_ivf_streamed_build_reconstruct(self):
+        from rankpo_tpu.index import IVFIPIndex
+
+        emb = self._rows(500, 32, seed=8)
+        index = IVFIPIndex.from_chunk_fn(
+            lambda lo, hi: emb[lo:hi], 500, 32, chunk_rows=128,
+            n_clusters=4, nprobe=2, store_dtype=jnp.float32,
+            kmeans_iters=5,
+        )
+        ids = np.array([0, 499, 250])
+        np.testing.assert_allclose(index.reconstruct(ids), emb[ids],
+                                   atol=1e-6)
+
+    def test_ivf_sharded_reconstruct(self, data_mesh):
+        from rankpo_tpu.index import IVFIPIndex
+
+        emb = self._rows(400, 32, seed=9)
+        index = IVFIPIndex(emb, mesh=data_mesh, n_clusters=8, nprobe=4,
+                           store_dtype=jnp.float32)
+        ids = np.array([0, 399, 17, 200])
+        np.testing.assert_allclose(index.reconstruct(ids), emb[ids],
+                                   atol=1e-6)
+
+
+class TestRangeSearch:
+    """FAISS range_search analog: CSR (lims, scores, ids), score > radius."""
+
+    def _rows(self, n, d, seed=0):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    def _oracle(self, corpus, queries, radius):
+        s = queries @ corpus.T
+        return [
+            set(np.nonzero(s[q] > radius)[0].tolist())
+            for q in range(len(queries))
+        ]
+
+    def test_matches_numpy_oracle(self):
+        corpus = self._rows(300, 16, seed=0)
+        queries = self._rows(9, 16, seed=1)
+        radius = 0.3
+        lims, scores, ids = FlatIPIndex(corpus).range_search(queries, radius)
+        expect = self._oracle(corpus, queries, radius)
+        assert lims.shape == (10,) and lims[0] == 0
+        assert lims[-1] == len(ids) == len(scores)
+        for q in range(9):
+            got_ids = ids[lims[q]:lims[q + 1]]
+            got_s = scores[lims[q]:lims[q + 1]]
+            assert set(got_ids.tolist()) == expect[q]
+            assert np.all(got_s > radius)
+            assert np.all(np.diff(got_s) <= 1e-7)  # descending
+
+    def test_self_query_includes_self(self):
+        corpus = self._rows(128, 32, seed=2)
+        lims, scores, ids = FlatIPIndex(corpus).range_search(
+            corpus[:5], 0.99
+        )
+        for q in range(5):
+            assert q in set(ids[lims[q]:lims[q + 1]].tolist())
+
+    def test_no_hits_and_empty_queries(self):
+        corpus = self._rows(64, 16, seed=3)
+        index = FlatIPIndex(corpus)
+        lims, scores, ids = index.range_search(self._rows(3, 16, seed=4), 2.0)
+        assert lims.tolist() == [0, 0, 0, 0] and ids.size == 0
+        lims, scores, ids = index.range_search(
+            np.zeros((0, 16), np.float32), 0.0
+        )
+        assert lims.tolist() == [0] and ids.size == 0
+
+    def test_low_radius_returns_everything(self):
+        corpus = self._rows(100, 8, seed=5)
+        queries = self._rows(4, 8, seed=6)
+        lims, scores, ids = FlatIPIndex(corpus).range_search(queries, -2.0)
+        assert lims[-1] == 4 * 100  # unit rows: every score > -2
+        for q in range(4):
+            assert len(set(ids[lims[q]:lims[q + 1]].tolist())) == 100
+
+    def test_sharded(self, data_mesh):
+        corpus = self._rows(203, 16, seed=7)  # padded rows must not hit
+        queries = self._rows(5, 16, seed=8)
+        radius = 0.25
+        lims, scores, ids = FlatIPIndex(
+            corpus, mesh=data_mesh
+        ).range_search(queries, radius)
+        expect = self._oracle(corpus, queries, radius)
+        for q in range(5):
+            assert set(ids[lims[q]:lims[q + 1]].tolist()) == expect[q]

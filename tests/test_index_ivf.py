@@ -631,6 +631,31 @@ class TestIVFPQ:
         ])
         assert overlap >= 0.9
 
+    def test_pallas_adc_under_mesh_traces(self, data_mesh, monkeypatch):
+        # regression: pallas_call outputs carry no vma metadata, so the
+        # probed-search shard_map must trace with check_vma disabled when
+        # a Pallas branch is active — with check_vma=True (the default)
+        # every Pallas-tier IVF search failed on a TPU mesh ("vma on
+        # jax.ShapeDtypeStruct must not be None", autotune 100k run)
+        from rankpo_tpu.ops import pq_adc_pallas
+
+        corpus = _blob_corpus(3000, 32, n_blobs=30, seed=76)
+        queries = _blob_corpus(128, 32, n_blobs=30, seed=77)
+        monkeypatch.setattr(pq_adc_pallas, "FORCE_INTERPRET", True)
+        index = IVFIPIndex(
+            corpus, mesh=data_mesh, n_clusters=16, nprobe=16, pq_m=8,
+            kmeans_iters=5, pq_iters=10,
+        )
+        local_probes = min(index.nprobe, index.n_clusters // 8)
+        assert 128 * local_probes * index.capacity >= (1 << 16), (
+            "batch must exceed the large-probe threshold or the kernel "
+            "branch is never traced"
+        )
+        _, i = index.search(queries, k=10, batch_size=128)
+        _, ei = index.exact_search(queries, k=10, batch_size=128)
+        ref = [set(row.tolist()) for row in ei]
+        assert _recall(i, ref, 10) >= 0.7  # ADC approximation at full probe
+
     def test_rejects_bad_pq_params(self):
         corpus = _blob_corpus(50, 16, seed=69)
         with pytest.raises(ValueError):
@@ -820,3 +845,22 @@ class TestIVFPQRotate:
             IVFIPIndex(
                 corpus, n_clusters=2, nprobe=1, pq_m=4, pq_rotate="qr"
             )
+
+
+class TestGatherBudgetGuard:
+    def test_oversized_batch_auto_shrinks(self, monkeypatch):
+        # a tiny budget forces search() to split the query batch; results
+        # must be identical to the unconstrained run (per-(k,nprobe)
+        # programs are batch-agnostic — only the chunking changes)
+        import rankpo_tpu.index.ivf as ivf_mod
+
+        corpus = _blob_corpus(600, 32, seed=91)
+        queries = _blob_corpus(17, 32, seed=92)
+        index = IVFIPIndex(corpus, n_clusters=8, nprobe=8,
+                           store_dtype=jnp.float32)
+        s_full, i_full = index.search(queries, k=10, batch_size=32)
+        per_q = 8 * index.capacity * index.dim * 8  # > one query's gather
+        monkeypatch.setattr(ivf_mod, "_GATHER_BUDGET", 2 * per_q)
+        s_shrunk, i_shrunk = index.search(queries, k=10, batch_size=32)
+        np.testing.assert_allclose(s_shrunk, s_full, atol=1e-5)
+        np.testing.assert_array_equal(i_shrunk, i_full)
