@@ -63,14 +63,16 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length))
-                    service.add_passages(req["passages"])
+                    service.add_passages(req["passages"],
+                                         ids=req.get("ids"))
                     self._reply(200, {"status": "ok", "ntotal": service.ntotal})
                 except Exception as e:
                     self._reply(400, {"error": str(e)})
                 return
             if self.path == "/remove":
-                # FAISS remove_ids analog: drop passages by corpus position;
-                # remaining ids shift down (FAISS renumbering semantics).
+                # FAISS remove_ids analog: drop passages by corpus position
+                # (remaining ids shift down, FAISS renumbering semantics) —
+                # or by stable external id under --stable_ids (IndexIDMap).
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length))
@@ -206,6 +208,12 @@ def main(argv=None):
                         help="all requests search once at this k and slice "
                              "to the client's k (k is a compiled static "
                              "shape); requests above it get a 400")
+    parser.add_argument("--stable_ids", action="store_true",
+                        help="FAISS IndexIDMap analog: passages carry "
+                             "stable external int64 ids that survive "
+                             "/remove (no renumbering); /add accepts "
+                             "'ids', /remove takes external ids, hits "
+                             "gain an 'id' field")
     parser.add_argument("--warmup", default="full",
                         choices=["full", "fast", "off"],
                         help="pre-compile serving programs at startup: "
@@ -274,6 +282,7 @@ def main(argv=None):
         index_type=args.index_type, index_kwargs=index_kwargs,
         pack_queries=args.pack_queries,
         pack_max_segments=args.pack_max_segments,
+        stable_ids=args.stable_ids,
     )
     import os
 

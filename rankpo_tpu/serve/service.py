@@ -53,6 +53,7 @@ class RetrievalService:
         index_kwargs: Optional[Dict] = None,
         pack_queries: bool = False,
         pack_max_segments: int = 16,
+        stable_ids: bool = False,
     ):
         """recall_target < 1.0 enables the approx serving mode (flat index:
         PartialReduce top-k, 8x QPS at recall 0.95 on v5e; refine index: the
@@ -66,7 +67,12 @@ class RetrievalService:
         "SQ8", ...; rankpo_tpu/index/factory.py). index_kwargs: forwarded
         to the index constructor (e.g. reduced_dim / candidates for refine;
         n_clusters / nprobe for ivf); explicit kwargs win over factory-spec
-        components."""
+        components. stable_ids: FAISS ``IndexIDMap`` analog — passages carry
+        caller-assigned int64 ids that SURVIVE removals (no renumbering);
+        hits gain an ``id`` field, ``/remove`` takes external ids, and
+        ``/add`` accepts explicit ids (auto-continues from max+1 otherwise).
+        Off (default), ids are corpus positions with FAISS ``remove_ids``
+        renumbering semantics."""
         import jax.numpy as jnp
 
         self.encoder = encoder
@@ -112,10 +118,13 @@ class RetrievalService:
         # buckets unpacked).
         self.pack_queries = pack_queries
         self.pack_max_segments = pack_max_segments
-        # (index, corpus_texts) swap ATOMICALLY as one tuple: a query must
-        # never decorate one index's hit ids with another corpus's texts
-        # (build_index/add_passages can race in-flight queries)
-        self._state: tuple = (None, [])
+        self.stable_ids = stable_ids
+        # (index, corpus_texts, ext_ids) swap ATOMICALLY as one tuple: a
+        # query must never decorate one index's hit ids with another
+        # corpus's texts or external ids (build_index/add_passages can race
+        # in-flight queries). ext_ids maps corpus position -> stable
+        # external id; in positional mode it is always arange(n)
+        self._state: tuple = (None, [], np.zeros(0, np.int64))
         # WRITERS serialize: /add and /remove are read-modify-swap on
         # _state — two concurrent mutations would both read the same tuple
         # and the second swap would silently erase the first (each HTTP
@@ -146,8 +155,12 @@ class RetrievalService:
         max_passage_length: int = 512,
         batch_size: int = 256,
         device_resident: bool = True,
+        ids=None,
     ) -> None:
         """Encode the corpus on the mesh and pin it sharded in HBM.
+
+        ``ids``: optional per-passage external int64 ids (stable_ids mode);
+        default 0..n-1. Must be unique and len(corpus_texts) long.
 
         ``device_resident`` (default) keeps the embedding matrix on device
         end to end (encode_sharded -> from_sharded): no full-corpus
@@ -156,6 +169,7 @@ class RetrievalService:
         restores the host-numpy route (useful when the matrix is wanted
         host-side anyway)."""
         t0 = time.time()
+        ext_ids = self._validate_ids(ids, len(corpus_texts))
         if device_resident and not corpus_texts:
             device_resident = False  # empty corpus: keep the host path's error
         if device_resident:
@@ -174,7 +188,7 @@ class RetrievalService:
                 description="Indexing corpus",
             )
             index = self._make_index(embeddings)
-        self._state = (index, list(corpus_texts))
+        self._state = (index, list(corpus_texts), ext_ids)
         with self._fused_lock:
             self._fused_fns.clear()  # fused programs bake in n_total/k_local
         logger.info(
@@ -243,12 +257,37 @@ class RetrievalService:
     def corpus_texts(self) -> List[str]:
         return self._state[1]
 
+    @property
+    def passage_ids(self) -> np.ndarray:
+        """External id per corpus position (FAISS IndexIDMap id_map analog).
+        Positional mode: always 0..n-1."""
+        return self._state[2]
+
+    @staticmethod
+    def _validate_ids(ids, n: int) -> np.ndarray:
+        """Canonicalize per-passage external ids: default arange, int64,
+        unique, one per passage."""
+        if ids is None:
+            return np.arange(n, dtype=np.int64)
+        ext = np.asarray(ids, np.int64).reshape(-1)
+        if ext.size != n:
+            raise ValueError(
+                f"ids must match the corpus: {n} passages, {ext.size} ids"
+            )
+        if np.unique(ext).size != ext.size:
+            raise ValueError("ids must be unique")
+        return ext
+
     def load_index(self, embeddings: np.ndarray, corpus_texts: Sequence[str],
-                   overrides: Optional[Dict] = None):
+                   overrides: Optional[Dict] = None, *, ids=None):
         """Attach a prebuilt embedding matrix (e.g. from an offline encode).
         ``overrides``: tuned index knobs to reuse for this build only (see
-        _approx_kwargs)."""
-        self._state = (self._make_index(embeddings, overrides), list(corpus_texts))
+        _approx_kwargs). ``ids``: optional external ids (see build_index)."""
+        self._state = (
+            self._make_index(embeddings, overrides),
+            list(corpus_texts),
+            self._validate_ids(ids, len(corpus_texts)),
+        )
         with self._fused_lock:
             self._fused_fns.clear()  # fused programs bake in n_total/k_local
 
@@ -309,18 +348,32 @@ class RetrievalService:
         *,
         max_passage_length: int = 512,
         batch_size: int = 256,
+        ids=None,
     ) -> None:
-        """Append passages to a built index (FAISS ``index.add`` analog).
+        """Append passages to a built index (FAISS ``index.add`` analog;
+        with ``ids``, the ``add_with_ids`` analog).
 
         New texts are encoded on the mesh and the index is rebuilt from the
         concatenated matrix — brute-force search has no incremental
         structure to maintain, so "add" is concat + re-place in HBM (the
         encode of the NEW passages is the only model work). New passages get
-        the next corpus indices, preserving existing ids."""
+        the next corpus indices, preserving existing ids. ``ids``: external
+        ids for the NEW passages (must not collide with live ones); default
+        continues from max(live)+1."""
         with self._mutate_lock:
-            index, old_texts = self._state
+            index, old_texts, old_ext = self._state
             if index is None:
                 raise RuntimeError("no index built; call build_index first")
+            if ids is None:
+                start = int(old_ext.max()) + 1 if old_ext.size else 0
+                new_ext = np.arange(start, start + len(texts), dtype=np.int64)
+            else:
+                new_ext = self._validate_ids(ids, len(texts))
+                clash = np.intersect1d(new_ext, old_ext)
+                if clash.size:
+                    raise ValueError(
+                        f"ids already present: {clash[:8].tolist()}"
+                    )
             new_emb = self.encoder.encode(
                 list(texts),
                 batch_size=batch_size,
@@ -331,7 +384,8 @@ class RetrievalService:
                 [self._stored_embeddings(index), new_emb], axis=0
             )
             texts_all = old_texts + list(texts)
-            self.load_index(merged, texts_all, self._rebuild_overrides(index))
+            self.load_index(merged, texts_all, self._rebuild_overrides(index),
+                            ids=np.concatenate([old_ext, new_ext]))
         logger.info(
             "added %d passages (index now %d)", len(texts), self.ntotal
         )
@@ -363,10 +417,14 @@ class RetrievalService:
         return {}
 
     def remove_passages(self, ids: Sequence[int]) -> int:
-        """Drop passages by corpus position (FAISS ``remove_ids`` analog,
-        with the same renumbering semantics: remaining ids SHIFT DOWN to
-        stay sequential — callers tracking external keys should keep their
-        own id map, exactly as with FAISS).
+        """Drop passages (FAISS ``remove_ids`` analog).
+
+        Positional mode (default): ids are corpus positions, out-of-range
+        raises, and remaining ids SHIFT DOWN to stay sequential — callers
+        tracking external keys keep their own id map, exactly as with plain
+        FAISS. stable_ids mode (IndexIDMap analog): ids are EXTERNAL ids,
+        unknown ids are ignored (FAISS returns the count actually removed),
+        and survivors keep their external ids — no renumbering.
 
         Brute-force storage has no incremental structure, so removal is
         compact + re-place: fetch stored rows, drop the masked ones, rebuild
@@ -376,33 +434,43 @@ class RetrievalService:
         one ADC quantization step — same documented semantics as /add.
         Returns the number of removed passages."""
         with self._mutate_lock:
-            index, old_texts = self._state
+            index, old_texts, old_ext = self._state
             if index is None:
                 raise RuntimeError("no index built; call build_index first")
             n = len(old_texts)
             uniq = sorted({int(i) for i in ids})
             if not uniq:
                 return 0
-            if uniq[0] < 0 or uniq[-1] >= n:
-                raise ValueError(
-                    f"remove id out of range: corpus has {n} passages, got "
-                    f"ids in [{uniq[0]}, {uniq[-1]}]"
-                )
-            keep = np.ones(n, bool)
-            keep[uniq] = False
+            if self.stable_ids:
+                keep = ~np.isin(old_ext, np.asarray(uniq, np.int64))
+                n_removed = int(n - keep.sum())
+                if n_removed == 0:
+                    return 0
+            else:
+                if uniq[0] < 0 or uniq[-1] >= n:
+                    raise ValueError(
+                        f"remove id out of range: corpus has {n} passages, "
+                        f"got ids in [{uniq[0]}, {uniq[-1]}]"
+                    )
+                keep = np.ones(n, bool)
+                keep[uniq] = False
+                n_removed = len(uniq)
             if not keep.any():
                 raise ValueError(
                     "cannot remove every passage; build a new index instead"
                 )
             kept_emb = self._stored_embeddings(index)[keep]
             kept_texts = [t for t, k in zip(old_texts, keep) if k]
+            # stable mode: survivors keep their ids; positional mode: the
+            # default arange re-establishes position==id after the shift
             self.load_index(
-                kept_emb, kept_texts, self._rebuild_overrides(index)
+                kept_emb, kept_texts, self._rebuild_overrides(index),
+                ids=old_ext[keep] if self.stable_ids else None,
             )
         logger.info(
-            "removed %d passages (index now %d)", len(uniq), self.ntotal
+            "removed %d passages (index now %d)", n_removed, self.ntotal
         )
-        return len(uniq)
+        return n_removed
 
     def save_index(self, path: str) -> None:
         """Persist the BUILT index structurally + the passages (FAISS
@@ -413,11 +481,12 @@ class RetrievalService:
         collective) and every process writes its copy (atomic rename)."""
         from rankpo_tpu.index import io as index_io
 
-        index, texts = self._state
+        index, texts, ext_ids = self._state
         if index is None:
             raise RuntimeError("no index built; call build_index first")
         state = index_io.index_state(index)
         state["corpus_texts"] = np.asarray(texts, dtype=object)
+        state["corpus_ext_ids"] = ext_ids
         index_io.save_state(state, path)
         logger.info("saved index (%d passages) to %s", index.ntotal, path)
 
@@ -437,9 +506,12 @@ class RetrievalService:
                     f"with --index_type {kind} (or rebuild from the corpus)"
                 )
             index = index_io.index_from_state(data, mesh=self.mesh)
-            self._state = (
-                index, [str(t) for t in data["corpus_texts"]]
-            )
+            texts = [str(t) for t in data["corpus_texts"]]
+            # pre-IDMap files carry no ext ids: default positional
+            ext = (np.asarray(data["corpus_ext_ids"], np.int64)
+                   if "corpus_ext_ids" in data
+                   else np.arange(len(texts), dtype=np.int64))
+            self._state = (index, texts, ext)
             with self._fused_lock:
                 self._fused_fns.clear()
             logger.info(
@@ -475,6 +547,8 @@ class RetrievalService:
         self.load_index(
             data["embeddings"], [str(t) for t in data["corpus_texts"]],
             overrides,
+            ids=(np.asarray(data["corpus_ext_ids"], np.int64)
+                 if "corpus_ext_ids" in data else None),
         )
         logger.info("loaded index (%d passages) from %s", self.ntotal, path)
 
@@ -562,7 +636,7 @@ class RetrievalService:
         snapshot's text list)."""
         while True:
             with self._fused_lock:
-                index, texts = self._state
+                index, texts, ext_ids = self._state
                 k_eff = min(k, index.ntotal)
                 entry = self._fused_fns.get(k_eff)
                 if entry is not None and entry[1] is index:
@@ -570,8 +644,8 @@ class RetrievalService:
             fn = self._build_fused(k_eff, index)
             with self._fused_lock:
                 if self._state[0] is index:
-                    self._fused_fns[k_eff] = (fn, index, texts)
-                    return fn, index, texts
+                    self._fused_fns[k_eff] = (fn, index, texts, ext_ids)
+                    return fn, index, texts, ext_ids
             # the index was rebuilt while this program was being built:
             # loop and rebuild against the current one
 
@@ -742,10 +816,11 @@ class RetrievalService:
         return batch["ids"], batch["segs"], batch["slot_idx"], slots
 
     def _query_fused(self, texts: List[str], k: int):
-        """Fused-dispatch top-k: returns (scores, indices, corpus_texts) —
-        numpy [Q, k] arrays plus the text list of the index snapshot actually
-        searched (hit decoration must use THESE texts, not live state, or a
-        concurrent rebuild mixes ids and passages). Groups larger than
+        """Fused-dispatch top-k: returns (scores, indices, corpus_texts,
+        ext_ids) — numpy [Q, k] arrays plus the text list and external-id
+        map of the index snapshot actually searched (hit decoration must use
+        THESE, not live state, or a concurrent rebuild mixes ids and
+        passages). Groups larger than
         query_batch_size run as several fused dispatches (so the fused path
         — the only one warmup precompiles — serves every group size); each
         chunk's D2H copy starts right after its dispatch (per-chunk double
@@ -754,12 +829,13 @@ class RetrievalService:
         after the last compute — same finding as FlatIPIndex.search).
         ``k`` is clamped to the searched snapshot's ntotal inside
         _get_fused; the returned arrays' width is that effective k."""
-        fn, index, corpus_texts = self._get_fused(k)
+        fn, index, corpus_texts, ext_ids = self._get_fused(k)
         if not texts:
             return (
                 np.zeros((0, min(k, index.ntotal)), np.float32),
                 np.zeros((0, min(k, index.ntotal)), np.int32),
                 corpus_texts,
+                ext_ids,
             )
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         pending = []
@@ -794,7 +870,8 @@ class RetrievalService:
             pending.append((scores, indices, len(chunk)))
         all_s = [np.asarray(s, np.float32)[:n] for s, _, n in pending]
         all_i = [np.asarray(i, np.int32)[:n] for _, i, n in pending]
-        return np.concatenate(all_s), np.concatenate(all_i), corpus_texts
+        return (np.concatenate(all_s), np.concatenate(all_i), corpus_texts,
+                ext_ids)
 
     def query(
         self,
@@ -803,8 +880,9 @@ class RetrievalService:
         *,
         return_passages: bool = True,
     ) -> List[Dict]:
-        """Top-k passages per query text."""
-        index, corpus_texts = self._state  # one consistent snapshot
+        """Top-k passages per query text. Hits carry ``index`` (corpus
+        position) and, in stable_ids mode, ``id`` (the external id)."""
+        index, corpus_texts, ext_ids = self._state  # one consistent snapshot
         if index is None:
             raise RuntimeError("no index built; call build_index first")
         single = isinstance(texts, str)
@@ -813,8 +891,8 @@ class RetrievalService:
         if self.fuse_encode_search and self.encoder.mesh is self.mesh:
             # the fused path re-snapshots internally (its compiled program,
             # corpus, AND k clamp must come from one state read); use ITS
-            # texts for hit decoration
-            scores, indices, corpus_texts = self._query_fused(
+            # texts/ids for hit decoration
+            scores, indices, corpus_texts, ext_ids = self._query_fused(
                 list(texts), k
             )
         elif not texts:
@@ -841,6 +919,8 @@ class RetrievalService:
                     # IVF semantics); never surface them as hits
                     continue
                 hit = {"index": int(idx), "score": float(score)}
+                if self.stable_ids:
+                    hit["id"] = int(ext_ids[int(idx)])
                 if return_passages:
                     hit["passage"] = corpus_texts[int(idx)]
                 hits.append(hit)

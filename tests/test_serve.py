@@ -158,7 +158,7 @@ class TestFusedEncodeSearch:
         big = [f"document {i} on distinct topic {i}" for i in range(32)]
         svc.build_index(big, max_passage_length=16, batch_size=8)
         svc.build_index(big[:5], max_passage_length=16, batch_size=8)
-        scores, idx, texts = svc._query_fused(
+        scores, idx, texts, _ = svc._query_fused(
             ["document 1 on distinct topic 1"], 20
         )
         assert scores.shape == (1, 5) and idx.shape == (1, 5)
@@ -650,6 +650,131 @@ class TestRemovePassages:
             server.shutdown()
             # module-scoped fixture: restore the index for later tests
             service.load_index(emb_before, texts_before)
+
+
+class TestStableIds:
+    """FAISS IndexIDMap analog (--stable_ids): external int64 ids survive
+    removals (no renumbering), /add accepts explicit ids or auto-continues,
+    hits carry an 'id' field, persistence round-trips the map."""
+
+    def _service(self, data_mesh, n=16, ids=None, **kw):
+        cfg = tiny_llama_config(vocab_size=256)
+        enc = InferenceEncoder(cfg, init_params(jax.random.key(0), cfg),
+                               HashTokenizer(vocab_size=256), mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+        svc = RetrievalService(enc, mesh=data_mesh, max_query_length=16,
+                               query_batch_size=8, stable_ids=True, **kw)
+        corpus = [f"document {i} on distinct topic {i}" for i in range(n)]
+        svc.build_index(corpus, max_passage_length=16, batch_size=8, ids=ids)
+        return svc
+
+    def test_ids_survive_removal(self, data_mesh):
+        # custom non-contiguous ids at build time
+        ids = [100 + 3 * i for i in range(16)]
+        svc = self._service(data_mesh, ids=ids)
+        hit = svc.query("document 7 on distinct topic 7", k=1)["hits"][0]
+        assert hit["index"] == 7 and hit["id"] == 121
+        # remove by EXTERNAL id; unknown ids ignored (FAISS remove_ids
+        # returns the count actually removed)
+        assert svc.remove_passages([103, 106, 99999]) == 2
+        assert svc.ntotal == 14
+        # survivor keeps its external id even though its position shifted
+        hit = svc.query("document 7 on distinct topic 7", k=1)["hits"][0]
+        assert hit["index"] == 5 and hit["id"] == 121
+        assert hit["passage"] == "document 7 on distinct topic 7"
+        # removed id no longer present
+        assert 103 not in svc.passage_ids
+        # removing the same ids again is a no-op, not an error
+        assert svc.remove_passages([103, 106]) == 0
+
+    def test_add_with_and_without_ids(self, data_mesh):
+        svc = self._service(data_mesh, n=8)
+        svc.add_passages(["document 8 on distinct topic 8"], ids=[500],
+                         max_passage_length=16, batch_size=8)
+        hit = svc.query("document 8 on distinct topic 8", k=1)["hits"][0]
+        assert hit["id"] == 500 and hit["index"] == 8
+        # auto ids continue from max(live)+1
+        svc.add_passages(["document 9 on distinct topic 9"],
+                         max_passage_length=16, batch_size=8)
+        hit = svc.query("document 9 on distinct topic 9", k=1)["hits"][0]
+        assert hit["id"] == 501
+
+    def test_id_validation(self, data_mesh):
+        with pytest.raises(ValueError, match="unique"):
+            self._service(data_mesh, n=4, ids=[1, 2, 2, 3])
+        with pytest.raises(ValueError, match="match the corpus"):
+            self._service(data_mesh, n=4, ids=[1, 2, 3])
+        svc = self._service(data_mesh, n=4, ids=[10, 11, 12, 13])
+        with pytest.raises(ValueError, match="already present"):
+            svc.add_passages(["dup doc"], ids=[12],
+                             max_passage_length=16, batch_size=8)
+
+    def test_persistence_roundtrip(self, data_mesh, tmp_path):
+        ids = [7 * i + 2 for i in range(16)]
+        svc = self._service(data_mesh, ids=ids)
+        svc.remove_passages([2])  # external id of position 0
+        path = str(tmp_path / "idx.npz")
+        svc.save_index(path)
+        svc2 = self._service(data_mesh, n=2)  # fresh service, throwaway index
+        svc2.load_index_file(path)
+        np.testing.assert_array_equal(
+            svc2.passage_ids, np.asarray(ids[1:], np.int64)
+        )
+        hit = svc2.query("document 7 on distinct topic 7", k=1)["hits"][0]
+        assert hit["id"] == 7 * 7 + 2
+
+    def test_positional_mode_unchanged(self, data_mesh):
+        """Without stable_ids, hits carry no 'id' and remove renumbers."""
+        cfg = tiny_llama_config(vocab_size=256)
+        enc = InferenceEncoder(cfg, init_params(jax.random.key(0), cfg),
+                               HashTokenizer(vocab_size=256), mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+        svc = RetrievalService(enc, mesh=data_mesh, max_query_length=16,
+                               query_batch_size=8)
+        svc.build_index(
+            [f"document {i} on distinct topic {i}" for i in range(8)],
+            max_passage_length=16, batch_size=8,
+        )
+        hit = svc.query("document 5 on distinct topic 5", k=1)["hits"][0]
+        assert "id" not in hit
+        svc.remove_passages([0])
+        # positional ids re-establish position==id after the shift
+        np.testing.assert_array_equal(svc.passage_ids, np.arange(7))
+
+    def test_http_add_with_ids(self, data_mesh):
+        from http.server import ThreadingHTTPServer
+
+        from rankpo_tpu.cli.serve import make_handler
+
+        svc = self._service(data_mesh, n=8)
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(svc, None, k_max=10)
+        )
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/add",
+                data=json.dumps({
+                    "passages": ["document 8 on distinct topic 8"],
+                    "ids": [777],
+                }).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                assert json.loads(r.read())["ntotal"] == 9
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps({
+                    "query": "document 8 on distinct topic 8", "k": 1,
+                }).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                hit = json.loads(r.read())["results"][0]["hits"][0]
+            assert hit["id"] == 777
+        finally:
+            server.shutdown()
 
 
 class TestPackedQueries:
