@@ -148,4 +148,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(0 if main() else 0)
+    # nonzero when no spec met the target/budget so `autotune && deploy`
+    # pipelines can't proceed with a null recommendation
+    sys.exit(0 if main()["best"] is not None else 1)

@@ -112,10 +112,12 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
                     from rankpo_tpu.serve.service import finalize_hits
 
                     k_eff = min(k_max, service.ntotal or k_max)
+                    # return_passages=True: texts attach inside query() from
+                    # the snapshot it searched (concurrent /add //remove safe)
                     results = [
-                        finalize_hits(r, k, service.corpus_texts, True)
+                        finalize_hits(r, k)
                         for r in service.query(queries, k=k_eff,
-                                               return_passages=False)
+                                               return_passages=True)
                     ]
                 self._reply(200, {"results": results})
             except Exception as e:  # surface errors as JSON

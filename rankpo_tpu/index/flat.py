@@ -43,6 +43,42 @@ _RECON_BATCH = 1024  # fixed reconstruct-gather batch: one compiled program
 # regardless of how many ids a caller asks for
 
 
+def _canonical_recon_ids(ids, n_total: int) -> np.ndarray:
+    """Canonicalize a reconstruct id argument (scalar or 1-D, int64,
+    bounds-checked). Shared by every index tier's ``reconstruct``."""
+    ids = np.atleast_1d(np.asarray(ids, np.int64))
+    if ids.ndim != 1:
+        raise ValueError("ids must be a scalar or 1-D sequence")
+    if ids.size and (ids.min() < 0 or ids.max() >= n_total):
+        raise IndexError(
+            f"ids must be in [0, {n_total}); got [{ids.min()}, {ids.max()}]"
+        )
+    return ids
+
+
+def _chunked_row_gather(fn, arrays: tuple, idx: np.ndarray, mesh) -> np.ndarray:
+    """Drive a jitted row-gather ``fn(*arrays, idx_chunk) -> rows`` over
+    fixed ``_RECON_BATCH`` chunks: pad each chunk to the full batch (one
+    compiled program for any len(idx)), replicate the chunk to the mesh in
+    multi-process runs (a host-local array is not addressable mesh-wide),
+    and slice the pad rows back off. Shared by the flat/IVF/refine tiers so
+    the batching discipline lives in exactly one place."""
+    out = []
+    for lo in range(0, idx.size, _RECON_BATCH):
+        chunk = idx[lo : lo + _RECON_BATCH].astype(np.int32)
+        real = chunk.size
+        if real < _RECON_BATCH:
+            chunk = np.concatenate(
+                [chunk, np.zeros(_RECON_BATCH - real, np.int32)]
+            )
+        if mesh is not None and jax.process_count() > 1:
+            idx_dev = replicate_to_mesh(chunk, mesh)
+        else:
+            idx_dev = jnp.asarray(chunk)
+        out.append(np.asarray(fn(*arrays, idx_dev))[:real])
+    return np.concatenate(out).astype(np.float32, copy=False)
+
+
 def numpy_search(
     corpus: np.ndarray, queries: np.ndarray, k: int
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -371,16 +407,9 @@ class FlatIPIndex:
         dequantizes through the per-row max-abs scale (the stored
         approximation — FAISS scalar-quantizer decode semantics, not the
         original vector)."""
-        ids = np.atleast_1d(np.asarray(ids, np.int64))
-        if ids.ndim != 1:
-            raise ValueError("ids must be a scalar or 1-D sequence")
+        ids = _canonical_recon_ids(ids, self.n_total)
         if ids.size == 0:
             return np.zeros((0, self.dim), np.float32)
-        if ids.min() < 0 or ids.max() >= self.n_total:
-            raise IndexError(
-                f"ids must be in [0, {self.n_total}); got "
-                f"[{ids.min()}, {ids.max()}]"
-            )
         with self._search_lock:
             fn = self._search_fns.get("reconstruct")
             if fn is None:
@@ -402,21 +431,9 @@ class FlatIPIndex:
                         out_shardings=NamedSharding(self.mesh, P()),
                     )
                 self._search_fns["reconstruct"] = fn
-        out = []
-        for lo in range(0, ids.size, _RECON_BATCH):
-            chunk = ids[lo : lo + _RECON_BATCH].astype(np.int32)
-            real = chunk.size
-            if real < _RECON_BATCH:  # one compiled program for any len(ids)
-                chunk = np.concatenate(
-                    [chunk, np.zeros(_RECON_BATCH - real, np.int32)]
-                )
-            if self.mesh is not None and jax.process_count() > 1:
-                idx_dev = replicate_to_mesh(chunk, self.mesh)
-            else:
-                idx_dev = jnp.asarray(chunk)
-            rows = fn(self.corpus, self.row_scale, idx_dev)
-            out.append(np.asarray(rows)[:real])
-        return np.concatenate(out).astype(np.float32, copy=False)
+        return _chunked_row_gather(
+            fn, (self.corpus, self.row_scale), ids, self.mesh
+        )
 
     def range_search(
         self, queries, radius: float, *, batch_size: int = 256,
@@ -505,7 +522,12 @@ class FlatIPIndex:
                 max_c = 1
             k = min(self.n_total, 1 << (max_c - 1).bit_length())
             while True:
-                s, i = self.search(block, k=k, batch_size=real)
+                # batch_size (not real): search pads its final block to the
+                # full batch, so every residual count reuses one compiled
+                # [batch_size, D] program per k bucket instead of compiling
+                # a fresh shape per distinct residual (minutes each through
+                # the remote compile server); results come back real-sliced
+                s, i = self.search(block, k=k, batch_size=batch_size)
                 if k >= self.n_total or not (s[:, -1] > radius).any():
                     break
                 k = min(self.n_total, k * 2)  # guard: k-th hit still clears

@@ -1574,6 +1574,26 @@ class IVFIPIndex:
         p = min(p, self.local_clusters)
         return p, min(k, p * self.capacity)
 
+    def _gather_bytes_per_query(self, p_used: int, c_used: int) -> float:
+        """Per-query device bytes of the probed-row gather + rerank temps,
+        for the search() batch-shrink guard. Tier pricing must match what
+        the kernel actually gathers: the PCA hybrid's stage 1 touches bf16
+        REDUCED-dim rows (pricing it at full-dim fp32 over-shrinks the batch
+        ~30x on exactly the large configs the tier targets), and its stage 2
+        reranks only ``c_used`` full-dim rows in the store dtype; fp32 score
+        temps add 4 bytes per gathered row element in both stages."""
+        if self.reduced_dim is not None:
+            store = np.dtype(self.corpus.dtype).itemsize
+            return (
+                p_used * self.capacity * (2 * self.reduced_dim + 4)
+                + c_used * self.dim * (store + 4)
+            )
+        elem = 4 + (
+            self.pq_m / self.dim if self.pq_m is not None
+            else (1 if self.quantized else 4)
+        )
+        return p_used * self.capacity * self.dim * elem
+
     def _effective_candidates(self, k: int, candidates) -> int:
         """Rerank candidate count for the hybrid path: explicit wins, else
         the instance setting, else proportional-to-k ('auto' has no tuning
@@ -1907,16 +1927,11 @@ class IVFIPIndex:
             self._effective_candidates(k, candidates)
             if self.reduced_dim is not None else 0
         )
-        # gather-budget guard: the probed-row gather + fp32 rerank temps are
-        # ~(storage + 4) bytes per gathered element; at a large tuned nprobe
-        # (data that genuinely needs many probes) a caller-supplied batch can
-        # otherwise request a 100+ GB allocation. Shrinking the query batch
-        # is always safe — each (k, p) already compiles its own program.
-        elem = 4 + (
-            self.pq_m / self.dim if self.pq_m is not None
-            else (1 if self.quantized else 4)
-        )
-        per_q = p_used * self.capacity * self.dim * elem
+        # gather-budget guard: at a large tuned nprobe (data that genuinely
+        # needs many probes) a caller-supplied batch can otherwise request a
+        # 100+ GB allocation. Shrinking the query batch is always safe —
+        # each (k, p) already compiles its own program.
+        per_q = self._gather_bytes_per_query(p_used, c_used)
         max_bq = max(1, int(_GATHER_BUDGET // max(per_q, 1)))
         if max_bq < batch_size:
             logger.info(
@@ -2111,18 +2126,14 @@ class IVFIPIndex:
         cluster centroid + codebook decode, un-rotating the codec for
         ``pq_rotate`` builds. Also the tuner's pseudo-query source in
         streamed builds where the fp32 originals are gone by design."""
-        from rankpo_tpu.index.flat import _RECON_BATCH
+        from rankpo_tpu.index.flat import (
+            _canonical_recon_ids,
+            _chunked_row_gather,
+        )
 
-        ids = np.atleast_1d(np.asarray(ids, np.int64))
-        if ids.ndim != 1:
-            raise ValueError("ids must be a scalar or 1-D sequence")
+        ids = _canonical_recon_ids(ids, self.n_total)
         if ids.size == 0:
             return np.zeros((0, self.dim), np.float32)
-        if ids.min() < 0 or ids.max() >= self.n_total:
-            raise IndexError(
-                f"ids must be in [0, {self.n_total}); got "
-                f"[{ids.min()}, {ids.max()}]"
-            )
         slots = self._slot_of_row[ids]
         with self._search_lock:
             fn = self._search_fns.get("reconstruct")
@@ -2179,21 +2190,10 @@ class IVFIPIndex:
             self.rotation
             if self.pq_m is not None and self.rotation is not None else None
         )
-        out = []
-        for lo in range(0, slots.size, _RECON_BATCH):
-            chunk = slots[lo : lo + _RECON_BATCH].astype(np.int32)
-            real = chunk.size
-            if real < _RECON_BATCH:
-                chunk = np.concatenate(
-                    [chunk, np.zeros(_RECON_BATCH - real, np.int32)]
-                )
-            if self.mesh is not None and jax.process_count() > 1:
-                slot_dev = replicate_to_mesh(chunk, self.mesh)
-            else:
-                slot_dev = jnp.asarray(chunk)
-            rows = fn(self.corpus, scale, self.centroids, cb, rot, slot_dev)
-            out.append(np.asarray(rows)[:real])
-        return np.concatenate(out).astype(np.float32, copy=False)
+        return _chunked_row_gather(
+            fn, (self.corpus, scale, self.centroids, cb, rot), slots,
+            self.mesh,
+        )
 
     def exact_search(
         self, queries, k: int = 100, batch_size: int = 256,

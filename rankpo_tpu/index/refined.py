@@ -587,18 +587,14 @@ class RefineIPIndex:
         ``reconstruct_batch`` analog. Rows come from the full-dimension
         stage-2 storage at storage precision (bf16 default), not the
         projected prefilter."""
-        from rankpo_tpu.index.flat import _RECON_BATCH
+        from rankpo_tpu.index.flat import (
+            _canonical_recon_ids,
+            _chunked_row_gather,
+        )
 
-        ids = np.atleast_1d(np.asarray(ids, np.int64))
-        if ids.ndim != 1:
-            raise ValueError("ids must be a scalar or 1-D sequence")
+        ids = _canonical_recon_ids(ids, self.n_total)
         if ids.size == 0:
             return np.zeros((0, self.dim), np.float32)
-        if ids.min() < 0 or ids.max() >= self.n_total:
-            raise IndexError(
-                f"ids must be in [0, {self.n_total}); got "
-                f"[{ids.min()}, {ids.max()}]"
-            )
         with self._search_lock:
             fn = self._search_fns.get("reconstruct")
             if fn is None:
@@ -617,20 +613,7 @@ class RefineIPIndex:
                         out_shardings=NamedSharding(self.mesh, P()),
                     )
                 self._search_fns["reconstruct"] = fn
-        out = []
-        for lo in range(0, ids.size, _RECON_BATCH):
-            chunk = ids[lo : lo + _RECON_BATCH].astype(np.int32)
-            real = chunk.size
-            if real < _RECON_BATCH:
-                chunk = np.concatenate(
-                    [chunk, np.zeros(_RECON_BATCH - real, np.int32)]
-                )
-            if self.mesh is not None and jax.process_count() > 1:
-                idx_dev = replicate_to_mesh(chunk, self.mesh)
-            else:
-                idx_dev = jnp.asarray(chunk)
-            out.append(np.asarray(fn(self.corpus, idx_dev))[:real])
-        return np.concatenate(out).astype(np.float32, copy=False)
+        return _chunked_row_gather(fn, (self.corpus,), ids, self.mesh)
 
     @property
     def ntotal(self) -> int:

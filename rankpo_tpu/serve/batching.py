@@ -142,18 +142,18 @@ class MicroBatcher:
                 return
             try:
                 k_eff = min(self.k_max, self.service.ntotal or self.k_max)
+                # return_passages=True: the service attaches texts from the
+                # same _state snapshot it searched; slicing here must not
+                # touch live corpus_texts (mutation race)
                 results = self.service.query(
-                    [r.text for r in group], k=k_eff, return_passages=False
+                    [r.text for r in group], k=k_eff, return_passages=True
                 )
                 self.n_dispatches += 1
                 self.n_queries += len(group)
                 from rankpo_tpu.serve.service import finalize_hits
 
                 for req, res in zip(group, results):
-                    req.result = finalize_hits(
-                        res, req.k, self.service.corpus_texts,
-                        req.return_passages,
-                    )
+                    req.result = finalize_hits(res, req.k, req.return_passages)
             except BaseException as e:  # propagate to every waiter in the group
                 for req in group:
                     req.error = e

@@ -28,14 +28,20 @@ from rankpo_tpu.index import (
 logger = logging.getLogger(__name__)
 
 
-def finalize_hits(result: Dict, k: int, corpus_texts, return_passages: bool) -> Dict:
-    """Slice a search-at-k_max result down to the client's k and optionally
-    attach passage texts. Shared by the HTTP handler and the micro-batcher,
-    which both search once at a fixed compiled k and slice per request."""
+def finalize_hits(result: Dict, k: int, return_passages: bool = True) -> Dict:
+    """Slice a search-at-k_max result down to the client's k. Shared by the
+    HTTP handler and the micro-batcher, which both search once at a fixed
+    compiled k and slice per request.
+
+    Passage texts must already ride the hits (call ``query`` with
+    ``return_passages=True``): the service decorates hits from the SAME
+    ``_state`` snapshot the search ran on, whereas decorating here from live
+    ``service.corpus_texts`` would race concurrent /add //remove mutations
+    and pair a hit's id with another document's text."""
     result["hits"] = result["hits"][:k]
-    if return_passages:
+    if not return_passages:
         for h in result["hits"]:
-            h["passage"] = corpus_texts[h["index"]]
+            h.pop("passage", None)
     return result
 
 
@@ -169,6 +175,7 @@ class RetrievalService:
         restores the host-numpy route (useful when the matrix is wanted
         host-side anyway)."""
         t0 = time.time()
+        self._require_stable_for(ids)
         ext_ids = self._validate_ids(ids, len(corpus_texts))
         if device_resident and not corpus_texts:
             device_resident = False  # empty corpus: keep the host path's error
@@ -262,6 +269,18 @@ class RetrievalService:
         """External id per corpus position (FAISS IndexIDMap id_map analog).
         Positional mode: always 0..n-1."""
         return self._state[2]
+
+    def _require_stable_for(self, ids) -> None:
+        """Caller-supplied external ids only make sense in stable_ids mode:
+        positional mode's invariant is passage_ids == 0..n-1 (and hits never
+        carry 'id'), so silently accepting ids there would corrupt the map
+        and make later /add //remove behave inconsistently."""
+        if ids is not None and not self.stable_ids:
+            raise ValueError(
+                "external ids require stable_ids mode (RetrievalService("
+                "stable_ids=True) / serve --stable_ids); positional mode "
+                "numbers passages 0..n-1"
+            )
 
     @staticmethod
     def _validate_ids(ids, n: int) -> np.ndarray:
@@ -360,6 +379,7 @@ class RetrievalService:
         the next corpus indices, preserving existing ids. ``ids``: external
         ids for the NEW passages (must not collide with live ones); default
         continues from max(live)+1."""
+        self._require_stable_for(ids)
         with self._mutate_lock:
             index, old_texts, old_ext = self._state
             if index is None:

@@ -131,7 +131,11 @@ def autotune_index(
                 len(exact_sets[i] & set(map(int, ids[i][ids[i] >= 0])))
                 for i in range(len(queries))
             )
-            row["recall"] = round(hits / max(1, sum(map(len, exact_sets))), 4)
+            # keep the UNROUNDED recall for the feasibility comparison:
+            # rounding first can lift a spec genuinely below target into
+            # "feasible" (0.94996 -> 0.95); round only for the report
+            recall = hits / max(1, sum(map(len, exact_sets)))
+            row["recall"] = round(recall, 4)
 
             best_dt = math.inf
             for _ in range(repeats):
@@ -145,11 +149,11 @@ def autotune_index(
             del index
             continue
         row["qps"] = round(len(queries) / best_dt, 1)
-        row["memory_mb"] = round(_device_bytes(index) / (1 << 20), 2)
+        mem_bytes = _device_bytes(index)
+        row["memory_mb"] = round(mem_bytes / (1 << 20), 2)
         row["feasible"] = bool(
-            row["recall"] >= recall_target
-            and (budget_bytes is None
-                 or row["memory_mb"] * (1 << 20) <= budget_bytes)
+            recall >= recall_target
+            and (budget_bytes is None or mem_bytes <= budget_bytes)
         )
         results.append(row)
         del index

@@ -864,3 +864,21 @@ class TestGatherBudgetGuard:
         s_shrunk, i_shrunk = index.search(queries, k=10, batch_size=32)
         np.testing.assert_allclose(s_shrunk, s_full, atol=1e-5)
         np.testing.assert_array_equal(i_shrunk, i_full)
+
+    def test_hybrid_pricing_uses_reduced_dim(self):
+        # the PCA hybrid's stage-1 gather touches bf16 REDUCED-dim rows and
+        # its stage-2 rerank only c_used full-dim rows; pricing it at
+        # full-dim fp32 over-shrank the query batch ~30x on exactly the
+        # large-corpus configs the tier targets (round-3 review finding)
+        corpus = _blob_corpus(600, 64, seed=93)
+        index = IVFIPIndex(corpus, n_clusters=8, nprobe=4, reduced_dim=8,
+                           candidates=32)
+        p, _ = index._effective_probe(10, None)
+        c = index._effective_candidates(10, None)
+        priced = index._gather_bytes_per_query(p, c)
+        store = np.dtype(index.corpus.dtype).itemsize
+        expected = (p * index.capacity * (2 * 8 + 4)
+                    + c * 64 * (store + 4))
+        assert priced == expected
+        # far below the old full-dim fp32 pricing
+        assert priced < p * index.capacity * 64 * 8 / 4

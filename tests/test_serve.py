@@ -740,6 +740,36 @@ class TestStableIds:
         svc.remove_passages([0])
         # positional ids re-establish position==id after the shift
         np.testing.assert_array_equal(svc.passage_ids, np.arange(7))
+        # caller-supplied external ids are a stable_ids-mode concept:
+        # positional mode must reject them clearly instead of silently
+        # corrupting the position==id invariant (round-3 review finding)
+        with pytest.raises(ValueError, match="stable_ids"):
+            svc.add_passages(["doc x"], ids=[100],
+                             max_passage_length=16, batch_size=8)
+        with pytest.raises(ValueError, match="stable_ids"):
+            svc.build_index(["doc y"], max_passage_length=16,
+                            batch_size=8, ids=[0])
+        np.testing.assert_array_equal(svc.passage_ids, np.arange(7))
+
+    def test_finalize_hits_uses_search_snapshot(self, data_mesh):
+        """Hit decoration must come from the state snapshot the search ran
+        on: slicing a result against LIVE corpus_texts after a concurrent
+        /remove paired ids with the wrong (shifted) document's text."""
+        from rankpo_tpu.serve.service import finalize_hits
+
+        svc = self._service(data_mesh, n=8)
+        res = svc.query(["document 6 on distinct topic 6"], k=2,
+                        return_passages=True)[0]
+        # mutate AFTER the search: positions shift down
+        svc.remove_passages([int(svc.passage_ids[0])])
+        out = finalize_hits(res, 1)
+        hit = out["hits"][0]
+        assert hit["passage"] == f"document {hit['index']} on distinct topic {hit['index']}"
+        # return_passages=False strips the texts instead of re-attaching
+        res2 = svc.query(["document 3 on distinct topic 3"], k=2,
+                         return_passages=True)[0]
+        out2 = finalize_hits(res2, 2, return_passages=False)
+        assert all("passage" not in h for h in out2["hits"])
 
     def test_http_add_with_ids(self, data_mesh):
         from http.server import ThreadingHTTPServer
