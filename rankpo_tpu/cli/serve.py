@@ -221,6 +221,11 @@ def main(argv=None):
                         help="pre-compile serving programs at startup: "
                              "'full' = every (batch, length) bucket, "
                              "'fast' = shortest length bucket only")
+    parser.add_argument("--rewarm_after_mutations", action="store_true",
+                        help="/add and /remove replay the startup warmup "
+                             "before returning (the index rebuild clears "
+                             "the compiled programs; this keeps searches "
+                             "compile-free at the cost of slower mutations)")
     parser.add_argument("--log_level", default="info")
     # multi-host pod serving: every process runs this CLI with the same
     # corpus/index; rank 0 binds HTTP, ranks 1.. replay dispatches
@@ -285,6 +290,7 @@ def main(argv=None):
         pack_queries=args.pack_queries,
         pack_max_segments=args.pack_max_segments,
         stable_ids=args.stable_ids,
+        rewarm_after_mutation=args.rewarm_after_mutations,
     )
     import os
 

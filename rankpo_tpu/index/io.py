@@ -379,12 +379,17 @@ def write_index(index, path: str) -> None:
 
 def save_state(state: Dict[str, np.ndarray], path: str) -> None:
     """npz write via temp file + atomic rename (identical concurrent writers
-    — the multi-process case above — cannot interleave partial files)."""
+    — the multi-process case above — cannot interleave partial files). The
+    temp name carries a uuid, not just the PID: on a shared filesystem two
+    hosts' writers routinely collide on PID (containers all run as a low
+    identical PID), and a shared temp file would let writer B keep writing
+    into the inode writer A just published."""
     import os
+    import uuid
 
     if not path.endswith(".npz"):
         path += ".npz"
-    tmp = f"{path}.tmp.{os.getpid()}"
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     try:
         with open(tmp, "wb") as f:
             np.savez_compressed(f, **state)

@@ -60,6 +60,7 @@ class RetrievalService:
         pack_queries: bool = False,
         pack_max_segments: int = 16,
         stable_ids: bool = False,
+        rewarm_after_mutation: bool = False,
     ):
         """recall_target < 1.0 enables the approx serving mode (flat index:
         PartialReduce top-k, 8x QPS at recall 0.95 on v5e; refine index: the
@@ -145,6 +146,14 @@ class RetrievalService:
         self.fuse_encode_search = True
         self._fused_fns: Dict[int, object] = {}
         self._fused_lock = threading.Lock()
+        # /add //remove rebuild the index, so the fused programs (which bake
+        # n_total) are cleared — warmup()'s "requests never pay XLA
+        # compiles" guarantee no longer holds for post-mutation traffic.
+        # rewarm_after_mutation makes the MUTATION call replay the last
+        # warmup() before returning (minutes through a remote compiler —
+        # the mutator pays, searchers stay compile-free)
+        self.rewarm_after_mutation = rewarm_after_mutation
+        self._warmup_spec: Optional[Dict] = None
 
     @classmethod
     def from_pretrained(cls, model_path: str, tokenizer=None, mesh=None, **kwargs):
@@ -238,7 +247,8 @@ class RetrievalService:
             )
         return FlatIPIndex.from_sharded(
             emb_dev, n_total, mesh=self.mesh,
-            recall_target=self.recall_target, dtype=self.index_dtype,
+            recall_target=self.recall_target,
+            dtype=(overrides or {}).get("dtype", self.index_dtype),
             **self.index_kwargs,
         )
 
@@ -253,7 +263,8 @@ class RetrievalService:
             )
         return FlatIPIndex(
             embeddings, mesh=self.mesh, recall_target=self.recall_target,
-            dtype=self.index_dtype, **self.index_kwargs,
+            dtype=(overrides or {}).get("dtype", self.index_dtype),
+            **self.index_kwargs,
         )
 
     @property
@@ -312,17 +323,19 @@ class RetrievalService:
 
     def _stored_embeddings(self, index) -> np.ndarray:
         """Fetch an index's fp32 embedding matrix back to the host
-        (dequantized for int8 storage). Multi-process: the corpus is sharded
-        across hosts, so gather it (np.asarray alone cannot read
-        non-addressable shards)."""
-        import jax
+        (dequantized for int8 storage). Multi-process gathers ride
+        ``index.io._fetch`` (the one addressability-aware device->host
+        contract) rather than a second hand-rolled copy.
+
+        Known ceiling: this (and the mutation rebuild that calls it) is an
+        O(N*D) fp32 host round trip — /add //remove on a device-resident
+        multi-million-passage corpus can exceed host RAM even though the
+        BUILD path never does. Documented in docs/ROADMAP.md; at that scale
+        rebuild from the corpus (or shard the service)."""
+        from rankpo_tpu.index.io import _fetch
 
         def gather(arr):
-            if jax.process_count() > 1:
-                from jax.experimental import multihost_utils
-
-                arr = multihost_utils.process_allgather(arr, tiled=True)
-            return arr
+            return _fetch(arr)
 
         def fetch(arr):
             return np.asarray(gather(arr), np.float32)
@@ -409,6 +422,7 @@ class RetrievalService:
         logger.info(
             "added %d passages (index now %d)", len(texts), self.ntotal
         )
+        self._post_mutation()
 
     @staticmethod
     def _rebuild_overrides(index) -> Dict:
@@ -424,6 +438,7 @@ class RetrievalService:
             return {
                 "candidates": index.candidates,
                 "reduced_dim": index.reduced_dim,
+                "store_dtype": index.store_dtype,
             }
         if isinstance(index, IVFIPIndex):
             return {
@@ -433,8 +448,13 @@ class RetrievalService:
                 "pq_rotate": getattr(index, "pq_rotate", "none"),
                 "reduced_dim": index.reduced_dim,
                 "candidates": index.candidates,
+                "store_dtype": index.store_dtype,
             }
-        return {}
+        # storage dtype rides along for the same reason as the codec knobs:
+        # after a persisted-file restart whose --index_dtype differs from
+        # the save, the first /add must NOT silently rebuild at the new
+        # dtype (4x HBM growth for an int8-sized corpus, changed scores)
+        return {"dtype": index.dtype}
 
     def remove_passages(self, ids: Sequence[int]) -> int:
         """Drop passages (FAISS ``remove_ids`` analog).
@@ -490,7 +510,27 @@ class RetrievalService:
         logger.info(
             "removed %d passages (index now %d)", n_removed, self.ntotal
         )
+        self._post_mutation()
         return n_removed
+
+    def _post_mutation(self) -> None:
+        """The rebuild cleared the fused programs (they bake n_total):
+        either re-pay the compiles now, inside the mutation call, or warn
+        that post-mutation searches will pay them per bucket."""
+        if self.rewarm_after_mutation and self._warmup_spec is not None:
+            t0 = time.time()
+            self.warmup(**self._warmup_spec)
+            logger.info(
+                "re-warmed serving programs after mutation in %.1fs",
+                time.time() - t0,
+            )
+        else:
+            logger.info(
+                "index mutated: fused programs cleared — next searches "
+                "recompile per (batch, length) bucket; enable "
+                "rewarm_after_mutation (--rewarm_after_mutations) or call "
+                "warmup() to pre-pay"
+            )
 
     def save_index(self, path: str) -> None:
         """Persist the BUILT index structurally + the passages (FAISS
@@ -511,7 +551,24 @@ class RetrievalService:
         logger.info("saved index (%d passages) to %s", index.ntotal, path)
 
     def load_index_file(self, path: str) -> None:
-        data = np.load(path, allow_pickle=True)
+        with np.load(path, allow_pickle=True) as data:
+            self._load_index_data(data, path)
+
+    def _check_loaded_ids(self, ext: np.ndarray, n: int, path: str) -> None:
+        """A positional-mode service must not install a stable external-id
+        map (same hazard as the kind mismatch below: the next /add would
+        extend a map the mode's position==id invariant says cannot exist).
+        Positional saves carry ext == 0..n-1, which loads fine either way."""
+        if not self.stable_ids and not np.array_equal(
+            ext, np.arange(n, dtype=np.int64)
+        ):
+            raise ValueError(
+                f"{path} carries stable external ids but the service runs "
+                "in positional mode — restart with --stable_ids (or rebuild "
+                "from the corpus)"
+            )
+
+    def _load_index_data(self, data, path: str) -> None:
         from rankpo_tpu.index import io as index_io
 
         if index_io.is_index_state(data):
@@ -525,12 +582,13 @@ class RetrievalService:
                     f"configured index_type={self.index_type!r} — restart "
                     f"with --index_type {kind} (or rebuild from the corpus)"
                 )
-            index = index_io.index_from_state(data, mesh=self.mesh)
             texts = [str(t) for t in data["corpus_texts"]]
             # pre-IDMap files carry no ext ids: default positional
             ext = (np.asarray(data["corpus_ext_ids"], np.int64)
                    if "corpus_ext_ids" in data
                    else np.arange(len(texts), dtype=np.int64))
+            self._check_loaded_ids(ext, len(texts), path)
+            index = index_io.index_from_state(data, mesh=self.mesh)
             self._state = (index, texts, ext)
             with self._fused_lock:
                 self._fused_fns.clear()
@@ -564,11 +622,15 @@ class RetrievalService:
                     "candidates": int(data["refine_candidates"]),
                     "reduced_dim": saved_dim,
                 }
+        legacy_texts = [str(t) for t in data["corpus_texts"]]
+        legacy_ids = (np.asarray(data["corpus_ext_ids"], np.int64)
+                      if "corpus_ext_ids" in data else None)
+        if legacy_ids is not None:
+            self._check_loaded_ids(legacy_ids, len(legacy_texts), path)
+            if not self.stable_ids:
+                legacy_ids = None  # checked equal to arange: use the default
         self.load_index(
-            data["embeddings"], [str(t) for t in data["corpus_texts"]],
-            overrides,
-            ids=(np.asarray(data["corpus_ext_ids"], np.int64)
-                 if "corpus_ext_ids" in data else None),
+            data["embeddings"], legacy_texts, overrides, ids=legacy_ids,
         )
         logger.info("loaded index (%d passages) from %s", self.ntotal, path)
 
@@ -608,6 +670,7 @@ class RetrievalService:
         ``query_fn`` substitutes the dispatch entry (the multi-host frontend
         passes its broadcast-wrapped query so followers replay the warmups).
         Length targeting is tokenizer-approximate (one word ≈ one token)."""
+        self._warmup_spec = {"k": k, "lengths": lengths}
         q_fn = query_fn or self.query
         m = getattr(self.encoder, "length_multiple", 64)
         if self.pack_queries:

@@ -612,6 +612,46 @@ class TestRemovePassages:
         with pytest.raises(ValueError, match="every passage"):
             svc.remove_passages(list(range(16)))
 
+    def test_mutation_preserves_storage_dtype_after_restart(
+        self, data_mesh, tmp_path
+    ):
+        """An int8 index restored from a file into a service whose
+        --index_dtype defaults to fp32 must keep int8 storage on the first
+        mutation (round-3 review: _rebuild_overrides now carries the live
+        index's dtype, like the codec knobs)."""
+        import numpy as np
+
+        svc = self._service(data_mesh, index_dtype=jnp.int8)
+        path = str(tmp_path / "idx.npz")
+        svc.save_index(path)
+        svc2 = self._service(data_mesh)  # default fp32 index_dtype
+        svc2.load_index_file(path)
+        assert svc2.index.quantized  # restored bit-identical int8
+        svc2.remove_passages([0])
+        assert svc2.index.quantized, (
+            "mutation rebuild silently switched storage dtype"
+        )
+        assert np.asarray(svc2.index.corpus).dtype == np.int8
+        svc2.add_passages(["document 16 on distinct topic 16"],
+                          max_passage_length=16, batch_size=8)
+        assert svc2.index.quantized
+
+    def test_rewarm_after_mutation(self, data_mesh):
+        """rewarm_after_mutation replays the last warmup() spec after /add
+        //remove (the rebuild clears the compiled fused programs)."""
+        svc = self._service(data_mesh, rewarm_after_mutation=True)
+        svc.warmup(k=3, lengths=(8,))
+        calls = []
+        orig = svc.warmup
+        svc.warmup = lambda **kw: calls.append(kw) or orig(**kw)
+        svc.remove_passages([0])
+        assert calls == [{"k": 3, "lengths": (8,)}]
+        svc.add_passages(["document 16 on distinct topic 16"],
+                         max_passage_length=16, batch_size=8)
+        assert len(calls) == 2
+        # programs for the warmed bucket exist again after the mutation
+        assert svc._fused_fns
+
     def test_http_remove_endpoint(self, service):
         from http.server import ThreadingHTTPServer
 
@@ -708,6 +748,32 @@ class TestStableIds:
         with pytest.raises(ValueError, match="already present"):
             svc.add_passages(["dup doc"], ids=[12],
                              max_passage_length=16, batch_size=8)
+
+    def test_stable_file_rejected_in_positional_mode(self, data_mesh,
+                                                     tmp_path):
+        """A file saved under stable_ids (non-arange map) must not load
+        into a positional-mode service — same hazard class as the
+        index-kind mismatch (the next /add would extend a map positional
+        mode says cannot exist). Positional saves (arange) load fine."""
+        ids = [100 + i for i in range(16)]
+        svc = self._service(data_mesh, ids=ids)
+        path = str(tmp_path / "stable.npz")
+        svc.save_index(path)
+        cfg = tiny_llama_config(vocab_size=256)
+        enc = InferenceEncoder(cfg, init_params(jax.random.key(0), cfg),
+                               HashTokenizer(vocab_size=256), mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+        positional = RetrievalService(enc, mesh=data_mesh,
+                                      max_query_length=16,
+                                      query_batch_size=8)
+        with pytest.raises(ValueError, match="--stable_ids"):
+            positional.load_index_file(path)
+        # an arange map (positional save) loads into either mode
+        svc_pos = self._service(data_mesh, ids=list(range(16)))
+        path2 = str(tmp_path / "arange.npz")
+        svc_pos.save_index(path2)
+        positional.load_index_file(path2)
+        assert positional.ntotal == 16
 
     def test_persistence_roundtrip(self, data_mesh, tmp_path):
         ids = [7 * i + 2 for i in range(16)]
