@@ -234,6 +234,161 @@ class FlatIPIndex:
         self._search_lock = threading.Lock()
         return self
 
+    # ------------------------------------------------------------------
+    def _clone_shell(self) -> "FlatIPIndex":
+        """New index object carrying this one's config (not storage):
+        mutations return NEW objects so in-flight searches holding the old
+        index keep working on its (immutable) arrays."""
+        out = FlatIPIndex.__new__(FlatIPIndex)
+        out.mesh = self.mesh
+        out.recall_target = self.recall_target
+        out.precision = self.precision
+        out.dim = self.dim
+        out.dtype = self.dtype
+        out.quantized = self.quantized
+        out._search_fns = {}
+        out._search_lock = threading.Lock()
+        return out
+
+    def _storage_shard_kw(self):
+        """out_shardings for (rows, per-row scalar) storage programs."""
+        if self.mesh is None:
+            return {}, {}
+        rows = {"out_shardings": NamedSharding(self.mesh, P(DATA_AXIS, None))}
+        both = {
+            "out_shardings": (
+                NamedSharding(self.mesh, P(DATA_AXIS, None)),
+                NamedSharding(self.mesh, P(DATA_AXIS)),
+            )
+        }
+        return rows, both
+
+    def append_sharded(self, new_rows, n_new: int) -> "FlatIPIndex":
+        """Append device-resident rows — the FAISS ``index.add`` analog
+        WITHOUT the host round trip (cf. the serving layer's former
+        fetch-concat-rebuild, an O(N*D) fp32 host copy). ``new_rows`` is
+        the ``InferenceEncoder.encode_sharded`` layout: fp32 [n_buf, D],
+        n_buf divisible by the shard count, zero rows past ``n_new``.
+
+        Existing rows ride over BIT-EXACTLY (int8 codes and their per-row
+        scales are sliced, never dequantized); only the new rows are
+        cast/quantized, on device. Returns a NEW index; peak device memory
+        is old+new storage for the duration of the copy (storage arrays
+        are immutable — donation would invalidate in-flight searches)."""
+        n_new = int(n_new)
+        if n_new < 1:
+            raise ValueError("append_sharded needs n_new >= 1")
+        if int(new_rows.shape[1]) != self.dim:
+            raise ValueError(
+                f"new rows dim {new_rows.shape[1]} != index dim {self.dim}"
+            )
+        n_shards = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        if int(new_rows.shape[0]) < n_new or int(new_rows.shape[0]) % n_shards:
+            raise ValueError(
+                f"new rows buffer ({new_rows.shape[0]}) must be >= n_new "
+                f"({n_new}) and divisible by {n_shards} shards"
+            )
+        out = self._clone_shell()
+        out.n_total = self.n_total + n_new
+        out.n_padded = out.n_total + (-out.n_total) % n_shards
+        n_old, pad = self.n_total, out.n_padded - out.n_total
+        row_kw, both_kw = self._storage_shard_kw()
+
+        if self.quantized:
+
+            def merge_q(codes, scales, rows):
+                fresh = rows[:n_new].astype(jnp.float32)
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(fresh), axis=1) / 127.0, 1e-12
+                )
+                q = jnp.clip(
+                    jnp.round(fresh / s[:, None]), -127, 127
+                ).astype(jnp.int8)
+                merged = jnp.concatenate([codes[:n_old], q], axis=0)
+                sc = jnp.concatenate(
+                    [scales[:n_old], s.astype(jnp.float32)]
+                )
+                return (
+                    jnp.pad(merged, ((0, pad), (0, 0))),
+                    jnp.pad(sc, (0, pad), constant_values=1e-12),
+                )
+
+            out.corpus, out.row_scale = jax.jit(merge_q, **both_kw)(
+                self.corpus, self.row_scale, new_rows
+            )
+        else:
+            store = jnp.dtype(self.dtype)
+
+            def merge(rows_old, rows_new):
+                merged = jnp.concatenate(
+                    [rows_old[:n_old], rows_new[:n_new].astype(store)],
+                    axis=0,
+                )
+                return jnp.pad(merged, ((0, pad), (0, 0)))
+
+            out.corpus = jax.jit(merge, **row_kw)(self.corpus, new_rows)
+            out.row_scale = None
+        return out
+
+    def remove_rows(self, removed) -> "FlatIPIndex":
+        """Drop rows by corpus position — the FAISS ``remove_ids`` compact
+        on device (surviving positions shift down, as FAISS renumbers).
+        int8 codes and scales are gathered, never requantized. Returns a
+        NEW index (see ``append_sharded`` for the immutability contract)."""
+        removed = np.unique(np.asarray(removed, np.int64).reshape(-1))
+        if removed.size == 0:
+            return self
+        if removed[0] < 0 or removed[-1] >= self.n_total:
+            raise IndexError(
+                f"remove ids must be in [0, {self.n_total}); got "
+                f"[{removed[0]}, {removed[-1]}]"
+            )
+        keep = np.ones(self.n_total, bool)
+        keep[removed] = False
+        keep_idx = np.nonzero(keep)[0].astype(np.int32)
+        if keep_idx.size == 0:
+            raise ValueError("cannot remove every row; build a new index")
+        n_shards = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        out = self._clone_shell()
+        out.n_total = int(keep_idx.size)
+        out.n_padded = out.n_total + (-out.n_total) % n_shards
+        n_keep = out.n_total
+        idx = np.concatenate(
+            [keep_idx, np.zeros(out.n_padded - n_keep, np.int32)]
+        )
+        if self.mesh is not None and jax.process_count() > 1:
+            idx_dev = replicate_to_mesh(idx, self.mesh)
+        else:
+            idx_dev = jnp.asarray(idx)
+        row_kw, both_kw = self._storage_shard_kw()
+
+        if self.quantized:
+
+            def take_q(codes, scales, i):
+                valid = lax.iota(jnp.int32, i.shape[0]) < n_keep
+                c = jnp.where(
+                    valid[:, None], jnp.take(codes, i, axis=0), 0
+                )
+                s = jnp.where(
+                    valid, jnp.take(scales, i), jnp.float32(1e-12)
+                )
+                return c, s
+
+            out.corpus, out.row_scale = jax.jit(take_q, **both_kw)(
+                self.corpus, self.row_scale, idx_dev
+            )
+        else:
+
+            def take(rows, i):
+                valid = lax.iota(jnp.int32, i.shape[0]) < n_keep
+                return jnp.where(
+                    valid[:, None], jnp.take(rows, i, axis=0), 0
+                )
+
+            out.corpus = jax.jit(take, **row_kw)(self.corpus, idx_dev)
+            out.row_scale = None
+        return out
+
     @property
     def search_arrays(self) -> tuple:
         """Device arrays ``search_callable`` consumes, in order (the index

@@ -1367,7 +1367,12 @@ class IVFIPIndex:
         """Host-side row -> global cluster / slot maps (N*4 + N*8 bytes),
         kept for the analytic nprobe tuner (recall(p) follows from each
         true hit's cluster probe-rank — no per-p search compiles) and for
-        ``reconstruct`` (original id -> storage slot)."""
+        ``reconstruct`` (original id -> storage slot). Also stashes the
+        slot -> row mirror itself, which the device mutation path
+        (``append_sharded``/``remove_rows``) edits without a device
+        fetch."""
+        row_ids = np.asarray(row_ids, np.int32)
+        self._row_ids_host = row_ids
         cluster = np.zeros(self.n_total, np.int32)
         filled = np.nonzero(row_ids >= 0)[0]
         cluster[row_ids[filled]] = (filled // self.capacity).astype(np.int32)
@@ -1393,6 +1398,329 @@ class IVFIPIndex:
                 shard_rows_to_mesh(scale, mesh) if scale is not None
                 else None
             )
+
+    # ------------------------------------------------------------------
+    # device-resident mutation (FAISS add / remove_ids analogs)
+    _CLONE_FIELDS = (
+        "mesh", "dim", "quantized", "store_dtype", "recall_target",
+        "spherical", "reduced_dim", "candidates", "pq_m", "pq_iters",
+        "pq_rotate", "codebooks", "_codebooks_host", "rotation",
+        "_rotation_host", "n_clusters", "centroids", "_centroids_host",
+        "proj", "nprobe", "local_clusters",
+    )
+
+    def _clone_shell(self) -> "IVFIPIndex":
+        """New index carrying this one's TRAINED artifacts (centroids,
+        codebooks, rotation, PCA basis) and tuned knobs, but no row
+        storage — mutations return NEW objects so in-flight searches on
+        the old one keep working on its (immutable) arrays. FAISS
+        semantics: ``add`` never re-trains, ``nprobe`` is a search-time
+        knob and survives mutation."""
+        out = IVFIPIndex.__new__(IVFIPIndex)
+        for name in self._CLONE_FIELDS:
+            setattr(out, name, getattr(self, name))
+        out._search_fns = {}
+        out._search_lock = threading.Lock()
+        return out
+
+    def _grown_storage(self, new_cap: int):
+        """Uniform per-cluster capacity growth, on device: every [K*cap,
+        ...] array reshapes to [K, cap, ...], pads the slot axis, and
+        reshapes back. K %% shard-count == 0, so each shard keeps exactly
+        its clusters — the relayout never crosses shard boundaries.
+        Returns (corpus, slot_scale, corpus_low, row_ids_host)."""
+        k_c, cap = self.n_clusters, self.capacity
+        mesh = self.mesh
+        row_kw = (
+            {} if mesh is None
+            else {"out_shardings": NamedSharding(mesh, P(DATA_AXIS, None))}
+        )
+        vec_kw = (
+            {} if mesh is None
+            else {"out_shardings": NamedSharding(mesh, P(DATA_AXIS))}
+        )
+
+        def grow_rows(x, fill=0):
+            y = jnp.pad(
+                x.reshape(k_c, cap, x.shape[1]),
+                ((0, 0), (0, new_cap - cap), (0, 0)),
+                constant_values=fill,
+            )
+            return y.reshape(k_c * new_cap, x.shape[1])
+
+        corpus = jax.jit(grow_rows, **row_kw)(self.corpus)
+        slot_scale = (
+            jax.jit(
+                lambda s: jnp.pad(
+                    s.reshape(k_c, cap), ((0, 0), (0, new_cap - cap)),
+                    constant_values=1e-12,
+                ).reshape(-1),
+                **vec_kw,
+            )(self.slot_scale)
+            if self.slot_scale is not None else None
+        )
+        corpus_low = (
+            jax.jit(grow_rows, **row_kw)(self.corpus_low)
+            if self.corpus_low is not None else None
+        )
+        row_ids_host = np.pad(
+            self._row_ids_host.reshape(k_c, cap),
+            ((0, 0), (0, new_cap - cap)),
+            constant_values=-1,
+        ).reshape(-1)
+        return corpus, slot_scale, corpus_low, row_ids_host
+
+    def _place_free(self, row_ids_host: np.ndarray, cand: np.ndarray,
+                    capacity: int) -> np.ndarray:
+        """Slots for new rows: a free slot in the first-choice cluster,
+        else the second choice, else any free slot (spill, logged like the
+        build's). Vectorized run-rank placement over the FREE-slot list —
+        unlike the build's ``_greedy_fill``, free slots can sit anywhere
+        (removal punches interior holes). Caller guarantees enough total
+        free slots. Deterministic — multi-process hosts compute identical
+        placements from identical inputs."""
+        n_new = cand.shape[0]
+        free = np.nonzero(row_ids_host < 0)[0]  # ascending == cluster-major
+        free_cluster = free // capacity
+        k_c = self.n_clusters
+        starts = np.searchsorted(free_cluster, np.arange(k_c))
+        counts = (
+            np.searchsorted(free_cluster, np.arange(k_c), side="right")
+            - starts
+        )
+        used = np.zeros(k_c, np.int64)
+        taken = np.zeros(free.size, bool)
+        slots = np.full(n_new, -1, np.int64)
+        remaining = np.arange(n_new)
+        for choice in range(cand.shape[1]):
+            if remaining.size == 0:
+                break
+            c = cand[remaining, choice].astype(np.int64)
+            order = np.argsort(c, kind="stable")
+            cs = c[order]
+            rank = np.arange(len(cs)) - np.searchsorted(cs, cs, side="left")
+            pos = used[cs] + rank
+            ok = pos < counts[cs]
+            fidx = starts[cs[ok]] + pos[ok]
+            slots[remaining[order[ok]]] = free[fidx]
+            taken[fidx] = True
+            used += np.bincount(cs[ok], minlength=k_c)
+            remaining = remaining[order[~ok]]
+        if remaining.size:
+            slots[remaining] = free[~taken][: remaining.size]
+            logger.info(
+                "IVFIPIndex.append: %d of %d new rows (%.2f%%) spilled "
+                "outside their top-2 clusters (capacity %d)",
+                remaining.size, n_new, 100.0 * remaining.size / n_new,
+                capacity,
+            )
+        return slots
+
+    def _to_mesh(self, x: np.ndarray):
+        if self.mesh is not None and jax.process_count() > 1:
+            return replicate_to_mesh(x, self.mesh)
+        return jnp.asarray(x)
+
+    def append_sharded(self, new_rows, n_new: int) -> "IVFIPIndex":
+        """Append device-resident rows — the FAISS ``IndexIVF.add`` analog
+        without a host round trip. ``new_rows`` is the
+        ``InferenceEncoder.encode_sharded`` layout: fp32 [n_buf, D], n_buf
+        divisible by the shard count, zero rows past ``n_new``.
+
+        FAISS ``add`` semantics throughout: centroids are NOT re-trained
+        (rows assign to the nearest existing centroid), PQ codebooks and
+        the OPQ rotation are FIXED (new rows encode through them — unlike
+        a decode-and-rebuild, which re-trains and drifts every existing
+        code), and ``nprobe`` survives. New rows scatter into free slots
+        of their assigned cluster (second choice, then spill, like the
+        build); when free slots run out, every cluster's capacity grows
+        uniformly on device — a reshape-pad that never crosses shard
+        boundaries. Existing codes ride over bit-exactly. Returns a NEW
+        index; peak device memory is old+new storage during the scatter
+        copy (in-flight searches keep the old arrays — no donation)."""
+        n_new = int(n_new)
+        if n_new < 1:
+            raise ValueError("append_sharded needs n_new >= 1")
+        if int(new_rows.shape[1]) != self.dim:
+            raise ValueError(
+                f"new rows dim {new_rows.shape[1]} != index dim {self.dim}"
+            )
+        mesh = self.mesh
+        n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        n_buf = int(new_rows.shape[0])
+        if n_buf < n_new or n_buf % n_shards:
+            raise ValueError(
+                f"new rows buffer ({n_buf}) must be >= n_new ({n_new}) "
+                f"and divisible by {n_shards} shards"
+            )
+        rep_kw = (
+            {} if mesh is None
+            else {"out_shardings": NamedSharding(mesh, P())}
+        )
+
+        # --- 1. top-2 assignment against the FIXED centroids -----------
+        chunk = _chunk_rows(n_buf, self.n_clusters)
+        cents_rep = self._to_mesh(self._centroids_host)
+
+        def assign(rows, cents):
+            rows = _pad_to_chunks(rows, chunk)
+            return _assign_top2_body(rows, cents, chunk=chunk)
+
+        cand = np.asarray(
+            jax.jit(assign, **rep_kw)(new_rows, cents_rep)
+        )[:n_new]
+
+        # --- 2. grow capacity when the free slots run out ---------------
+        out = self._clone_shell()
+        total_free = int((self._row_ids_host < 0).sum())
+        if total_free < n_new:
+            mult = 64 if self.pq_m is not None else 8
+            grow = -(-(n_new - total_free) // self.n_clusters)
+            new_cap = self.capacity + -(-grow // mult) * mult
+            out.capacity = new_cap
+            corpus, slot_scale, corpus_low, row_ids_host = (
+                self._grown_storage(new_cap)
+            )
+        else:
+            out.capacity = self.capacity
+            corpus, slot_scale, corpus_low = (
+                self.corpus, self.slot_scale, self.corpus_low
+            )
+            row_ids_host = self._row_ids_host
+
+        # --- 3. host placement into free slots ---------------------------
+        slots = out._place_free(row_ids_host, cand, out.capacity)
+
+        # --- 4. device scatter (encode at the storage codec) -------------
+        slots_full = np.full(n_buf, -1, np.int32)
+        slots_full[:n_new] = slots.astype(np.int32)
+        slots_dev = self._to_mesh(slots_full)
+        row_kw = (
+            {} if mesh is None
+            else {"out_shardings": NamedSharding(mesh, P(DATA_AXIS, None))}
+        )
+        store = jnp.dtype(self.store_dtype)
+        cap_out = out.capacity
+
+        if self.quantized:
+
+            def scatter_rows(buf, sbuf, rows, sl):
+                scale = jnp.maximum(
+                    jnp.max(jnp.abs(rows), axis=1) / 127.0, 1e-12
+                )
+                codes = jnp.clip(
+                    jnp.round(rows / scale[:, None]), -127, 127
+                ).astype(jnp.int8)
+                return (
+                    buf.at[sl].set(codes, mode="drop"),
+                    sbuf.at[sl].set(scale.astype(jnp.float32), mode="drop"),
+                )
+
+            out.corpus, out.slot_scale = jax.jit(
+                scatter_rows,
+                **(
+                    {} if mesh is None
+                    else {
+                        "out_shardings": (
+                            NamedSharding(mesh, P(DATA_AXIS, None)),
+                            NamedSharding(mesh, P(DATA_AXIS)),
+                        )
+                    }
+                ),
+            )(corpus, slot_scale, new_rows, slots_dev)
+        elif self.pq_m is not None:
+            cb_dev = self._to_mesh(self._codebooks_host)
+            rot_dev = (
+                self._to_mesh(self._rotation_host)
+                if self._rotation_host is not None else None
+            )
+
+            def scatter_pq(buf, rows, sl, cents, cb, rot=None):
+                cl = jnp.clip(sl, 0) // cap_out
+                res = rows - jnp.take(cents, cl, axis=0)
+                codes = _pq_encode_block(res, cb, rot)
+                return buf.at[sl].set(codes, mode="drop")
+
+            args = (corpus, new_rows, slots_dev, cents_rep, cb_dev)
+            if rot_dev is not None:
+                args += (rot_dev,)
+            out.corpus = jax.jit(scatter_pq, **row_kw)(*args)
+            out.slot_scale = None
+        else:
+
+            def scatter_plain(buf, rows, sl):
+                return buf.at[sl].set(rows.astype(store), mode="drop")
+
+            out.corpus = jax.jit(scatter_plain, **row_kw)(
+                corpus, new_rows, slots_dev
+            )
+            out.slot_scale = None
+        if self.reduced_dim is not None:
+
+            def scatter_low(low, rows, sl, proj):
+                return low.at[sl].set(
+                    (rows @ proj).astype(jnp.bfloat16), mode="drop"
+                )
+
+            out.corpus_low = jax.jit(scatter_low, **row_kw)(
+                corpus_low, new_rows, slots_dev, self.proj
+            )
+        else:
+            out.corpus_low = None
+
+        # row_ids: edited on host, placed fresh (the id array is tiny; a
+        # host edit keeps the mirror and the device array trivially
+        # consistent)
+        new_row_ids = row_ids_host.copy()
+        new_row_ids[slots] = np.arange(
+            self.n_total, self.n_total + n_new, dtype=new_row_ids.dtype
+        )
+        out.row_ids = (
+            jnp.asarray(new_row_ids) if mesh is None
+            else shard_rows_to_mesh(new_row_ids, mesh)
+        )
+        out.n_total = self.n_total + n_new
+        out._set_layout_maps(new_row_ids)
+        return out
+
+    def remove_rows(self, removed) -> "IVFIPIndex":
+        """Drop rows by corpus position — the FAISS ``remove_ids`` analog.
+        Surviving positions SHIFT DOWN (FAISS renumbering semantics).
+
+        Static-shape discipline makes this nearly free: removed slots are
+        masked empty (``row_ids = -1`` — search already scores empty slots
+        -inf) and survivors renumber, so ONLY the [K*capacity] id array is
+        rewritten. Row storage (codes, scales, projected rows) is SHARED
+        with the old index object untouched — stale codes in masked slots
+        are unreachable through every consumer (search, reconstruct,
+        persistence round-trips the mask). Freed slots are reused by later
+        ``append_sharded`` calls."""
+        removed = np.unique(np.asarray(removed, np.int64).reshape(-1))
+        if removed.size == 0:
+            return self
+        if removed[0] < 0 or removed[-1] >= self.n_total:
+            raise IndexError(
+                f"remove ids must be in [0, {self.n_total}); got "
+                f"[{removed[0]}, {removed[-1]}]"
+            )
+        if removed.size >= self.n_total:
+            raise ValueError("cannot remove every row; build a new index")
+        out = self._clone_shell()
+        out.capacity = self.capacity
+        out.n_total = self.n_total - int(removed.size)
+        out.corpus = self.corpus
+        out.slot_scale = self.slot_scale
+        out.corpus_low = self.corpus_low
+        r = self._row_ids_host
+        is_removed = np.isin(r, removed.astype(r.dtype)) & (r >= 0)
+        shift = np.searchsorted(removed, np.clip(r, 0, None)).astype(r.dtype)
+        new_row_ids = np.where((r < 0) | is_removed, np.int32(-1), r - shift)
+        out.row_ids = (
+            jnp.asarray(new_row_ids) if self.mesh is None
+            else shard_rows_to_mesh(new_row_ids, self.mesh)
+        )
+        out._set_layout_maps(new_row_ids)
+        return out
 
     def _finish_tuning(self, nprobe, max_nprobe, tune_sample, tune_k, seed,
                        *, sample_fn):

@@ -423,6 +423,124 @@ class RefineIPIndex:
                 raise ValueError("candidates must be >= 1")
         return self
 
+    # ------------------------------------------------------------------
+    def _clone_shell(self) -> "RefineIPIndex":
+        """New index carrying this one's config, PCA basis, and tuned
+        candidate count (not row storage) — mutations return NEW objects so
+        in-flight searches on the old one stay valid."""
+        out = RefineIPIndex.__new__(RefineIPIndex)
+        out.mesh = self.mesh
+        out.dim = self.dim
+        out.reduced_dim = self.reduced_dim
+        out.recall_target = self.recall_target
+        out.store_dtype = self.store_dtype
+        out.candidates = self.candidates
+        out.proj = self.proj
+        out._search_fns = {}
+        out._search_lock = threading.Lock()
+        return out
+
+    def _row_kw(self):
+        if self.mesh is None:
+            return {}
+        return {
+            "out_shardings": (
+                NamedSharding(self.mesh, P(DATA_AXIS, None)),
+                NamedSharding(self.mesh, P(DATA_AXIS, None)),
+            )
+        }
+
+    def append_sharded(self, new_rows, n_new: int) -> "RefineIPIndex":
+        """Append device-resident rows (``encode_sharded`` layout: fp32
+        [n_buf, D], zero past ``n_new``) without a host round trip. The
+        TRAINED PCA basis and tuned candidate count are reused — exactly
+        FAISS ``IndexPreTransform.add`` semantics (the transform is fixed
+        after train; it is NOT refit on add). New rows project through it
+        on device; old stage-1/stage-2 rows ride over bit-exactly."""
+        n_new = int(n_new)
+        if n_new < 1:
+            raise ValueError("append_sharded needs n_new >= 1")
+        if int(new_rows.shape[1]) != self.dim:
+            raise ValueError(
+                f"new rows dim {new_rows.shape[1]} != index dim {self.dim}"
+            )
+        n_shards = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        if int(new_rows.shape[0]) < n_new or int(new_rows.shape[0]) % n_shards:
+            raise ValueError(
+                f"new rows buffer ({new_rows.shape[0]}) must be >= n_new "
+                f"({n_new}) and divisible by {n_shards} shards"
+            )
+        out = self._clone_shell()
+        out.n_total = self.n_total + n_new
+        out.n_padded = out.n_total + (-out.n_total) % n_shards
+        out._shard_rows = out.n_padded // n_shards
+        n_old, pad = self.n_total, out.n_padded - out.n_total
+        store = jnp.dtype(self.store_dtype)
+
+        def merge(rows_old, low_old, proj, rows_new):
+            fresh = rows_new[:n_new]
+            full = jnp.pad(
+                jnp.concatenate(
+                    [rows_old[:n_old], fresh.astype(store)], axis=0
+                ),
+                ((0, pad), (0, 0)),
+            )
+            low = jnp.pad(
+                jnp.concatenate(
+                    [low_old[:n_old], (fresh @ proj).astype(jnp.bfloat16)],
+                    axis=0,
+                ),
+                ((0, pad), (0, 0)),
+            )
+            return full, low
+
+        out.corpus, out.corpus_low = jax.jit(merge, **self._row_kw())(
+            self.corpus, self.corpus_low, self.proj, new_rows
+        )
+        return out
+
+    def remove_rows(self, removed) -> "RefineIPIndex":
+        """Drop rows by corpus position (FAISS ``remove_ids`` semantics:
+        survivors shift down). Both storage tiers are gathered on device;
+        the PCA basis and tuned candidate count stay fixed."""
+        removed = np.unique(np.asarray(removed, np.int64).reshape(-1))
+        if removed.size == 0:
+            return self
+        if removed[0] < 0 or removed[-1] >= self.n_total:
+            raise IndexError(
+                f"remove ids must be in [0, {self.n_total}); got "
+                f"[{removed[0]}, {removed[-1]}]"
+            )
+        keep = np.ones(self.n_total, bool)
+        keep[removed] = False
+        keep_idx = np.nonzero(keep)[0].astype(np.int32)
+        if keep_idx.size == 0:
+            raise ValueError("cannot remove every row; build a new index")
+        n_shards = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
+        out = self._clone_shell()
+        out.n_total = int(keep_idx.size)
+        out.n_padded = out.n_total + (-out.n_total) % n_shards
+        out._shard_rows = out.n_padded // n_shards
+        n_keep = out.n_total
+        idx = np.concatenate(
+            [keep_idx, np.zeros(out.n_padded - n_keep, np.int32)]
+        )
+        if self.mesh is not None and jax.process_count() > 1:
+            idx_dev = replicate_to_mesh(idx, self.mesh)
+        else:
+            idx_dev = jnp.asarray(idx)
+
+        def take(rows, low, i):
+            valid = lax.iota(jnp.int32, i.shape[0]) < n_keep
+            full = jnp.where(valid[:, None], jnp.take(rows, i, axis=0), 0)
+            lo = jnp.where(valid[:, None], jnp.take(low, i, axis=0), 0)
+            return full, lo
+
+        out.corpus, out.corpus_low = jax.jit(take, **self._row_kw())(
+            self.corpus, self.corpus_low, idx_dev
+        )
+        return out
+
     @property
     def search_arrays(self) -> tuple:
         """Device arrays ``search_callable`` consumes, in order (the index

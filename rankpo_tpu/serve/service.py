@@ -327,11 +327,10 @@ class RetrievalService:
         ``index.io._fetch`` (the one addressability-aware device->host
         contract) rather than a second hand-rolled copy.
 
-        Known ceiling: this (and the mutation rebuild that calls it) is an
-        O(N*D) fp32 host round trip — /add //remove on a device-resident
-        multi-million-passage corpus can exceed host RAM even though the
-        BUILD path never does. Documented in docs/ROADMAP.md; at that scale
-        rebuild from the corpus (or shard the service)."""
+        Only the FALLBACK mutation path uses this (index types without
+        ``append_sharded``/``remove_rows`` — none of the built-in tiers):
+        it is an O(N*D) fp32 host round trip, which the device mutation
+        path exists to avoid."""
         from rankpo_tpu.index.io import _fetch
 
         def gather(arr):
@@ -385,13 +384,15 @@ class RetrievalService:
         """Append passages to a built index (FAISS ``index.add`` analog;
         with ``ids``, the ``add_with_ids`` analog).
 
-        New texts are encoded on the mesh and the index is rebuilt from the
-        concatenated matrix — brute-force search has no incremental
-        structure to maintain, so "add" is concat + re-place in HBM (the
-        encode of the NEW passages is the only model work). New passages get
-        the next corpus indices, preserving existing ids. ``ids``: external
-        ids for the NEW passages (must not collide with live ones); default
-        continues from max(live)+1."""
+        New texts encode on the mesh into a device-resident buffer and the
+        index appends them ON DEVICE (``append_sharded``): existing storage
+        rides over bit-exactly (int8/PQ codes included), trained artifacts
+        (centroids, codebooks, OPQ rotation, PCA basis) and tuned knobs
+        stay FIXED — exactly FAISS's add-time contract — and the host never
+        sees an O(N*D) matrix. The encode of the NEW passages is the only
+        model work. New passages get the next corpus indices, preserving
+        existing ids. ``ids``: external ids for the NEW passages (must not
+        collide with live ones); default continues from max(live)+1."""
         self._require_stable_for(ids)
         with self._mutate_lock:
             index, old_texts, old_ext = self._state
@@ -407,18 +408,38 @@ class RetrievalService:
                     raise ValueError(
                         f"ids already present: {clash[:8].tolist()}"
                     )
-            new_emb = self.encoder.encode(
-                list(texts),
-                batch_size=batch_size,
-                max_length=max_passage_length,
-                description="Encoding added passages",
-            )
-            merged = np.concatenate(
-                [self._stored_embeddings(index), new_emb], axis=0
-            )
             texts_all = old_texts + list(texts)
-            self.load_index(merged, texts_all, self._rebuild_overrides(index),
-                            ids=np.concatenate([old_ext, new_ext]))
+            ids_all = np.concatenate([old_ext, new_ext])
+            if hasattr(index, "append_sharded"):
+                # device path: new texts encode straight into a row-sharded
+                # HBM buffer and the index appends them ON DEVICE — existing
+                # storage (int8 codes, PQ codes, tuned knobs, trained
+                # centroids/codebooks/PCA basis) rides over bit-exactly, and
+                # the O(N*D) fp32 host round trip the rebuild paid is gone
+                new_dev, n_new = self.encoder.encode_sharded(
+                    list(texts),
+                    batch_size=batch_size,
+                    max_length=max_passage_length,
+                    description="Encoding added passages",
+                )
+                self._state = (
+                    index.append_sharded(new_dev, n_new), texts_all, ids_all,
+                )
+                with self._fused_lock:
+                    self._fused_fns.clear()  # fused programs bake n_total
+            else:
+                # host fallback for index types without device mutation
+                new_emb = self.encoder.encode(
+                    list(texts),
+                    batch_size=batch_size,
+                    max_length=max_passage_length,
+                    description="Encoding added passages",
+                )
+                merged = np.concatenate(
+                    [self._stored_embeddings(index), new_emb], axis=0
+                )
+                self.load_index(merged, texts_all,
+                                self._rebuild_overrides(index), ids=ids_all)
         logger.info(
             "added %d passages (index now %d)", len(texts), self.ntotal
         )
@@ -466,13 +487,12 @@ class RetrievalService:
         unknown ids are ignored (FAISS returns the count actually removed),
         and survivors keep their external ids — no renumbering.
 
-        Brute-force storage has no incremental structure, so removal is
-        compact + re-place: fetch stored rows, drop the masked ones, rebuild
-        with the live index's tuned knobs (no re-encode — the model never
-        runs). int8 storage round-trips bit-exactly (the max-abs scale is
-        per-row); IVF+PQ rebuilds from DECODED rows, so codes can drift by
-        one ADC quantization step — same documented semantics as /add.
-        Returns the number of removed passages."""
+        Removal runs ON DEVICE (``remove_rows``): flat/refine tiers gather
+        the surviving rows (codes and scales travel as stored — never
+        requantized), the IVF tier just masks the dropped slots and
+        renumbers (storage shared, no copy at all). The model never runs
+        and the host never sees an O(N*D) matrix. Returns the number of
+        removed passages."""
         with self._mutate_lock:
             index, old_texts, old_ext = self._state
             if index is None:
@@ -499,14 +519,30 @@ class RetrievalService:
                 raise ValueError(
                     "cannot remove every passage; build a new index instead"
                 )
-            kept_emb = self._stored_embeddings(index)[keep]
             kept_texts = [t for t, k in zip(old_texts, keep) if k]
             # stable mode: survivors keep their ids; positional mode: the
             # default arange re-establishes position==id after the shift
-            self.load_index(
-                kept_emb, kept_texts, self._rebuild_overrides(index),
-                ids=old_ext[keep] if self.stable_ids else None,
+            kept_ids = (
+                old_ext[keep] if self.stable_ids
+                else np.arange(int(keep.sum()), dtype=np.int64)
             )
+            if hasattr(index, "remove_rows"):
+                # device path: positions drop on device (flat/refine gather
+                # survivors; IVF just masks slots and renumbers — storage is
+                # shared, no copy) — no O(N*D) host round trip
+                self._state = (
+                    index.remove_rows(np.nonzero(~keep)[0]),
+                    kept_texts,
+                    kept_ids,
+                )
+                with self._fused_lock:
+                    self._fused_fns.clear()  # fused programs bake n_total
+            else:
+                kept_emb = self._stored_embeddings(index)[keep]
+                self.load_index(
+                    kept_emb, kept_texts, self._rebuild_overrides(index),
+                    ids=old_ext[keep] if self.stable_ids else None,
+                )
         logger.info(
             "removed %d passages (index now %d)", n_removed, self.ntotal
         )

@@ -692,6 +692,54 @@ class TestRemovePassages:
             service.load_index(emb_before, texts_before)
 
 
+class TestDeviceResidentMutation:
+    """/add //remove must run on device: the O(N*D) fp32 host fetch
+    (``_stored_embeddings``) is only the fallback for index types without
+    mutation methods — on the built-in tiers a device-resident
+    multi-million-passage corpus must never round-trip through host RAM."""
+
+    def _svc(self, data_mesh, **kw):
+        cfg = tiny_llama_config(vocab_size=256)
+        enc = InferenceEncoder(cfg, init_params(jax.random.key(0), cfg),
+                               HashTokenizer(vocab_size=256), mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+        svc = RetrievalService(enc, mesh=data_mesh, max_query_length=16,
+                               query_batch_size=8, **kw)
+        corpus = [f"document {i} on distinct topic {i}" for i in range(16)]
+        svc.build_index(corpus, max_passage_length=16, batch_size=8)
+        return svc
+
+    @pytest.mark.parametrize("kw", [
+        {},
+        {"index_dtype": jnp.int8},
+        {"index_type": "refine",
+         "index_kwargs": {"reduced_dim": 8, "candidates": 16}},
+        {"index_type": "ivf",
+         "index_kwargs": {"n_clusters": 4, "nprobe": 4}},
+    ])
+    def test_mutations_never_touch_host_matrix(self, data_mesh, kw,
+                                               monkeypatch):
+        svc = self._svc(data_mesh, **kw)
+
+        def boom(index):
+            raise AssertionError(
+                "mutation fell back to the O(N*D) host fetch"
+            )
+
+        monkeypatch.setattr(svc, "_stored_embeddings", boom)
+        svc.add_passages(["document 77 on distinct topic 77"],
+                         max_passage_length=16, batch_size=8)
+        assert svc.ntotal == 17
+        got = svc.query("document 77 on distinct topic 77", k=1)
+        assert got["hits"][0]["index"] == 16
+        assert svc.remove_passages([0, 16]) == 2
+        assert svc.ntotal == 15
+        # survivors renumbered: old position 7 now answers at 6
+        got = svc.query("document 7 on distinct topic 7", k=1)
+        assert got["hits"][0]["index"] == 6
+        assert got["hits"][0]["passage"].startswith("document 7 ")
+
+
 class TestStableIds:
     """FAISS IndexIDMap analog (--stable_ids): external int64 ids survive
     removals (no renumbering), /add accepts explicit ids or auto-continues,
