@@ -188,14 +188,14 @@ def _device_100k(corpus, queries, *, on_tpu: bool):
     REPS = 4 if on_tpu else 1  # CPU smoke: skip the amortization loop
 
     @jax.jit
-    def loop(corpus_arg, scale, q):
+    def loop(q, *arrs):
         def body(i, carry):
-            s, _ = search_fn(corpus_arg, scale, q + carry * 0.0)
+            s, _ = search_fn(*arrs, q + carry * 0.0)
             return carry + s[0, 0] * 1e-20
         return jax.lax.fori_loop(0, REPS, body, jnp.float32(0.0))
 
     dt_dev = _engine_seconds(
-        loop, (index.corpus, index.row_scale, q_dev), REPS,
+        loop, (q_dev,) + index.search_arrays, REPS,
         iters=3 if on_tpu else 1,
     )
     return index, BATCH / dt_dev

@@ -223,9 +223,16 @@ def main(argv=None):
                              "'fast' = shortest length bucket only")
     parser.add_argument("--rewarm_after_mutations", action="store_true",
                         help="/add and /remove replay the startup warmup "
-                             "before returning (the index rebuild clears "
-                             "the compiled programs; this keeps searches "
-                             "compile-free at the cost of slower mutations)")
+                             "before returning when a mutation DROPPED "
+                             "compiled programs (storage outgrew its "
+                             "buffer); shape-preserving mutations carry "
+                             "programs over and never rewarm")
+    parser.add_argument("--mutation_headroom", type=float, default=0.25,
+                        help="extra pad-row fraction pre-paid when an /add "
+                             "outgrows the index storage buffer: later adds "
+                             "land in the headroom, keep storage shapes, "
+                             "and carry every compiled serving program "
+                             "over (no recompile, no rewarm)")
     parser.add_argument("--log_level", default="info")
     # multi-host pod serving: every process runs this CLI with the same
     # corpus/index; rank 0 binds HTTP, ranks 1.. replay dispatches
@@ -291,6 +298,7 @@ def main(argv=None):
         pack_max_segments=args.pack_max_segments,
         stable_ids=args.stable_ids,
         rewarm_after_mutation=args.rewarm_after_mutations,
+        mutation_headroom=args.mutation_headroom,
     )
     import os
 

@@ -153,10 +153,22 @@ class FlatIPIndex:
         else:
             self.corpus = put_rows(emb.astype(np.dtype(dtype)))
             self.row_scale = None
+        self._n_valid_dev = self._put_n_valid()
         # compiled search per k (serving mixes k values across threads; a
         # single-slot cache would both recompile on every flip and race)
         self._search_fns: dict = {}
         self._search_lock = threading.Lock()
+
+    def _put_n_valid(self):
+        """``n_total`` as a replicated device scalar: search programs read
+        the valid-row count at RUN time (an argument via ``search_arrays``),
+        so a mutation that keeps storage shapes — append into pad headroom,
+        remove without shrink — reuses compiled programs instead of paying
+        a recompile (minutes through a remote-compile setup)."""
+        nv = np.asarray(self.n_total, np.int32)
+        if self.mesh is None:
+            return jnp.asarray(nv)
+        return replicate_to_mesh(nv, self.mesh)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -230,6 +242,7 @@ class FlatIPIndex:
                 lambda c: c.astype(jnp.dtype(dtype)), **shard_kw()
             )(embeddings)
             self.row_scale = None
+        self._n_valid_dev = self._put_n_valid()
         self._search_fns = {}
         self._search_lock = threading.Lock()
         return self
@@ -263,7 +276,20 @@ class FlatIPIndex:
         }
         return rows, both
 
-    def append_sharded(self, new_rows, n_new: int) -> "FlatIPIndex":
+    def _adopt_programs(self, src) -> None:
+        """Share the compiled-program cache with the index this one was
+        mutated from. Every cached program reads ALL corpus state (storage,
+        scales, the valid-row count) as arguments, so it stays valid as
+        long as storage shapes/dtypes and the baked static knobs are
+        unchanged — callers only adopt on shape-preserving mutations, and
+        the clone carries the knobs. This is what makes mutations cheap in
+        serving: no per-bucket recompile (minutes each through a
+        remote-compile setup), no rewarm."""
+        self._search_fns = src._search_fns
+        self._search_lock = src._search_lock
+
+    def append_sharded(self, new_rows, n_new: int, *,
+                       headroom: float = 0.0) -> "FlatIPIndex":
         """Append device-resident rows — the FAISS ``index.add`` analog
         WITHOUT the host round trip (cf. the serving layer's former
         fetch-concat-rebuild, an O(N*D) fp32 host copy). ``new_rows`` is
@@ -272,12 +298,19 @@ class FlatIPIndex:
 
         Existing rows ride over BIT-EXACTLY (int8 codes and their per-row
         scales are sliced, never dequantized); only the new rows are
-        cast/quantized, on device. Returns a NEW index; peak device memory
-        is old+new storage for the duration of the copy (storage arrays
-        are immutable — donation would invalidate in-flight searches)."""
+        cast/quantized, on device. When the new rows FIT the existing pad
+        rows, storage shapes are preserved and every compiled search
+        program survives (``_adopt_programs``); otherwise storage grows to
+        ``(n_total + n_new) * (1 + headroom)`` — the headroom pre-pays pad
+        rows so FOLLOWING appends take the shape-preserving path. Returns
+        a NEW index; peak device memory is old+new storage during the copy
+        (storage arrays are immutable — donation would invalidate
+        in-flight searches)."""
         n_new = int(n_new)
         if n_new < 1:
             raise ValueError("append_sharded needs n_new >= 1")
+        if headroom < 0.0:
+            raise ValueError("headroom must be >= 0")
         if int(new_rows.shape[1]) != self.dim:
             raise ValueError(
                 f"new rows dim {new_rows.shape[1]} != index dim {self.dim}"
@@ -290,9 +323,53 @@ class FlatIPIndex:
             )
         out = self._clone_shell()
         out.n_total = self.n_total + n_new
-        out.n_padded = out.n_total + (-out.n_total) % n_shards
-        n_old, pad = self.n_total, out.n_padded - out.n_total
+        n_old = self.n_total
         row_kw, both_kw = self._storage_shard_kw()
+
+        if n_new <= self.n_padded - self.n_total:
+            # shape-preserving fast path: write into the existing pad rows
+            # (a contiguous static-offset update) — compiled programs and
+            # serving's fused programs stay valid, only n_valid moves
+            out.n_padded = self.n_padded
+            out._n_valid_dev = out._put_n_valid()
+
+            if self.quantized:
+
+                def place_q(codes, scales, rows):
+                    fresh = rows[:n_new].astype(jnp.float32)
+                    s = jnp.maximum(
+                        jnp.max(jnp.abs(fresh), axis=1) / 127.0, 1e-12
+                    )
+                    q = jnp.clip(
+                        jnp.round(fresh / s[:, None]), -127, 127
+                    ).astype(jnp.int8)
+                    return (
+                        lax.dynamic_update_slice_in_dim(codes, q, n_old, 0),
+                        lax.dynamic_update_slice_in_dim(
+                            scales, s.astype(jnp.float32), n_old, 0
+                        ),
+                    )
+
+                out.corpus, out.row_scale = jax.jit(place_q, **both_kw)(
+                    self.corpus, self.row_scale, new_rows
+                )
+            else:
+                store = jnp.dtype(self.dtype)
+
+                def place(rows_old, rows_new):
+                    return lax.dynamic_update_slice_in_dim(
+                        rows_old, rows_new[:n_new].astype(store), n_old, 0
+                    )
+
+                out.corpus = jax.jit(place, **row_kw)(self.corpus, new_rows)
+                out.row_scale = None
+            out._adopt_programs(self)
+            return out
+
+        want = int(np.ceil(out.n_total * (1.0 + headroom)))
+        out.n_padded = want + (-want) % n_shards
+        out._n_valid_dev = out._put_n_valid()
+        pad = out.n_padded - out.n_total
 
         if self.quantized:
 
@@ -333,8 +410,11 @@ class FlatIPIndex:
     def remove_rows(self, removed) -> "FlatIPIndex":
         """Drop rows by corpus position — the FAISS ``remove_ids`` compact
         on device (surviving positions shift down, as FAISS renumbers).
-        int8 codes and scales are gathered, never requantized. Returns a
-        NEW index (see ``append_sharded`` for the immutability contract)."""
+        int8 codes and scales are gathered, never requantized. The padded
+        row count is KEPT, so storage shapes are preserved and compiled
+        programs survive (``_adopt_programs``); the freed rows become pad
+        headroom for later appends. Returns a NEW index (see
+        ``append_sharded`` for the immutability contract)."""
         removed = np.unique(np.asarray(removed, np.int64).reshape(-1))
         if removed.size == 0:
             return self
@@ -348,10 +428,10 @@ class FlatIPIndex:
         keep_idx = np.nonzero(keep)[0].astype(np.int32)
         if keep_idx.size == 0:
             raise ValueError("cannot remove every row; build a new index")
-        n_shards = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
         out = self._clone_shell()
         out.n_total = int(keep_idx.size)
-        out.n_padded = out.n_total + (-out.n_total) % n_shards
+        out.n_padded = self.n_padded
+        out._n_valid_dev = out._put_n_valid()
         n_keep = out.n_total
         idx = np.concatenate(
             [keep_idx, np.zeros(out.n_padded - n_keep, np.int32)]
@@ -387,14 +467,18 @@ class FlatIPIndex:
 
             out.corpus = jax.jit(take, **row_kw)(self.corpus, idx_dev)
             out.row_scale = None
+        out._adopt_programs(self)
         return out
 
     @property
     def search_arrays(self) -> tuple:
         """Device arrays ``search_callable`` consumes, in order (the index
         protocol serving composes against: ``fn(*search_arrays, queries)``).
-        Arrays ride jitted programs as ARGUMENTS, never closures."""
-        return (self.corpus, self.row_scale)
+        Arrays ride jitted programs as ARGUMENTS, never closures. The valid
+        row count is one of them (a replicated scalar) — see
+        ``_put_n_valid`` — so compiled programs survive shape-preserving
+        mutations."""
+        return (self.corpus, self.row_scale, self._n_valid_dev)
 
     def search_arg_shardings(self, mesh: Mesh) -> tuple:
         """NamedShardings for ``search_arrays`` (same protocol)."""
@@ -402,18 +486,18 @@ class FlatIPIndex:
             NamedSharding(mesh, P(DATA_AXIS, None)),
             NamedSharding(mesh, P(DATA_AXIS)) if self.quantized
             else NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
         )
 
     def search_callable(self, k: int):
-        """The unjitted search computation ``(corpus, row_scale, queries) ->
-        (scores, idx)``, for composing into LARGER jitted programs (the
-        serving path fuses encode+search into one dispatch; through a
-        ~25-30ms-floor remote tunnel the second dispatch was pure latency).
-        ``queries`` may be any float dtype; it is cast to the corpus compute
-        dtype inside."""
+        """The unjitted search computation ``(corpus, row_scale, n_valid,
+        queries) -> (scores, idx)``, for composing into LARGER jitted
+        programs (the serving path fuses encode+search into one dispatch;
+        through a ~25-30ms-floor remote tunnel the second dispatch was pure
+        latency). ``queries`` may be any float dtype; it is cast to the
+        corpus compute dtype inside."""
         from rankpo_tpu.ops.topk import matmul_topk
 
-        n_total = self.n_total
         mesh = self.mesh
 
         # queries compute in the corpus dtype, except int8 storage where they
@@ -428,12 +512,12 @@ class FlatIPIndex:
         # to the compiler (and breaks remote-compile setups on >100MB corpora).
         if mesh is None:
 
-            def single(corpus_arg, col_scale, queries):
+            def single(corpus_arg, col_scale, n_valid, queries):
                 return matmul_topk(
                     q_cast(queries, corpus_arg),
                     corpus_arg,
                     k=k,
-                    n_valid=n_total,
+                    n_valid=n_valid,
                     recall_target=self.recall_target,
                     col_scale=col_scale,
                     precision=self.precision,
@@ -445,11 +529,11 @@ class FlatIPIndex:
         shard_rows = self.n_padded // n_shards
         k_local = min(k, shard_rows)
 
-        def per_shard(corpus_local, scale_local, queries):
+        def per_shard(corpus_local, scale_local, n_valid, queries):
             # corpus_local: this shard's [n_padded/W, D] slice
             shard_id = jax.lax.axis_index(DATA_AXIS)
             offset = shard_id * shard_rows
-            n_valid_local = jnp.clip(n_total - offset, 0, shard_rows)
+            n_valid_local = jnp.clip(n_valid - offset, 0, shard_rows)
             scores, idx = matmul_topk(
                 q_cast(queries, corpus_local),
                 corpus_local,
@@ -462,31 +546,33 @@ class FlatIPIndex:
             )
             return scores, idx
 
-        def per_shard_unscaled(corpus_local, queries):
-            return per_shard(corpus_local, None, queries)
+        def per_shard_unscaled(corpus_local, n_valid, queries):
+            return per_shard(corpus_local, None, n_valid, queries)
 
         if self.quantized:
             shard_fn = jax.shard_map(
                 per_shard,
                 mesh=mesh,
-                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P()),
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P()),
                 out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
             )
         else:
             shard_fn = jax.shard_map(
                 per_shard_unscaled,
                 mesh=mesh,
-                in_specs=(P(DATA_AXIS, None), P()),
+                in_specs=(P(DATA_AXIS, None), P(), P()),
                 out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
             )
 
-        def sharded(corpus_arg, col_scale, queries):
+        def sharded(corpus_arg, col_scale, n_valid, queries):
             # per-shard candidates concatenated in ascending-shard (ascending
             # global index) order: [Q, W*k_local]
             if self.quantized:
-                cand_scores, cand_idx = shard_fn(corpus_arg, col_scale, queries)
+                cand_scores, cand_idx = shard_fn(
+                    corpus_arg, col_scale, n_valid, queries
+                )
             else:
-                cand_scores, cand_idx = shard_fn(corpus_arg, queries)
+                cand_scores, cand_idx = shard_fn(corpus_arg, n_valid, queries)
             final_scores, pos = jax.lax.top_k(cand_scores, k)
             final_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
             return final_scores, final_idx
@@ -541,7 +627,7 @@ class FlatIPIndex:
             else:
                 block_dev = jnp.asarray(block)
             scores, idx = search_fn(
-                self.corpus, self.row_scale, block_dev
+                self.corpus, self.row_scale, self._n_valid_dev, block_dev
             )
             # start this chunk's D2H immediately: true per-chunk double
             # buffering — chunk i's results come back while chunk i+1's H2D
@@ -581,7 +667,7 @@ class FlatIPIndex:
                 else:
                     fn = jax.jit(
                         gather,
-                        in_shardings=self.search_arg_shardings(self.mesh)
+                        in_shardings=self.search_arg_shardings(self.mesh)[:2]
                         + (NamedSharding(self.mesh, P()),),
                         out_shardings=NamedSharding(self.mesh, P()),
                     )
@@ -623,9 +709,8 @@ class FlatIPIndex:
             count_fn = self._search_fns.get("range_count")
             if count_fn is None:
                 quantized = self.quantized
-                n_total, n_padded = self.n_total, self.n_padded
 
-                def count(corpus, scale, q, r):
+                def count(corpus, scale, nv, q, r):
                     s = jnp.einsum(
                         "qd,nd->qn",
                         q.astype(jnp.bfloat16),
@@ -635,7 +720,7 @@ class FlatIPIndex:
                     if quantized:
                         s = s * scale[None, :]
                     valid = (
-                        lax.iota(jnp.int32, n_padded) < n_total
+                        lax.iota(jnp.int32, corpus.shape[0]) < nv
                     )[None, :]
                     return jnp.sum((s > r) & valid, axis=1)
 
@@ -667,8 +752,8 @@ class FlatIPIndex:
             else:
                 block_dev = jnp.asarray(padded)
             counts = np.asarray(
-                count_fn(self.corpus, self.row_scale, block_dev,
-                         jnp.float32(radius))
+                count_fn(self.corpus, self.row_scale, self._n_valid_dev,
+                         block_dev, jnp.float32(radius))
             )[:real]
             max_c = int(counts.max()) if counts.size else 0
             if max_c == 0:

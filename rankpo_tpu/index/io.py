@@ -253,6 +253,7 @@ def _load_flat(cfg, data, meta, mesh):
         self.row_scale = _put_rows(scale, mesh)
     else:
         self.row_scale = None
+    self._n_valid_dev = self._put_n_valid()
     self._search_fns = {}
     self._search_lock = threading.Lock()
     return self
@@ -280,6 +281,7 @@ def _load_refine(cfg, data, meta, mesh):
         _pad_rows(_unpack(data, meta, "corpus_low"), self.n_padded), mesh
     )
     self.proj = _put_replicated(_unpack(data, meta, "proj"), mesh)
+    self._n_valid_dev = self._put_n_valid()
     self._search_fns = {}
     self._search_lock = threading.Lock()
     return self

@@ -1423,6 +1423,16 @@ class IVFIPIndex:
         out._search_lock = threading.Lock()
         return out
 
+    def _adopt_programs(self, src) -> None:
+        """Share the compiled-program cache with the mutation source —
+        valid whenever storage shapes are unchanged (remove always;
+        append without capacity growth), because every cached program
+        (search, exact scan, reconstruct gather) reads storage, row_ids,
+        and codebooks as arguments and empty slots mask via row_ids.
+        Cf. ``FlatIPIndex._adopt_programs``."""
+        self._search_fns = src._search_fns
+        self._search_lock = src._search_lock
+
     def _grown_storage(self, new_cap: int):
         """Uniform per-cluster capacity growth, on device: every [K*cap,
         ...] array reshapes to [K, cap, ...], pads the slot axis, and
@@ -1521,7 +1531,8 @@ class IVFIPIndex:
             return replicate_to_mesh(x, self.mesh)
         return jnp.asarray(x)
 
-    def append_sharded(self, new_rows, n_new: int) -> "IVFIPIndex":
+    def append_sharded(self, new_rows, n_new: int, *,
+                       headroom: float = 0.0) -> "IVFIPIndex":
         """Append device-resident rows — the FAISS ``IndexIVF.add`` analog
         without a host round trip. ``new_rows`` is the
         ``InferenceEncoder.encode_sharded`` layout: fp32 [n_buf, D], n_buf
@@ -1541,6 +1552,8 @@ class IVFIPIndex:
         n_new = int(n_new)
         if n_new < 1:
             raise ValueError("append_sharded needs n_new >= 1")
+        if headroom < 0.0:
+            raise ValueError("headroom must be >= 0")
         if int(new_rows.shape[1]) != self.dim:
             raise ValueError(
                 f"new rows dim {new_rows.shape[1]} != index dim {self.dim}"
@@ -1575,7 +1588,10 @@ class IVFIPIndex:
         total_free = int((self._row_ids_host < 0).sum())
         if total_free < n_new:
             mult = 64 if self.pq_m is not None else 8
-            grow = -(-(n_new - total_free) // self.n_clusters)
+            # headroom pre-pays extra free slots so FOLLOWING appends keep
+            # storage shapes (and compiled programs) — cf. the flat tier
+            extra = int(np.ceil(headroom * (self.n_total + n_new)))
+            grow = -(-(n_new - total_free + extra) // self.n_clusters)
             new_cap = self.capacity + -(-grow // mult) * mult
             out.capacity = new_cap
             corpus, slot_scale, corpus_low, row_ids_host = (
@@ -1681,6 +1697,9 @@ class IVFIPIndex:
         )
         out.n_total = self.n_total + n_new
         out._set_layout_maps(new_row_ids)
+        if out.capacity == self.capacity:
+            # storage shapes unchanged: compiled programs stay valid
+            out._adopt_programs(self)
         return out
 
     def remove_rows(self, removed) -> "IVFIPIndex":
@@ -1720,6 +1739,7 @@ class IVFIPIndex:
             else shard_rows_to_mesh(new_row_ids, self.mesh)
         )
         out._set_layout_maps(new_row_ids)
+        out._adopt_programs(self)
         return out
 
     def _finish_tuning(self, nprobe, max_nprobe, tune_sample, tune_k, seed,

@@ -142,6 +142,7 @@ class RefineIPIndex:
         low = (emb @ proj).astype(np.dtype(jnp.bfloat16))
         self.corpus_low = put_rows(low)
 
+        self._n_valid_dev = self._put_n_valid()
         self._search_fns: dict = {}
         self._search_lock = threading.Lock()
 
@@ -383,6 +384,7 @@ class RefineIPIndex:
             lambda c, p: (c @ p).astype(jnp.bfloat16), **row_kw
         )(embeddings, self.proj)
 
+        self._n_valid_dev = self._put_n_valid()
         self._search_fns = {}
         self._search_lock = threading.Lock()
 
@@ -424,6 +426,16 @@ class RefineIPIndex:
         return self
 
     # ------------------------------------------------------------------
+    def _put_n_valid(self):
+        """``n_total`` as a replicated device scalar riding
+        ``search_arrays`` — cf. ``FlatIPIndex._put_n_valid``: programs read
+        the valid-row count at run time, so shape-preserving mutations
+        reuse compiled programs."""
+        nv = np.asarray(self.n_total, np.int32)
+        if self.mesh is None:
+            return jnp.asarray(nv)
+        return replicate_to_mesh(nv, self.mesh)
+
     def _clone_shell(self) -> "RefineIPIndex":
         """New index carrying this one's config, PCA basis, and tuned
         candidate count (not row storage) — mutations return NEW objects so
@@ -450,16 +462,29 @@ class RefineIPIndex:
             )
         }
 
-    def append_sharded(self, new_rows, n_new: int) -> "RefineIPIndex":
+    def _adopt_programs(self, src) -> None:
+        """Share the compiled-program cache with the mutation source —
+        valid on shape-preserving mutations because programs read all
+        corpus state as arguments (cf. ``FlatIPIndex._adopt_programs``)."""
+        self._search_fns = src._search_fns
+        self._search_lock = src._search_lock
+
+    def append_sharded(self, new_rows, n_new: int, *,
+                       headroom: float = 0.0) -> "RefineIPIndex":
         """Append device-resident rows (``encode_sharded`` layout: fp32
         [n_buf, D], zero past ``n_new``) without a host round trip. The
         TRAINED PCA basis and tuned candidate count are reused — exactly
         FAISS ``IndexPreTransform.add`` semantics (the transform is fixed
         after train; it is NOT refit on add). New rows project through it
-        on device; old stage-1/stage-2 rows ride over bit-exactly."""
+        on device; old stage-1/stage-2 rows ride over bit-exactly. Rows
+        that fit the existing pad space take the shape-preserving path
+        (compiled programs survive); otherwise storage grows with
+        ``headroom`` pre-paid pad rows — cf. ``FlatIPIndex.append_sharded``."""
         n_new = int(n_new)
         if n_new < 1:
             raise ValueError("append_sharded needs n_new >= 1")
+        if headroom < 0.0:
+            raise ValueError("headroom must be >= 0")
         if int(new_rows.shape[1]) != self.dim:
             raise ValueError(
                 f"new rows dim {new_rows.shape[1]} != index dim {self.dim}"
@@ -472,10 +497,36 @@ class RefineIPIndex:
             )
         out = self._clone_shell()
         out.n_total = self.n_total + n_new
-        out.n_padded = out.n_total + (-out.n_total) % n_shards
-        out._shard_rows = out.n_padded // n_shards
-        n_old, pad = self.n_total, out.n_padded - out.n_total
+        n_old = self.n_total
         store = jnp.dtype(self.store_dtype)
+
+        if n_new <= self.n_padded - self.n_total:
+            # shape-preserving fast path (cf. FlatIPIndex.append_sharded)
+            out.n_padded = self.n_padded
+            out._shard_rows = self._shard_rows
+            out._n_valid_dev = out._put_n_valid()
+
+            def place(rows_old, low_old, proj, rows_new):
+                fresh = rows_new[:n_new]
+                full = lax.dynamic_update_slice_in_dim(
+                    rows_old, fresh.astype(store), n_old, 0
+                )
+                low = lax.dynamic_update_slice_in_dim(
+                    low_old, (fresh @ proj).astype(jnp.bfloat16), n_old, 0
+                )
+                return full, low
+
+            out.corpus, out.corpus_low = jax.jit(place, **self._row_kw())(
+                self.corpus, self.corpus_low, self.proj, new_rows
+            )
+            out._adopt_programs(self)
+            return out
+
+        want = int(np.ceil(out.n_total * (1.0 + headroom)))
+        out.n_padded = want + (-want) % n_shards
+        out._shard_rows = out.n_padded // n_shards
+        out._n_valid_dev = out._put_n_valid()
+        pad = out.n_padded - out.n_total
 
         def merge(rows_old, low_old, proj, rows_new):
             fresh = rows_new[:n_new]
@@ -502,7 +553,9 @@ class RefineIPIndex:
     def remove_rows(self, removed) -> "RefineIPIndex":
         """Drop rows by corpus position (FAISS ``remove_ids`` semantics:
         survivors shift down). Both storage tiers are gathered on device;
-        the PCA basis and tuned candidate count stay fixed."""
+        the PCA basis and tuned candidate count stay fixed. The padded row
+        count is KEPT (shapes preserved — compiled programs survive; freed
+        rows become append headroom)."""
         removed = np.unique(np.asarray(removed, np.int64).reshape(-1))
         if removed.size == 0:
             return self
@@ -516,11 +569,11 @@ class RefineIPIndex:
         keep_idx = np.nonzero(keep)[0].astype(np.int32)
         if keep_idx.size == 0:
             raise ValueError("cannot remove every row; build a new index")
-        n_shards = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
         out = self._clone_shell()
         out.n_total = int(keep_idx.size)
-        out.n_padded = out.n_total + (-out.n_total) % n_shards
-        out._shard_rows = out.n_padded // n_shards
+        out.n_padded = self.n_padded
+        out._shard_rows = self._shard_rows
+        out._n_valid_dev = out._put_n_valid()
         n_keep = out.n_total
         idx = np.concatenate(
             [keep_idx, np.zeros(out.n_padded - n_keep, np.int32)]
@@ -539,13 +592,16 @@ class RefineIPIndex:
         out.corpus, out.corpus_low = jax.jit(take, **self._row_kw())(
             self.corpus, self.corpus_low, idx_dev
         )
+        out._adopt_programs(self)
         return out
 
     @property
     def search_arrays(self) -> tuple:
         """Device arrays ``search_callable`` consumes, in order (the index
-        protocol serving composes against: ``fn(*search_arrays, queries)``)."""
-        return (self.corpus, self.corpus_low, self.proj)
+        protocol serving composes against: ``fn(*search_arrays, queries)``).
+        The valid-row count rides as a replicated scalar (cf.
+        ``_put_n_valid``)."""
+        return (self.corpus, self.corpus_low, self.proj, self._n_valid_dev)
 
     def search_arg_shardings(self, mesh: Mesh) -> tuple:
         """NamedShardings for ``search_arrays`` (same protocol)."""
@@ -553,15 +609,15 @@ class RefineIPIndex:
             NamedSharding(mesh, P(DATA_AXIS, None)),
             NamedSharding(mesh, P(DATA_AXIS, None)),
             NamedSharding(mesh, P()),
+            NamedSharding(mesh, P()),
         )
 
     def search_callable(self, k: int, candidates: Optional[int] = None):
-        """Unjitted ``(corpus, corpus_low, proj, queries) -> (scores, idx)``
-        for composing into larger jitted programs (serving fuses
-        encode+search into one dispatch)."""
+        """Unjitted ``(corpus, corpus_low, proj, n_valid, queries) ->
+        (scores, idx)`` for composing into larger jitted programs (serving
+        fuses encode+search into one dispatch)."""
         c_cand = int(candidates if candidates is not None else self.candidates)
         c_cand = max(c_cand, k)
-        n_total = self.n_total
         mesh = self.mesh
 
         def two_stage(corpus_rows, low_rows, proj, queries, n_valid, offset):
@@ -599,19 +655,19 @@ class RefineIPIndex:
 
         if mesh is None:
 
-            def single(corpus_arg, low_arg, proj_arg, queries):
+            def single(corpus_arg, low_arg, proj_arg, n_valid, queries):
                 return two_stage(
-                    corpus_arg, low_arg, proj_arg, queries, n_total, 0
+                    corpus_arg, low_arg, proj_arg, queries, n_valid, 0
                 )
 
             return single
 
         shard_rows = self._shard_rows
 
-        def per_shard(corpus_local, low_local, proj_arg, queries):
+        def per_shard(corpus_local, low_local, proj_arg, n_valid, queries):
             shard_id = jax.lax.axis_index(DATA_AXIS)
             offset = shard_id * shard_rows
-            n_valid_local = jnp.clip(n_total - offset, 0, shard_rows)
+            n_valid_local = jnp.clip(n_valid - offset, 0, shard_rows)
             return two_stage(
                 corpus_local, low_local, proj_arg, queries,
                 n_valid_local, offset,
@@ -620,15 +676,20 @@ class RefineIPIndex:
         shard_fn = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(), P()),
+            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(), P(), P()),
             out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
         )
 
-        def sharded(corpus_arg, low_arg, proj_arg, queries):
+        # k clamp against the PADDED row count (static by shape): callers
+        # clamp k <= n_total host-side; baking n_total here would tie the
+        # compiled program to one corpus size
+        k_out = min(k, self.n_padded)
+
+        def sharded(corpus_arg, low_arg, proj_arg, n_valid, queries):
             cand_scores, cand_idx = shard_fn(
-                corpus_arg, low_arg, proj_arg, queries
+                corpus_arg, low_arg, proj_arg, n_valid, queries
             )
-            final_scores, pos = jax.lax.top_k(cand_scores, min(k, n_total))
+            final_scores, pos = jax.lax.top_k(cand_scores, k_out)
             final_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
             return final_scores, final_idx
 
@@ -685,7 +746,8 @@ class RefineIPIndex:
             else:
                 block_dev = jnp.asarray(block)
             scores, idx = search_fn(
-                self.corpus, self.corpus_low, self.proj, block_dev
+                self.corpus, self.corpus_low, self.proj, self._n_valid_dev,
+                block_dev,
             )
             scores.copy_to_host_async()
             idx.copy_to_host_async()

@@ -61,6 +61,7 @@ class RetrievalService:
         pack_max_segments: int = 16,
         stable_ids: bool = False,
         rewarm_after_mutation: bool = False,
+        mutation_headroom: float = 0.25,
     ):
         """recall_target < 1.0 enables the approx serving mode (flat index:
         PartialReduce top-k, 8x QPS at recall 0.95 on v5e; refine index: the
@@ -79,7 +80,12 @@ class RetrievalService:
         hits gain an ``id`` field, ``/remove`` takes external ids, and
         ``/add`` accepts explicit ids (auto-continues from max+1 otherwise).
         Off (default), ids are corpus positions with FAISS ``remove_ids``
-        renumbering semantics."""
+        renumbering semantics. mutation_headroom: when an /add outgrows
+        the index's storage buffer, the rebuilt buffer pre-pays this
+        fraction of extra pad rows so FOLLOWING adds keep storage shapes —
+        shape-preserving mutations carry every compiled program (fused
+        serving programs included) across, paying neither recompiles nor
+        a rewarm."""
         import jax.numpy as jnp
 
         self.encoder = encoder
@@ -153,6 +159,9 @@ class RetrievalService:
         # warmup() before returning (minutes through a remote compiler —
         # the mutator pays, searchers stay compile-free)
         self.rewarm_after_mutation = rewarm_after_mutation
+        if mutation_headroom < 0.0:
+            raise ValueError("mutation_headroom must be >= 0")
+        self.mutation_headroom = float(mutation_headroom)
         self._warmup_spec: Optional[Dict] = None
 
     @classmethod
@@ -422,11 +431,11 @@ class RetrievalService:
                     max_length=max_passage_length,
                     description="Encoding added passages",
                 )
-                self._state = (
-                    index.append_sharded(new_dev, n_new), texts_all, ids_all,
+                new_index = index.append_sharded(
+                    new_dev, n_new, headroom=self.mutation_headroom
                 )
-                with self._fused_lock:
-                    self._fused_fns.clear()  # fused programs bake n_total
+                self._state = (new_index, texts_all, ids_all)
+                rebound = self._rebind_fused(new_index, texts_all, ids_all)
             else:
                 # host fallback for index types without device mutation
                 new_emb = self.encoder.encode(
@@ -440,10 +449,11 @@ class RetrievalService:
                 )
                 self.load_index(merged, texts_all,
                                 self._rebuild_overrides(index), ids=ids_all)
+                rebound = False
         logger.info(
             "added %d passages (index now %d)", len(texts), self.ntotal
         )
-        self._post_mutation()
+        self._post_mutation(rebound)
 
     @staticmethod
     def _rebuild_overrides(index) -> Dict:
@@ -529,30 +539,78 @@ class RetrievalService:
             if hasattr(index, "remove_rows"):
                 # device path: positions drop on device (flat/refine gather
                 # survivors; IVF just masks slots and renumbers — storage is
-                # shared, no copy) — no O(N*D) host round trip
-                self._state = (
-                    index.remove_rows(np.nonzero(~keep)[0]),
-                    kept_texts,
-                    kept_ids,
-                )
-                with self._fused_lock:
-                    self._fused_fns.clear()  # fused programs bake n_total
+                # shared, no copy) — no O(N*D) host round trip. Removal
+                # preserves storage shapes, so compiled programs carry over
+                new_index = index.remove_rows(np.nonzero(~keep)[0])
+                self._state = (new_index, kept_texts, kept_ids)
+                rebound = self._rebind_fused(new_index, kept_texts, kept_ids)
             else:
                 kept_emb = self._stored_embeddings(index)[keep]
                 self.load_index(
                     kept_emb, kept_texts, self._rebuild_overrides(index),
                     ids=old_ext[keep] if self.stable_ids else None,
                 )
+                rebound = False
         logger.info(
             "removed %d passages (index now %d)", n_removed, self.ntotal
         )
-        self._post_mutation()
+        self._post_mutation(rebound)
         return n_removed
 
-    def _post_mutation(self) -> None:
-        """The rebuild cleared the fused programs (they bake n_total):
-        either re-pay the compiles now, inside the mutation call, or warn
-        that post-mutation searches will pay them per bucket."""
+    @staticmethod
+    def _arrays_compatible(a: tuple, b: tuple) -> bool:
+        """True when two ``search_arrays`` tuples are drop-in replacements
+        for each other as jitted-program arguments: same arity, same
+        presence, same shapes and dtypes per slot."""
+        if len(a) != len(b):
+            return False
+        for x, y in zip(a, b):
+            if (x is None) != (y is None):
+                return False
+            if x is not None and (x.shape != y.shape or x.dtype != y.dtype):
+                return False
+        return True
+
+    def _rebind_fused(self, index, texts, ext_ids) -> bool:
+        """Rebind cached fused programs to a mutated index when its storage
+        shapes/dtypes match the snapshot each program was compiled against.
+        The programs read every piece of corpus state — storage, scales,
+        row ids, the valid-row count — as ARGUMENTS, and a mutation clones
+        the static knobs, so a shape-preserving mutation leaves them valid:
+        post-mutation traffic pays NO recompile and needs NO rewarm.
+        Entries whose shapes no longer match (storage grew) are dropped.
+        Only mutation paths may call this — build_index/load_index install
+        arbitrary new indexes (fresh tuning, different knobs) and must keep
+        clearing. Returns True when every entry was rebound."""
+        all_rebound = True
+        with self._fused_lock:
+            for k_eff in list(self._fused_fns):
+                fn, old_index, _t, _i = self._fused_fns[k_eff]
+                if (
+                    type(old_index) is type(index)
+                    and k_eff <= index.ntotal
+                    and self._arrays_compatible(
+                        old_index.search_arrays, index.search_arrays
+                    )
+                ):
+                    self._fused_fns[k_eff] = (fn, index, texts, ext_ids)
+                else:
+                    del self._fused_fns[k_eff]
+                    all_rebound = False
+        return all_rebound
+
+    def _post_mutation(self, all_rebound: bool = False) -> None:
+        """A shape-preserving mutation carried every compiled program over
+        (``all_rebound``) — nothing to rewarm. Otherwise the mutation
+        dropped fused programs (storage shapes changed): either re-pay the
+        compiles now, inside the mutation call, or warn that post-mutation
+        searches will pay them per bucket."""
+        if all_rebound:
+            logger.info(
+                "mutation preserved storage shapes: compiled serving "
+                "programs carried over (no recompile, no rewarm)"
+            )
+            return
         if self.rewarm_after_mutation and self._warmup_spec is not None:
             t0 = time.time()
             self.warmup(**self._warmup_spec)

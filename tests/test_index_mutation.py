@@ -131,6 +131,113 @@ class TestFlatMutation:
         assert index.remove_rows([]) is index
 
 
+class TestProgramCarryOver:
+    """Shape-preserving mutations must carry compiled programs across:
+    search programs read all corpus state (storage, scales, valid-row
+    count, row ids) as ARGUMENTS, so appends into pad headroom and
+    removals (which keep the padded shape) reuse them — no recompile."""
+
+    def test_flat_append_into_pad_rows(self, data_mesh):
+        old = _corpus(101)  # 8 shards -> n_padded 104: 3 free pad rows
+        index = FlatIPIndex(old, data_mesh)
+        q = _corpus(4, seed=1)
+        index.search(q, k=5, batch_size=4)  # populate the program cache
+        new = _corpus(3, seed=2)
+        out = index.append_sharded(_device_rows(new, data_mesh), 3)
+        assert out.corpus.shape == index.corpus.shape
+        assert out._search_fns is index._search_fns  # adopted, not rebuilt
+        full = np.concatenate([old, new])
+        ref_s, ref_i = numpy_search(full, q, 5)
+        got_s, got_i = out.search(q, k=5, batch_size=4)
+        np.testing.assert_array_equal(got_i, ref_i)
+        np.testing.assert_allclose(got_s, ref_s, rtol=1e-5, atol=1e-5)
+        # the OLD index still answers for its own corpus (shared programs,
+        # separate n_valid argument)
+        s0, i0 = index.search(q, k=5, batch_size=4)
+        r0s, r0i = numpy_search(old, q, 5)
+        np.testing.assert_array_equal(i0, r0i)
+
+    def test_flat_int8_append_into_pad_rows(self, data_mesh):
+        old = _corpus(100)  # n_padded 104: 4 free
+        index = FlatIPIndex(old, data_mesh, dtype=jnp.int8)
+        new = _corpus(4, seed=3)
+        out = index.append_sharded(_device_rows(new, data_mesh), 4)
+        assert out.corpus.shape == index.corpus.shape
+        assert out._search_fns is index._search_fns
+        np.testing.assert_array_equal(
+            np.asarray(out.corpus)[:100], np.asarray(index.corpus)[:100]
+        )
+        got_s, got_i = out.search(new, k=1, batch_size=4)
+        np.testing.assert_array_equal(got_i[:, 0], np.arange(100, 104))
+
+    def test_flat_growth_headroom_prepays_next_append(self, data_mesh):
+        old = _corpus(64)  # zero free pad rows
+        index = FlatIPIndex(old, data_mesh)
+        new1, new2 = _corpus(8, seed=4), _corpus(8, seed=5)
+        grown = index.append_sharded(
+            _device_rows(new1, data_mesh), 8, headroom=0.5
+        )
+        assert grown.n_padded >= int(np.ceil(72 * 1.5))
+        assert grown._search_fns is not index._search_fns  # shapes changed
+        out = grown.append_sharded(_device_rows(new2, data_mesh), 8)
+        assert out.corpus.shape == grown.corpus.shape
+        assert out._search_fns is grown._search_fns  # headroom paid off
+        full = np.concatenate([old, new1, new2])
+        q = _corpus(4, seed=6)
+        ref_s, ref_i = numpy_search(full, q, 6)
+        got_s, got_i = out.search(q, k=6, batch_size=4)
+        np.testing.assert_array_equal(got_i, ref_i)
+
+    def test_flat_remove_keeps_shapes_and_programs(self, data_mesh):
+        old = _corpus(96)
+        index = FlatIPIndex(old, data_mesh)
+        out = index.remove_rows([0, 50])
+        assert out.n_padded == index.n_padded  # freed rows become headroom
+        assert out.corpus.shape == index.corpus.shape
+        assert out._search_fns is index._search_fns
+        # removed rows freed pad space: this append is shape-preserving
+        new = _corpus(2, seed=7)
+        out2 = out.append_sharded(_device_rows(new, data_mesh), 2)
+        assert out2.corpus.shape == index.corpus.shape
+        keep = np.setdiff1d(np.arange(96), [0, 50])
+        full = np.concatenate([old[keep], new])
+        q = _corpus(4, seed=8)
+        ref_s, ref_i = numpy_search(full, q, 6)
+        got_s, got_i = out2.search(q, k=6, batch_size=4)
+        np.testing.assert_array_equal(got_i, ref_i)
+
+    def test_refine_fast_paths(self, data_mesh):
+        old = _corpus(100, d=32)  # n_padded 104: 4 free
+        index = RefineIPIndex(old, data_mesh, reduced_dim=16, candidates=32)
+        new = _corpus(4, d=32, seed=9)
+        out = index.append_sharded(_device_rows(new, data_mesh), 4)
+        assert out.corpus.shape == index.corpus.shape
+        assert out._search_fns is index._search_fns
+        got_s, got_i = out.search(new, k=1, batch_size=4)
+        np.testing.assert_array_equal(got_i[:, 0], np.arange(100, 104))
+        out2 = out.remove_rows([0])
+        assert out2._search_fns is index._search_fns
+        got_s, got_i = out2.search(new, k=1, batch_size=4)
+        np.testing.assert_array_equal(got_i[:, 0], np.arange(99, 103))
+
+    def test_ivf_carry_over(self, data_mesh):
+        corpus = _corpus(160)
+        index = IVFIPIndex(corpus, data_mesh, n_clusters=8, nprobe=8,
+                           store_dtype=jnp.float32)
+        out = index.remove_rows([0, 10])
+        assert out._search_fns is index._search_fns  # storage shared
+        new = _corpus(2, seed=10)
+        out2 = out.append_sharded(_device_rows(new, data_mesh), 2)
+        assert out2.capacity == index.capacity  # free slots reused
+        assert out2._search_fns is index._search_fns
+        keep = np.setdiff1d(np.arange(160), [0, 10])
+        full = np.concatenate([corpus[keep], new])
+        q = _corpus(5, seed=11)
+        ref_s, ref_i = numpy_search(full, q, 10)
+        got_s, got_i = out2.search(q, k=10, batch_size=8)
+        np.testing.assert_array_equal(got_i, ref_i)
+
+
 class TestRefineMutation:
     def test_append_keeps_basis_and_finds_new_rows(self, data_mesh):
         old, new = _corpus(120, d=32), _corpus(16, d=32, seed=1)
@@ -270,6 +377,28 @@ class TestIVFMutation:
         ref_s, ref_i = numpy_search(full[keep], q, 8)
         got_s, got_i = out.search(q, k=8, batch_size=4)
         np.testing.assert_array_equal(got_i, ref_i)
+
+    def test_mutated_index_persistence_roundtrip(self, data_mesh):
+        """A mutated index (incl. grown capacity) must save/load through
+        the structural persistence format bit-identically."""
+        from rankpo_tpu.index import io as index_io
+
+        corpus = _corpus(160)
+        index = self._build(corpus, data_mesh, capacity_slack=1.0)
+        new = _corpus(100, seed=20)
+        out = index.append_sharded(_device_rows(new, data_mesh), 100)
+        out = out.remove_rows([0, 7, 200])
+        assert out.capacity > index.capacity  # growth happened
+        restored = index_io.index_from_state(
+            index_io.index_state(out), mesh=data_mesh
+        )
+        assert restored.capacity == out.capacity
+        assert restored.ntotal == out.ntotal
+        q = _corpus(6, seed=21)
+        ref_s, ref_i = out.search(q, k=10, batch_size=8)
+        got_s, got_i = restored.search(q, k=10, batch_size=8)
+        np.testing.assert_array_equal(got_i, ref_i)
+        np.testing.assert_array_equal(got_s, ref_s)
 
     def test_hybrid_reduced_dim_append(self, data_mesh):
         corpus = _corpus(200, d=32)

@@ -637,20 +637,30 @@ class TestRemovePassages:
         assert svc2.index.quantized
 
     def test_rewarm_after_mutation(self, data_mesh):
-        """rewarm_after_mutation replays the last warmup() spec after /add
-        //remove (the rebuild clears the compiled fused programs)."""
+        """rewarm_after_mutation replays the last warmup() spec ONLY when a
+        mutation drops compiled programs (storage outgrew its buffer).
+        Shape-preserving mutations — every remove, adds that fit the pad
+        headroom — carry the programs over and must NOT pay a rewarm."""
         svc = self._service(data_mesh, rewarm_after_mutation=True)
         svc.warmup(k=3, lengths=(8,))
         calls = []
         orig = svc.warmup
         svc.warmup = lambda **kw: calls.append(kw) or orig(**kw)
         svc.remove_passages([0])
-        assert calls == [{"k": 3, "lengths": (8,)}]
-        svc.add_passages(["document 16 on distinct topic 16"],
+        assert calls == []  # programs carried over: nothing to rewarm
+        assert svc._fused_fns
+        # the remove freed ONE pad row; adding two outgrows the buffer:
+        # programs drop, the warmup replays
+        svc.add_passages(["document 16 on distinct topic 16",
+                          "document 18 on distinct topic 18"],
                          max_passage_length=16, batch_size=8)
-        assert len(calls) == 2
+        assert calls == [{"k": 3, "lengths": (8,)}]
         # programs for the warmed bucket exist again after the mutation
         assert svc._fused_fns
+        # ...and the NEXT add lands in the mutation headroom: no rewarm
+        svc.add_passages(["document 17 on distinct topic 17"],
+                         max_passage_length=16, batch_size=8)
+        assert len(calls) == 1
 
     def test_http_remove_endpoint(self, service):
         from http.server import ThreadingHTTPServer
@@ -738,6 +748,32 @@ class TestDeviceResidentMutation:
         got = svc.query("document 7 on distinct topic 7", k=1)
         assert got["hits"][0]["index"] == 6
         assert got["hits"][0]["passage"].startswith("document 7 ")
+
+    def test_shape_preserving_mutations_keep_fused_programs(self, data_mesh):
+        """An /add that fits the mutation headroom (and every /remove)
+        must CARRY the compiled fused serving programs over — queries
+        after the mutation reuse the same jitted fn objects (through a
+        remote-compile setup, a dropped program is minutes of latency)."""
+        svc = self._svc(data_mesh)
+        svc.query("document 3 on distinct topic 3", k=2)  # warm one bucket
+        # first add outgrows the zero-headroom initial buffer: programs
+        # drop, the rebuilt buffer pre-pays mutation_headroom pad rows
+        svc.add_passages(["document 40 on distinct topic 40"],
+                         max_passage_length=16, batch_size=8)
+        svc.query("document 40 on distinct topic 40", k=2)  # recompile once
+        fns_before = {k: v[0] for k, v in svc._fused_fns.items()}
+        assert fns_before  # the bucket is compiled
+        svc.add_passages(["document 41 on distinct topic 41"],
+                         max_passage_length=16, batch_size=8)
+        for k_eff, fn in fns_before.items():
+            assert svc._fused_fns[k_eff][0] is fn  # rebound, not rebuilt
+        got = svc.query("document 41 on distinct topic 41", k=2)
+        assert got["hits"][0]["index"] == 17
+        svc.remove_passages([0])
+        for k_eff, fn in fns_before.items():
+            assert svc._fused_fns[k_eff][0] is fn
+        got = svc.query("document 41 on distinct topic 41", k=2)
+        assert got["hits"][0]["index"] == 16
 
 
 class TestStableIds:
