@@ -1,7 +1,11 @@
 """HTTP retrieval server: /search over a mesh-sharded FlatIP index.
 
 POST /search {"queries": ["..."], "k": 10} -> {"results": [...]}
+POST /add    {"passages": ["..."][, "ids": [...]]} -> extends the index
+POST /remove {"ids": [...]} -> drops passages (FAISS renumbering)
+POST /save   [{"path": "..."}] -> persist the live index (write_index)
 GET  /healthz -> {"status": "ok", "ntotal": N}
+GET  /statsz  -> serving counters
 """
 
 from __future__ import annotations
@@ -22,13 +26,22 @@ from rankpo_tpu.utils.logging import setup_logging
 logger = logging.getLogger(__name__)
 
 
-def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
+def make_handler(service: RetrievalService, batcher=None, k_max: int = 100,
+                 index_file: str | None = None, autosave: bool = False):
     """``batcher``: a MicroBatcher; single-query requests route through it so
     concurrent clients share device dispatches (multi-query requests are
     already batched by construction). Every path searches at the single
     compiled ``k_max`` and slices to the client's k — per-request k values
     are static shapes, so honoring them raw would recompile on each new k
-    (and the limit must be uniform: one cap for 1-query and N-query posts)."""
+    (and the limit must be uniform: one cap for 1-query and N-query posts).
+
+    ``index_file``: default target for POST /save (and ``autosave``), the
+    live counterpart of the FAISS ``write_index`` persistence the server
+    restarts from. ``autosave``: persist to ``index_file`` after every
+    successful /add //remove — a mutation survives a restart without the
+    operator remembering to /save (the mutation response waits for the
+    save; each save snapshots the atomic state tuple and lands by atomic
+    rename, so concurrent saves stay internally consistent)."""
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: dict):
@@ -56,6 +69,15 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
             else:
                 self._reply(404, {"error": "not found"})
 
+        def _autosave(self) -> dict:
+            """Persist the mutated index to ``index_file`` (autosave mode)
+            before the mutation response goes out — a 200 then means the
+            mutation is durable across restarts."""
+            if not (autosave and index_file):
+                return {}
+            service.save_index(index_file)
+            return {"saved": index_file}
+
         def do_POST(self):
             if self.path == "/add":
                 # FAISS index.add analog: encode + extend the live index.
@@ -65,7 +87,9 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
                     req = json.loads(self.rfile.read(length))
                     service.add_passages(req["passages"],
                                          ids=req.get("ids"))
-                    self._reply(200, {"status": "ok", "ntotal": service.ntotal})
+                    self._reply(200, {"status": "ok",
+                                      "ntotal": service.ntotal,
+                                      **self._autosave()})
                 except Exception as e:
                     self._reply(400, {"error": str(e)})
                 return
@@ -78,6 +102,27 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100):
                     req = json.loads(self.rfile.read(length))
                     removed = service.remove_passages(req["ids"])
                     self._reply(200, {"status": "ok", "removed": removed,
+                                      "ntotal": service.ntotal,
+                                      **self._autosave()})
+                except Exception as e:
+                    self._reply(400, {"error": str(e)})
+                return
+            if self.path == "/save":
+                # live FAISS write_index analog: persist the CURRENT index
+                # (mutations included) so a restart with --index_file skips
+                # the corpus encode and the whole build. Body may carry
+                # {"path": ...}; defaults to the server's --index_file.
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length)) if length else {}
+                    path = req.get("path") or index_file
+                    if not path:
+                        raise ValueError(
+                            "no save target: pass {'path': ...} or start "
+                            "the server with --index_file"
+                        )
+                    service.save_index(path)
+                    self._reply(200, {"status": "ok", "saved": path,
                                       "ntotal": service.ntotal})
                 except Exception as e:
                     self._reply(400, {"error": str(e)})
@@ -227,6 +272,11 @@ def main(argv=None):
                              "compiled programs (storage outgrew its "
                              "buffer); shape-preserving mutations carry "
                              "programs over and never rewarm")
+    parser.add_argument("--autosave", action="store_true",
+                        help="persist the index to --index_file after every "
+                             "successful /add //remove (the mutation "
+                             "response waits for the save): mutations "
+                             "survive restarts without an explicit /save")
     parser.add_argument("--mutation_headroom", type=float, default=0.25,
                         help="extra pad-row fraction pre-paid when an /add "
                              "outgrows the index storage buffer: later adds "
@@ -240,6 +290,8 @@ def main(argv=None):
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
+    if args.autosave and not args.index_file:
+        parser.error("--autosave needs --index_file as the save target")
 
     from rankpo_tpu.core.mesh import initialize_distributed
 
@@ -355,7 +407,8 @@ def main(argv=None):
         )
     server = ThreadingHTTPServer(
         (args.host, args.port),
-        make_handler(frontend, batcher, k_max=args.serving_k_max),
+        make_handler(frontend, batcher, k_max=args.serving_k_max,
+                     index_file=args.index_file, autosave=args.autosave),
     )
     logger.info("serving %d passages on %s:%d", service.ntotal, args.host, args.port)
     server.serve_forever()

@@ -121,6 +121,16 @@ class MultihostFrontend:
             self._broadcast({"op": "remove", "ids": ids})
             return self.service.remove_passages(ids)
 
+    def save_index(self, path: str) -> None:
+        """Broadcast a collective index save: ``RetrievalService.save_index``
+        gathers sharded state collectively, so EVERY process must call it
+        (each writes its own copy, atomic rename)."""
+        if self.process_index != 0:
+            raise RuntimeError("save_index() is rank-0 only")
+        with self._lock:
+            self._broadcast({"op": "save", "path": str(path)})
+            self.service.save_index(str(path))
+
     def stop(self) -> None:
         """Release followers (rank 0)."""
         if self.process_index == 0:
@@ -146,6 +156,8 @@ class MultihostFrontend:
                     )
                 elif msg["op"] == "remove":
                     self.service.remove_passages(msg["ids"])
+                elif msg["op"] == "save":
+                    self.service.save_index(msg["path"])
                 else:
                     self.service.query(
                         msg["texts"], k=msg["k"], return_passages=False

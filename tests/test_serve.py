@@ -776,6 +776,95 @@ class TestDeviceResidentMutation:
         assert got["hits"][0]["index"] == 16
 
 
+class TestSaveEndpoint:
+    """POST /save (live FAISS write_index analog) + --autosave: mutations
+    must be able to survive a restart — the persisted file reloads into a
+    service with the mutated corpus, bit-identical storage."""
+
+    def _svc(self, data_mesh):
+        cfg = tiny_llama_config(vocab_size=256)
+        enc = InferenceEncoder(cfg, init_params(jax.random.key(0), cfg),
+                               HashTokenizer(vocab_size=256), mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+        svc = RetrievalService(enc, mesh=data_mesh, max_query_length=16,
+                               query_batch_size=8)
+        corpus = [f"document {i} on distinct topic {i}" for i in range(16)]
+        svc.build_index(corpus, max_passage_length=16, batch_size=8)
+        return svc
+
+    def _post(self, port, path, payload=None):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload or {}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    def test_save_and_autosave(self, data_mesh, tmp_path):
+        from http.server import ThreadingHTTPServer
+        from rankpo_tpu.cli.serve import make_handler
+
+        svc = self._svc(data_mesh)
+        index_file = str(tmp_path / "live_index.npz")
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0),
+            make_handler(svc, None, k_max=10, index_file=index_file,
+                         autosave=True),
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            # autosave: the /add response only returns after the save landed
+            body = self._post(port, "/add", {
+                "passages": ["document 70 on distinct topic 70"]})
+            assert body["ntotal"] == 17 and body["saved"] == index_file
+            import os
+            assert os.path.exists(index_file)
+            # a restart from the file sees the mutated corpus
+            svc2 = RetrievalService(svc.encoder, mesh=data_mesh,
+                                    max_query_length=16, query_batch_size=8)
+            svc2.load_index_file(index_file)
+            assert svc2.ntotal == 17
+            got = svc2.query("document 70 on distinct topic 70", k=1)
+            assert got["hits"][0]["index"] == 16
+            # autosave also covers /remove
+            body = self._post(port, "/remove", {"ids": [0]})
+            assert body["removed"] == 1 and body["saved"] == index_file
+            svc2.load_index_file(index_file)
+            assert svc2.ntotal == 16
+            # explicit /save to another path
+            alt = str(tmp_path / "alt.npz")
+            body = self._post(port, "/save", {"path": alt})
+            assert body["saved"] == alt and os.path.exists(alt)
+            # bare /save defaults to the server's index_file
+            body = self._post(port, "/save")
+            assert body["saved"] == index_file
+        finally:
+            server.shutdown()
+
+    def test_save_without_target_is_400(self, data_mesh):
+        from http.server import ThreadingHTTPServer
+        from rankpo_tpu.cli.serve import make_handler
+
+        svc = self._svc(data_mesh)
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0), make_handler(svc, None, k_max=10)
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            try:
+                self._post(port, "/save")
+                assert False, "expected HTTP 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        finally:
+            server.shutdown()
+
+
 class TestStableIds:
     """FAISS IndexIDMap analog (--stable_ids): external int64 ids survive
     removals (no renumbering), /add accepts explicit ids or auto-continues,
