@@ -107,7 +107,8 @@ def main():
         times = []
         for r in range(args.repeats):
             t0 = time.time()
-            out = idx.remove_rows(removed + r)  # distinct ids per repeat
+            # distinct ids per repeat, wrapped to stay inside [0, n_total)
+            out = idx.remove_rows((removed + r) % idx.n_total)
             _sync(out.row_ids if hasattr(out, "row_ids") else out.corpus)
             times.append(time.time() - t0)
         print(f"[{tier}] remove_rows({args.n_new}): "

@@ -69,14 +69,27 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100,
             else:
                 self._reply(404, {"error": "not found"})
 
-        def _autosave(self) -> dict:
-            """Persist the mutated index to ``index_file`` (autosave mode)
-            before the mutation response goes out — a 200 then means the
-            mutation is durable across restarts."""
-            if not (autosave and index_file):
-                return {}
-            service.save_index(index_file)
-            return {"saved": index_file}
+        def _reply_mutated(self, extra: dict) -> None:
+            """Send the response for a mutation that ALREADY COMMITTED.
+            The autosave runs here, after the commit: if it fails, the
+            reply must say the mutation applied (mutated=true, HTTP 500 —
+            a server-side I/O problem, not a rejected request), or a
+            client treating 4xx as 'rejected' would retry and duplicate
+            the mutation."""
+            payload = {"status": "ok", "ntotal": service.ntotal, **extra}
+            if autosave and index_file:
+                try:
+                    service.save_index(index_file)
+                    payload["saved"] = index_file
+                except Exception as e:
+                    self._reply(500, {
+                        "error": f"autosave failed: {e}",
+                        "mutated": True,
+                        "ntotal": service.ntotal,
+                        **extra,
+                    })
+                    return
+            self._reply(200, payload)
 
         def do_POST(self):
             if self.path == "/add":
@@ -87,11 +100,10 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100,
                     req = json.loads(self.rfile.read(length))
                     service.add_passages(req["passages"],
                                          ids=req.get("ids"))
-                    self._reply(200, {"status": "ok",
-                                      "ntotal": service.ntotal,
-                                      **self._autosave()})
                 except Exception as e:
                     self._reply(400, {"error": str(e)})
+                    return
+                self._reply_mutated({})
                 return
             if self.path == "/remove":
                 # FAISS remove_ids analog: drop passages by corpus position
@@ -101,11 +113,10 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100,
                     length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length))
                     removed = service.remove_passages(req["ids"])
-                    self._reply(200, {"status": "ok", "removed": removed,
-                                      "ntotal": service.ntotal,
-                                      **self._autosave()})
                 except Exception as e:
                     self._reply(400, {"error": str(e)})
+                    return
+                self._reply_mutated({"removed": removed})
                 return
             if self.path == "/save":
                 # live FAISS write_index analog: persist the CURRENT index
@@ -388,8 +399,12 @@ def main(argv=None):
     if args.warmup != "off":
         # multi-host: warm THROUGH the frontend — a bare service.query on
         # rank 0 would hang waiting for the other processes' array shards
+        # the UNCLAMPED serving k: query() re-clamps per index snapshot, so
+        # a rewarm after a mutation that moved ntotal warms the CURRENT
+        # k_eff, not the startup corpus's (a baked min() here left the
+        # post-mutation clamp cold)
         service.warmup(
-            k=min(args.serving_k_max, service.ntotal),
+            k=args.serving_k_max,
             query_fn=frontend.query if frontend is not service else None,
             lengths=(
                 (getattr(service.encoder, "length_multiple", 64),)

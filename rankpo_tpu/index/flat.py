@@ -39,6 +39,45 @@ from rankpo_tpu.core.mesh import DATA_AXIS, replicate_to_mesh, shard_rows_to_mes
 NEG_INF = float("-inf")  # plain python: a module-level jnp scalar would initialize
 # the XLA backend at import time, breaking jax.distributed.initialize in CLIs
 
+
+def validate_append_args(new_rows, n_new, headroom, dim, n_shards) -> int:
+    """The shared argument contract of every tier's ``append_sharded``
+    (flat/refine/IVF): ``new_rows`` must be the ``encode_sharded`` layout —
+    [n_buf >= n_new, dim] with n_buf divisible by the shard count — and the
+    knobs in range. One copy so the three tiers cannot drift."""
+    n_new = int(n_new)
+    if n_new < 1:
+        raise ValueError("append_sharded needs n_new >= 1")
+    if headroom < 0.0:
+        raise ValueError("headroom must be >= 0")
+    if int(new_rows.shape[1]) != dim:
+        raise ValueError(
+            f"new rows dim {new_rows.shape[1]} != index dim {dim}"
+        )
+    if int(new_rows.shape[0]) < n_new or int(new_rows.shape[0]) % n_shards:
+        raise ValueError(
+            f"new rows buffer ({new_rows.shape[0]}) must be >= n_new "
+            f"({n_new}) and divisible by {n_shards} shards"
+        )
+    return n_new
+
+
+def quantize_rows_int8(rows):
+    """The ONE device-side int8 row codec: symmetric per-row max-abs
+    quantization, scale floored at 1e-12 (zero rows quantize to zero
+    codes), codes clipped/rounded to +-127. Every site that encodes rows —
+    flat/IVF builds, device mutations — must call this: the scheme is
+    parity-critical (dequant fuses into the search matmul; appended rows
+    must quantize IDENTICALLY to built rows or the bit-exact-ride-over
+    contract of the mutation paths silently breaks). Returns
+    ``(codes int8 [N, D], scale fp32 [N])``."""
+    rows = rows.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(rows), axis=1) / 127.0, 1e-12)
+    codes = jnp.clip(
+        jnp.round(rows / scale[:, None]), -127, 127
+    ).astype(jnp.int8)
+    return codes, scale.astype(jnp.float32)
+
 _RECON_BATCH = 1024  # fixed reconstruct-gather batch: one compiled program
 # regardless of how many ids a caller asks for
 
@@ -215,17 +254,8 @@ class FlatIPIndex:
 
         self.quantized = dtype == jnp.int8
         if self.quantized:
-            def quantize(c):
-                scale = jnp.maximum(
-                    jnp.max(jnp.abs(c), axis=1) / 127.0, 1e-12
-                )
-                q = jnp.clip(
-                    jnp.round(c / scale[:, None]), -127, 127
-                ).astype(jnp.int8)
-                return q, scale.astype(jnp.float32)
-
             self.corpus, self.row_scale = jax.jit(
-                quantize,
+                quantize_rows_int8,
                 **(
                     {}
                     if mesh is None
@@ -306,21 +336,10 @@ class FlatIPIndex:
         a NEW index; peak device memory is old+new storage during the copy
         (storage arrays are immutable — donation would invalidate
         in-flight searches)."""
-        n_new = int(n_new)
-        if n_new < 1:
-            raise ValueError("append_sharded needs n_new >= 1")
-        if headroom < 0.0:
-            raise ValueError("headroom must be >= 0")
-        if int(new_rows.shape[1]) != self.dim:
-            raise ValueError(
-                f"new rows dim {new_rows.shape[1]} != index dim {self.dim}"
-            )
         n_shards = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
-        if int(new_rows.shape[0]) < n_new or int(new_rows.shape[0]) % n_shards:
-            raise ValueError(
-                f"new rows buffer ({new_rows.shape[0]}) must be >= n_new "
-                f"({n_new}) and divisible by {n_shards} shards"
-            )
+        n_new = validate_append_args(
+            new_rows, n_new, headroom, self.dim, n_shards
+        )
         out = self._clone_shell()
         out.n_total = self.n_total + n_new
         n_old = self.n_total
@@ -336,18 +355,10 @@ class FlatIPIndex:
             if self.quantized:
 
                 def place_q(codes, scales, rows):
-                    fresh = rows[:n_new].astype(jnp.float32)
-                    s = jnp.maximum(
-                        jnp.max(jnp.abs(fresh), axis=1) / 127.0, 1e-12
-                    )
-                    q = jnp.clip(
-                        jnp.round(fresh / s[:, None]), -127, 127
-                    ).astype(jnp.int8)
+                    q, s = quantize_rows_int8(rows[:n_new])
                     return (
                         lax.dynamic_update_slice_in_dim(codes, q, n_old, 0),
-                        lax.dynamic_update_slice_in_dim(
-                            scales, s.astype(jnp.float32), n_old, 0
-                        ),
+                        lax.dynamic_update_slice_in_dim(scales, s, n_old, 0),
                     )
 
                 out.corpus, out.row_scale = jax.jit(place_q, **both_kw)(
@@ -374,17 +385,9 @@ class FlatIPIndex:
         if self.quantized:
 
             def merge_q(codes, scales, rows):
-                fresh = rows[:n_new].astype(jnp.float32)
-                s = jnp.maximum(
-                    jnp.max(jnp.abs(fresh), axis=1) / 127.0, 1e-12
-                )
-                q = jnp.clip(
-                    jnp.round(fresh / s[:, None]), -127, 127
-                ).astype(jnp.int8)
+                q, s = quantize_rows_int8(rows[:n_new])
                 merged = jnp.concatenate([codes[:n_old], q], axis=0)
-                sc = jnp.concatenate(
-                    [scales[:n_old], s.astype(jnp.float32)]
-                )
+                sc = jnp.concatenate([scales[:n_old], s])
                 return (
                     jnp.pad(merged, ((0, pad), (0, 0))),
                     jnp.pad(sc, (0, pad), constant_values=1e-12),

@@ -575,14 +575,9 @@ class IVFIPIndex:
         if self.quantized:
 
             def gather_quantize(c, p, v):
-                rows = jnp.take(c, p, axis=0) * v[:, None]
-                scale = jnp.maximum(
-                    jnp.max(jnp.abs(rows), axis=1) / 127.0, 1e-12
-                )
-                codes = jnp.clip(
-                    jnp.round(rows / scale[:, None]), -127, 127
-                ).astype(jnp.int8)
-                return codes, scale.astype(jnp.float32)
+                from rankpo_tpu.index.flat import quantize_rows_int8
+
+                return quantize_rows_int8(jnp.take(c, p, axis=0) * v[:, None])
 
             self.corpus, self.slot_scale = jax.jit(
                 gather_quantize,
@@ -794,12 +789,9 @@ class IVFIPIndex:
         if quantized:
 
             def place(buf, sbuf, rows, slots):
-                scale = jnp.maximum(
-                    jnp.max(jnp.abs(rows), axis=1) / 127.0, 1e-12
-                )
-                codes = jnp.clip(
-                    jnp.round(rows / scale[:, None]), -127, 127
-                ).astype(jnp.int8)
+                from rankpo_tpu.index.flat import quantize_rows_int8
+
+                codes, scale = quantize_rows_int8(rows)
                 # mode="drop": padded slots are -1 and must scatter nowhere
                 # (the default clip mode would overwrite the last slot)
                 return (
@@ -1549,23 +1541,14 @@ class IVFIPIndex:
         boundaries. Existing codes ride over bit-exactly. Returns a NEW
         index; peak device memory is old+new storage during the scatter
         copy (in-flight searches keep the old arrays — no donation)."""
-        n_new = int(n_new)
-        if n_new < 1:
-            raise ValueError("append_sharded needs n_new >= 1")
-        if headroom < 0.0:
-            raise ValueError("headroom must be >= 0")
-        if int(new_rows.shape[1]) != self.dim:
-            raise ValueError(
-                f"new rows dim {new_rows.shape[1]} != index dim {self.dim}"
-            )
+        from rankpo_tpu.index.flat import validate_append_args
+
         mesh = self.mesh
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
+        n_new = validate_append_args(
+            new_rows, n_new, headroom, self.dim, n_shards
+        )
         n_buf = int(new_rows.shape[0])
-        if n_buf < n_new or n_buf % n_shards:
-            raise ValueError(
-                f"new rows buffer ({n_buf}) must be >= n_new ({n_new}) "
-                f"and divisible by {n_shards} shards"
-            )
         rep_kw = (
             {} if mesh is None
             else {"out_shardings": NamedSharding(mesh, P())}
@@ -1621,15 +1604,12 @@ class IVFIPIndex:
         if self.quantized:
 
             def scatter_rows(buf, sbuf, rows, sl):
-                scale = jnp.maximum(
-                    jnp.max(jnp.abs(rows), axis=1) / 127.0, 1e-12
-                )
-                codes = jnp.clip(
-                    jnp.round(rows / scale[:, None]), -127, 127
-                ).astype(jnp.int8)
+                from rankpo_tpu.index.flat import quantize_rows_int8
+
+                codes, scale = quantize_rows_int8(rows)
                 return (
                     buf.at[sl].set(codes, mode="drop"),
-                    sbuf.at[sl].set(scale.astype(jnp.float32), mode="drop"),
+                    sbuf.at[sl].set(scale, mode="drop"),
                 )
 
             out.corpus, out.slot_scale = jax.jit(

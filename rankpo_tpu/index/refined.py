@@ -480,21 +480,12 @@ class RefineIPIndex:
         that fit the existing pad space take the shape-preserving path
         (compiled programs survive); otherwise storage grows with
         ``headroom`` pre-paid pad rows — cf. ``FlatIPIndex.append_sharded``."""
-        n_new = int(n_new)
-        if n_new < 1:
-            raise ValueError("append_sharded needs n_new >= 1")
-        if headroom < 0.0:
-            raise ValueError("headroom must be >= 0")
-        if int(new_rows.shape[1]) != self.dim:
-            raise ValueError(
-                f"new rows dim {new_rows.shape[1]} != index dim {self.dim}"
-            )
+        from rankpo_tpu.index.flat import validate_append_args
+
         n_shards = self.mesh.shape[DATA_AXIS] if self.mesh is not None else 1
-        if int(new_rows.shape[0]) < n_new or int(new_rows.shape[0]) % n_shards:
-            raise ValueError(
-                f"new rows buffer ({new_rows.shape[0]}) must be >= n_new "
-                f"({n_new}) and divisible by {n_shards} shards"
-            )
+        n_new = validate_append_args(
+            new_rows, n_new, headroom, self.dim, n_shards
+        )
         out = self._clone_shell()
         out.n_total = self.n_total + n_new
         n_old = self.n_total

@@ -594,6 +594,14 @@ class RetrievalService:
                     )
                 ):
                     self._fused_fns[k_eff] = (fn, index, texts, ext_ids)
+                    if k_eff == old_index.ntotal and index.ntotal > k_eff:
+                        # this entry was (possibly) an ntotal-CLAMPED k: the
+                        # same client k now resolves to a LARGER k_eff that
+                        # has no compiled program yet. The entry stays (still
+                        # valid for literal k == k_eff requests), but report
+                        # not-all-rebound so rewarm_after_mutation can
+                        # pre-pay the new clamp's compile
+                        all_rebound = False
                 else:
                     del self._fused_fns[k_eff]
                     all_rebound = False

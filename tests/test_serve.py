@@ -749,6 +749,31 @@ class TestDeviceResidentMutation:
         assert got["hits"][0]["index"] == 6
         assert got["hits"][0]["passage"].startswith("document 7 ")
 
+    def test_clamped_k_rewarms_when_append_crosses_ntotal(self, data_mesh):
+        """A program compiled at an ntotal-CLAMPED k_eff stops covering the
+        same client k once an append raises ntotal past the clamp — even a
+        shape-preserving add must then report not-all-rebound so
+        rewarm_after_mutation pre-pays the new k_eff's compile."""
+        svc = self._svc(data_mesh, rewarm_after_mutation=True)
+        svc.warmup(k=20, lengths=(8,))  # ntotal 16: compiles k_eff=16
+        calls = []
+        orig = svc.warmup
+        svc.warmup = lambda **kw: calls.append(kw) or orig(**kw)
+        # growth add: programs drop, rewarm #1 compiles k_eff=17
+        svc.add_passages(["document 50 on distinct topic 50"],
+                         max_passage_length=16, batch_size=8)
+        assert len(calls) == 1
+        assert any(k == 17 for k in svc._fused_fns)
+        # shape-preserving add, but ntotal crosses the 17 clamp: rewarm #2
+        # must fire to compile k_eff=19 (the k=20 warmup re-clamps itself)
+        svc.add_passages(["document 51 on distinct topic 51",
+                          "document 52 on distinct topic 52"],
+                         max_passage_length=16, batch_size=8)
+        assert len(calls) == 2
+        assert any(k == 19 for k in svc._fused_fns)
+        got = svc.query("document 52 on distinct topic 52", k=20)
+        assert got["hits"][0]["index"] == 18
+
     def test_shape_preserving_mutations_keep_fused_programs(self, data_mesh):
         """An /add that fits the mutation headroom (and every /remove)
         must CARRY the compiled fused serving programs over — queries
@@ -841,6 +866,42 @@ class TestSaveEndpoint:
             # bare /save defaults to the server's index_file
             body = self._post(port, "/save")
             assert body["saved"] == index_file
+        finally:
+            server.shutdown()
+
+    def test_autosave_failure_reports_committed_mutation(self, data_mesh,
+                                                         tmp_path,
+                                                         monkeypatch):
+        """If the autosave fails AFTER the mutation committed, the reply
+        must be a 500 carrying mutated=true — not a 400 that invites the
+        client to retry (and duplicate) the mutation."""
+        from http.server import ThreadingHTTPServer
+        from rankpo_tpu.cli.serve import make_handler
+
+        svc = self._svc(data_mesh)
+
+        def boom(path):
+            raise OSError("disk full")
+
+        monkeypatch.setattr(svc, "save_index", boom)
+        server = ThreadingHTTPServer(
+            ("127.0.0.1", 0),
+            make_handler(svc, None, k_max=10,
+                         index_file=str(tmp_path / "x.npz"), autosave=True),
+        )
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            try:
+                self._post(port, "/add", {"passages": ["doc 71 topic 71"]})
+                assert False, "expected HTTP 500"
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+                body = json.loads(e.read())
+                assert body["mutated"] is True
+                assert "disk full" in body["error"]
+            assert svc.ntotal == 17  # the mutation DID commit
         finally:
             server.shutdown()
 
