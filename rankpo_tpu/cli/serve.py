@@ -162,7 +162,21 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100,
                                  "(start the server with --serving_k_max)"
                     })
                     return
-                if batcher is not None and len(queries) == 1:
+                # FAISS SearchParameters analog: IDSelector filters
+                # (external ids under --stable_ids, corpus positions
+                # otherwise) and per-call nprobe/candidates overrides.
+                # Such requests bypass the micro-batcher — the parameters
+                # are per-REQUEST, a grouped dispatch shares one search
+                # program.
+                sel = {
+                    key: req[key]
+                    for key in ("allowed_ids", "disallowed_ids")
+                    if req.get(key) is not None
+                }
+                for key in ("nprobe", "candidates"):
+                    if req.get(key) is not None:
+                        sel[key] = int(req[key])
+                if batcher is not None and len(queries) == 1 and not sel:
                     results = [batcher.query(queries[0], k=k)]
                 else:
                     from rankpo_tpu.serve.service import finalize_hits
@@ -173,7 +187,7 @@ def make_handler(service: RetrievalService, batcher=None, k_max: int = 100,
                     results = [
                         finalize_hits(r, k)
                         for r in service.query(queries, k=k_eff,
-                                               return_passages=True)
+                                               return_passages=True, **sel)
                     ]
                 self._reply(200, {"results": results})
             except Exception as e:  # surface errors as JSON

@@ -82,6 +82,71 @@ _RECON_BATCH = 1024  # fixed reconstruct-gather batch: one compiled program
 # regardless of how many ids a caller asks for
 
 
+def build_selector_mask(
+    n_total: int,
+    allowed_ids=None,
+    disallowed_ids=None,
+    selector=None,
+) -> Optional[np.ndarray]:
+    """The FAISS ``IDSelector`` analog, shared by every index tier: turn a
+    per-search filter into a bool eligibility mask over corpus positions
+    (True = row may be returned). At most one of the three may be given:
+
+    - ``allowed_ids``: only these positions are eligible (IDSelectorBatch /
+      IDSelectorArray);
+    - ``disallowed_ids``: these positions are excluded (IDSelectorNot);
+    - ``selector``: a prebuilt bool [n_total] mask (arbitrary predicates —
+      what FAISS expresses via custom IDSelector subclasses; serving uses
+      this for external-id translation in stable_ids mode).
+
+    Returns None when no filter is given (the unfiltered fast path keeps
+    its own compiled programs). On TPU the mask costs ONE where-select on
+    the score matrix before top-k — there is no FAISS-style per-row branch
+    in the scan loop to skip, so filtered search runs at unfiltered speed.
+    """
+    given = [x is not None for x in (allowed_ids, disallowed_ids, selector)]
+    if sum(given) == 0:
+        return None
+    if sum(given) > 1:
+        raise ValueError(
+            "give at most one of allowed_ids / disallowed_ids / selector"
+        )
+    if selector is not None:
+        mask = np.asarray(selector)
+        if mask.dtype != np.bool_ or mask.shape != (n_total,):
+            raise ValueError(
+                f"selector must be a bool array of shape ({n_total},); got "
+                f"{mask.dtype} {mask.shape}"
+            )
+        return mask.copy()
+    ids = np.asarray(
+        allowed_ids if allowed_ids is not None else disallowed_ids, np.int64
+    ).reshape(-1)
+    if ids.size and (ids.min() < 0 or ids.max() >= n_total):
+        raise IndexError(
+            f"selector ids must be in [0, {n_total}); got "
+            f"[{ids.min()}, {ids.max()}]"
+        )
+    if allowed_ids is not None:
+        mask = np.zeros(n_total, np.bool_)
+        mask[ids] = True
+    else:
+        mask = np.ones(n_total, np.bool_)
+        mask[ids] = False
+    return mask
+
+
+def mask_filtered_misses(
+    scores: np.ndarray, indices: np.ndarray
+) -> np.ndarray:
+    """FAISS pads a filtered search's unfillable tail with label -1; the
+    engine surfaces masked rows as score -inf with their real index.
+    Rewrite those to -1 host-side (shared by every tier's filtered path)."""
+    return np.where(np.isfinite(scores), indices, -1).astype(
+        indices.dtype, copy=False
+    )
+
+
 def _canonical_recon_ids(ids, n_total: int) -> np.ndarray:
     """Canonicalize a reconstruct id argument (scalar or 1-D, int64,
     bounds-checked). Shared by every index tier's ``reconstruct``."""
@@ -492,13 +557,17 @@ class FlatIPIndex:
             NamedSharding(mesh, P()),
         )
 
-    def search_callable(self, k: int):
+    def search_callable(self, k: int, *, selector: bool = False):
         """The unjitted search computation ``(corpus, row_scale, n_valid,
         queries) -> (scores, idx)``, for composing into LARGER jitted
         programs (the serving path fuses encode+search into one dispatch;
         through a ~25-30ms-floor remote tunnel the second dispatch was pure
         latency). ``queries`` may be any float dtype; it is cast to the
-        corpus compute dtype inside."""
+        corpus compute dtype inside.
+
+        ``selector=True`` builds the FILTERED variant (IDSelector analog):
+        the signature gains a trailing bool [n_padded] eligibility mask
+        (row-sharded like the corpus); masked rows score -inf."""
         from rankpo_tpu.ops.topk import matmul_topk
 
         mesh = self.mesh
@@ -515,7 +584,7 @@ class FlatIPIndex:
         # to the compiler (and breaks remote-compile setups on >100MB corpora).
         if mesh is None:
 
-            def single(corpus_arg, col_scale, n_valid, queries):
+            def single(corpus_arg, col_scale, n_valid, queries, sel=None):
                 return matmul_topk(
                     q_cast(queries, corpus_arg),
                     corpus_arg,
@@ -524,15 +593,22 @@ class FlatIPIndex:
                     recall_target=self.recall_target,
                     col_scale=col_scale,
                     precision=self.precision,
+                    row_mask=sel,
                 )
 
-            return single
+            if selector:
+                return single
+
+            def single_plain(corpus_arg, col_scale, n_valid, queries):
+                return single(corpus_arg, col_scale, n_valid, queries)
+
+            return single_plain
 
         n_shards = mesh.shape[DATA_AXIS]
         shard_rows = self.n_padded // n_shards
         k_local = min(k, shard_rows)
 
-        def per_shard(corpus_local, scale_local, n_valid, queries):
+        def per_shard(corpus_local, scale_local, n_valid, queries, sel_local):
             # corpus_local: this shard's [n_padded/W, D] slice
             shard_id = jax.lax.axis_index(DATA_AXIS)
             offset = shard_id * shard_rows
@@ -546,74 +622,110 @@ class FlatIPIndex:
                 recall_target=self.recall_target,
                 col_scale=scale_local,
                 precision=self.precision,
+                row_mask=sel_local,
             )
             return scores, idx
 
-        def per_shard_unscaled(corpus_local, n_valid, queries):
-            return per_shard(corpus_local, None, n_valid, queries)
+        # shard_map body variants: the scale and the selector mask exist
+        # only in some configurations, and absent args cannot ride specs
+        scale_spec = (P(DATA_AXIS),) if self.quantized else ()
+        sel_spec = (P(DATA_AXIS),) if selector else ()
 
-        if self.quantized:
-            shard_fn = jax.shard_map(
-                per_shard,
-                mesh=mesh,
-                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(), P()),
-                out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
-            )
-        else:
-            shard_fn = jax.shard_map(
-                per_shard_unscaled,
-                mesh=mesh,
-                in_specs=(P(DATA_AXIS, None), P(), P()),
-                out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        def body(corpus_local, *rest):
+            rest = list(rest)
+            scale_local = rest.pop(0) if self.quantized else None
+            sel_local = rest.pop() if selector else None
+            n_valid, queries = rest
+            return per_shard(
+                corpus_local, scale_local, n_valid, queries, sel_local
             )
 
-        def sharded(corpus_arg, col_scale, n_valid, queries):
+        shard_fn = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, None),) + scale_spec + (P(), P())
+            + sel_spec,
+            out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        )
+
+        def sharded(corpus_arg, col_scale, n_valid, queries, *sel):
             # per-shard candidates concatenated in ascending-shard (ascending
             # global index) order: [Q, W*k_local]
+            args = (corpus_arg,)
             if self.quantized:
-                cand_scores, cand_idx = shard_fn(
-                    corpus_arg, col_scale, n_valid, queries
-                )
-            else:
-                cand_scores, cand_idx = shard_fn(corpus_arg, n_valid, queries)
+                args += (col_scale,)
+            args += (n_valid, queries) + sel
+            cand_scores, cand_idx = shard_fn(*args)
             final_scores, pos = jax.lax.top_k(cand_scores, k)
             final_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
             return final_scores, final_idx
 
         return sharded
 
-    def _build_search(self, k: int):
-        fn = self.search_callable(k)
+    def _build_search(self, k: int, *, selector: bool = False):
+        fn = self.search_callable(k, selector=selector)
         if self.mesh is None:
             return jax.jit(fn)
         mesh = self.mesh
+        sel_shard = (
+            (NamedSharding(mesh, P(DATA_AXIS)),) if selector else ()
+        )
         return jax.jit(
             fn,
             in_shardings=self.search_arg_shardings(mesh)
-            + (NamedSharding(mesh, P()),),
+            + (NamedSharding(mesh, P()),)
+            + sel_shard,
             # replicated results: every process fetches the full [Q, k] arrays
             out_shardings=NamedSharding(mesh, P()),
         )
+
+    def _place_selector(self, mask: np.ndarray):
+        """Pad a bool [n_total] eligibility mask to the padded row count and
+        shard it like the corpus rows (pad rows ineligible)."""
+        padded = np.zeros(self.n_padded, np.bool_)
+        padded[: self.n_total] = mask
+        if self.mesh is None:
+            return jnp.asarray(padded)
+        return shard_rows_to_mesh(padded, self.mesh)
 
     def search(
         self,
         queries,
         k: int = 100,
         batch_size: int = 256,
+        *,
+        allowed_ids=None,
+        disallowed_ids=None,
+        selector=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched exact top-k (analog of utils.py:58-80 faiss_search).
-        Returns fp32 scores and int32 indices, shapes [Q, k]."""
+        Returns fp32 scores and int32 indices, shapes [Q, k].
+
+        ``allowed_ids`` / ``disallowed_ids`` / ``selector`` restrict the
+        search to a subset of corpus positions — the FAISS
+        ``SearchParameters(sel=IDSelector...)`` analog (see
+        ``build_selector_mask``). When fewer than k rows are eligible the
+        tail is padded with score -inf / index -1, like FAISS."""
         k = min(k, self.n_total)
         queries = np.asarray(queries, np.float32)
+        sel_mask = build_selector_mask(
+            self.n_total, allowed_ids, disallowed_ids, selector
+        )
         if queries.shape[0] == 0:  # zero-query batch: every caller branch
             return (
                 np.zeros((0, k), np.float32),
                 np.zeros((0, k), np.int32),
             )
+        key = ("sel", k) if sel_mask is not None else k
         with self._search_lock:
-            search_fn = self._search_fns.get(k)
+            search_fn = self._search_fns.get(key)
             if search_fn is None:
-                search_fn = self._search_fns[k] = self._build_search(k)
+                search_fn = self._search_fns[key] = self._build_search(
+                    k, selector=sel_mask is not None
+                )
+        sel_args = ()
+        if sel_mask is not None:
+            sel_args = (self._place_selector(sel_mask),)
         n_q = queries.shape[0]
         # async dispatch + per-chunk D2H: each chunk's results travel home
         # while later chunks compute (see in-loop comment)
@@ -630,7 +742,8 @@ class FlatIPIndex:
             else:
                 block_dev = jnp.asarray(block)
             scores, idx = search_fn(
-                self.corpus, self.row_scale, self._n_valid_dev, block_dev
+                self.corpus, self.row_scale, self._n_valid_dev, block_dev,
+                *sel_args,
             )
             # start this chunk's D2H immediately: true per-chunk double
             # buffering — chunk i's results come back while chunk i+1's H2D
@@ -641,7 +754,11 @@ class FlatIPIndex:
             pending.append((scores, idx, real))
         all_scores = [np.asarray(s)[:r].astype(np.float32, copy=False) for s, _, r in pending]
         all_indices = [np.asarray(i)[:r].astype(np.int32, copy=False) for _, i, r in pending]
-        return np.concatenate(all_scores), np.concatenate(all_indices)
+        out_scores = np.concatenate(all_scores)
+        out_idx = np.concatenate(all_indices)
+        if sel_mask is not None:
+            out_idx = mask_filtered_misses(out_scores, out_idx)
+        return out_scores, out_idx
 
     def reconstruct(self, ids) -> np.ndarray:
         """Stored rows for corpus ids, decoded to fp32 — the FAISS

@@ -1934,12 +1934,20 @@ class IVFIPIndex:
         return max(int(c), k)
 
     def search_callable(self, k: int, nprobe: Optional[int] = None,
-                        candidates: Optional[int] = None):
+                        candidates: Optional[int] = None,
+                        *, selector: bool = False):
         """Unjitted ``(*search_arrays, queries) -> (scores, idx)`` for
         composing into larger jitted programs (serving fuses encode+search
         into one dispatch). Consumes exactly ``search_arrays`` (see its
         documented layout for the quantized / hybrid optional groups)
-        followed by the replicated queries."""
+        followed by the replicated queries.
+
+        ``selector=True`` builds the FILTERED variant (IDSelector analog):
+        a trailing replicated bool mask in ROW-ID space (padded to the
+        global slot count) joins the signature; probed rows whose global id
+        is ineligible score -inf. Like FAISS IVF selectors, the filter does
+        NOT change which clusters are probed — a highly selective filter
+        may want a larger nprobe."""
         from rankpo_tpu.ops.topk import storage_exact_precision
 
         k = min(k, self.n_total)
@@ -1958,14 +1966,25 @@ class IVFIPIndex:
         kk_out = min(kk, cc) if hybrid else kk
 
         def unpack(args):
-            """(*search_arrays, queries) in the documented layout."""
+            """(*search_arrays, queries[, sel]) in the documented layout."""
             clustered, ids, cents, *rest = args
             scale = rest.pop(0) if quantized else None
             cb = rest.pop(0) if pq else None
             rot = rest.pop(0) if pq_rot else None
             low, proj = (rest.pop(0), rest.pop(0)) if hybrid else (None, None)
+            sel = rest.pop() if selector else None
             (queries,) = rest
-            return clustered, ids, cents, scale, cb, rot, low, proj, queries
+            return (clustered, ids, cents, scale, cb, rot, low, proj,
+                    queries, sel)
+
+        def eligible(hit_ids, sel):
+            """Empty-slot mask (-1 ids) composed with the IDSelector mask
+            (global-row-id lookup; the clip keeps -1 in range — the >= 0
+            term already vetoes those slots)."""
+            ok = hit_ids >= 0
+            if sel is not None:
+                ok &= jnp.take(sel, jnp.clip(hit_ids, 0), axis=0)
+            return ok
 
         def probe_clusters(ids, cents, queries):
             """Stage 0 shared by all variants: local top-p clusters expanded
@@ -2039,7 +2058,9 @@ class IVFIPIndex:
         def probe_block(*args):
             """Plain IVF: gather probed full rows, rerank exactly (at
             storage precision; int8 = against the quantized rows)."""
-            clustered, ids, cents, scale, _, _, _, _, queries = unpack(args)
+            clustered, ids, cents, scale, _, _, _, _, queries, sel = (
+                unpack(args)
+            )
             q = queries.shape[0]
             probe, slots, hit_ids, _ = probe_clusters(ids, cents, queries)
             if pallas_gather:
@@ -2060,7 +2081,7 @@ class IVFIPIndex:
                 s = s * jnp.take(
                     scale.reshape(local_clusters, cap), probe, axis=0
                 ).reshape(q, p * cap)
-            s = jnp.where(hit_ids >= 0, s, NEG_INF)
+            s = jnp.where(eligible(hit_ids, sel), s, NEG_INF)
             top_s, pos = lax.top_k(s, kk)
             return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
 
@@ -2071,7 +2092,9 @@ class IVFIPIndex:
             approximations: q.centroid (free from stage 0) + q.decode(code);
             like FAISS IVFPQ they rank well but are not exact inner
             products."""
-            clustered, ids, cents, _, cb, rot, _, _, queries = unpack(args)
+            clustered, ids, cents, _, cb, rot, _, _, queries, sel = (
+                unpack(args)
+            )
             q = queries.shape[0]
             probe, slots, hit_ids, cent_s = probe_clusters(
                 ids, cents, queries
@@ -2100,7 +2123,7 @@ class IVFIPIndex:
                     interpret=FORCE_INTERPRET,
                 ).reshape(q, p * cap)
                 s = s + jnp.repeat(cent_s, cap, axis=1)
-                s = jnp.where(hit_ids >= 0, s, NEG_INF)
+                s = jnp.where(eligible(hit_ids, sel), s, NEG_INF)
                 top_s, pos = lax.top_k(s, kk)
                 return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
             codes = jnp.take(clustered, slots, axis=0)  # [Q, p*cap, m]
@@ -2141,7 +2164,7 @@ class IVFIPIndex:
                 "qd,qnd->qn", q_dec.astype(jnp.bfloat16), recon,
                 preferred_element_type=jnp.float32,
             ) + jnp.repeat(cent_s, cap, axis=1)
-            s = jnp.where(hit_ids >= 0, s, NEG_INF)
+            s = jnp.where(eligible(hit_ids, sel), s, NEG_INF)
             top_s, pos = lax.top_k(s, kk)
             return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
 
@@ -2149,7 +2172,7 @@ class IVFIPIndex:
             """IVF+PCA: score probed rows in the projected d' space (d'/D of
             the gather bytes), gather only the top-C full rows, rerank
             exactly."""
-            clustered, ids, cents, scale, _, _, low, proj, queries = (
+            clustered, ids, cents, scale, _, _, low, proj, queries, sel = (
                 unpack(args)
             )
             _, slots, hit_ids, _ = probe_clusters(ids, cents, queries)
@@ -2159,7 +2182,9 @@ class IVFIPIndex:
                 "qe,qne->qn", q_low, rows_low,
                 preferred_element_type=jnp.float32,
             )
-            s1 = jnp.where(hit_ids >= 0, s1, NEG_INF)
+            # filter BEFORE candidate selection so the rerank pool is not
+            # wasted on ineligible rows (same rationale as the refine tier)
+            s1 = jnp.where(eligible(hit_ids, sel), s1, NEG_INF)
             # the 0.95 here is approx_max_k's OWN selection recall on the
             # projected scores; the nprobe tuner measures the COMPOUND
             # recall on the final config, so it self-corrects
@@ -2178,7 +2203,7 @@ class IVFIPIndex:
             )
             if scale is not None:
                 s2 = s2 * jnp.take(scale, slots_sel, axis=0)
-            s2 = jnp.where(cand_ids >= 0, s2, NEG_INF)
+            s2 = jnp.where(eligible(cand_ids, sel), s2, NEG_INF)
             top_s, pos = lax.top_k(s2, kk_out)
             return top_s, jnp.take_along_axis(cand_ids, pos, axis=1)
 
@@ -2205,7 +2230,8 @@ class IVFIPIndex:
         shard_fn = jax.shard_map(
             block_fn,
             mesh=mesh,
-            in_specs=array_specs + (P(),),
+            # queries replicated; selector mask (row-id space) replicated too
+            in_specs=array_specs + (P(),) + ((P(),) if selector else ()),
             out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
             # pallas_call outputs carry no vma metadata; with the default
             # check_vma=True the Pallas gather/ADC paths fail to trace on a
@@ -2223,15 +2249,18 @@ class IVFIPIndex:
 
         return sharded
 
-    def _build_search(self, k: int, nprobe: int, candidates: Optional[int]):
-        fn = self.search_callable(k, nprobe, candidates)
+    def _build_search(self, k: int, nprobe: int, candidates: Optional[int],
+                      *, selector: bool = False):
+        fn = self.search_callable(k, nprobe, candidates, selector=selector)
         if self.mesh is None:
             return jax.jit(fn)
         mesh = self.mesh
+        sel_shard = ((NamedSharding(mesh, P()),) if selector else ())
         return jax.jit(
             fn,
             in_shardings=self.search_arg_shardings(mesh)
-            + (NamedSharding(mesh, P()),),
+            + (NamedSharding(mesh, P()),)
+            + sel_shard,
             out_shardings=NamedSharding(mesh, P()),
         )
 
@@ -2242,14 +2271,30 @@ class IVFIPIndex:
         batch_size: int = 64,
         nprobe: Optional[int] = None,
         candidates: Optional[int] = None,
+        *,
+        allowed_ids=None,
+        disallowed_ids=None,
+        selector=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched probe-and-rerank search. Returns fp32 scores and int32
         indices, shapes [Q, k] — same surface as ``FlatIPIndex.search``
         (default batch_size is smaller: the probed-row gather is the
         memory peak). Unreachable tail slots are score -inf / index -1,
         matching FAISS IVF semantics. ``candidates`` applies only to the
-        PCA-hybrid configuration (rerank pool size)."""
+        PCA-hybrid configuration (rerank pool size).
+
+        ``allowed_ids``/``disallowed_ids``/``selector`` filter results to a
+        subset of corpus row ids (FAISS IDSelector analog; see
+        ``search_callable`` for the IVF probing caveat)."""
+        from rankpo_tpu.index.flat import (
+            build_selector_mask,
+            mask_filtered_misses,
+        )
+
         k = min(k, self.n_total)
+        sel_mask = build_selector_mask(
+            self.n_total, allowed_ids, disallowed_ids, selector
+        )
         p_used, _ = self._effective_probe(k, nprobe)
         c_used = (
             self._effective_candidates(k, candidates)
@@ -2276,12 +2321,22 @@ class IVFIPIndex:
                 np.zeros((0, k), np.int32),
             )
         with self._search_lock:
-            key = (k, p_used, c_used)
+            key = (k, p_used, c_used, sel_mask is not None)
             search_fn = self._search_fns.get(key)
             if search_fn is None:
                 search_fn = self._search_fns[key] = self._build_search(
-                    k, p_used, candidates
+                    k, p_used, candidates, selector=sel_mask is not None
                 )
+        sel_args = ()
+        if sel_mask is not None:
+            # row-id-space mask padded to the (stable) global slot count —
+            # the clip in `eligible` may read pad entries, which stay False
+            padded = np.zeros(int(self.row_ids.shape[0]), np.bool_)
+            padded[: self.n_total] = sel_mask
+            if self.mesh is not None:
+                sel_args = (replicate_to_mesh(padded, self.mesh),)
+            else:
+                sel_args = (jnp.asarray(padded),)
         n_q = queries.shape[0]
         pending = []
         for lo in range(0, n_q, batch_size):
@@ -2295,7 +2350,7 @@ class IVFIPIndex:
                 block_dev = replicate_to_mesh(block, self.mesh)
             else:
                 block_dev = jnp.asarray(block)
-            scores, idx = search_fn(*self.search_arrays, block_dev)
+            scores, idx = search_fn(*self.search_arrays, block_dev, *sel_args)
             scores.copy_to_host_async()
             idx.copy_to_host_async()
             pending.append((scores, idx, real))
@@ -2307,7 +2362,11 @@ class IVFIPIndex:
             np.asarray(i)[:r].astype(np.int32, copy=False)
             for _, i, r in pending
         ]
-        return np.concatenate(all_scores), np.concatenate(all_idx)
+        out_scores = np.concatenate(all_scores)
+        out_idx = np.concatenate(all_idx)
+        if sel_mask is not None:
+            out_idx = mask_filtered_misses(out_scores, out_idx)
+        return out_scores, out_idx
 
     # ------------------------------------------------------------------
     def _exact_callable(self, k: int, n_queries: int):

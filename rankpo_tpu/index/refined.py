@@ -603,15 +603,24 @@ class RefineIPIndex:
             NamedSharding(mesh, P()),
         )
 
-    def search_callable(self, k: int, candidates: Optional[int] = None):
+    def search_callable(self, k: int, candidates: Optional[int] = None,
+                        *, selector: bool = False):
         """Unjitted ``(corpus, corpus_low, proj, n_valid, queries) ->
         (scores, idx)`` for composing into larger jitted programs (serving
-        fuses encode+search into one dispatch)."""
+        fuses encode+search into one dispatch).
+
+        ``selector=True`` builds the FILTERED variant (IDSelector analog):
+        a trailing bool [n_padded] eligibility mask (row-sharded) joins the
+        signature. The stage-1 prefilter selects its top-C among ELIGIBLE
+        rows only — filtering before selection, not after — so the rerank
+        pool is not wasted on excluded rows and the tuned recall target
+        carries over to filtered searches."""
         c_cand = int(candidates if candidates is not None else self.candidates)
         c_cand = max(c_cand, k)
         mesh = self.mesh
 
-        def two_stage(corpus_rows, low_rows, proj, queries, n_valid, offset):
+        def two_stage(corpus_rows, low_rows, proj, queries, n_valid, offset,
+                      sel):
             """One shard's (or the whole, mesh=None) two-stage pass."""
             n_rows = low_rows.shape[0]
             cc = min(c_cand, n_rows)
@@ -623,6 +632,10 @@ class RefineIPIndex:
             )
             col = jax.lax.broadcasted_iota(jnp.int32, s1.shape, dimension=1)
             s1 = jnp.where(col < n_valid, s1, jnp.asarray(NEG_INF, s1.dtype))
+            if sel is not None:
+                s1 = jnp.where(
+                    sel[None, :], s1, jnp.asarray(NEG_INF, s1.dtype)
+                )
             # the 0.95 here is approx_max_k's OWN selection recall on the
             # projected scores; the build-time tuner measures the COMPOUND
             # (projection x selection) recall, so C self-corrects for it
@@ -640,34 +653,52 @@ class RefineIPIndex:
             # padding rows can reach the candidate list only when the shard
             # has fewer than cc valid rows; mask them out of the rerank
             s2 = jnp.where(cand < n_valid, s2, NEG_INF)
+            if sel is not None:
+                # candidates may still include ineligible rows when fewer
+                # than cc eligible rows exist in this shard
+                s2 = jnp.where(jnp.take(sel, cand, axis=0), s2, NEG_INF)
             top_s, pos = jax.lax.top_k(s2, kk)
             top_i = jnp.take_along_axis(cand, pos, axis=1)
             return top_s, top_i + jnp.int32(offset)
 
         if mesh is None:
 
+            if selector:
+
+                def single_sel(corpus_arg, low_arg, proj_arg, n_valid,
+                               queries, sel):
+                    return two_stage(
+                        corpus_arg, low_arg, proj_arg, queries, n_valid, 0,
+                        sel,
+                    )
+
+                return single_sel
+
             def single(corpus_arg, low_arg, proj_arg, n_valid, queries):
                 return two_stage(
-                    corpus_arg, low_arg, proj_arg, queries, n_valid, 0
+                    corpus_arg, low_arg, proj_arg, queries, n_valid, 0, None
                 )
 
             return single
 
         shard_rows = self._shard_rows
 
-        def per_shard(corpus_local, low_local, proj_arg, n_valid, queries):
+        def per_shard(corpus_local, low_local, proj_arg, n_valid, queries,
+                      *sel):
             shard_id = jax.lax.axis_index(DATA_AXIS)
             offset = shard_id * shard_rows
             n_valid_local = jnp.clip(n_valid - offset, 0, shard_rows)
             return two_stage(
                 corpus_local, low_local, proj_arg, queries,
-                n_valid_local, offset,
+                n_valid_local, offset, sel[0] if sel else None,
             )
 
+        sel_spec = (P(DATA_AXIS),) if selector else ()
         shard_fn = jax.shard_map(
             per_shard,
             mesh=mesh,
-            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(), P(), P()),
+            in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(), P(), P())
+            + sel_spec,
             out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
         )
 
@@ -676,9 +707,9 @@ class RefineIPIndex:
         # compiled program to one corpus size
         k_out = min(k, self.n_padded)
 
-        def sharded(corpus_arg, low_arg, proj_arg, n_valid, queries):
+        def sharded(corpus_arg, low_arg, proj_arg, n_valid, queries, *sel):
             cand_scores, cand_idx = shard_fn(
-                corpus_arg, low_arg, proj_arg, n_valid, queries
+                corpus_arg, low_arg, proj_arg, n_valid, queries, *sel
             )
             final_scores, pos = jax.lax.top_k(cand_scores, k_out)
             final_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
@@ -686,17 +717,33 @@ class RefineIPIndex:
 
         return sharded
 
-    def _build_search(self, k: int, candidates: int):
-        fn = self.search_callable(k, candidates)
+    def _build_search(self, k: int, candidates: int, *,
+                      selector: bool = False):
+        fn = self.search_callable(k, candidates, selector=selector)
         if self.mesh is None:
             return jax.jit(fn)
         mesh = self.mesh
+        sel_shard = (
+            (NamedSharding(mesh, P(DATA_AXIS)),) if selector else ()
+        )
         return jax.jit(
             fn,
             in_shardings=self.search_arg_shardings(mesh)
-            + (NamedSharding(mesh, P()),),
+            + (NamedSharding(mesh, P()),)
+            + sel_shard,
             out_shardings=NamedSharding(mesh, P()),
         )
+
+    def _place_selector(self, mask: np.ndarray):
+        """Pad a bool [n_total] eligibility mask to the padded row count and
+        shard it like the rows (pad rows ineligible)."""
+        padded = np.zeros(self.n_padded, np.bool_)
+        padded[: self.n_total] = mask
+        if self.mesh is None:
+            return jnp.asarray(padded)
+        from rankpo_tpu.core.mesh import shard_rows_to_mesh
+
+        return shard_rows_to_mesh(padded, self.mesh)
 
     def search(
         self,
@@ -704,25 +751,44 @@ class RefineIPIndex:
         k: int = 100,
         batch_size: int = 256,
         candidates: Optional[int] = None,
+        *,
+        allowed_ids=None,
+        disallowed_ids=None,
+        selector=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched two-stage search. Returns fp32 scores and int32 indices,
-        shapes [Q, k] — same surface as ``FlatIPIndex.search``."""
+        shapes [Q, k] — same surface as ``FlatIPIndex.search``, including
+        the ``allowed_ids``/``disallowed_ids``/``selector`` filter kwargs
+        (FAISS IDSelector analog; unfillable tail padded score -inf /
+        index -1). The stage-1 prefilter applies the filter BEFORE
+        candidate selection (see ``search_callable``)."""
+        from rankpo_tpu.index.flat import (
+            build_selector_mask,
+            mask_filtered_misses,
+        )
+
         k = min(k, self.n_total)
         c_used = int(candidates if candidates is not None else self.candidates)
         c_used = max(c_used, k)
         queries = np.asarray(queries, np.float32)
+        sel_mask = build_selector_mask(
+            self.n_total, allowed_ids, disallowed_ids, selector
+        )
         if queries.shape[0] == 0:
             return (
                 np.zeros((0, k), np.float32),
                 np.zeros((0, k), np.int32),
             )
         with self._search_lock:
-            key = (k, c_used)
+            key = (k, c_used, sel_mask is not None)
             search_fn = self._search_fns.get(key)
             if search_fn is None:
                 search_fn = self._search_fns[key] = self._build_search(
-                    k, c_used
+                    k, c_used, selector=sel_mask is not None
                 )
+        sel_args = ()
+        if sel_mask is not None:
+            sel_args = (self._place_selector(sel_mask),)
         n_q = queries.shape[0]
         pending = []
         for lo in range(0, n_q, batch_size):
@@ -738,7 +804,7 @@ class RefineIPIndex:
                 block_dev = jnp.asarray(block)
             scores, idx = search_fn(
                 self.corpus, self.corpus_low, self.proj, self._n_valid_dev,
-                block_dev,
+                block_dev, *sel_args,
             )
             scores.copy_to_host_async()
             idx.copy_to_host_async()
@@ -751,7 +817,11 @@ class RefineIPIndex:
             np.asarray(i)[:r].astype(np.int32, copy=False)
             for _, i, r in pending
         ]
-        return np.concatenate(all_scores), np.concatenate(all_idx)
+        out_scores = np.concatenate(all_scores)
+        out_idx = np.concatenate(all_idx)
+        if sel_mask is not None:
+            out_idx = mask_filtered_misses(out_scores, out_idx)
+        return out_scores, out_idx
 
     def reconstruct(self, ids) -> np.ndarray:
         """Stored rerank rows for corpus ids, decoded to fp32 — FAISS

@@ -248,6 +248,7 @@ def dense_matmul_topk(
     col_scale: jax.Array | None = None,
     precision: str | None = None,
     int8_mxu: bool | None = None,
+    row_mask: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Full [Q, N] score matrix + top_k. Fastest when it fits HBM.
 
@@ -274,7 +275,12 @@ def dense_matmul_topk(
     (benchmarks/int8_mxu_probe.py): exact 29.3 -> 25.5 ms (recall 0.9885
     -> 0.9842 — query quantization costs ~0.4% on top of the storage
     trade), approx r0.95 12.6 ms = 81k QPS (the dequant path measured no
-    bf16-score gain; int8-MXU removes the dequant entirely)."""
+    bf16-score gain; int8-MXU removes the dequant entirely).
+
+    ``row_mask``: optional bool [N] aligned with corpus rows; rows where
+    False score -inf before selection (the FAISS IDSelector analog — one
+    where-select on the score matrix, exactly like the ``n_valid`` pad
+    mask it composes with)."""
     n = corpus.shape[0]
     k = min(k, n)
     quantized = corpus.dtype == jnp.int8
@@ -285,7 +291,7 @@ def dense_matmul_topk(
         return _dense_matmul_topk_int8(
             queries, corpus, k=k, n_valid=n_valid,
             index_offset=index_offset, recall_target=recall_target,
-            col_scale=col_scale,
+            col_scale=col_scale, row_mask=row_mask,
         )
     if quantized:
         # symmetric per-row quantized storage: dequant fuses into the matmul
@@ -332,6 +338,10 @@ def dense_matmul_topk(
     if n_valid is not None:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
         scores = jnp.where(col < n_valid, scores, jnp.asarray(NEG_INF, acc_dtype))
+    if row_mask is not None:
+        scores = jnp.where(
+            row_mask[None, :], scores, jnp.asarray(NEG_INF, acc_dtype)
+        )
     if recall_target < 1.0:
         top_scores, idx = jax.lax.approx_max_k(
             scores, k, recall_target=recall_target, aggregate_to_topk=True
@@ -351,6 +361,7 @@ def _dense_matmul_topk_int8(
     index_offset: int | jax.Array,
     recall_target: float,
     col_scale: jax.Array | None,
+    row_mask: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """True int8 x int8 -> int32 search over int8 storage (see the
     ``int8_mxu`` decision record on ``dense_matmul_topk``). Scores are
@@ -368,6 +379,8 @@ def _dense_matmul_topk_int8(
     if n_valid is not None:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
         scores = jnp.where(col < n_valid, scores, NEG_INF)
+    if row_mask is not None:
+        scores = jnp.where(row_mask[None, :], scores, NEG_INF)
     if recall_target < 1.0:
         top_scores, idx = jax.lax.approx_max_k(
             scores, k, recall_target=recall_target, aggregate_to_topk=True
@@ -391,11 +404,14 @@ def matmul_topk(
     precision: str | None = None,
     int8_mxu: bool | None = None,
     score_budget: int | None = None,
+    row_mask: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """queries [Q, D], corpus [N, D] -> (scores [Q, k] fp32, indices [Q, k] int32).
 
     ``n_valid``: number of real corpus rows (rows >= n_valid are padding and
     score -inf). ``index_offset``: added to returned indices (shard offset).
+    ``row_mask``: optional bool [N] eligibility mask (IDSelector analog,
+    see ``dense_matmul_topk``).
     ``score_budget``: per-chunk fp32 score-matrix byte cap (None = the 4 GB
     default, auto-shrunk on TPU when the resident corpus makes that plan
     OOM-certain — see ``_auto_score_budget``).
@@ -413,7 +429,7 @@ def matmul_topk(
         return dense_matmul_topk(
             queries, corpus, k=k, n_valid=n_valid, index_offset=index_offset,
             recall_target=recall_target, col_scale=col_scale,
-            precision=precision, int8_mxu=int8_mxu,
+            precision=precision, int8_mxu=int8_mxu, row_mask=row_mask,
         )
 
     # beyond the budget: python-unrolled loop over budget-sized column CHUNKS,
@@ -456,6 +472,7 @@ def matmul_topk(
             col_scale=None if col_scale is None else col_scale[lo:hi],
             precision=precision,
             int8_mxu=int8_mxu,
+            row_mask=None if row_mask is None else row_mask[lo:hi],
         )
         # chunks ascend in index; (previous best, current chunk) concat order
         # preserves lowest-index-first tie-breaking

@@ -82,6 +82,10 @@ class MultihostFrontend:
         k: int = 10,
         *,
         return_passages: bool = True,
+        allowed_ids=None,
+        disallowed_ids=None,
+        nprobe=None,
+        candidates=None,
     ):
         if self.process_index != 0:
             raise RuntimeError("query() is rank-0 only; followers run follower_loop()")
@@ -95,10 +99,28 @@ class MultihostFrontend:
             raise ValueError("Input items should be text.")
         if self.service.index is None:
             raise RuntimeError("no index built; call build_index first")
+        if allowed_ids is not None and disallowed_ids is not None:
+            raise ValueError(
+                "give at most one of allowed_ids / disallowed_ids"
+            )
+        # the filter mask rides the index's search program on every process
+        # (a sharded/replicated collective input), so it must broadcast with
+        # the queries; same-positional-filter replay keeps the pod in lockstep
+        sel = {}
+        if allowed_ids is not None:
+            sel["allowed_ids"] = [int(i) for i in allowed_ids]
+        if disallowed_ids is not None:
+            sel["disallowed_ids"] = [int(i) for i in disallowed_ids]
+        if nprobe is not None:
+            sel["nprobe"] = int(nprobe)
+        if candidates is not None:
+            sel["candidates"] = int(candidates)
         with self._lock:
-            self._broadcast({"op": "query", "texts": batch, "k": int(k)})
+            self._broadcast(
+                {"op": "query", "texts": batch, "k": int(k), **sel}
+            )
             result = self.service.query(
-                batch, k=k, return_passages=return_passages
+                batch, k=k, return_passages=return_passages, **sel
             )
         return result[0] if single else result
 
@@ -159,8 +181,15 @@ class MultihostFrontend:
                 elif msg["op"] == "save":
                     self.service.save_index(msg["path"])
                 else:
+                    sel = {
+                        key: msg[key]
+                        for key in ("allowed_ids", "disallowed_ids",
+                                    "nprobe", "candidates")
+                        if key in msg
+                    }
                     self.service.query(
-                        msg["texts"], k=msg["k"], return_passages=False
+                        msg["texts"], k=msg["k"], return_passages=False,
+                        **sel,
                     )
             except Exception:
                 # rank 0 catches its own copy of the failure and keeps

@@ -1058,22 +1058,79 @@ class RetrievalService:
         return (np.concatenate(all_s), np.concatenate(all_i), corpus_texts,
                 ext_ids)
 
+    def _selector_kwargs(self, allowed_ids, disallowed_ids,
+                         ext_ids) -> Dict:
+        """Translate per-request filters into index-tier selector kwargs —
+        the FAISS ``SearchParameters(sel=...)`` analog. In stable_ids mode
+        the ids are EXTERNAL ids (unknown ids simply never match, like a
+        FAISS IDSelectorBatch holding absent ids); in positional mode they
+        are corpus positions (range-checked by the tier)."""
+        if allowed_ids is None and disallowed_ids is None:
+            return {}
+        if allowed_ids is not None and disallowed_ids is not None:
+            raise ValueError(
+                "give at most one of allowed_ids / disallowed_ids"
+            )
+        if self.stable_ids:
+            ids = np.asarray(
+                allowed_ids if allowed_ids is not None else disallowed_ids,
+                np.int64,
+            ).reshape(-1)
+            mask = np.isin(np.asarray(ext_ids, np.int64), ids)
+            if disallowed_ids is not None:
+                mask = ~mask
+            return {"selector": mask}
+        if allowed_ids is not None:
+            return {"allowed_ids": allowed_ids}
+        return {"disallowed_ids": disallowed_ids}
+
     def query(
         self,
         texts: Sequence[str] | str,
         k: int = 10,
         *,
         return_passages: bool = True,
+        allowed_ids=None,
+        disallowed_ids=None,
+        nprobe: Optional[int] = None,
+        candidates: Optional[int] = None,
     ) -> List[Dict]:
         """Top-k passages per query text. Hits carry ``index`` (corpus
-        position) and, in stable_ids mode, ``id`` (the external id)."""
+        position) and, in stable_ids mode, ``id`` (the external id).
+
+        ``allowed_ids`` / ``disallowed_ids`` restrict the search to a
+        passage subset (FAISS IDSelector analog) — external ids under
+        stable_ids, corpus positions otherwise. ``nprobe`` (IVF tiers) and
+        ``candidates`` (refine / IVF+PCA rerank pool) override the tuned
+        index knobs for this call — the FAISS ``SearchParametersIVF`` /
+        per-call parameter analog (FAISS search(..., params=...)).
+        Requests carrying any of these take the two-dispatch path (the
+        fused program bakes the tuned knobs and has no mask argument); each
+        applies to this call only."""
         index, corpus_texts, ext_ids = self._state  # one consistent snapshot
         if index is None:
             raise RuntimeError("no index built; call build_index first")
+        sel_kwargs = self._selector_kwargs(
+            allowed_ids, disallowed_ids, ext_ids
+        )
+        if nprobe is not None:
+            if not hasattr(index, "nprobe"):
+                raise ValueError(
+                    "nprobe applies to IVF indexes only (--index_type ivf)"
+                )
+            sel_kwargs["nprobe"] = int(nprobe)
+        if candidates is not None:
+            if not hasattr(index, "candidates"):
+                raise ValueError(
+                    "candidates applies to two-stage indexes only "
+                    "(--index_type refine, or ivf with --ivf_reduced_dim)"
+                )
+            sel_kwargs["candidates"] = int(candidates)
         single = isinstance(texts, str)
         if single:
             texts = [texts]
-        if self.fuse_encode_search and self.encoder.mesh is self.mesh:
+        if (not sel_kwargs and self.fuse_encode_search
+                and self.encoder.mesh is self.mesh):
             # the fused path re-snapshots internally (its compiled program,
             # corpus, AND k clamp must come from one state read); use ITS
             # texts/ids for hit decoration
@@ -1093,7 +1150,8 @@ class RetrievalService:
                 description="Encoding queries",
             )
             scores, indices = index.search(
-                q_emb, k=k_eff, batch_size=self.query_batch_size
+                q_emb, k=k_eff, batch_size=self.query_batch_size,
+                **sel_kwargs,
             )
         results = []
         for qi in range(len(texts)):

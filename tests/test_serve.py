@@ -233,6 +233,21 @@ class TestHTTPServer:
                 body = json.loads(r.read())
             assert body["results"][0]["hits"][0]["index"] == 7
 
+            # FAISS IDSelector analog over HTTP: allowed_ids restricts the
+            # hit set for this request only
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps(
+                    {"queries": ["document 5 on distinct topic 5"], "k": 3,
+                     "allowed_ids": [2, 9]}
+                ).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            hits = body["results"][0]["hits"]
+            assert hits and all(h["index"] in (2, 9) for h in hits)
+
             # malformed bodies get a 400 with a usage message, not a 500
             # (urllib.error is loaded by the module-level urllib.request
             # import; importing it here would shadow the module local)

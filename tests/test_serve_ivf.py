@@ -49,6 +49,38 @@ class TestIVFServing:
         assert res["hits"][0]["passage"].startswith("document 7")
         assert all(h["index"] >= 0 for h in res["hits"])
 
+    def test_per_request_nprobe(self, ivf_service):
+        # FAISS SearchParametersIVF analog: nprobe=<all clusters> per call
+        # must retrieve the target even if a smaller nprobe would miss it;
+        # the tuned index knob is untouched
+        res = ivf_service.query("document 11 on distinct topic 11", k=3,
+                                nprobe=8)
+        assert res["hits"][0]["index"] == 11
+        assert ivf_service.index.nprobe == 8
+        # nprobe=1 still answers (tiny corpus; behavior not tie order)
+        res1 = ivf_service.query("document 11 on distinct topic 11", k=3,
+                                 nprobe=1)
+        assert all(h["index"] >= 0 for h in res1["hits"])
+
+    def test_nprobe_composes_with_filter(self, ivf_service):
+        res = ivf_service.query("document 11 on distinct topic 11", k=4,
+                                nprobe=8, allowed_ids=[4, 11])
+        assert res["hits"]
+        assert all(h["index"] in (4, 11) for h in res["hits"])
+
+    def test_candidates_rejected_on_flat(self, data_mesh):
+        cfg = tiny_llama_config(vocab_size=256)
+        enc = InferenceEncoder(cfg, init_params(jax.random.key(0), cfg),
+                               HashTokenizer(vocab_size=256), mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+        svc = RetrievalService(enc, mesh=data_mesh, max_query_length=16)
+        svc.build_index([f"doc {i}" for i in range(8)],
+                        max_passage_length=16, batch_size=8)
+        with pytest.raises(ValueError, match="nprobe applies"):
+            svc.query("doc 1", k=2, nprobe=4)
+        with pytest.raises(ValueError, match="candidates applies"):
+            svc.query("doc 1", k=2, candidates=16)
+
     def test_fused_matches_two_dispatch(self, ivf_service):
         queries = ["document 3 on distinct topic 3",
                    "document 19 on distinct topic 19"]

@@ -46,6 +46,17 @@ class TestRefineServing:
         assert res["hits"][0]["score"] == pytest.approx(1.0, abs=1e-2)
         assert res["hits"][0]["passage"].startswith("document 7")
 
+    def test_per_request_candidates(self, refine_service):
+        # FAISS per-call parameter analog: a full-width rerank pool per
+        # request; the tuned index knob is untouched
+        res = refine_service.query("document 7 on distinct topic 7", k=3,
+                                   candidates=32)
+        assert res["hits"][0]["index"] == 7
+        assert refine_service.index.candidates == 16
+        with pytest.raises(ValueError, match="nprobe applies"):
+            refine_service.query("document 7 on distinct topic 7", k=3,
+                                 nprobe=4)
+
     def test_fused_matches_two_dispatch(self, refine_service):
         queries = ["document 3 on distinct topic 3",
                    "document 19 on distinct topic 19"]
