@@ -191,3 +191,85 @@ def test_two_process_eval_matches_single(tmp_path):
         for row, multi_row in zip(p_indices.tolist(), multi0["pq_indices"])
     ]
     assert sum(overlaps) / len(overlaps) >= 0.8, overlaps
+
+
+_SELECTOR_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, "/root/repo")
+pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+
+import numpy as np
+from rankpo_tpu.core.mesh import MeshConfig, make_mesh
+from rankpo_tpu.index.flat import FlatIPIndex
+from rankpo_tpu.index.ivf import IVFIPIndex
+
+mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+rng = np.random.default_rng(7)
+corpus = rng.normal(size=(203, 64)).astype(np.float32)
+queries = rng.normal(size=(9, 64)).astype(np.float32)
+allowed = np.sort(rng.choice(203, 41, replace=False))
+
+# flat: filtered exact search is a collective (row-sharded mask) — both
+# processes must produce the same, oracle-exact result
+flat = FlatIPIndex(corpus, mesh=mesh)
+fs, fi = flat.search(queries, k=10, allowed_ids=allowed)
+
+# ivf, full probe: filtered hit sets must also agree across processes
+ivf = IVFIPIndex(corpus, mesh=mesh, n_clusters=8, nprobe=8, kmeans_iters=2)
+_, ii = ivf.search(queries, k=10, allowed_ids=allowed)
+
+with open(os.path.join(outdir, f"sel_{pid}.json"), "w") as f:
+    json.dump({"flat_scores": fs.tolist(), "flat_idx": fi.tolist(),
+               "ivf_idx": ii.tolist(), "allowed": allowed.tolist()}, f)
+"""
+
+
+def test_two_process_filtered_search_matches_oracle(tmp_path):
+    """Filtered search (IDSelector analog) across a 2-process mesh: the
+    selector mask is a collective input (row-sharded for flat, replicated
+    for IVF) — both processes must agree, flat must match the filtered
+    numpy oracle bit-for-bit, and every hit must be eligible."""
+    import numpy as np
+
+    worker = tmp_path / "sel_worker.py"
+    worker.write_text(_SELECTOR_WORKER)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    port = str(_free_port())
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), port, str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err[-3000:]
+    r0 = json.loads((tmp_path / "sel_0.json").read_text())
+    r1 = json.loads((tmp_path / "sel_1.json").read_text())
+    assert r0 == r1, "processes disagree on filtered search"
+
+    # filtered numpy oracle (same deterministic inputs as the worker)
+    rng = np.random.default_rng(7)
+    corpus = rng.normal(size=(203, 64)).astype(np.float32)
+    queries = rng.normal(size=(9, 64)).astype(np.float32)
+    allowed = np.sort(rng.choice(203, 41, replace=False))
+    assert r0["allowed"] == allowed.tolist()
+    scores = queries @ corpus.T
+    mask = np.zeros(203, bool)
+    mask[allowed] = True
+    scores[:, ~mask] = -np.inf
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :10]
+    assert r0["flat_idx"] == order.tolist()
+    aset = set(allowed.tolist())
+    for row in r0["ivf_idx"]:
+        assert set(i for i in row if i >= 0) <= aset
