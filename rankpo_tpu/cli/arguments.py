@@ -173,6 +173,26 @@ class TrainDataArguments:
         default=16,
         metadata={"help": "Packing: max texts per packed row."},
     )
+    retrieval_eval_query_file: Optional[str] = dataclasses.field(
+        default=None,
+        metadata={"help": "In-training retrieval eval: query jsonl "
+                          "(rankpo-evaluate schema: query text + positive "
+                          "corpus indices). At each eval point (per "
+                          "--eval_strategy) the LIVE params encode it and "
+                          "retrieval_* metrics (MRR/Recall/AUC/nDCG) join "
+                          "the training log — the offline evaluate.py loop, "
+                          "live (eval/in_training.py)."},
+    )
+    retrieval_eval_corpus_file: Optional[str] = dataclasses.field(
+        default=None,
+        metadata={"help": "In-training retrieval eval: corpus jsonl "
+                          "(required with --retrieval_eval_query_file)."},
+    )
+    retrieval_eval_k: int = dataclasses.field(
+        default=100,
+        metadata={"help": "In-training retrieval eval: search depth (also "
+                          "caps the metric cutoffs 1,5,10,20,100)."},
+    )
 
     def to_json_string(self):
         return _json_str(self)

@@ -238,6 +238,13 @@ def main(argv=None):
         logger.info("resuming trainer state from %s", resume)
         trainer.resume_from(resume)
 
+    from rankpo_tpu.eval.in_training import maybe_attach_retrieval_eval
+
+    maybe_attach_retrieval_eval(
+        trainer, data_args, config, tokenizer,
+        mesh=mesh, attn_impl=model_args.attn_impl,
+    )
+
     eval_dataset = None
     if data_args.eval_data:
         eval_dataset = ContrastiveDataset(

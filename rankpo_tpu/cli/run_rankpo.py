@@ -222,6 +222,26 @@ def main(argv=None):
         logger.info("resuming trainer state from %s", resume)
         trainer.resume_from(resume)
 
+    from rankpo_tpu.eval.in_training import maybe_attach_retrieval_eval
+
+    attached = maybe_attach_retrieval_eval(
+        trainer, data_args, config, tokenizer,
+        mesh=mesh, attn_impl=model_args.attn_impl,
+    )
+    if attached and r_args.use_lora:
+        # the trainable tree is adapters only: merge with the frozen base
+        # ON DEVICE (replicated out) before each retrieval encode
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        hook = trainer.retrieval_eval_fn
+        merge_fn = jax.jit(
+            lambda base, lp: merge_lora(base, lp, lora_cfg),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+        trainer.retrieval_eval_fn = lambda p: hook(
+            merge_fn(trainer.frozen_params["base"], p)
+        )
+
     eval_dataset = None
     if data_args.eval_data:
         eval_dataset = PairPreferenceDataset(

@@ -44,6 +44,7 @@ class InferenceEncoder:
         compute_dtype=jnp.bfloat16,
         attn_impl: str = "auto",
         length_multiple: int = 64,
+        params_are_placed: bool = False,
     ):
         self.config = config
         self.tokenizer = tokenizer
@@ -60,7 +61,13 @@ class InferenceEncoder:
         self.process_count = jax.process_count()
         self.process_index = jax.process_index()
         if mesh is not None:
-            self.params = replicate_to_mesh(params, mesh)
+            # params_are_placed: the caller already holds mesh-replicated
+            # device arrays (the in-training retrieval hook reshards LIVE
+            # trainer params on device) — replicate_to_mesh would fetch the
+            # whole tree to host in multi-process mode just to re-place it
+            self.params = (
+                params if params_are_placed else replicate_to_mesh(params, mesh)
+            )
             batch_sharding = NamedSharding(mesh, P(DATA_AXIS))
         else:
             self.params = params

@@ -129,6 +129,10 @@ class Trainer:
         self.total_steps = total_steps
         self.save_params_fn = save_params_fn
         self.log_fn = log_fn
+        # optional in-training retrieval eval hook: (params) -> metric dict,
+        # called at eval points alongside (or instead of) the loss eval —
+        # set post-construction (eval/in_training.py RetrievalEvalHook)
+        self.retrieval_eval_fn: Optional[Callable] = None
         self.tx, self.schedule = make_optimizer(config, total_steps)
 
         dp = mesh.shape[DATA_AXIS]
@@ -381,12 +385,21 @@ class Trainer:
         return metrics
 
     def _maybe_evaluate(self, global_step: int, epoch: int) -> None:
-        if self._eval_data is None:
+        logs: Dict[str, float] = {}
+        if self._eval_data is not None:
+            eval_dataset, eval_collator = self._eval_data
+            logs.update(self.evaluate(eval_dataset, eval_collator))
+        if self.retrieval_eval_fn is not None:
+            # in-training retrieval metrics on LIVE params (the paper's
+            # nDCG-retention story measured during the run instead of
+            # offline over checkpoints; eval/in_training.py). Collective:
+            # every process calls it; logging stays rank-aware like _log.
+            t0 = time.time()
+            logs.update(self.retrieval_eval_fn(self.state.params))
+            logs["retrieval_eval_runtime"] = round(time.time() - t0, 2)
+        if not logs:
             return
-        eval_dataset, eval_collator = self._eval_data
-        metrics = self.evaluate(eval_dataset, eval_collator)
-        logs = {"global_step": global_step, "epoch": epoch, **metrics}
-        self._log(logs)
+        self._log({"global_step": global_step, "epoch": epoch, **logs})
 
     def train(
         self,

@@ -412,3 +412,75 @@ def test_pack_sequences_contrastive(workspace, tmp_path):
     assert len(gc_history) == 2  # 16 rows / (8-dev micro x accum 2) x 2 epochs
     assert all(np.isfinite(h["loss"]) for h in gc_history)
     assert "accuracy" in gc_history[0]
+
+
+def test_retrieval_eval_flags_contrastive(workspace, tmp_path):
+    """--retrieval_eval_* on the training CLI: at each eval point the LIVE
+    params run the offline encode->search->metrics harness and retrieval_*
+    metrics join the training history (eval/in_training.py)."""
+    from rankpo_tpu.cli.run_contrastive import main as run_contrastive
+
+    root, base_model = workspace
+    history = run_contrastive([
+        "--model_name_or_path", base_model,
+        "--tokenizer_name", TOK,
+        "--train_data", str(root / "train.jsonl"),
+        "--output_dir", str(tmp_path / "retr-eval-run"),
+        "--learning_rate", "1e-3",
+        "--num_train_epochs", "2",
+        "--per_device_train_batch_size", "1",
+        "--num_negatives", "3",
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--bf16", "False",
+        "--save_strategy", "no",
+        "--eval_strategy", "epoch",
+        "--retrieval_eval_query_file", str(root / "queries.jsonl"),
+        "--retrieval_eval_corpus_file", str(root / "corpus.jsonl"),
+        "--retrieval_eval_k", "10",
+    ])
+    ev = [h for h in history if "retrieval_MRR@1" in h]
+    assert len(ev) == 2  # one per epoch (eval_strategy epoch)
+    for h in ev:
+        assert "retrieval_nDCG@10" in h
+        assert 0.0 <= h["retrieval_MRR@1"] <= 1.0
+        assert "retrieval_eval_runtime" in h
+
+
+def test_retrieval_eval_flags_rankpo_lora(workspace, tmp_path):
+    """Retrieval eval on the RankPO CLI with --use_lora: the adapter-only
+    trainable tree merges with the frozen base ON DEVICE before each
+    retrieval encode (run_rankpo wiring over merge_lora)."""
+    from rankpo_tpu.cli.run_rankpo import main as run_rankpo
+    import json as _json
+
+    root, base_model = workspace
+    rows = [
+        {"query": f"q {i}", "passage1": f"good {i}", "passage2": f"bad {i}",
+         "preferred": "A"}
+        for i in range(16)
+    ]
+    pf = tmp_path / "pairs.jsonl"
+    pf.write_text("\n".join(_json.dumps(r) for r in rows))
+    history = run_rankpo([
+        "--model_name_or_path", base_model,
+        "--tokenizer_name", TOK,
+        "--train_data", str(pf),
+        "--output_dir", str(tmp_path / "lora-retr-run"),
+        "--learning_rate", "1e-3",
+        "--num_train_epochs", "1",
+        "--per_device_train_batch_size", "1",
+        "--reference_free",
+        "--use_lora", "--lora_r", "2", "--lora_alpha", "4",
+        "--max_query_length", "16",
+        "--max_passage_length", "16",
+        "--bf16", "False",
+        "--save_strategy", "no",
+        "--eval_strategy", "epoch",
+        "--retrieval_eval_query_file", str(root / "queries.jsonl"),
+        "--retrieval_eval_corpus_file", str(root / "corpus.jsonl"),
+        "--retrieval_eval_k", "5",
+    ])
+    ev = [h for h in history if "retrieval_MRR@1" in h]
+    assert len(ev) == 1
+    assert "retrieval_nDCG@5" in ev[0]

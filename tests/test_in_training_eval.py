@@ -1,0 +1,171 @@
+"""In-training retrieval evaluation (eval/in_training.py): the offline
+evaluate.py harness (reference src/evaluate.py:103-291) wired into the live
+training loop. Covers: hook-vs-offline metric parity on identical params,
+compiled-encoder reuse across calls, FSDP-sharded params, and the trainer
+integration (retrieval_* metrics land in the log history per eval_strategy)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from rankpo_tpu.data import ContrastiveCollator, ContrastiveDataset, HashTokenizer
+from rankpo_tpu.eval import RetrievalEvalHook, evaluate_checkpoint
+from rankpo_tpu.eval.in_training import maybe_attach_retrieval_eval
+from rankpo_tpu.models import init_params, save_pretrained, tiny_llama_config
+from rankpo_tpu.train import TrainConfig, Trainer, make_contrastive_loss_fn
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return HashTokenizer(vocab_size=256)
+
+
+CORPUS = [f"unique doc {i} topic {i}" for i in range(20)]
+POSITIVES = (3, 11)
+
+
+def _write_eval_files(tmp_path):
+    qf, cf = tmp_path / "q.jsonl", tmp_path / "c.jsonl"
+    qf.write_text(
+        "\n".join(
+            json.dumps({"query": {"text": CORPUS[i]}, "positives": {"index": [i]}})
+            for i in POSITIVES
+        )
+    )
+    cf.write_text("\n".join(json.dumps({"text": t}) for t in CORPUS))
+    return str(qf), str(cf)
+
+
+def _hook(tmp_path, tok, mesh, **kwargs):
+    qf, cf = _write_eval_files(tmp_path)
+    return RetrievalEvalHook(
+        tiny_llama_config(vocab_size=256), tok, qf, cf, mesh=mesh,
+        max_query_length=16, max_passage_length=16, k=10, cutoffs=(1, 5),
+        batch_size=8, compute_dtype=jnp.float32, **kwargs,
+    )
+
+
+class TestRetrievalEvalHook:
+    def test_matches_offline_evaluator(self, tmp_path, data_mesh, tok):
+        """The hook on live params == evaluate_checkpoint on the same params
+        saved to disk (identical encode → index → search → metrics path)."""
+        cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(0), cfg)
+        model_dir = tmp_path / "ckpt"
+        save_pretrained(str(model_dir), cfg, params)
+
+        hook = _hook(tmp_path, tok, data_mesh)
+        live = hook(params)
+
+        offline, _, _ = evaluate_checkpoint(
+            str(model_dir), [CORPUS[i] for i in POSITIVES],
+            [[i] for i in POSITIVES], CORPUS,
+            tokenizer=tok, mesh=data_mesh, batch_size=8,
+            max_query_length=16, max_passage_length=16, k=10, cutoffs=(1, 5),
+            compute_dtype=jnp.float32,
+        )
+        assert live["retrieval_MRR@1"] == 1.0  # query == its positive doc
+        for name, value in offline.items():
+            np.testing.assert_allclose(
+                live[f"retrieval_{name}"], value, rtol=1e-6, err_msg=name
+            )
+
+    def test_encoder_reused_and_params_freed(self, tmp_path, data_mesh, tok):
+        cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(1), cfg)
+        hook = _hook(tmp_path, tok, data_mesh)
+        first = hook(params)
+        enc = hook._encoder
+        assert enc is not None and enc.params is None  # replicated copy freed
+        second = hook(params)
+        assert hook._encoder is enc  # same compiled embed programs
+        assert first == second
+
+    def test_fsdp_sharded_params(self, tmp_path, data_mesh, tok):
+        """ZeRO-3/FSDP-style params (sharded over the data axis) re-gather on
+        device through the hook's jitted reshard and give identical metrics
+        to the replicated run."""
+        from rankpo_tpu.parallel.sharding import fsdp_partition_specs, make_shardings
+
+        cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(2), cfg)
+        specs = fsdp_partition_specs(params, data_mesh.shape["data"])
+        sharded = jax.device_put(params, make_shardings(data_mesh, specs))
+        hook = _hook(tmp_path, tok, data_mesh)
+        np.testing.assert_equal(hook(sharded), hook(params))
+
+
+class TestTrainerIntegration:
+    def test_retrieval_metrics_in_history(self, tmp_path, data_mesh, tok):
+        model_cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(0), model_cfg)
+        loss_fn = make_contrastive_loss_fn(
+            model_cfg, temperature=0.05, use_inbatch_neg=True,
+            negatives_cross_device=True, compute_dtype=jnp.float32,
+        )
+        cfg = TrainConfig(
+            output_dir=str(tmp_path / "out"), learning_rate=1e-3,
+            warmup_steps=0, warmup_ratio=0.0, lr_scheduler_type="constant",
+            per_device_train_batch_size=1, num_train_epochs=1,
+            eval_strategy="epoch", save_strategy="no",
+        )
+        trainer = Trainer(
+            loss_fn=loss_fn, params=params, mesh=data_mesh, config=cfg,
+            total_steps=2,
+        )
+        trainer.retrieval_eval_fn = _hook(tmp_path, tok, data_mesh)
+
+        rows = [
+            {
+                "query": f"common topic {i} alpha",
+                "positives": [f"common topic {i} gamma"],
+                "negatives": [f"other {j} {i}" for j in range(3)],
+            }
+            for i in range(16)
+        ]
+        ds = ContrastiveDataset(rows, tok, 16, 16)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                   max_query_length=16, max_passage_length=16,
+                                   seed=0)
+        history = trainer.train(ds, coll)
+        ev = [h for h in history if "retrieval_MRR@1" in h]
+        assert len(ev) == 1  # one eval point: epoch end
+        assert "retrieval_nDCG@5" in ev[0]
+        assert "retrieval_eval_runtime" in ev[0]
+        assert 0.0 <= ev[0]["retrieval_MRR@1"] <= 1.0
+
+    def test_attach_helper_validation(self, tmp_path, data_mesh, tok):
+        class DataArgs:
+            retrieval_eval_query_file = None
+            retrieval_eval_corpus_file = "c.jsonl"
+            retrieval_eval_k = 10
+            max_query_length = 16
+            max_passage_length = 16
+
+        cfg = TrainConfig(output_dir=str(tmp_path / "o"))
+        trainer = Trainer(
+            loss_fn=lambda p, b, r: (jnp.float32(0), {}), params={"w": jnp.ones(8)},
+            mesh=data_mesh, config=cfg, total_steps=1,
+        )
+        with pytest.raises(ValueError, match="requires"):
+            maybe_attach_retrieval_eval(
+                trainer, DataArgs(), tiny_llama_config(vocab_size=256), tok,
+                mesh=data_mesh,
+            )
+
+        qf, cf = _write_eval_files(tmp_path)
+        args = DataArgs()
+        args.retrieval_eval_query_file = qf
+        args.retrieval_eval_corpus_file = cf
+        assert maybe_attach_retrieval_eval(
+            trainer, args, tiny_llama_config(vocab_size=256), tok,
+            mesh=data_mesh,
+        )
+        assert trainer.retrieval_eval_fn is not None
+        assert trainer.retrieval_eval_fn.k == 10
+        assert trainer.retrieval_eval_fn.cutoffs == [1, 5, 10]
