@@ -169,3 +169,85 @@ class TestTrainerIntegration:
         assert trainer.retrieval_eval_fn is not None
         assert trainer.retrieval_eval_fn.k == 10
         assert trainer.retrieval_eval_fn.cutoffs == [1, 5, 10]
+
+
+_TWO_PROC_WORKER = r"""
+import json, os, sys
+sys.path.insert(0, "/root/repo")
+pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.distributed.initialize(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.device_count() == 8
+
+import jax.numpy as jnp
+from rankpo_tpu.core.mesh import MeshConfig, make_mesh
+from rankpo_tpu.data import HashTokenizer
+from rankpo_tpu.eval.in_training import RetrievalEvalHook
+from rankpo_tpu.models import init_params, tiny_llama_config
+
+mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
+cfg = tiny_llama_config(vocab_size=256)
+params = init_params(jax.random.key(0), cfg)
+hook = RetrievalEvalHook(
+    cfg, HashTokenizer(vocab_size=256),
+    os.path.join(outdir, "q.jsonl"), os.path.join(outdir, "c.jsonl"),
+    mesh=mesh, max_query_length=16, max_passage_length=16, k=10,
+    cutoffs=(1, 5), batch_size=8, compute_dtype=jnp.float32,
+)
+m1 = hook(params)
+m2 = hook(params)  # second call reuses the compiled programs on the global mesh
+assert m1 == m2, (m1, m2)
+with open(os.path.join(outdir, f"retrieval_{pid}.json"), "w") as f:
+    json.dump(m1, f)
+"""
+
+
+class TestTwoProcess:
+    def test_two_process_matches_single(self, tmp_path, data_mesh, tok):
+        """The hook's collective encode+search on a 2-process x 4-device
+        global mesh produces bit-identical metrics to the single-process
+        8-device run (same precedent as tests/test_multihost.py)."""
+        import os
+        import socket
+        import subprocess
+        import sys as _sys
+
+        _write_eval_files(tmp_path)
+        worker = tmp_path / "worker.py"
+        worker.write_text(_TWO_PROC_WORKER)
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        s = socket.socket(); s.bind(("localhost", 0))
+        port = str(s.getsockname()[1]); s.close()
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, str(worker), str(i), port, str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        for p in procs:
+            _, err = p.communicate(timeout=600)
+            assert p.returncode == 0, err[-3000:]
+
+        m0 = json.loads((tmp_path / "retrieval_0.json").read_text())
+        m1 = json.loads((tmp_path / "retrieval_1.json").read_text())
+        assert m0 == m1, "ranks disagree on retrieval metrics"
+
+        single = _hook(tmp_path, tok, data_mesh)(
+            init_params(jax.random.key(0), tiny_llama_config(vocab_size=256))
+        )
+        # AUC can be NaN on this tiny single-class fixture; compare the rest
+        for name, value in single.items():
+            got = m0[name]
+            if np.isnan(value):
+                assert np.isnan(got), name
+            else:
+                np.testing.assert_allclose(got, value, rtol=0, atol=0,
+                                           err_msg=name)
