@@ -193,6 +193,14 @@ class TrainDataArguments:
         metadata={"help": "In-training retrieval eval: search depth (also "
                           "caps the metric cutoffs 1,5,10,20,100)."},
     )
+    retrieval_eval_index: str = dataclasses.field(
+        default="flat",
+        metadata={"help": "In-training retrieval eval: index tier or FAISS "
+                          "index_factory-style spec ('flat', 'refine', "
+                          "'PCA128,Flat', 'IVF4096', ...). 'flat' keeps "
+                          "bit-parity metrics; approximate tiers keep big "
+                          "eval corpora cheap per eval point."},
+    )
 
     def to_json_string(self):
         return _json_str(self)

@@ -88,8 +88,13 @@ class RetrievalEvalHook:
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
-        self.index_type = index_type
-        self.index_kwargs = index_kwargs
+        # resolve factory-style specs ('PCA128,Flat', ...) NOW: an invalid
+        # spec must fail before training starts, not at the first eval point
+        from rankpo_tpu.index.factory import resolve_index_spec
+
+        self.index_type, self.index_kwargs = resolve_index_spec(
+            index_type, index_kwargs
+        )
         self._encoder = None
         self._reshard_fn: Optional[Callable] = None
         logger.info(
@@ -183,6 +188,7 @@ def maybe_attach_retrieval_eval(
         k=k,
         cutoffs=[c for c in (1, 5, 10, 20, 100) if c <= k] or [k],
         attn_impl=attn_impl,
+        index_type=getattr(data_args, "retrieval_eval_index", "flat"),
     )
     if trainer.config.eval_strategy == "no":
         logger.warning(

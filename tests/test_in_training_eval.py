@@ -251,3 +251,16 @@ class TestTwoProcess:
             else:
                 np.testing.assert_allclose(got, value, rtol=0, atol=0,
                                            err_msg=name)
+
+
+class TestIndexSpec:
+    def test_factory_spec_resolves_and_runs(self, tmp_path, data_mesh, tok):
+        hook = _hook(tmp_path, tok, data_mesh, index_type="PCA8,Flat")
+        assert hook.index_type == "refine"
+        metrics = hook(init_params(jax.random.key(0),
+                                   tiny_llama_config(vocab_size=256)))
+        assert "retrieval_MRR@1" in metrics
+
+    def test_invalid_spec_fails_at_construction(self, tmp_path, data_mesh, tok):
+        with pytest.raises(Exception):
+            _hook(tmp_path, tok, data_mesh, index_type="OPQ64,Flat")
