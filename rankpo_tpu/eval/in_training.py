@@ -84,7 +84,10 @@ class RetrievalEvalHook:
         self.max_query_length = max_query_length
         self.max_passage_length = max_passage_length
         self.k = min(k, len(self.corpus))
-        self.cutoffs = list(cutoffs)
+        # re-filter against the CLAMPED k: with a corpus smaller than the
+        # requested k, metrics labeled @c for c > len(corpus) would really
+        # be computed over only len(corpus) slots — mislabeled
+        self.cutoffs = [c for c in cutoffs if c <= self.k] or [self.k]
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
         self.attn_impl = attn_impl
@@ -176,6 +179,8 @@ def maybe_attach_retrieval_eval(
         raise ValueError(
             "--retrieval_eval_query_file requires --retrieval_eval_corpus_file"
         )
+    import jax.numpy as jnp
+
     k = int(data_args.retrieval_eval_k)
     trainer.retrieval_eval_fn = RetrievalEvalHook(
         config,
@@ -187,6 +192,10 @@ def maybe_attach_retrieval_eval(
         max_passage_length=data_args.max_passage_length,
         k=k,
         cutoffs=[c for c in (1, 5, 10, 20, 100) if c <= k] or [k],
+        # match the train-config precision so in-training numbers stay
+        # directly comparable with an offline rankpo-evaluate run using the
+        # same --bf16 setting (the offline CLI defaults to fp32)
+        compute_dtype=jnp.bfloat16 if trainer.config.bf16 else jnp.float32,
         attn_impl=attn_impl,
         index_type=getattr(data_args, "retrieval_eval_index", "flat"),
     )

@@ -30,15 +30,34 @@ except ImportError:  # pragma: no cover
     _HAS_SKLEARN = False
 
 
+def _degenerate_auc(labels: np.ndarray) -> float:
+    """Defined AUC value when the flattened hit-encodings hold a single class.
+
+    sklearn's roc_auc_score raises ValueError here (and so would the
+    reference, src/utils.py:140-146 — the case never arises on its noisy
+    eval set, but a WELL-TRAINED model at cutoff 1 hits it: every top-1 is
+    relevant → all-ones labels). Convention chosen so the training curve
+    stays monotone instead of crashing or jumping to NaN:
+
+      - all positives (every retrieved slot is a hit) → 1.0: the ranking
+        task is perfectly satisfied, the natural limit of AUC→1 as the
+        last negative leaves the top-k.
+      - all negatives (no hits at all) → 0.0: the worst-case limit,
+        consistent with MRR/Recall also being 0 for that eval set.
+    """
+    return 1.0 if labels.any() else 0.0
+
+
 def _auc_numpy(labels: np.ndarray, scores: np.ndarray) -> float:
     """ROC AUC via the Mann-Whitney statistic with average ranks for ties —
-    equal to sklearn.roc_auc_score for binary labels."""
+    equal to sklearn.roc_auc_score for binary labels (single-class input is
+    handled by the caller via _degenerate_auc)."""
     labels = np.asarray(labels)
     scores = np.asarray(scores, np.float64)
     n_pos = int(labels.sum())
     n_neg = len(labels) - n_pos
     if n_pos == 0 or n_neg == 0:
-        raise ValueError("AUC undefined with only one class present")
+        return _degenerate_auc(labels)
     order = np.argsort(scores, kind="mergesort")
     ranks = np.empty(len(scores), np.float64)
     sorted_scores = scores[order]
@@ -132,11 +151,15 @@ def compute_metrics(
         [np.isin(pred, np.asarray(label)).astype(int) for pred, label in zip(preds, labels)]
     )
 
-    # AUC: one flattened ROC per cutoff
+    # AUC: one flattened ROC per cutoff; single-class input (all slots hits,
+    # or no hits) gets the defined degenerate value rather than sklearn's
+    # ValueError / NaN — see _degenerate_auc
     for cutoff in cutoffs:
         h = hits[:, :cutoff].flatten()
         s = preds_scores[:, :cutoff].flatten()
-        if _HAS_SKLEARN:
+        if h.all() or not h.any():
+            metrics[f"AUC@{cutoff}"] = _degenerate_auc(h)
+        elif _HAS_SKLEARN:
             metrics[f"AUC@{cutoff}"] = float(_sk_auc(h, s))
         else:
             metrics[f"AUC@{cutoff}"] = _auc_numpy(h, s)

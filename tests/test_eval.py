@@ -77,6 +77,45 @@ class TestMetricsMath:
         with pytest.raises(ValueError):
             compute_metrics([[1]], np.ones((1, 1)), [[1], [2]], cutoffs=[1])
 
+    def test_degenerate_auc_all_hits(self):
+        """A WELL-TRAINED model at cutoff 1: every top-1 is relevant, so
+        the flattened hit-encodings are single-class. sklearn would raise
+        (and the reference with it); our defined semantics are AUC=1.0 —
+        the natural limit as the last negative leaves the top-k — and the
+        call must never raise or emit NaN (it crashed the in-training
+        retrieval hook mid-run before this was defined)."""
+        import warnings
+
+        preds = [[0, 7], [1, 8]]
+        scores = np.array([[0.9, 0.5], [0.9, 0.5]])
+        labels = [[0], [1]]
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # UndefinedMetricWarning → fail
+            m = compute_metrics(preds, scores, labels, cutoffs=[1, 2])
+        assert m["AUC@1"] == 1.0  # all slots are hits at cutoff 1
+        assert 0.0 <= m["AUC@2"] <= 1.0 and np.isfinite(m["AUC@2"])
+        for v in m.values():
+            assert np.isfinite(v)
+
+    def test_degenerate_auc_no_hits(self):
+        import warnings
+
+        preds = [[7, 8], [7, 8]]
+        scores = np.ones((2, 2))
+        labels = [[0], [1]]
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            m = compute_metrics(preds, scores, labels, cutoffs=[1, 2])
+        assert m["AUC@1"] == 0.0 and m["AUC@2"] == 0.0
+        for v in m.values():
+            assert np.isfinite(v)
+
+    def test_degenerate_auc_numpy_path_matches(self):
+        from rankpo_tpu.eval.metrics import _auc_numpy
+
+        assert _auc_numpy(np.ones(4, int), np.ones(4)) == 1.0
+        assert _auc_numpy(np.zeros(4, int), np.ones(4)) == 0.0
+
 
 class TestSavePath:
     def test_checkpoint_dir_convention(self, tmp_path):

@@ -43,10 +43,13 @@ def _write_eval_files(tmp_path):
 
 def _hook(tmp_path, tok, mesh, **kwargs):
     qf, cf = _write_eval_files(tmp_path)
-    return RetrievalEvalHook(
-        tiny_llama_config(vocab_size=256), tok, qf, cf, mesh=mesh,
+    kw = dict(
         max_query_length=16, max_passage_length=16, k=10, cutoffs=(1, 5),
-        batch_size=8, compute_dtype=jnp.float32, **kwargs,
+        batch_size=8, compute_dtype=jnp.float32,
+    )
+    kw.update(kwargs)
+    return RetrievalEvalHook(
+        tiny_llama_config(vocab_size=256), tok, qf, cf, mesh=mesh, **kw
     )
 
 
@@ -85,6 +88,22 @@ class TestRetrievalEvalHook:
         second = hook(params)
         assert hook._encoder is enc  # same compiled embed programs
         assert first == second
+
+    def test_cutoffs_refiltered_against_clamped_k(self, tmp_path, data_mesh, tok):
+        """Corpus smaller than retrieval_eval_k: k clamps to len(corpus) and
+        the cutoffs must re-filter against the CLAMPED k — otherwise the log
+        reports e.g. nDCG@100 that was really computed over len(corpus)
+        slots (mislabeled metrics, advisor round-3 finding)."""
+        hook = _hook(tmp_path, tok, data_mesh, k=100, cutoffs=(1, 5, 100))
+        assert hook.k == len(CORPUS) == 20
+        assert hook.cutoffs == [1, 5]  # 100 > clamped k → dropped
+        cfg = tiny_llama_config(vocab_size=256)
+        metrics = hook(init_params(jax.random.key(3), cfg))
+        assert "retrieval_MRR@100" not in metrics
+        assert "retrieval_MRR@5" in metrics
+        # all requested cutoffs above the corpus size → fall back to [k]
+        hook2 = _hook(tmp_path, tok, data_mesh, k=50, cutoffs=(30, 40))
+        assert hook2.cutoffs == [20]
 
     def test_fsdp_sharded_params(self, tmp_path, data_mesh, tok):
         """ZeRO-3/FSDP-style params (sharded over the data axis) re-gather on
