@@ -57,6 +57,10 @@ def main(argv=None):
         print("\n".join(f"    {k:15} {v}" for k, v in metrics.items()))
         if wandb_log is not None:
             wandb_log({f"{name}/{k}": v for k, v in metrics.items()})
+            # per-checkpoint metric bar chart (reference evaluate.py:269-274)
+            from rankpo_tpu.utils.wandb_utils import log_metric_bar_chart
+
+            log_metric_bar_chart(metrics, name)
     return results
 
 

@@ -65,6 +65,14 @@ class TrainConfig:
     # parallelism (replaces configs/*.json DeepSpeed ZeRO)
     model_parallel: int = 1
     zero1: bool = True  # shard optimizer state over the data axis
+    # ZeRO-2 analog (reference configs/ds_zero2_config_llama.json): pins the
+    # gradient-accumulation carry to data-axis shards (same
+    # largest-divisible-dim rule as the moments). Measured (benchmarks/
+    # zero2_memory.py): GSPMD already propagates zero1's moment shardings
+    # back onto the grads through the accum scan, so this adds 0 bytes over
+    # --zero1 — it exists to make the sharded-grad layout an explicit
+    # guarantee rather than a propagation heuristic. Implies zero1 moments.
+    zero2: bool = False
     # ZeRO-3/FSDP analog: PARAMETERS shard over the data axis too (largest
     # divisible dim); GSPMD all-gathers each weight at use and
     # reduce-scatters its grad. ~1/dp param memory per device — for models

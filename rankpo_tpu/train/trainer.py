@@ -146,12 +146,22 @@ class Trainer:
         else:
             param_specs = param_partition_specs(params, mp)
         opt_shapes = jax.eval_shape(self.tx.init, params)
-        if config.zero1 or config.fsdp:
+        if config.zero1 or config.zero2 or config.fsdp:
             opt_specs = zero1_partition_specs(opt_shapes, dp, mp)
         else:
             opt_specs = jax.tree_util.tree_map(lambda _: P(), opt_shapes)
         self.state_specs = TrainState(step=P(), params=param_specs, opt_state=opt_specs)
         self.state_shardings = make_shardings(mesh, self.state_specs)
+
+        # ZeRO-2: pin the gradient(-accumulation carry) layout to the same
+        # data-axis shards as the moments, so microbatch grads
+        # reduce-scatter into shards instead of living replicated across
+        # the accumulation scan (config.py zero2). Under FSDP grads already
+        # co-shard with the params — no extra constraint needed.
+        self._grad_shardings = None
+        if config.zero2 and not config.fsdp and dp > 1:
+            grad_specs = zero1_partition_specs(params, dp, mp)
+            self._grad_shardings = make_shardings(mesh, grad_specs)
 
         self.frozen_params = None
         self._frozen_shardings = None
@@ -186,6 +196,15 @@ class Trainer:
         grad_fn = self.grad_fn
 
         has_frozen = self.frozen_params is not None
+        grad_shardings = self._grad_shardings
+
+        def constrain_grads(grads):
+            # ZeRO-2: each microbatch's grads reduce-scatter into data-axis
+            # shards here; without the constraint the scan carry is a full
+            # replicated f32 param-tree per device
+            if grad_shardings is None:
+                return grads
+            return jax.lax.with_sharding_constraint(grads, grad_shardings)
 
         def step_fn(state: TrainState, batch, rng, frozen=None):
             params = state.params
@@ -199,7 +218,7 @@ class Trainer:
                     (loss, metrics), grads = jax.value_and_grad(
                         loss_fn, has_aux=True
                     )(params, mb, r)
-                return loss, metrics, grads
+                return loss, metrics, constrain_grads(grads)
 
             rngs = jax.random.split(jax.random.fold_in(rng, state.step), accum)
 
@@ -207,6 +226,7 @@ class Trainer:
                 loss, metrics, grads = grad_fn(
                     params, batch, jax.random.fold_in(rng, state.step)
                 )
+                grads = constrain_grads(grads)
             elif accum == 1:
                 mb = jax.tree_util.tree_map(lambda x: x[0], batch)
                 loss, metrics, grads = micro(mb, rngs[0])
@@ -218,7 +238,9 @@ class Trainer:
                     new = (
                         c_loss + loss,
                         jax.tree_util.tree_map(jnp.add, c_metrics, metrics),
-                        jax.tree_util.tree_map(jnp.add, c_grads, grads),
+                        constrain_grads(
+                            jax.tree_util.tree_map(jnp.add, c_grads, grads)
+                        ),
                     )
                     return new, None
 
@@ -227,6 +249,7 @@ class Trainer:
                 init = jax.tree_util.tree_map(
                     lambda sd: jnp.zeros(sd.shape, sd.dtype), zero_shapes
                 )
+                init = (init[0], init[1], constrain_grads(init[2]))
                 (loss, metrics, grads), _ = jax.lax.scan(
                     body, init, (batch, rngs)
                 )

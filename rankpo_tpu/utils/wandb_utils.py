@@ -28,6 +28,24 @@ def maybe_init_wandb(project: str, run_name: str = "auto") -> Optional[Callable]
     return wandb.log
 
 
+def log_metric_bar_chart(metrics: dict, title: str) -> None:
+    """Per-checkpoint metric bar chart (reference evaluate.py:269-274:
+    wandb.Table over (metric, value) pairs + wandb.plot.bar). No-op when
+    wandb is absent or no run is active."""
+    try:
+        import wandb
+    except ImportError:  # pragma: no cover
+        return
+    if wandb.run is None:
+        return
+    table = wandb.Table(
+        data=[[k, float(v)] for k, v in metrics.items()],
+        columns=["metric", "value"],
+    )
+    wandb.log({f"{title}/chart": wandb.plot.bar(table, "metric", "value",
+                                                title=title)})
+
+
 def maybe_finish_wandb() -> None:
     try:
         import wandb

@@ -264,6 +264,38 @@ class TestTrainerContrastive:
         _, repl_losses = run({"fsdp": False})
         np.testing.assert_allclose(fsdp_losses, repl_losses, rtol=2e-4)
 
+    def test_zero2_grad_sharding_matches_replicated(self, data_mesh, tmp_path,
+                                                    tok):
+        """ZeRO-2 analog (reference configs/ds_zero2_config_llama.json): the
+        gradient-accumulation carry shards over the data axis; training math
+        is unchanged — loss history matches the baseline step for step, and
+        moments are sharded (zero2 implies zero1)."""
+        ds = ContrastiveDataset(_contrastive_rows(32), tok, 16, 16)
+
+        def run(extra):
+            name = "zero2" if extra.get("zero2") else "base"
+            trainer, _ = _make_trainer(
+                data_mesh, tmp_path / name, tok, accum=2,
+                total_steps=2, cfg_extra={"save_strategy": "no", **extra},
+            )
+            coll = ContrastiveCollator(
+                pad_token_id=0, num_negatives=3,
+                max_query_length=16, max_passage_length=16, seed=0,
+            )
+            return trainer, [h["loss"] for h in trainer.train(ds, coll)]
+
+        z2_trainer, z2_losses = run({"zero2": True})
+        assert z2_trainer._grad_shardings is not None
+        mu = z2_trainer.state.opt_state[1][0].mu
+        assert DATA_AXIS in tuple(
+            mu["layers"]["q_proj"]["kernel"].sharding.spec
+        )
+        # params stay replicated (this is ZeRO-2, not FSDP/ZeRO-3)
+        kernel = z2_trainer.state.params["layers"]["q_proj"]["kernel"]
+        assert DATA_AXIS not in tuple(kernel.sharding.spec)
+        _, base_losses = run({})  # zero1 default, no grad sharding
+        np.testing.assert_allclose(z2_losses, base_losses, rtol=2e-4)
+
     def test_grad_accum_matches_mean_of_micro_grads(self, data_mesh, tmp_path, tok):
         """accum=2 must produce the identical update to manually averaging the
         two microbatch gradients (DeepSpeed grad-accum semantics)."""
