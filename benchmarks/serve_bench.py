@@ -99,6 +99,18 @@ def main():
                              "(the regime sequence packing targets)")
     parser.add_argument("--pack_queries", action="store_true",
                         help="sequence-pack micro-batch groups")
+    parser.add_argument("--mutation_load", action="store_true",
+                        help="repeat the microbatch load while a background "
+                             "client streams /add + /remove batches; reports "
+                             "search percentiles under mutation and the "
+                             "sustained mutation throughput")
+    parser.add_argument("--mutation_batch", type=int, default=32,
+                        help="rows per add/remove call under --mutation_load")
+    parser.add_argument("--autosave_file", default="",
+                        help="with --mutation_load: save_index() here after "
+                             "every mutation (the cli/serve.py --autosave "
+                             "behavior), so the measured p99 includes "
+                             "serving-while-persisting")
     args = parser.parse_args()
 
     import jax
@@ -180,6 +192,59 @@ def main():
         "queries_microbatch": mb.n_queries,
         "backend": jax.default_backend(),
     }
+
+    if args.mutation_load:
+        # search load again, now with a background mutator streaming
+        # add/remove batches (and optionally autosaving after each commit —
+        # the cli/serve.py --autosave semantics). The mutator adds a batch,
+        # then removes exactly the rows it just appended, so corpus size
+        # stays bounded and every cycle exercises both paths + rewarm.
+        stop = threading.Event()
+        mut_stats = {"adds": 0, "removes": 0, "saves": 0, "errors": 0,
+                     "op_lat": []}
+
+        def mutator():
+            i = 0
+            while not stop.is_set():
+                texts = [f"new passage {i} batch row {j} streaming update"
+                         for j in range(args.mutation_batch)]
+                try:
+                    t0 = time.perf_counter()
+                    service.add_passages(texts, max_passage_length=64)
+                    mut_stats["adds"] += 1
+                    n = service.ntotal
+                    service.remove_passages(
+                        list(range(n - args.mutation_batch, n)))
+                    mut_stats["removes"] += 1
+                    if args.autosave_file:
+                        service.save_index(args.autosave_file)
+                        mut_stats["saves"] += 1
+                    mut_stats["op_lat"].append(time.perf_counter() - t0)
+                except Exception as e:  # count, keep streaming
+                    mut_stats["errors"] += 1
+                    print(f"mutator error: {e}", file=sys.stderr)
+                i += 1
+
+        mt = threading.Thread(target=mutator, daemon=True)
+        t0 = time.perf_counter()
+        mt.start()
+        under_mutation = run_load(lambda q, k: mb.query(q, k=k), args.threads,
+                                  args.per_thread, args.mixed_len_words)
+        stop.set()
+        mt.join(timeout=60)
+        wall = time.perf_counter() - t0
+        lat = mut_stats.pop("op_lat")
+        out["microbatch_under_mutation"] = under_mutation
+        out["mutation"] = {
+            **mut_stats,
+            "cycles_per_sec": round(mut_stats["adds"] / wall, 2),
+            "rows_per_sec": round(
+                2 * args.mutation_batch * mut_stats["adds"] / wall, 1),
+            "cycle_p50_ms": round(1e3 * pct(lat, 50), 1) if lat else None,
+            "cycle_p99_ms": round(1e3 * pct(lat, 99), 1) if lat else None,
+            "autosave": bool(args.autosave_file),
+        }
+
     mb.close()
     print(json.dumps(out))
 

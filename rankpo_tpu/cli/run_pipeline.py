@@ -51,6 +51,12 @@ def main(argv=None):
     parser.add_argument("--corpus_data", default=None)
     parser.add_argument("--num_predictions", type=int, default=5)
     parser.add_argument("--bf16", action="store_true")
+    parser.add_argument("--gradient_checkpointing", action="store_true",
+                        help="remat the training steps (a fresh Trainer is "
+                             "built every iteration while the previous "
+                             "iteration's encoder/index buffers are still "
+                             "draining — remat keeps the peak in budget at "
+                             "100M+ params on one chip)")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--log_level", default="info")
     args = parser.parse_args(argv)
@@ -92,6 +98,8 @@ def main(argv=None):
             "--max_query_length", str(args.max_query_length),
             "--max_passage_length", str(args.max_passage_length),
             "--bf16", "True" if args.bf16 else "False",
+            "--gradient_checkpointing",
+            "True" if args.gradient_checkpointing else "False",
             "--seed", str(args.seed),
             "--save_strategy", "no",
             "--overwrite_output_dir",
@@ -121,6 +129,13 @@ def main(argv=None):
                 mesh=mesh,
             )
             train_file = next(iter(outputs.values()))
+            # free the mining encoder's device params/programs BEFORE the
+            # next iteration's Trainer allocates its own state — at 100M+
+            # params both don't fit one chip alongside activations
+            del encoder, params
+            import gc
+
+            gc.collect()
 
     if args.query_data and args.corpus_data:
         from rankpo_tpu.tools import generate_predictions

@@ -30,6 +30,7 @@ tests run this kernel in interpret mode on CPU against it (values and grads).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -337,6 +338,119 @@ def _dkv_kernel(
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref,
+    *, scale, causal, q_block, skip_pad_q, window, q_shift, packed,
+):
+    """One-pass backward: grid (BH, k_blocks) like _dkv_kernel, but dq
+    accumulates IN VMEM across the k-block grid steps (dq_ref's index map is
+    constant in the k axis, so Pallas keeps the block resident and flushes
+    once per head). s and dp are computed ONCE per (q,k) tile — 5 tile
+    matmuls total instead of the split passes' 3 (dq) + 4 (dkv)."""
+    k = k_ref[0]  # [Bk, D]
+    v = v_ref[0]
+    bk, d = k.shape
+    sq = q_ref.shape[1]
+    n_qb = sq // q_block
+    ki = pl.program_id(1)
+    k_offset = ki * bk
+    key_valid = mask_ref[_row(mask_ref), pl.ds(k_offset, bk)]
+    stats_row = _row(lse_ref)
+    mask_row = _row(mask_ref)
+
+    @pl.when(ki == 0)
+    def _init_dq():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q_blk = q_ref[0, pl.ds(qb * q_block, q_block), :]
+        do_blk = do_ref[0, pl.ds(qb * q_block, q_block), :]
+        lse = lse_ref[stats_row, pl.ds(qb * q_block, q_block)][:, None]
+        delta = delta_ref[stats_row, pl.ds(qb * q_block, q_block)][:, None]
+        s = scale * jax.lax.dot_general(
+            q_blk, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [Bq, Bk]
+        valid = jnp.broadcast_to(key_valid[None, :] != 0, s.shape)
+        if packed:
+            seg_q = mask_ref[mask_row, pl.ds(qb * q_block, q_block)]
+            valid = jnp.logical_and(
+                valid, key_valid[None, :] == seg_q[:, None]
+            )
+        if causal:
+            q_pos = (
+                qb * q_block + q_shift
+                + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            )
+            k_pos = k_offset + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            valid = jnp.logical_and(valid, k_pos <= q_pos)
+            if window is not None:
+                valid = jnp.logical_and(valid, k_pos > q_pos - window)
+        s = jnp.where(valid, s, NEG_INF)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+        dv_new = dv + jax.lax.dot_general(
+            p.astype(do_blk.dtype), do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta) * scale).astype(q_blk.dtype)
+        dk_new = dk + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dq contribution of this key block (the split _dq_kernel's third
+        # matmul, on the SAME s/p/dp — the whole point of the fusion)
+        dq_blk = dq_ref[0, pl.ds(qb * q_block, q_block), :]
+        dq_ref[0, pl.ds(qb * q_block, q_block), :] = (
+            dq_blk + jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        return dk_new, dv_new
+
+    if causal:
+        start = jnp.maximum(0, k_offset - q_shift) // q_block
+    else:
+        start = 0
+    seg_row = mask_ref[mask_row, :]
+    key_len = jnp.sum((seg_row != 0).astype(jnp.int32))
+    end_q = n_qb
+    if causal and window is not None:
+        end_q = jnp.minimum(
+            jnp.maximum(k_offset + bk + window - 2 - q_shift, 0) // q_block + 1,
+            n_qb,
+        )
+    if packed:
+        seg_k_first = key_valid[0]
+        seg_k_last = jnp.max(key_valid)
+        start = jnp.maximum(
+            start,
+            jnp.sum(
+                ((seg_row != 0) & (seg_row < seg_k_first)).astype(jnp.int32)
+            )
+            // q_block,
+        )
+        end_rows = jnp.sum(
+            ((seg_row != 0) & (seg_row <= seg_k_last)).astype(jnp.int32)
+        )
+        end_q = jnp.minimum(end_q, (end_rows + q_block - 1) // q_block)
+    if skip_pad_q:
+        end_q = jnp.minimum((key_len + q_block - 1) // q_block, end_q)
+    end = jnp.where(k_offset < key_len, end_q, start)
+    dk, dv = jax.lax.fori_loop(
+        start, end, body,
+        (jnp.zeros((bk, d), jnp.float32), jnp.zeros((bk, d), jnp.float32)),
+    )
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Host-side wrappers
 # ---------------------------------------------------------------------------
@@ -380,9 +494,9 @@ def _stats_spec(s):
     return pl.BlockSpec((SUBLANES, s), lambda bhi, i: (bhi // SUBLANES, 0))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _flash(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q,
-           window, packed):
+           window, packed, bwd_impl="split"):
     out, _lse = _flash_fwd_impl(
         q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q, window,
         packed,
@@ -425,7 +539,7 @@ def _flash_fwd_impl(q, k, v, mask, causal, q_block, k_block, interpret,
 
 
 def _flash_fwd(q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q,
-               window, packed):
+               window, packed, bwd_impl="split"):
     out, lse = _flash_fwd_impl(
         q, k, v, mask, causal, q_block, k_block, interpret, skip_pad_q, window,
         packed,
@@ -504,13 +618,62 @@ def flash_dkv(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
     return dk, dv
 
 
+def flash_bwd_fused(q, k, v, mask, g, lse, delta, *, causal, q_block, k_block,
+                    interpret, skip_pad_q, window=None, packed=False):
+    """One-pass dq+dk+dv (see _bwd_fused_kernel). dq comes back fp32 (the
+    VMEM accumulator's dtype); dk/dv are fp32 per q-head, GQA-summed here
+    like flash_dkv."""
+    bh, sq, d = q.shape
+    bhkv, sk, _ = k.shape
+    groups = bh // bhkv
+    scale = 1.0 / (d**0.5)
+    dq, dk_per_head, dv_per_head = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, causal=causal,
+                          q_block=q_block, skip_pad_q=skip_pad_q,
+                          window=window, q_shift=sk - sq, packed=packed),
+        grid=(bh, sk // k_block),
+        in_specs=[
+            pl.BlockSpec((1, sq, d), lambda bhi, ki: (bhi, 0, 0)),
+            pl.BlockSpec((1, k_block, d), lambda bhi, ki, g_=groups: (bhi // g_, ki, 0)),
+            pl.BlockSpec((1, k_block, d), lambda bhi, ki, g_=groups: (bhi // g_, ki, 0)),
+            _stats_spec(sk),
+            pl.BlockSpec((1, sq, d), lambda bhi, ki: (bhi, 0, 0)),
+            _stats_spec(sq),
+            _stats_spec(sq),
+        ],
+        out_specs=[
+            # constant in ki -> revisited across the k-block axis: the
+            # accumulator lives in VMEM for the whole head, one HBM flush
+            pl.BlockSpec((1, sq, d), lambda bhi, ki: (bhi, 0, 0)),
+            pl.BlockSpec((1, k_block, d), lambda bhi, ki: (bhi, ki, 0)),
+            pl.BlockSpec((1, k_block, d), lambda bhi, ki: (bhi, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sk, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, _pad_rows8(mask), g, _pad_rows8(lse), _pad_rows8(delta))
+    if groups > 1:
+        dk = dk_per_head.reshape(bhkv, groups, sk, d).sum(axis=1)
+        dv = dv_per_head.reshape(bhkv, groups, sk, d).sum(axis=1)
+    else:
+        dk, dv = dk_per_head, dv_per_head
+    return dq, dk, dv
+
+
 def _flash_bwd(causal, q_block, k_block, interpret, skip_pad_q, window, packed,
-               res, g):
+               bwd_impl, res, g):
     q, k, v, mask, out, lse = res
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     kwargs = dict(causal=causal, q_block=q_block, k_block=k_block,
                   interpret=interpret, skip_pad_q=skip_pad_q, window=window,
                   packed=packed)
+    if bwd_impl == "fused":
+        dq, dk, dv = flash_bwd_fused(q, k, v, mask, g, lse, delta, **kwargs)
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                None)
     dq = flash_dq(q, k, v, mask, g, lse, delta, **kwargs)
     dk, dv = flash_dkv(q, k, v, mask, g, lse, delta, **kwargs)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype), None
@@ -532,6 +695,7 @@ def flash_attention(
     skip_pad_q: bool = False,
     window: Optional[int] = None,
     segment_ids: Optional[jax.Array] = None,
+    bwd_impl: str = "auto",
 ) -> jax.Array:
     """q [B, Sq, Hq, D]; k/v [B, Sk, Hkv, D]; mask [B, Sk] key validity.
     Returns [B, Sq, Hq, D] in q.dtype.
@@ -596,8 +760,23 @@ def flash_attention(
     # per-(batch·query-head) mask rows so stats indexing stays trivial
     mask_bh = jnp.repeat(mask, hq, axis=0)
 
+    # benchmarking override (same-day A/B without threading a flag through
+    # every caller): RANKPO_FLASH_BWD=split|fused|auto
+    bwd_impl = os.environ.get("RANKPO_FLASH_BWD", bwd_impl)
+    if bwd_impl not in ("auto", "split", "fused"):
+        raise ValueError(
+            f"bwd_impl must be 'auto', 'split' or 'fused', got {bwd_impl!r}"
+        )
+    if bwd_impl == "auto":
+        # fused one-pass bwd holds full (1, Sq, D) q/do rows + the fp32 dq
+        # accumulator in VMEM (~8·Sq·D bytes + k/v blocks). Measured v5e
+        # B4/S4096/H16-KV8/D128 causal: fused 13.0 ms vs split 16.0 ms
+        # fwd+bwd (bwd alone -30%: s and dp computed once per tile, 5 tile
+        # matmuls instead of 7). Past the VMEM budget fall back to split,
+        # whose dq pass streams q blocks.
+        bwd_impl = "fused" if sq * d * 8 <= 2**22 else "split"
     out = _flash(
         qf, kf, vf, mask_bh, causal, q_block, k_block, interpret, skip_pad_q,
-        window, packed,
+        window, packed, bwd_impl,
     )
     return _unflatten_heads(out, b, hq)

@@ -97,8 +97,24 @@ def zero1_partition_specs(tree, data_axis_size: int, model_axis_size: int = 1):
         for d in order:
             if dims[d] is None and leaf.shape[d] % data_axis_size == 0:
                 dims[d] = DATA_AXIS
-                return P(*dims)
-        return pspec
+                break
+        else:
+            return pspec
+        # secondary: leaves with no TP rule (embed table, norms) also give a
+        # free dim to the model axis. Without this the backward hands GSPMD
+        # model-sharded grads (e.g. the embed grad inherits the hidden dim's
+        # model sharding from the first matmul's backward) whose transition
+        # to a data-only-sharded target is unsolvable without replicating —
+        # the "[SPMD] Involuntary full rematerialization" warning the r3
+        # dryrun tail showed on the fsdp step. With the model axis in the
+        # target layout the transition is a local slice. (More moment/param
+        # sharding is also strictly less memory.)
+        if model_axis_size > 1 and MODEL_AXIS not in dims:
+            for d in order:
+                if dims[d] is None and leaf.shape[d] % model_axis_size == 0:
+                    dims[d] = MODEL_AXIS
+                    break
+        return P(*dims)
 
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf, ps: shard_leaf(path, leaf, ps), tree, param_specs

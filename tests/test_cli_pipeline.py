@@ -9,6 +9,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
 import jax
 
 from rankpo_tpu.data import HashTokenizer

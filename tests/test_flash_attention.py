@@ -77,6 +77,64 @@ def test_gradients_match_xla(causal, hq, hkv):
         )
 
 
+@pytest.mark.parametrize("causal,hq,hkv,window", [
+    (False, 4, 4, None), (True, 4, 4, None), (True, 4, 2, None),
+    (True, 4, 2, 12),
+])
+def test_fused_bwd_matches_split(causal, hq, hkv, window):
+    """bwd_impl='fused' (one-pass dq+dkv, VMEM-accumulated dq) must produce
+    the same gradients as the split kernels and the XLA oracle."""
+    q, k, v, mask = _inputs(b=2, sq=32, sk=32, hq=hq, hkv=hkv, d=8,
+                            mask_lens=[32, 20])
+
+    def loss(impl):
+        def f(q, k, v):
+            out = flash_attention(q, k, v, mask=mask, causal=causal,
+                                  window=window, q_block=16, k_block=16,
+                                  interpret=True, bwd_impl=impl)
+            return jnp.sum(jnp.square(out))
+        return f
+
+    def loss_ref(q, k, v):
+        out = _xla_attention(q, k, v, mask, causal, window=window)
+        return jnp.sum(jnp.square(out))
+
+    g_fused = jax.grad(loss("fused"), argnums=(0, 1, 2))(q, k, v)
+    g_split = jax.grad(loss("split"), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, c, name in zip(g_fused, g_split, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=f"fused vs split: {name}")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=3e-4,
+                                   err_msg=f"fused vs oracle: {name}")
+
+
+def test_fused_bwd_skip_pad_q_and_packed():
+    """Fused bwd under the two masking extensions: skip_pad_q zeros pad-row
+    dq like the split path; packed segment ids give split-identical grads."""
+    q, k, v, mask = _inputs(b=2, sq=32, sk=32, hq=4, hkv=2, d=8,
+                            mask_lens=[32, 20])
+
+    def grads(impl, **kw):
+        def f(q, k, v):
+            out = flash_attention(q, k, v, causal=True, q_block=16,
+                                  k_block=16, interpret=True, bwd_impl=impl,
+                                  **kw)
+            return jnp.sum(jnp.square(out))
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    for kw in (dict(mask=mask, skip_pad_q=True),
+               dict(segment_ids=jnp.asarray(
+                   np.repeat([[1] * 12 + [2] * 14 + [0] * 6], 2, axis=0)))):
+        gf = grads("fused", **kw)
+        gs = grads("split", **kw)
+        for a, b, name in zip(gf, gs, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5,
+                err_msg=f"fused vs split ({list(kw)[0]}): {name}",
+            )
+
+
 def test_fully_masked_row_is_finite():
     q, k, v, mask = _inputs(b=1, sq=16, sk=16, mask_lens=[0])
     out = flash_attention(q, k, v, mask=mask, causal=False,

@@ -35,6 +35,7 @@ def _stacked_batch(ds, coll, accum, mb_rows):
     return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *micros)
 
 
+@pytest.mark.slow
 class TestGradCache:
     def test_matches_full_batch_gradients(self, setup):
         cfg, params, ds, coll = setup

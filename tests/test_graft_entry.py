@@ -5,6 +5,10 @@ import numpy as np
 
 import jax
 
+import pytest
+
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
 
 def test_entry_compiles_and_runs():
     import sys

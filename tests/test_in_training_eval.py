@@ -224,6 +224,7 @@ with open(os.path.join(outdir, f"retrieval_{pid}.json"), "w") as f:
 """
 
 
+@pytest.mark.slow
 class TestTwoProcess:
     def test_two_process_matches_single(self, tmp_path, data_mesh, tok):
         """The hook's collective encode+search on a 2-process x 4-device

@@ -752,6 +752,7 @@ def _aniso_corpus(n, d, seed=0):
     return x
 
 
+@pytest.mark.slow
 class TestIVFPQRotate:
     """pq_rotate: orthogonal pre-rotation of PQ residuals ('random' QR /
     'opq' alternating-Procrustes). Codes store the ROTATED residual and

@@ -63,6 +63,7 @@ class TestLora:
                 LoraConfig(target_modules=("nonexistent",)),
             )
 
+    @pytest.mark.slow
     def test_adapter_only_training(self, setup, data_mesh, tmp_path):
         """Trainer over the adapter tree: loss decreases, base stays frozen."""
         cfg, params, lcfg, lora = setup

@@ -109,6 +109,7 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(short), np.asarray(long), atol=1e-5)
 
 
+@pytest.mark.slow
 class TestRematPolicies:
     """Rematerialization must be numerically invisible: same loss and same
     grads for every policy, both model families (incl. 'attn', which keeps

@@ -208,6 +208,10 @@ from rankpo_tpu.core.mesh import MeshConfig, make_mesh
 from rankpo_tpu.index.flat import FlatIPIndex
 from rankpo_tpu.index.ivf import IVFIPIndex
 
+import pytest
+
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
 mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
 rng = np.random.default_rng(7)
 corpus = rng.normal(size=(203, 64)).astype(np.float32)

@@ -81,6 +81,10 @@ from rankpo_tpu.data.packing import PackedContrastiveCollator, sync_packed_budge
 from rankpo_tpu.models import init_params, tiny_llama_config
 from rankpo_tpu.train import TrainConfig, Trainer, make_contrastive_loss_fn
 
+import pytest
+
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
 mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
 tok = HashTokenizer(vocab_size=256)
 rows = [

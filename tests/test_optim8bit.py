@@ -67,6 +67,7 @@ class TestQuantizedState:
         np.testing.assert_allclose(got, expect, atol=0.1)
 
 
+@pytest.mark.slow
 class TestConvergenceParity:
     def _train(self, optim_name):
         # tiny least-squares: loss curves of adamw vs adamw8bit must agree
@@ -103,6 +104,7 @@ class TestConvergenceParity:
             assert b < max(a * 2.0, 1e-4)
 
 
+@pytest.mark.slow
 class TestTrainerIntegration:
     @pytest.mark.parametrize("optim", ["adamw8bit", "adafactor"])
     def test_trainer_step_and_zero1_sharding(self, data_mesh, tmp_path, optim):

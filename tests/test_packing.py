@@ -131,6 +131,7 @@ def _embed_each(params, cfg, ids_list, **kw):
     return np.stack(out)
 
 
+@pytest.mark.slow
 class TestEmbedPacked:
     """embed_packed == embed per text: positions (RoPE / learned absolute),
     block-diagonal attention, per-segment pooling, L2-normalize."""
@@ -258,6 +259,7 @@ class TestEncodePacked:
         np.testing.assert_allclose(packed, base, atol=2e-4)
 
 
+@pytest.mark.slow
 class TestPackedTraining:
     """PackedContrastiveCollator + the packed loss path vs the plain
     collator + plain path on the SAME sampled examples (same seed): loss,
@@ -413,6 +415,7 @@ class TestPackedTraining:
         assert np.all(stacked["x"]["slot_index"][0, 2:] == -1)
 
 
+@pytest.mark.slow
 class TestPackedRankPO:
     def test_loss_matches_unpacked(self):
         from rankpo_tpu.data.collators import RankPOCollator

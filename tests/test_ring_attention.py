@@ -5,6 +5,8 @@ padding, and GQA, on the 8-device virtual mesh."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
 from rankpo_tpu.data.tokenization import HashTokenizer
 
 _WORKER = r"""

@@ -33,6 +33,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 4)
 
 from rankpo_tpu.cli.serve import main
+
+import pytest
+
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
 main([
     "--model_name_or_path", model,
     "--tokenizer_name", "hash:256",

@@ -134,6 +134,7 @@ class TestTrainerContrastive:
             "global_epoch", "epoch", "step",
         ]
 
+    @pytest.mark.slow
     def test_logging_epoch_means_with_bounded_fold(self, data_mesh, tmp_path,
                                                    tok, monkeypatch):
         """logging_strategy='epoch' logs per-epoch MEANS while folding the
@@ -169,6 +170,7 @@ class TestTrainerContrastive:
             rtol=1e-6,
         )
 
+    @pytest.mark.slow
     def test_logging_interval_means(self, data_mesh, tmp_path, tok):
         """At logging_steps=2 every logged loss (and every loss_fn metric)
         must be the MEAN over the 2-step interval, not the last step's
@@ -232,6 +234,7 @@ class TestTrainerContrastive:
         spec = leaf.sharding.spec
         assert DATA_AXIS in tuple(spec), f"expected data-sharded moments, got {spec}"
 
+    @pytest.mark.slow
     def test_fsdp_params_sharded_and_loss_matches(self, data_mesh, tmp_path,
                                                   tok):
         """ZeRO-3/FSDP analog: with fsdp=True the PARAMETERS shard over the
@@ -264,6 +267,7 @@ class TestTrainerContrastive:
         _, repl_losses = run({"fsdp": False})
         np.testing.assert_allclose(fsdp_losses, repl_losses, rtol=2e-4)
 
+    @pytest.mark.slow
     def test_zero2_grad_sharding_matches_replicated(self, data_mesh, tmp_path,
                                                     tok):
         """ZeRO-2 analog (reference configs/ds_zero2_config_llama.json): the
@@ -296,6 +300,7 @@ class TestTrainerContrastive:
         _, base_losses = run({})  # zero1 default, no grad sharding
         np.testing.assert_allclose(z2_losses, base_losses, rtol=2e-4)
 
+    @pytest.mark.slow
     def test_grad_accum_matches_mean_of_micro_grads(self, data_mesh, tmp_path, tok):
         """accum=2 must produce the identical update to manually averaging the
         two microbatch gradients (DeepSpeed grad-accum semantics)."""
@@ -454,6 +459,7 @@ class TestTrainerRankPO:
         assert np.isfinite(eval_metrics["eval_loss"])
 
 
+@pytest.mark.slow
 class TestDeterminism:
     def test_identical_seeds_identical_history(self, data_mesh, tmp_path, tok):
         """Full-run determinism: same seed → bit-identical loss sequence
@@ -673,6 +679,7 @@ print("EXITED_CLEANLY", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_sigterm_preemption_checkpoints_and_exits(tmp_path):
     """SIGTERM mid-training (the pod preemption notice) must produce a
     checkpoint and a clean exit, not a killed process."""
