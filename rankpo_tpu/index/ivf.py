@@ -168,13 +168,24 @@ def _lloyd_body(corpus_local, centroids, n_valid_local, *, n_iters, chunk,
     return lax.fori_loop(0, n_iters, one_iter, centroids)
 
 
-def _assign_top2_body(corpus_local, centroids, *, chunk, axis_name=None):
-    """Per-row top-2 nearest centroids (global cluster ids), streamed in
-    chunks. Rows beyond the valid range return garbage the host fill pass
-    never reads."""
+# candidate clusters per row for the greedy fill. With only top-2, rows
+# overflowing both choices spill to ARBITRARY free slots — unreachable by
+# probing: measured 10M/int8/K8192/slack1.15 lost 15% recall purely to
+# scattered spill (decode-oracle recall 0.844 while PQ builds at slack 1.3
+# sat at 0.999). With 8 candidates the overflow cascades to the 3rd..8th
+# NEAREST clusters, which the query's probe set still covers.
+ASSIGN_CANDIDATES = 8
+
+
+def _assign_top2_body(corpus_local, centroids, *, chunk, axis_name=None,
+                      n_cand=2):
+    """Per-row top-``n_cand`` nearest centroids (global cluster ids),
+    streamed in chunks. Rows beyond the valid range return garbage the host
+    fill pass never reads."""
     k = centroids.shape[0]
     n_chunks = corpus_local.shape[0] // chunk
     cb = centroids.astype(jnp.bfloat16)
+    take = min(n_cand, k)
 
     def body(ci, out):
         rows = lax.dynamic_slice_in_dim(corpus_local, ci * chunk, chunk)
@@ -182,14 +193,16 @@ def _assign_top2_body(corpus_local, centroids, *, chunk, axis_name=None):
             "cd,kd->ck", rows.astype(jnp.bfloat16), cb,
             preferred_element_type=jnp.float32,
         )
-        _, top2 = lax.top_k(scores, min(2, k))
-        if k == 1:
-            top2 = jnp.concatenate([top2, top2], axis=1)
+        _, topc = lax.top_k(scores, take)
+        if take < n_cand:  # tiny k: pad by repeating the last column
+            topc = jnp.concatenate(
+                [topc] + [topc[:, -1:]] * (n_cand - take), axis=1
+            )
         return lax.dynamic_update_slice_in_dim(
-            out, top2.astype(jnp.int32), ci * chunk, axis=0
+            out, topc.astype(jnp.int32), ci * chunk, axis=0
         )
 
-    out0 = jnp.zeros((corpus_local.shape[0], 2), jnp.int32)
+    out0 = jnp.zeros((corpus_local.shape[0], n_cand), jnp.int32)
     if axis_name is not None:
         out0 = lax.pcast(out0, (axis_name,), to="varying")
     return lax.fori_loop(0, n_chunks, body, out0)
@@ -303,8 +316,9 @@ def _pq_reconstruct(codes, codebooks_flat, m, ds):
 
 def _greedy_fill(cand: np.ndarray, n_total: int, k: int, capacity: int
                  ) -> np.ndarray:
-    """Place every row into a cluster slot: first choice, then second
-    choice, then spill into any free slot. Vectorized (sort + run-rank);
+    """Place every row into a cluster slot: nearest candidate first, then
+    the 2nd..C-th nearest (``cand`` columns, C = ASSIGN_CANDIDATES at
+    build), then spill into any free slot. Vectorized (sort + run-rank);
     returns ``row_ids`` of shape [k * capacity] with -1 for empty slots.
     Deterministic — multi-process builds run it identically on every
     host."""
@@ -334,10 +348,10 @@ def _greedy_fill(cand: np.ndarray, n_total: int, k: int, capacity: int
         take = slice(0, len(remaining))
         row_ids[slot_cluster[take] * capacity + slot_pos[take]] = remaining
         logger.info(
-            "IVFIPIndex: %d rows (%.2f%%) spilled outside their top-2 "
+            "IVFIPIndex: %d rows (%.2f%%) spilled outside their top-%d "
             "clusters (capacity %d, slack exhausted)",
             len(remaining), 100.0 * len(remaining) / max(n_total, 1),
-            capacity,
+            cand.shape[1], capacity,
         )
     return row_ids
 
@@ -763,10 +777,12 @@ class IVFIPIndex:
 
         def assign(chunk, cents):
             chunk = _pad_to_chunks(chunk, a_chunk)
-            return _assign_top2_body(chunk, cents, chunk=a_chunk)
+            return _assign_top2_body(
+                chunk, cents, chunk=a_chunk, n_cand=ASSIGN_CANDIDATES
+            )
 
         assign_fn = jax.jit(assign)
-        cand = np.empty((self.n_total, 2), np.int32)
+        cand = np.empty((self.n_total, ASSIGN_CANDIDATES), np.int32)
         for lo, hi in ranges():
             chunk = jnp.asarray(get_chunk(lo, hi), jnp.float32)
             if chunk.shape[0] < chunk_rows:  # static shape: pad final chunk
@@ -1313,7 +1329,9 @@ class IVFIPIndex:
                     corpus, cents, n_total, n_iters=iters, chunk=chunk,
                     axis_name=None, spherical=spherical,
                 )
-                return cents, _assign_top2_body(corpus, cents, chunk=chunk)
+                return cents, _assign_top2_body(
+                    corpus, cents, chunk=chunk, n_cand=ASSIGN_CANDIDATES
+                )
 
             cents, cand_dev = jax.jit(fit)(
                 corpus_dev, jnp.asarray(init_centroids)
@@ -1333,7 +1351,8 @@ class IVFIPIndex:
                 chunk=chunk, axis_name=DATA_AXIS, spherical=spherical,
             )
             cand = _assign_top2_body(
-                corpus_local, cents, chunk=chunk, axis_name=DATA_AXIS
+                corpus_local, cents, chunk=chunk, axis_name=DATA_AXIS,
+                n_cand=ASSIGN_CANDIDATES,
             )
             return cents, cand[:shard_rows]
 
