@@ -55,6 +55,7 @@ PRESETS = {
         # candidates for the 2x-negatives mining ask (tools raise otherwise,
         # reference get_hard_negatives.py:75-76 parity)
         search_range="0-12", k=20, lr=1e-3, rankpo_lr=5e-4,
+        frontier_lrs=(1e-3,),
     ),
     "133m": dict(
         hidden=1024, layers=8, heads=16, kv_heads=8, vocab=32000,
@@ -63,6 +64,7 @@ PRESETS = {
         q_len=32, p_len=64, num_negatives=7, batch=32, epochs=2, iterations=2,
         rankpo_batch=16, rankpo_epochs=1, eval_steps=25, num_predictions=4,
         search_range="0-50", k=100, lr=2e-4, rankpo_lr=1e-4,
+        frontier_lrs=(3e-4, 1e-3),
     ),
 }
 
@@ -160,6 +162,9 @@ def main(argv=None):
     ap.add_argument("--output_dir", required=True)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--bf16", action="store_true", default=None)
+    ap.add_argument("--frontier", action="store_true",
+                    help="also sweep stage-2 LRs (preset frontier_lrs) for "
+                         "the alignment-vs-retention frontier figure")
     args = ap.parse_args(argv)
     p = PRESETS[args.preset]
     bf16 = args.bf16 if args.bf16 is not None else (args.preset != "tiny")
@@ -209,8 +214,19 @@ def main(argv=None):
     # README.md:60-120 + scripts/train/run_contrastive.sh)
     from rankpo_tpu.cli.run_pipeline import main as run_pipeline
 
-    with stage("stage1_pipeline"):
-        s1_dir = os.path.join(root, "stage1")
+    s1_dir = os.path.join(root, "stage1")
+    expected_s1 = os.path.join(s1_dir, f"iter{p['iterations'] - 1}")
+    preds_file = os.path.join(s1_dir, "prediction_pairs.jsonl")
+    if (os.path.isfile(os.path.join(expected_s1, "model.safetensors"))
+            and os.path.isfile(preds_file)):
+        # artifact reuse (the reference's skip-if-done idempotence guards,
+        # evaluate.py:169-184): lets --frontier sweeps re-enter without
+        # repeating stage 1
+        print(f"reusing stage-1 artifacts at {s1_dir}")
+        final_s1 = expected_s1
+        timings["stage1_pipeline"] = 0.0
+    else:
+      with stage("stage1_pipeline"):
         final_s1 = run_pipeline([
             "--model_name_or_path", base_model,
             "--tokenizer_name", tok,
@@ -273,8 +289,9 @@ def main(argv=None):
     # hook (reference scripts/train/run_rankpo.sh + the paper's fig.) ----
     from rankpo_tpu.cli.run_rankpo import main as run_rankpo
 
-    def stage2(variant):
-        out2 = os.path.join(root, f"stage2_{variant}")
+    def stage2(variant, lr=None, suffix=""):
+        lr = p["rankpo_lr"] if lr is None else lr
+        out2 = os.path.join(root, f"stage2_{variant}{suffix}")
         extra = (
             ["--loss_type", "sigmoid", "--beta", "2.0",
              "--rankpo_weight", "1.0", "--sft_weight", "0.0"]
@@ -286,7 +303,7 @@ def main(argv=None):
             "--tokenizer_name", tok,
             "--train_data", annotated,
             "--output_dir", out2,
-            "--learning_rate", str(p["rankpo_lr"]),
+            "--learning_rate", str(lr),
             "--num_train_epochs", str(p["rankpo_epochs"]),
             "--per_device_train_batch_size", str(p["rankpo_batch"]),
             "--reference_free",
@@ -311,18 +328,42 @@ def main(argv=None):
         ]
         return out2, history, curve
 
+    def pref_accuracy(history):
+        accs = [h["rewards/accuracies"] for h in history
+                if "rewards/accuracies" in h]
+        return float(np.mean(accs[-10:])) if accs else None
+
     for variant in ("rankpo", "sft"):
         with stage(f"stage2_{variant}"):
             out2, history, curve = stage2(variant)
             results[f"{variant}_retention_curve"] = curve
-            accs = [h["rewards/accuracies"] for h in history
-                    if "rewards/accuracies" in h]
-            results[f"{variant}_final_pref_accuracy"] = (
-                float(np.mean(accs[-10:])) if accs else None
-            )
+            results[f"{variant}_final_pref_accuracy"] = pref_accuracy(history)
         with stage(f"evaluate_{variant}"):
             results[f"{variant}_metrics"] = evaluate(out2, f"eval_{variant}")
             print(json.dumps(results[f"{variant}_metrics"], indent=2))
+
+    # --- alignment-vs-retention FRONTIER: stage 2 at a sweep of LRs (the
+    # reference's actual headline figure, imgs/rankpo_performance.png:
+    # scripts/evaluate/run_rankpo_evaluate.sh sweeps lrs x seeds the same
+    # way) -- RankPO's claim is better retention AT matched alignment as
+    # LR pushes alignment up and SFT's retrieval collapses
+    if args.frontier:
+        frontier = []
+        for lr in p["frontier_lrs"]:
+            for variant in ("rankpo", "sft"):
+                tag = f"{variant}_lr{lr:g}"
+                with stage(f"frontier_{tag}"):
+                    out2, history, _ = stage2(variant, lr=lr,
+                                              suffix=f"_lr{lr:g}")
+                    m = evaluate(out2, f"eval_{tag}")
+                    frontier.append({
+                        "variant": variant, "lr": lr,
+                        "pref_accuracy": pref_accuracy(history),
+                        "nDCG@20": m.get("nDCG@20"),
+                        "MRR@10": m.get("MRR@10"),
+                    })
+                    print(json.dumps(frontier[-1]))
+        results["frontier"] = frontier
 
     results["timings_s"] = timings
     results["preset"] = args.preset
@@ -364,6 +405,18 @@ def main(argv=None):
         ndv = results[f"{name}_metrics"].get(nd)
         lines.append(f"| {name} | {acc if acc is None else f'{acc:.3f}'} | "
                      f"{ndv:.4f} |")
+    if results.get("frontier"):
+        lines += [
+            "", "## Alignment-vs-retention frontier (stage-2 LR sweep)", "",
+            f"| variant | lr | pref accuracy | {nd} | MRR@10 |",
+            "|---|---|---|---|---|",
+        ]
+        for f_ in results["frontier"]:
+            lines.append(
+                f"| {f_['variant']} | {f_['lr']:g} | "
+                f"{f_['pref_accuracy']:.3f} | {f_[nd]:.4f} | "
+                f"{f_['MRR@10']:.4f} |"
+            )
     lines += ["", "## Retention curves (in-training hook, stage 2)", ""]
     for name in ("rankpo", "sft"):
         lines.append(f"### {name}")
