@@ -2067,9 +2067,23 @@ class IVFIPIndex:
 
             # supported() also guards capacities without a legal VMEM
             # tiling (legacy persisted indexes built before PQ capacities
-            # were rounded to x64) — those keep the XLA decode
-            pallas_adc = _adc.supported(cap, pq_m) and (
-                jax.default_backend() == "tpu" or _adc.FORCE_INTERPRET
+            # were rounded to x64) — those keep the XLA decode.
+            # The codes-size gate: with m < 128 the TPU (8,128) tile pads
+            # the minor dim to 128 lanes, so the program carries a ~2x
+            # relayout COPY of the whole uint8 codes array — measured at
+            # the 100M tier (u8[130M, 64]: a 15.5 G copy for 8.3 G of
+            # codes; compile OOM at 23.9 G). m multiples of 128 tile
+            # padding-free and skip the copy (measured: 50M x m128 carries
+            # no codes copy). Gate the kernel to layouts that fit; past it
+            # the XLA decode path takes over (natural-layout gather,
+            # batch-shrunk by _gather_bytes_per_query).
+            codes_gb = self.n_clusters * cap * pq_m / (1 << 30)
+            padded_gb = codes_gb * (128 / pq_m if pq_m < 128 else 1.0)
+            pallas_adc = (
+                _adc.supported(cap, pq_m)
+                and (codes_gb + padded_gb <= 12.0 if pq_m < 128
+                     else codes_gb <= 12.0)
+                and (jax.default_backend() == "tpu" or _adc.FORCE_INTERPRET)
             )
         else:
             pallas_adc = False
