@@ -3,13 +3,15 @@ CPU mesh: contrastive train → evaluate → mine hard negatives → generate
 prediction pairs → RankPO train → re-evaluate. The hermetic analog of the
 reference's published two-stage recipe (README.md:60-171)."""
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
 import json
 import os
 
 import numpy as np
-import pytest
-
-pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
 
 import jax
 

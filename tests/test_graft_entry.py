@@ -1,13 +1,15 @@
 """Driver-contract regression tests: entry() compiles and runs; the multichip
 dryrun executes a full dp x tp ZeRO-1 train step on the virtual mesh."""
 
-import numpy as np
-
-import jax
 
 import pytest
 
 pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
+import numpy as np
+
+import jax
+
 
 
 def test_entry_compiles_and_runs():

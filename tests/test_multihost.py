@@ -8,6 +8,11 @@ Spawned as real subprocesses: jax.distributed.initialize cannot run twice in
 one process, and the conftest already initialized a single-process backend.
 """
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
 import json
 import os
 import socket
@@ -208,9 +213,6 @@ from rankpo_tpu.core.mesh import MeshConfig, make_mesh
 from rankpo_tpu.index.flat import FlatIPIndex
 from rankpo_tpu.index.ivf import IVFIPIndex
 
-import pytest
-
-pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
 
 mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
 rng = np.random.default_rng(7)

@@ -6,6 +6,11 @@ data axis, and rank 0 owns checkpoints. Loss history must agree with a
 single-process run on the same data/seed (identical math up to batch-mean
 summation order)."""
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
 import json
 import os
 import socket
@@ -81,9 +86,6 @@ from rankpo_tpu.data.packing import PackedContrastiveCollator, sync_packed_budge
 from rankpo_tpu.models import init_params, tiny_llama_config
 from rankpo_tpu.train import TrainConfig, Trainer, make_contrastive_loss_fn
 
-import pytest
-
-pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
 
 mesh = make_mesh(MeshConfig(data_parallel=8, model_parallel=1))
 tok = HashTokenizer(vocab_size=256)

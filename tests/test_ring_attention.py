@@ -2,10 +2,12 @@
 gradients must match full attention bit-closely, with causal masking, key
 padding, and GQA, on the 8-device virtual mesh."""
 
-import numpy as np
+
 import pytest
 
 pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp

@@ -7,6 +7,11 @@ Spawned as real subprocesses (jax.distributed.initialize is once-per-process
 and conftest already initialized this one).
 """
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
 import json
 import socket
 import subprocess
@@ -14,9 +19,6 @@ import sys
 
 import jax
 import jax.numpy as jnp
-import pytest
-
-pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
 
 from rankpo_tpu.data.tokenization import HashTokenizer
 

@@ -9,6 +9,11 @@ processes never exit on their own (serve_forever / follower_loop), so the
 test kills them after verifying responses.
 """
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
+
 import json
 import os
 import signal
@@ -34,9 +39,6 @@ jax.config.update("jax_num_cpu_devices", 4)
 
 from rankpo_tpu.cli.serve import main
 
-import pytest
-
-pytestmark = pytest.mark.slow  # see pyproject: fast tier = -m 'not slow'
 main([
     "--model_name_or_path", model,
     "--tokenizer_name", "hash:256",
