@@ -427,6 +427,85 @@ def _wait_for_backend(max_wait_s: float = 1800, probe_timeout_s: float = 240):
         time.sleep(30)
 
 
+def _flash_fwd_ms() -> float:
+    """Flash-attention fwd at the docs/BENCHMARKS.md headline shape
+    (B4/S4096/H16-KV8/D128 causal bf16), amortized — the floors-gate
+    probe for kernel regressions (same harness as benchmarks/flash_bench)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rankpo_tpu.ops.flash_attention import flash_attention
+
+    b, s, hq, hkv, d = 4, 4096, 16, 8, 128
+    reps = 8
+    rng = np.random.RandomState(0)
+    q = jax.device_put(jnp.asarray(rng.randn(b, s, hq, d), jnp.bfloat16))
+    k = jax.device_put(jnp.asarray(rng.randn(b, s, hkv, d), jnp.bfloat16))
+    v = jax.device_put(jnp.asarray(rng.randn(b, s, hkv, d), jnp.bfloat16))
+    mask = jax.device_put(jnp.ones((b, s), jnp.int32))
+
+    @jax.jit
+    def loop(q_, k_, v_, m_):
+        def body(i, carry):
+            out = flash_attention(
+                q_ + carry.astype(q_.dtype) * 0, k_, v_, mask=m_, causal=True
+            )
+            return carry + out.reshape(-1)[0].astype(jnp.float32) * 1e-9
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+    return 1e3 * _engine_seconds(loop, (q, k, v, mask), reps)
+
+
+def _check_floors(out: dict, *, on_tpu: bool) -> None:
+    """Annotate the bench JSON with pass/fail vs benchmarks/floors.json
+    (the cross-round regression gate). Compares ON-DEVICE numbers only —
+    a failure is an engine/compiler regression, distinct from tunnel
+    weather, which only moves tunnel_e2e_qps (not gated)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks",
+        "floors.json",
+    )
+    try:
+        with open(path) as f:
+            floors = json.load(f)
+    except Exception as exc:  # pragma: no cover - missing file is non-fatal
+        out["floors"] = {"pass": None, "error": f"floors.json unreadable: {exc}"}
+        return
+    if not on_tpu:
+        out["floors"] = {
+            "pass": None,
+            "skipped": "cpu backend — floors are real-TPU on-device numbers",
+        }
+        return
+    checks: dict = {}
+    not_measured = []
+    ok_all = True
+    for key, spec in floors.items():
+        if key.startswith("_"):
+            continue
+        val = out.get(key)
+        if val is None:
+            not_measured.append(
+                {"key": key, "measured_by": spec.get("measured_by", "")}
+            )
+            continue
+        ok = True
+        bounds = {}
+        if "min" in spec:
+            bounds["min"] = spec["min"]
+            ok = ok and val >= spec["min"]
+        if "max" in spec:
+            bounds["max"] = spec["max"]
+            ok = ok and val <= spec["max"]
+        checks[key] = {"value": val, **bounds, "pass": ok}
+        ok_all = ok_all and ok
+    out["floors"] = {
+        "pass": ok_all,
+        "checks": checks,
+        "not_measured": not_measured,
+    }
+
+
 def main():
     tpu_unavailable = os.environ.get("RANKPO_BENCH_TPU_UNAVAILABLE") == "1"
     if not tpu_unavailable:
@@ -446,9 +525,11 @@ def main():
     if on_tpu:
         qps_1m_exact, qps_1m_int8, recall_1m_int8 = _device_1m()
         qps_1m_pq, recall_1m_pq = _device_1m_ivfpq()
+        flash_ms = _flash_fwd_ms()
     else:  # CPU smoke: the 1M matmuls would take minutes per dispatch
         qps_1m_exact = qps_1m_int8 = recall_1m_int8 = None
         qps_1m_pq = recall_1m_pq = None
+        flash_ms = None
 
     cpu_qps = _cpu_qps(corpus, queries)
     if on_tpu:
@@ -477,7 +558,12 @@ def main():
             f"({(h2d_bytes + d2h_bytes) / 1e6:.1f} MB at {PCIE_GBPS} GB/s). "
             "The raw dev-harness number is tunnel_e2e_qps (remote-TPU tunnel, "
             "8-85 MB/s day swings); the CPU baseline pays no transfer "
-            "in-process. fp32 oracle gate enforced before reporting."
+            "in-process. fp32 oracle gate enforced before reporting. "
+            "baseline_cpu_qps is this repo's own C++ blocked matmul+heap "
+            "top-k (native/rankpo_native.cpp), NOT FAISS (not installed "
+            "here); FAISS IndexFlatIP's blocked GEMM would likely score "
+            "higher, but not by the two orders of magnitude vs_baseline "
+            "clears."
         ),
         "transfer_model": {
             "pcie_gbps": PCIE_GBPS,
@@ -498,8 +584,12 @@ def main():
         "recall_1m_pq_opq": (
             None if recall_1m_pq is None else round(recall_1m_pq, 4)
         ),
+        # flash fwd at the BENCHMARKS.md headline shape — the kernel
+        # regression probe for the floors gate
+        "flash_fwd_ms": None if flash_ms is None else round(flash_ms, 2),
         "backend": backend,
     }
+    _check_floors(out, on_tpu=on_tpu and not tpu_unavailable)
     if tpu_unavailable:
         out["tpu_unavailable"] = True
         out["metric_definition"] = (

@@ -221,8 +221,13 @@ def main(argv=None):
         logger.info("gradient-cache accumulation: negative pool spans all "
                     "%d accumulation steps", train_cfg.gradient_accumulation_steps)
 
+    from rankpo_tpu.utils.flops import (
+        contrastive_sample_flops,
+        contrastive_sample_tokens,
+    )
     from rankpo_tpu.utils.wandb_utils import maybe_init_wandb
 
+    group_size = 1 + data_args.num_negatives
     trainer = Trainer(
         loss_fn=loss_fn,
         grad_fn=grad_fn,
@@ -232,6 +237,20 @@ def main(argv=None):
         total_steps=max(total_steps, 1),
         save_params_fn=save_params_fn,
         log_fn=maybe_init_wandb(train_cfg.wandb_project, train_cfg.run_name),
+        # analytic FLOPs/token accounting at the static padded lengths
+        # (tokens_per_sec + mfu in the log — utils/flops.py)
+        sample_flops=contrastive_sample_flops(
+            config,
+            query_len=data_args.max_query_length,
+            passage_len=data_args.max_passage_length,
+            group_size=group_size,
+            causal=config.is_llama,
+        ),
+        sample_tokens=contrastive_sample_tokens(
+            query_len=data_args.max_query_length,
+            passage_len=data_args.max_passage_length,
+            group_size=group_size,
+        ),
     )
 
     if resume:

@@ -207,6 +207,11 @@ def main(argv=None):
     if r_args.use_lora:
         frozen["base"] = base_params
 
+    from rankpo_tpu.utils.flops import (
+        rankpo_sample_flops,
+        rankpo_sample_tokens,
+    )
+
     trainer = Trainer(
         loss_fn=loss_fn,
         params=params,
@@ -216,6 +221,19 @@ def main(argv=None):
         save_params_fn=save_params_fn,
         log_fn=maybe_init_wandb(train_cfg.wandb_project, train_cfg.run_name),
         frozen_params=frozen or None,
+        # analytic FLOPs/token accounting at the static padded lengths
+        # (tokens_per_sec + mfu in the log — utils/flops.py)
+        sample_flops=rankpo_sample_flops(
+            config,
+            query_len=data_args.max_query_length,
+            passage_len=data_args.max_passage_length,
+            reference_free=ref_params is None,
+            causal=config.is_llama,
+        ),
+        sample_tokens=rankpo_sample_tokens(
+            query_len=data_args.max_query_length,
+            passage_len=data_args.max_passage_length,
+        ),
     )
 
     if resume:

@@ -194,8 +194,16 @@ def maybe_attach_retrieval_eval(
         cutoffs=[c for c in (1, 5, 10, 20, 100) if c <= k] or [k],
         # match the train-config precision so in-training numbers stay
         # directly comparable with an offline rankpo-evaluate run using the
-        # same --bf16 setting (the offline CLI defaults to fp32)
-        compute_dtype=jnp.bfloat16 if trainer.config.bf16 else jnp.float32,
+        # same --bf16 setting (the offline CLI defaults to fp32);
+        # pure_bf16 runs also train in bf16, so they evaluate in bf16 too
+        compute_dtype=(
+            jnp.bfloat16
+            if (
+                trainer.config.bf16
+                or getattr(trainer.config, "pure_bf16", False)
+            )
+            else jnp.float32
+        ),
         attn_impl=attn_impl,
         index_type=getattr(data_args, "retrieval_eval_index", "flat"),
     )

@@ -231,8 +231,15 @@ def apply(
     attn_impl: str = "auto",
     mesh=None,
     segment_ids=None,
+    collect_hidden: bool = False,
 ) -> jax.Array:
     """Returns last_hidden_state [B, S, H] in compute_dtype.
+
+    ``collect_hidden=True`` additionally returns the stacked PRE-final-norm
+    per-layer outputs [L, B, S, H] (HF ``output_hidden_states`` analog:
+    layer i's output == HF ``hidden_states[i+1]`` for i < L-1) — the
+    per-layer parity probe for real-checkpoint imports
+    (tests/test_real_checkpoint.py).
 
     ``remat_policy``: "full" recomputes everything in the layer on the
     backward pass (min memory); "dots" saves matmul outputs
@@ -299,27 +306,34 @@ def apply(
                 post_fn = jax.checkpoint(
                     lambda c, a, p: _layer_post(config, c, a, p)
                 )
-                return post_fn(carry, attn, lp), None
-            kwargs = {}
-            if remat_policy == "dots":
-                kwargs["policy"] = (
-                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                new = post_fn(carry, attn, lp)
+            else:
+                kwargs = {}
+                if remat_policy == "dots":
+                    kwargs["policy"] = (
+                        jax.checkpoint_policies
+                        .dots_with_no_batch_dims_saveable
+                    )
+                fn = jax.checkpoint(
+                    lambda c, p: _layer(
+                        config, c, p, cos, sin, key_mask, attn_impl, mesh,
+                        segment_ids,
+                    ),
+                    **kwargs,
                 )
-            fn = jax.checkpoint(
-                lambda c, p: _layer(
-                    config, c, p, cos, sin, key_mask, attn_impl, mesh,
-                    segment_ids,
-                ),
-                **kwargs,
+                new = fn(carry, lp)
+        else:
+            new = _layer(
+                config, carry, lp, cos, sin, key_mask, attn_impl, mesh,
+                segment_ids,
             )
-            return fn(carry, lp), None
-        return _layer(
-            config, carry, lp, cos, sin, key_mask, attn_impl, mesh, segment_ids
-        ), None
+        return new, (new if collect_hidden else None)
 
-    x, _ = jax.lax.scan(body, x, layer_params)
+    x, hs = jax.lax.scan(body, x, layer_params)
     x = rms_norm(
         x, params["norm"]["weight"].astype(compute_dtype), config.rms_norm_eps,
         gemma=config.is_gemma,
     )
+    if collect_hidden:
+        return x, hs
     return x

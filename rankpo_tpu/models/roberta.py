@@ -187,11 +187,15 @@ def apply(
     attn_impl: str = "auto",
     mesh=None,
     segment_ids=None,
+    collect_hidden: bool = False,
 ) -> jax.Array:
     """Returns last_hidden_state [B, S, H] in compute_dtype.
     ``remat_policy``: see llama.apply; ``segment_ids`` (sequence packing,
     replaces ``attention_mask``): see llama.apply — here the learned
-    absolute positions restart per segment (with the Roberta pad offset)."""
+    absolute positions restart per segment (with the Roberta pad offset).
+    ``collect_hidden=True`` additionally returns the stacked per-layer
+    outputs [L, B, S, H] (here layer i's output == HF ``hidden_states[i+1]``
+    exactly — no final norm in the Roberta body)."""
     b, s = input_ids.shape
     emb = params["embeddings"]
     if segment_ids is not None:
@@ -279,15 +283,19 @@ def apply(
                         config, c, a, p, post_key, deterministic
                     )
                 )
-                return post_fn(carry, attn, lp), None
+                new = post_fn(carry, attn, lp)
+                return new, (new if collect_hidden else None)
             kwargs = {}
             if remat_policy == "dots":
                 kwargs["policy"] = (
                     jax.checkpoint_policies.dots_with_no_batch_dims_saveable
                 )
             fn = jax.checkpoint(fn, **kwargs)
-        return fn(carry, lp), None
+        new = fn(carry, lp)
+        return new, (new if collect_hidden else None)
 
     xs = (layer_params, layer_keys) if layer_keys is not None else layer_params
-    x, _ = jax.lax.scan(body, x, xs)
+    x, hs = jax.lax.scan(body, x, xs)
+    if collect_hidden:
+        return x, hs
     return x

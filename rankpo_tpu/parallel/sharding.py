@@ -94,12 +94,12 @@ def zero1_partition_specs(tree, data_axis_size: int, model_axis_size: int = 1):
         dims = list(pspec) + [None] * (leaf.ndim - len(pspec))
         # pick the largest dim not already taken by the model axis
         order = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+        changed = False
         for d in order:
             if dims[d] is None and leaf.shape[d] % data_axis_size == 0:
                 dims[d] = DATA_AXIS
+                changed = True
                 break
-        else:
-            return pspec
         # secondary: leaves with no TP rule (embed table, norms) also give a
         # free dim to the model axis. Without this the backward hands GSPMD
         # model-sharded grads (e.g. the embed grad inherits the hidden dim's
@@ -108,13 +108,16 @@ def zero1_partition_specs(tree, data_axis_size: int, model_axis_size: int = 1):
         # the "[SPMD] Involuntary full rematerialization" warning the r3
         # dryrun tail showed on the fsdp step. With the model axis in the
         # target layout the transition is a local slice. (More moment/param
-        # sharding is also strictly less memory.)
+        # sharding is also strictly less memory.) This pass runs even when
+        # no dim divides the data axis — such a leaf's grad can still arrive
+        # model-sharded and faces the same replicate transition.
         if model_axis_size > 1 and MODEL_AXIS not in dims:
             for d in order:
                 if dims[d] is None and leaf.shape[d] % model_axis_size == 0:
                     dims[d] = MODEL_AXIS
+                    changed = True
                     break
-        return P(*dims)
+        return P(*dims) if changed else pspec
 
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf, ps: shard_leaf(path, leaf, ps), tree, param_specs

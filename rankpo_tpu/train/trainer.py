@@ -105,6 +105,8 @@ class Trainer:
         log_fn: Optional[Callable] = None,
         grad_fn: Optional[Callable] = None,
         frozen_params=None,
+        sample_flops: Optional[float] = None,
+        sample_tokens: Optional[float] = None,
     ):
         """loss_fn(params, batch, rng) -> (loss, metrics) on global arrays.
 
@@ -121,6 +123,13 @@ class Trainer:
         grad_fn(params, batch[accum,...], rng) -> (loss, metrics, grads), when
         given, replaces the default per-microbatch value_and_grad + scan (used
         by the gradient-cache contrastive path, train/gradcache.py).
+
+        sample_flops/sample_tokens: analytic per-sample model FLOPs and
+        (padded) token counts from utils/flops.py — when given, the log
+        stream carries ``tokens_per_sec`` and (when the chip's bf16 peak is
+        known) ``mfu`` next to ``samples_per_sec``, the TPU analog of the
+        reference's ``total_flos`` accounting
+        (contrastive_trainer.py:546,674-675).
         """
         self.loss_fn = loss_fn
         self.grad_fn = grad_fn
@@ -133,6 +142,14 @@ class Trainer:
         # called at eval points alongside (or instead of) the loss eval —
         # set post-construction (eval/in_training.py RetrievalEvalHook)
         self.retrieval_eval_fn: Optional[Callable] = None
+        self.sample_flops = sample_flops
+        self.sample_tokens = sample_tokens
+        if sample_flops is not None:
+            from rankpo_tpu.utils.flops import peak_flops_per_chip
+
+            self._peak_flops = peak_flops_per_chip()
+        else:
+            self._peak_flops = None
         self.tx, self.schedule = make_optimizer(config, total_steps)
 
         dp = mesh.shape[DATA_AXIS]
@@ -600,11 +617,23 @@ class Trainer:
                     logs["step_time"] = round(
                         sum(time_buffer) / len(time_buffer), 4
                     )
-                    logs["samples_per_sec"] = round(
+                    samples_per_sec = (
                         micro_global * accum * len(time_buffer)
-                        / sum(time_buffer),
-                        2,
+                        / sum(time_buffer)
                     )
+                    logs["samples_per_sec"] = round(samples_per_sec, 2)
+                    if self.sample_tokens is not None:
+                        logs["tokens_per_sec"] = round(
+                            samples_per_sec * self.sample_tokens, 1
+                        )
+                    if self.sample_flops is not None and self._peak_flops:
+                        # model FLOPs (3x fwd, padded shapes) vs the global
+                        # bf16 peak — utils/flops.py conventions
+                        logs["mfu"] = round(
+                            samples_per_sec * self.sample_flops
+                            / (self._peak_flops * jax.device_count()),
+                            4,
+                        )
                     metric_buffer.clear()
                     time_buffer.clear()
                     self._log(logs)

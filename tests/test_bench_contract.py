@@ -63,3 +63,35 @@ def test_bench_main_prints_one_json_line(monkeypatch, capsys):
     payload = json.loads(out[-1])
     assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
     assert payload["value"] > 0
+    # regression-gate block always present; skipped (pass=None) off-TPU
+    assert "floors" in payload
+    assert payload["floors"]["pass"] is None  # cpu backend in tests
+
+
+def test_floors_gate_checks():
+    """The floors comparator: min/max bounds, not_measured, pass logic."""
+    import bench
+
+    out = {
+        "on_device_qps": 75000.0,
+        "qps_1m_exact": 18000.0,
+        "qps_1m_int8": 27000.0,
+        "flash_fwd_ms": 6.3,
+    }
+    bench._check_floors(out, on_tpu=True)
+    fl = out["floors"]
+    assert fl["pass"] is True
+    assert fl["checks"]["on_device_qps"]["pass"]
+    assert fl["checks"]["flash_fwd_ms"]["max"] == 7.0
+    assert any(
+        nm["key"] == "train_samples_per_sec_133m" for nm in fl["not_measured"]
+    )
+
+    bad = dict(out, on_device_qps=60000.0)
+    bench._check_floors(bad, on_tpu=True)
+    assert bad["floors"]["pass"] is False
+    assert not bad["floors"]["checks"]["on_device_qps"]["pass"]
+
+    slow_kernel = dict(out, flash_fwd_ms=9.0)
+    bench._check_floors(slow_kernel, on_tpu=True)
+    assert slow_kernel["floors"]["pass"] is False

@@ -90,7 +90,7 @@ class TestSchedule:
 
 
 def _make_trainer(mesh, tmp_path, tok, accum=1, zero1=True, total_steps=8,
-                  save_only_model=True, cfg_extra=None):
+                  save_only_model=True, cfg_extra=None, trainer_extra=None):
     model_cfg = tiny_llama_config(vocab_size=256)
     params = init_params(jax.random.key(0), model_cfg)
     loss_fn = make_contrastive_loss_fn(
@@ -113,6 +113,7 @@ def _make_trainer(mesh, tmp_path, tok, accum=1, zero1=True, total_steps=8,
         loss_fn=loss_fn, params=params, mesh=mesh, config=cfg,
         total_steps=total_steps,
         save_params_fn=lambda d, p: save_pretrained(d, model_cfg, p),
+        **(trainer_extra or {}),
     )
     return trainer, model_cfg
 
@@ -133,6 +134,45 @@ class TestTrainerContrastive:
             "global_step", "loss", "learning_rate", "grad_norm",
             "global_epoch", "epoch", "step",
         ]
+
+    def test_flops_accounting_in_log(self, data_mesh, tmp_path, tok,
+                                     monkeypatch):
+        """sample_flops/sample_tokens -> tokens_per_sec + mfu in the log
+        (the total_flos analog, contrastive_trainer.py:546,674-675)."""
+        from rankpo_tpu.utils.flops import (
+            contrastive_sample_flops,
+            contrastive_sample_tokens,
+        )
+
+        monkeypatch.setenv("RANKPO_PEAK_TFLOPS", "100")  # CPU: force a peak
+        model_cfg = tiny_llama_config(vocab_size=256)
+        flops = contrastive_sample_flops(
+            model_cfg, query_len=16, passage_len=16, group_size=4,
+            causal=True,
+        )
+        tokens = contrastive_sample_tokens(
+            query_len=16, passage_len=16, group_size=4
+        )
+        assert tokens == 16 + 4 * 16
+        trainer, _ = _make_trainer(
+            data_mesh, tmp_path, tok, total_steps=2,
+            cfg_extra={"max_steps": 2, "save_strategy": "no"},
+            trainer_extra={"sample_flops": flops, "sample_tokens": tokens},
+        )
+        ds = ContrastiveDataset(_contrastive_rows(16), tok, 16, 16)
+        coll = ContrastiveCollator(pad_token_id=0, num_negatives=3,
+                                   max_query_length=16, max_passage_length=16,
+                                   seed=0)
+        history = trainer.train(ds, coll)
+        row = history[0]
+        assert row["tokens_per_sec"] == pytest.approx(
+            row["samples_per_sec"] * tokens, rel=0.01
+        )
+        # mfu = samples/s * flops_per_sample / (peak * n_devices)
+        import jax as _jax
+
+        expect = row["samples_per_sec"] * flops / (100e12 * _jax.device_count())
+        assert row["mfu"] == pytest.approx(expect, abs=2e-4)
 
     @pytest.mark.slow
     def test_logging_epoch_means_with_bounded_fold(self, data_mesh, tmp_path,

@@ -94,3 +94,60 @@ class TestNaNGuard:
         trainer.train_step(good, jax.random.key(0))
         after_good = np.asarray(jax.device_get(trainer.state.params["w"]))
         assert not np.array_equal(after_good, before)  # real update applied
+
+
+class TestFlopsAccounting:
+    """Analytic model-FLOPs math (utils/flops.py) — the total_flos analog
+    (reference contrastive_trainer.py:546,674-675)."""
+
+    def _cfg(self):
+        from rankpo_tpu.models.config import EncoderConfig
+
+        return EncoderConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, vocab_size=64,
+            hidden_act="silu",
+        )
+
+    def test_encoder_fwd_flops_hand_computed(self):
+        from rankpo_tpu.utils.flops import encoder_fwd_flops
+
+        cfg = self._cfg()
+        h, f, s = 64, 128, 8
+        head_dim = h // 4
+        q_dim, kv_dim = 4 * head_dim, 2 * head_dim
+        proj = 2 * h * (q_dim + 2 * kv_dim) + 2 * q_dim * h
+        mlp = 6 * h * f  # gated silu: gate + up + down
+        attn = 4 * q_dim * (s / 2)  # causal
+        expect = 2 * (proj + mlp + attn) * s  # L=2 layers, s tokens
+        assert encoder_fwd_flops(cfg, s, causal=True) == expect
+        # non-causal doubles only the attention term
+        expect_nc = 2 * (proj + mlp + 4 * q_dim * s) * s
+        assert encoder_fwd_flops(cfg, s, causal=False) == expect_nc
+
+    def test_sample_flops_composition(self):
+        from rankpo_tpu.utils.flops import (
+            contrastive_sample_flops,
+            encoder_fwd_flops,
+            rankpo_sample_flops,
+        )
+
+        cfg = self._cfg()
+        fq = encoder_fwd_flops(cfg, 8)
+        fp = encoder_fwd_flops(cfg, 16)
+        assert contrastive_sample_flops(
+            cfg, query_len=8, passage_len=16, group_size=3
+        ) == 3.0 * (fq + 3 * fp)
+        # reference model adds one forward (4x vs 3x)
+        rf = rankpo_sample_flops(cfg, query_len=8, passage_len=16,
+                                 reference_free=True)
+        with_ref = rankpo_sample_flops(cfg, query_len=8, passage_len=16,
+                                       reference_free=False)
+        assert rf == 3.0 * (fq + 2 * fp)
+        assert with_ref == 4.0 * (fq + 2 * fp)
+
+    def test_peak_override(self, monkeypatch):
+        from rankpo_tpu.utils import flops
+
+        monkeypatch.setenv("RANKPO_PEAK_TFLOPS", "197")
+        assert flops.peak_flops_per_chip() == 197e12
