@@ -150,17 +150,44 @@ def main():
         s = pq_probe_scores(codes_arg, probe, lut, cap=CAP, mxu=mxu)
         return topk(s.reshape(q, P_PROBE, CAP), q)
 
+    def variant_pallas_t(codes_t_arg, cbf, cbm, probe, queries,
+                         via_transpose=False):
+        from rankpo_tpu.ops.pq_adc_pallas import pq_probe_scores_t
+
+        q = queries.shape[0]
+        q_sub = queries.reshape(q, M, DS).astype(jnp.bfloat16)
+        lut = jnp.einsum(
+            "qmd,mkd->qmk", q_sub, cbm, preferred_element_type=jnp.float32
+        )
+        s = pq_probe_scores_t(codes_t_arg, probe, lut, cap=CAP,
+                              via_transpose=via_transpose)
+        return topk(s.reshape(q, P_PROBE, CAP), q)
+
     variants = [
         ("take-reconstruct (cur)", variant_take),
         ("lut-gather", variant_lut),
         ("onehot-matmul decode", variant_onehot),
     ]
+    codes_t = None
     if jax.default_backend() == "tpu":
         variants.append(("pallas-adc fused", variant_pallas))
         variants.append((
             "pallas-adc mxu-reduce",
             functools.partial(variant_pallas, mxu=True),
         ))
+        if CAP % 128 == 0 and M % 32 == 0:
+            # transposed [m, slots] layout (pq_layout='cols'); needs a
+            # x128 capacity — run with e.g. --capacity 384 to compare
+            codes_t = jax.jit(lambda c: c.T)(codes)
+            jax.block_until_ready(codes_t)
+            variants.append((
+                "pallas-adc-T native",
+                functools.partial(variant_pallas_t, via_transpose=False),
+            ))
+            variants.append((
+                "pallas-adc-T via-transp",
+                functools.partial(variant_pallas_t, via_transpose=True),
+            ))
 
     for q_n in _args.q:
         reps = 4 if q_n >= 64 else 32
@@ -176,6 +203,7 @@ def main():
         )
         ref = None
         for name, fn in variants:
+            codes_arg = codes_t if name.startswith("pallas-adc-T") else codes
 
             def loop(c, f, b, pr, qs, fn=fn):
                 def body(i, carry):
@@ -185,16 +213,16 @@ def main():
 
             loop_fn = jax.jit(loop)
             try:
-                float(loop_fn(codes, cb_flat, cb, probe, queries))
+                float(loop_fn(codes_arg, cb_flat, cb, probe, queries))
             except Exception as e:
                 print(f"    {name:24} failed: {type(e).__name__}", flush=True)
                 continue
             best = float("inf")
             for _ in range(5):
                 t0 = time.perf_counter()
-                float(loop_fn(codes, cb_flat, cb, probe, queries))
+                float(loop_fn(codes_arg, cb_flat, cb, probe, queries))
                 best = min(best, (time.perf_counter() - t0) / reps)
-            out = jax.jit(fn)(codes, cb_flat, cb, probe, queries)
+            out = jax.jit(fn)(codes_arg, cb_flat, cb, probe, queries)
             ids = np.asarray(out[1])
             if ref is None:
                 ref, match = ids, "ref"

@@ -191,6 +191,12 @@ def index_state(index) -> Dict[str, np.ndarray]:
         cfg["reduced_dim"] = index.reduced_dim
         cfg["pq_m"] = index.pq_m
         cfg["pq_rotate"] = getattr(index, "pq_rotate", "none")
+        cfg["pq_layout"] = getattr(index, "pq_layout", None)
+        cfg["balance_eta"] = getattr(index, "balance_eta", 0.0)
+        if getattr(index, "_assign_bias_host", None) is not None:
+            # balanced-k-means assignment bias: appends to a loaded index
+            # must place new rows by the same biased scores the build used
+            _pack(out, meta, "assign_bias", index._assign_bias_host)
         cfg["candidates"] = (
             index.candidates if index.candidates == "auto"
             else int(index.candidates)
@@ -299,7 +305,15 @@ def _load_ivf(cfg, data, meta, mesh):
     self.spherical = bool(cfg["spherical"])
     rd = cfg["reduced_dim"]
     self._set_hybrid(rd, cfg["candidates"])
-    self._set_pq(cfg.get("pq_m"), 1, cfg.get("pq_rotate", "none"))
+    # layout is a PHYSICAL property of the saved codes — restore verbatim
+    # (legacy files predate pq_layout: always rows). A 'cols' index is
+    # single-device; _set_pq rejects it on a mesh with a clear message.
+    self._set_pq(
+        cfg.get("pq_m"), 1, cfg.get("pq_rotate", "none"),
+        cfg.get("pq_layout") or "rows",
+    )
+    self.balance_eta = float(cfg.get("balance_eta", 0.0))
+    self._set_assign_bias(_unpack(data, meta, "assign_bias"))
     self.n_clusters = int(cfg["n_clusters"])
     self.capacity = int(cfg["capacity"])
     n_shards = _n_shards(mesh)

@@ -69,6 +69,16 @@ NEG_INF = float("-inf")  # plain python at module scope (CLAUDE.md: a jnp
 
 TUNE_SAMPLE = 256
 TUNE_K = 100
+# pq_layout='auto' switches to the transposed 'cols' codes above this many
+# PADDED row-layout bytes (n_total * ceil(m/128)*128). Measured on v5e
+# (benchmarks/pq_decode_probe.py, 1.5M slots m=64): with the via_transpose
+# orientation the cols ADC kernel matches rows (33.9 vs 32.1 ms @ Q=256,
+# WINS at Q=64: 13.8 vs 13.9) at HALF the resident bytes and zero relayout
+# copy — but the rows small-probe take-reconstruct path is still ~2x
+# faster at Q=8 (0.9 vs ~1.9 ms), so latency-sensitive small tiers keep
+# rows. At multi-GB the rows padding dominates outright (15.5 GB copy for
+# 8.3 GB of codes at 100M x m=64 — compile OOM; only 'cols' runs at all).
+_COLS_AUTO_BYTES = 4 << 30
 # row-chunk budget for the streamed k-means matmuls: chunk*K score elements
 _CHUNK_BUDGET = 1 << 22
 # device-byte ceiling for one search dispatch's probed-row gather (+ fp32
@@ -110,18 +120,32 @@ def _chunk_rows(rows: int, k: int) -> int:
 
 
 def _lloyd_body(corpus_local, centroids, n_valid_local, *, n_iters, chunk,
-                axis_name, spherical):
+                axis_name, spherical, balance_eta=0.0):
     """The full Lloyd loop for one shard's rows (or the whole corpus when
     unsharded). ``corpus_local`` is padded to a multiple of ``chunk``;
     rows at local index >= n_valid_local (zero padding) are masked into a
     dump segment. Empty clusters keep their previous centroid (FAISS
     instead splits the largest; frozen centroids are simpler and the
-    capacity slack + tuner absorb the difference)."""
+    capacity slack + tuner absorb the difference).
+
+    ``balance_eta > 0`` enables BALANCED k-means via a per-cluster
+    assignment bias (the aux-loss-free load-balancing trick MoE routers
+    use): rows assign to ``argmax(score - bias)`` and after every
+    iteration ``bias += eta * tanh(count/target - 1)`` — persistently
+    over-full clusters price themselves up until the fixed per-cluster
+    CAPACITY (which Zipf-skewed cluster sizes otherwise overflow,
+    scattering rows beyond any probe's reach — the measured 10M recall
+    gap, docs/BENCHMARKS.md round 4) is respected by geometry instead of
+    spill. The centroid update uses the biased assignment (centroids
+    track the rows they will actually hold). Query-side PROBING stays
+    unbiased — it ranks by geometry; the tuner measures the compound
+    effect on the real layout. Returns ``(centroids, bias)``."""
     k = centroids.shape[0]
     d = corpus_local.shape[1]
     n_chunks = corpus_local.shape[0] // chunk
 
-    def one_iter(_, cents):
+    def one_iter(_, state):
+        cents, bias = state
         cb = cents.astype(jnp.bfloat16)
 
         def chunk_body(ci, carry):
@@ -131,6 +155,8 @@ def _lloyd_body(corpus_local, centroids, n_valid_local, *, n_iters, chunk,
             scores = jnp.einsum(
                 "cd,kd->ck", rows_b, cb, preferred_element_type=jnp.float32
             )
+            if balance_eta:
+                scores = scores - bias[None, :]
             assign = jnp.argmax(scores, axis=1)
             ridx = ci * chunk + lax.iota(jnp.int32, chunk)
             assign = jnp.where(ridx < n_valid_local, assign, k)
@@ -163,9 +189,15 @@ def _lloyd_body(corpus_local, centroids, n_valid_local, *, n_iters, chunk,
                 jnp.linalg.norm(new, axis=1, keepdims=True), 1e-12
             )
             new = new / norm
-        return new
+        if balance_eta:
+            target = jnp.maximum(jnp.sum(counts) / k, 1.0)
+            bias = bias + balance_eta * jnp.tanh(counts / target - 1.0)
+        return new, bias
 
-    return lax.fori_loop(0, n_iters, one_iter, centroids)
+    # bias is derived from PSUMMED counts, so like the centroids it stays
+    # shard-invariant — no pcast on the outer carry (cf. chunk_body's)
+    bias0 = jnp.zeros((k,), jnp.float32)
+    return lax.fori_loop(0, n_iters, one_iter, (centroids, bias0))
 
 
 # candidate clusters per row for the greedy fill. With only top-2, rows
@@ -178,10 +210,13 @@ ASSIGN_CANDIDATES = 8
 
 
 def _assign_top2_body(corpus_local, centroids, *, chunk, axis_name=None,
-                      n_cand=2):
+                      n_cand=2, bias=None):
     """Per-row top-``n_cand`` nearest centroids (global cluster ids),
     streamed in chunks. Rows beyond the valid range return garbage the host
-    fill pass never reads."""
+    fill pass never reads. ``bias``: the balanced-k-means assignment bias
+    (see ``_lloyd_body``) — placement candidates must rank by the SAME
+    biased scores the training assignment used, or the balance evaporates
+    at fill time."""
     k = centroids.shape[0]
     n_chunks = corpus_local.shape[0] // chunk
     cb = centroids.astype(jnp.bfloat16)
@@ -193,6 +228,8 @@ def _assign_top2_body(corpus_local, centroids, *, chunk, axis_name=None,
             "cd,kd->ck", rows.astype(jnp.bfloat16), cb,
             preferred_element_type=jnp.float32,
         )
+        if bias is not None:
+            scores = scores - bias[None, :]
         _, topc = lax.top_k(scores, take)
         if take < n_cand:  # tiny k: pad by repeating the last column
             topc = jnp.concatenate(
@@ -398,11 +435,13 @@ class IVFIPIndex:
         kmeans_iters: int = 10,
         capacity_slack: float = 1.3,
         spherical: bool = True,
+        balance_eta: float = 0.0,
         reduced_dim: Optional[int] = None,
         candidates: Union[int, str] = "auto",
         pq_m: Optional[int] = None,
         pq_iters: int = 25,
         pq_rotate: str = "none",
+        pq_layout: str = "auto",
         tune_sample: int = TUNE_SAMPLE,
         tune_k: int = TUNE_K,
         max_nprobe: Optional[int] = None,
@@ -418,14 +457,15 @@ class IVFIPIndex:
             raise ValueError("capacity_slack must be >= 1.0")
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
+        self.balance_eta = float(balance_eta)
         self._set_hybrid(reduced_dim, candidates)
-        self._set_pq(pq_m, pq_iters, pq_rotate)
+        self._set_pq(pq_m, pq_iters, pq_rotate, pq_layout)
 
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         self.n_clusters = _resolve_clusters(self.n_total, n_shards, n_clusters)
         self.capacity = _resolve_capacity(
             self.n_total, self.n_clusters, capacity_slack,
-            multiple=8 if self.pq_m is None else 64,
+            multiple=self._capacity_multiple(),
         )
         pad = (-self.n_total) % n_shards
         n_padded = self.n_total + pad
@@ -465,6 +505,8 @@ class IVFIPIndex:
         clustered[row_ids < 0] = 0.0
         if self.pq_m is not None:
             codes = self._train_pq_and_encode(clustered, row_ids, seed)
+            if self._pq_cols:  # transposed [m, slots] physical layout
+                codes = np.ascontiguousarray(codes.T)
             self._place_storage(codes, row_ids, None)
         elif self.quantized:
             codes, scale = self._quantize_host(clustered)
@@ -498,11 +540,13 @@ class IVFIPIndex:
         kmeans_iters: int = 10,
         capacity_slack: float = 1.3,
         spherical: bool = True,
+        balance_eta: float = 0.0,
         reduced_dim: Optional[int] = None,
         candidates: Union[int, str] = "auto",
         pq_m: Optional[int] = None,
         pq_iters: int = 25,
         pq_rotate: str = "none",
+        pq_layout: str = "auto",
         tune_sample: int = TUNE_SAMPLE,
         tune_k: int = TUNE_K,
         max_nprobe: Optional[int] = None,
@@ -525,8 +569,9 @@ class IVFIPIndex:
             raise ValueError("capacity_slack must be >= 1.0")
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
+        self.balance_eta = float(balance_eta)
         self._set_hybrid(reduced_dim, candidates)
-        self._set_pq(pq_m, pq_iters, pq_rotate)
+        self._set_pq(pq_m, pq_iters, pq_rotate, pq_layout)
 
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         n_padded = int(embeddings.shape[0])
@@ -538,7 +583,7 @@ class IVFIPIndex:
         self.n_clusters = _resolve_clusters(self.n_total, n_shards, n_clusters)
         self.capacity = _resolve_capacity(
             self.n_total, self.n_clusters, capacity_slack,
-            multiple=8 if self.pq_m is None else 64,
+            multiple=self._capacity_multiple(),
         )
 
         rep_kw = (
@@ -662,11 +707,13 @@ class IVFIPIndex:
         kmeans_iters: int = 10,
         capacity_slack: float = 1.3,
         spherical: bool = True,
+        balance_eta: float = 0.0,
         reduced_dim: Optional[int] = None,
         candidates: Union[int, str] = "auto",
         pq_m: Optional[int] = None,
         pq_iters: int = 25,
         pq_rotate: str = "none",
+        pq_layout: str = "auto",
         tune_sample: int = TUNE_SAMPLE,
         tune_k: int = TUNE_K,
         max_nprobe: Optional[int] = None,
@@ -696,12 +743,13 @@ class IVFIPIndex:
             raise ValueError("capacity_slack must be >= 1.0")
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
+        self.balance_eta = float(balance_eta)
         self._set_hybrid(reduced_dim, candidates)
-        self._set_pq(pq_m, pq_iters, pq_rotate)
+        self._set_pq(pq_m, pq_iters, pq_rotate, pq_layout)
         self.n_clusters = _resolve_clusters(self.n_total, 1, n_clusters)
         self.capacity = _resolve_capacity(
             self.n_total, self.n_clusters, capacity_slack,
-            multiple=8 if self.pq_m is None else 64,
+            multiple=self._capacity_multiple(),
         )
         k_c = self.n_clusters
         chunk_rows = max(1, int(chunk_rows))
@@ -739,16 +787,22 @@ class IVFIPIndex:
         t_chunk = _chunk_rows(n_train, k_c)
         iters = max(0, int(kmeans_iters))
         spherical = self.spherical
+        eta = self.balance_eta
 
         def fit(corpus, cents):
             corpus = _pad_to_chunks(corpus, t_chunk)
             return _lloyd_body(
                 corpus, cents, n_train, n_iters=iters, chunk=t_chunk,
-                axis_name=None, spherical=spherical,
+                axis_name=None, spherical=spherical, balance_eta=eta,
             )
 
-        self.centroids = jax.jit(fit)(train, jnp.asarray(init))
+        self.centroids, bias_dev = jax.jit(fit)(train, jnp.asarray(init))
         self._centroids_host = np.asarray(self.centroids, np.float32)
+        self._set_assign_bias(np.asarray(bias_dev, np.float32))
+        bias_arg = (
+            jnp.asarray(self._assign_bias_host)
+            if self._assign_bias_host is not None else None
+        )
         if self.pq_m is not None:
             # codebooks train on TOP-1 assignment residuals of the training
             # sample (FAISS IVFPQ trains the same way); encoding later uses
@@ -760,13 +814,17 @@ class IVFIPIndex:
             n_rows = int(rows.shape[0])
             a2 = _chunk_rows(n_rows, k_c)
 
-            def top1_residual(x, cents):
+            def top1_residual(x, cents, b=None):
                 x = _pad_to_chunks(x, a2)
-                top2 = _assign_top2_body(x, cents, chunk=a2)
+                top2 = _assign_top2_body(x, cents, chunk=a2, bias=b)
                 return x - jnp.take(cents, top2[:, 0], axis=0)
 
             res = np.asarray(
-                jax.jit(top1_residual)(rows, self.centroids), np.float32
+                jax.jit(top1_residual)(
+                    rows, self.centroids,
+                    *(() if bias_arg is None else (bias_arg,)),
+                ),
+                np.float32,
             )[:n_rows]
             self._fit_pq_codebooks(res, seed)
             del res, rows
@@ -775,13 +833,15 @@ class IVFIPIndex:
         # --- pass 1: streamed top-2 assignment --------------------------
         a_chunk = _chunk_rows(chunk_rows, k_c)
 
-        def assign(chunk, cents):
+        def assign(chunk, cents, b=None):
             chunk = _pad_to_chunks(chunk, a_chunk)
             return _assign_top2_body(
-                chunk, cents, chunk=a_chunk, n_cand=ASSIGN_CANDIDATES
+                chunk, cents, chunk=a_chunk, n_cand=ASSIGN_CANDIDATES,
+                bias=b,
             )
 
         assign_fn = jax.jit(assign)
+        bias_extra = () if bias_arg is None else (bias_arg,)
         cand = np.empty((self.n_total, ASSIGN_CANDIDATES), np.int32)
         for lo, hi in ranges():
             chunk = jnp.asarray(get_chunk(lo, hi), jnp.float32)
@@ -789,7 +849,9 @@ class IVFIPIndex:
                 chunk = jnp.pad(
                     chunk, ((0, chunk_rows - chunk.shape[0]), (0, 0))
                 )
-            cand[lo:hi] = np.asarray(assign_fn(chunk, self.centroids))[: hi - lo]
+            cand[lo:hi] = np.asarray(
+                assign_fn(chunk, self.centroids, *bias_extra)
+            )[: hi - lo]
 
         row_ids = _greedy_fill(cand, self.n_total, k_c, self.capacity)
         del cand
@@ -828,14 +890,22 @@ class IVFIPIndex:
                 if self._rotation_host is not None else None
             )
 
+            pq_cols = self._pq_cols
+
             def place(buf, rows, slots, cents, cb, rot=None):
                 cl = jnp.clip(slots, 0) // cap_
                 res = rows - jnp.take(cents, cl, axis=0)
                 codes = _pq_encode_block(res, cb, rot)
+                if pq_cols:  # transposed storage: scatter into lanes
+                    return buf.at[:, slots].set(codes.T, mode="drop")
                 return buf.at[slots].set(codes, mode="drop")
 
             place_fn = jax.jit(place, donate_argnums=(0,))
-            buf = jnp.zeros((total_slots, self.pq_m), jnp.uint8)
+            buf = jnp.zeros(
+                (self.pq_m, total_slots) if pq_cols
+                else (total_slots, self.pq_m),
+                jnp.uint8,
+            )
             sbuf = None
         else:
             out_dtype = jnp.dtype(store_dtype)
@@ -890,6 +960,35 @@ class IVFIPIndex:
         return self
 
     # ------------------------------------------------------------------
+    @property
+    def _pq_cols(self) -> bool:
+        """True when PQ codes are stored transposed ``[m, slots]``."""
+        return self.pq_m is not None and self.pq_layout == "cols"
+
+    def _capacity_multiple(self) -> int:
+        """Slot rounding: 8 (sublane rule) for row storage, 64 for PQ rows
+        (fused-ADC tiling, ops/pq_adc_pallas._cap_block), 128 for the
+        transposed PQ layout (lane-dim blocks must be x128,
+        _cap_block_t)."""
+        if self.pq_m is None:
+            return 8
+        return 128 if self.pq_layout == "cols" else 64
+
+    def _set_assign_bias(self, bias: Optional[np.ndarray]):
+        """Store the balanced-k-means ASSIGNMENT bias (``_lloyd_body``
+        ``balance_eta``). None / all-zero = off. Applied to assignment
+        scores only — build candidates and ``append_sharded`` placement —
+        never to query-side probing (geometry ranks probes; the tuner
+        measures the compound recall on the real layout)."""
+        if (
+            bias is None
+            or getattr(self, "balance_eta", 0.0) == 0.0
+            or not np.any(bias)
+        ):
+            self._assign_bias_host = None
+        else:
+            self._assign_bias_host = np.asarray(bias, np.float32)
+
     def _set_store(self, store_dtype):
         """Validate storage dtype. fp32/bf16 rows rerank at storage
         precision; int8 (4x memory vs fp32) quantizes each slot's row
@@ -936,7 +1035,7 @@ class IVFIPIndex:
         else:
             self.candidates = "auto"
 
-    def _set_pq(self, pq_m, pq_iters, pq_rotate="none"):
+    def _set_pq(self, pq_m, pq_iters, pq_rotate="none", pq_layout="auto"):
         """Validate the product-quantization knobs (residual PQ, the FAISS
         ``IndexIVFPQ`` analog: rows are stored as ``pq_m`` uint8 codes into
         per-subvector 256-entry codebooks trained on ASSIGNMENT residuals —
@@ -952,7 +1051,17 @@ class IVFIPIndex:
         subspaces (FAISS ``RandomRotationMatrix`` pre-transform analog);
         'opq' additionally trains the rotation against the codec
         (alternating Lloyd fits and orthogonal-Procrustes updates — the
-        non-parametric OPQ of Ge et al., FAISS ``OPQMatrix`` analog)."""
+        non-parametric OPQ of Ge et al., FAISS ``OPQMatrix`` analog).
+
+        ``pq_layout`` picks the physical code layout:
+        - 'rows' ``[slots, m]``: the classic layout; the TPU int8 tile
+          pads m < 128 up to 128 lanes, so searches carry a whole-array
+          relayout copy (measured 15.5 GB for 8.3 GB of codes at
+          100M x m=64 — compile OOM; ~6% hidden tax at smaller tiers).
+        - 'cols' ``[m, slots]`` (transposed): the huge dim rides the
+          lanes, tiling padding-free at any m x32 — the 100M-on-one-chip
+          layout. Single-device only (the slot axis would shard on lanes).
+        - 'auto': 'cols' when unsharded and m % 32 == 0, else 'rows'."""
         self.codebooks = None
         self._codebooks_host = None
         self.rotation = None
@@ -962,11 +1071,16 @@ class IVFIPIndex:
                 f"pq_rotate={pq_rotate!r} must be 'none', 'random' or 'opq'"
             )
         self.pq_rotate = pq_rotate
+        if pq_layout not in ("auto", "rows", "cols"):
+            raise ValueError(
+                f"pq_layout={pq_layout!r} must be 'auto', 'rows' or 'cols'"
+            )
         if pq_m is None:
             if pq_rotate != "none":
                 raise ValueError("pq_rotate requires pq_m")
             self.pq_m = None
             self.pq_iters = 0
+            self.pq_layout = None
             return
         m = int(pq_m)
         if m < 1 or self.dim % m:
@@ -985,6 +1099,30 @@ class IVFIPIndex:
             )
         self.pq_m = m
         self.pq_iters = max(1, int(pq_iters))
+        if pq_layout == "auto":
+            pad_lanes = -(-m // 128) * 128  # rows layout pads m to this
+            pq_layout = (
+                "cols"
+                if (
+                    self.mesh is None
+                    and m % 32 == 0
+                    and pad_lanes > m  # m x128 already tiles rows free
+                    and float(self.n_total) * pad_lanes > _COLS_AUTO_BYTES
+                )
+                else "rows"
+            )
+        if pq_layout == "cols":
+            if self.mesh is not None:
+                raise ValueError(
+                    "pq_layout='cols' is single-device (the slot axis "
+                    "would shard over the lane dim) — use 'rows' on a mesh"
+                )
+            if m % 32 != 0:
+                raise ValueError(
+                    "pq_layout='cols' needs pq_m % 32 == 0 (int8 sublane "
+                    f"packing), got pq_m={m}"
+                )
+        self.pq_layout = pq_layout
 
     def _train_pq_and_encode(self, clustered: np.ndarray,
                              row_ids: np.ndarray, seed: int) -> np.ndarray:
@@ -1164,6 +1302,8 @@ class IVFIPIndex:
         else:
             rot_f32 = replicate_to_mesh(self._rotation_host, mesh)
 
+        pq_cols = self._pq_cols  # transposed is mesh=None only (_set_pq)
+
         def encode_shard(rows_local, cents_local, cb, rot,
                          axis_name=None):
             # residual + encode PER CHUNK inside the loop — a precomputed
@@ -1176,11 +1316,18 @@ class IVFIPIndex:
                 blk = lax.dynamic_slice_in_dim(rows_local, start, chunk)
                 cl = (start + lax.iota(jnp.int32, chunk)) // cap
                 res = blk - jnp.take(cents_local, cl, axis=0)
+                codes = _pq_encode_block(res, cb, rot)
+                if pq_cols:
+                    return lax.dynamic_update_slice_in_dim(
+                        buf, codes.T, start, axis=1
+                    )
                 return lax.dynamic_update_slice_in_dim(
-                    buf, _pq_encode_block(res, cb, rot), start, axis=0
+                    buf, codes, start, axis=0
                 )
 
-            buf0 = jnp.zeros((local_slots, m), jnp.uint8)
+            buf0 = jnp.zeros(
+                (m, local_slots) if pq_cols else (local_slots, m), jnp.uint8
+            )
             if axis_name is not None:
                 buf0 = lax.pcast(buf0, (axis_name,), to="varying")
             return lax.fori_loop(0, n_chunks, body, buf0)
@@ -1311,8 +1458,9 @@ class IVFIPIndex:
     def _train_and_assign(self, corpus_dev, n_padded, init_centroids,
                           kmeans_iters) -> np.ndarray:
         """Run the jitted Lloyd loop + the top-2 assignment pass; stores the
-        final sharded ``self.centroids`` and returns host [n_padded, 2]
-        candidate cluster ids."""
+        final sharded ``self.centroids`` (and the balance bias when
+        ``balance_eta > 0``) and returns host [n_padded, C] candidate
+        cluster ids."""
         mesh = self.mesh
         n_shards = mesh.shape[DATA_AXIS] if mesh is not None else 1
         shard_rows = n_padded // n_shards
@@ -1320,24 +1468,27 @@ class IVFIPIndex:
         n_total = self.n_total
         iters = max(0, int(kmeans_iters))
         spherical = self.spherical
+        eta = self.balance_eta
 
         if mesh is None:
 
             def fit(corpus, cents):
                 corpus = _pad_to_chunks(corpus, chunk)
-                cents = _lloyd_body(
+                cents, bias = _lloyd_body(
                     corpus, cents, n_total, n_iters=iters, chunk=chunk,
-                    axis_name=None, spherical=spherical,
+                    axis_name=None, spherical=spherical, balance_eta=eta,
                 )
-                return cents, _assign_top2_body(
-                    corpus, cents, chunk=chunk, n_cand=ASSIGN_CANDIDATES
+                return cents, bias, _assign_top2_body(
+                    corpus, cents, chunk=chunk, n_cand=ASSIGN_CANDIDATES,
+                    bias=bias if eta else None,
                 )
 
-            cents, cand_dev = jax.jit(fit)(
+            cents, bias, cand_dev = jax.jit(fit)(
                 corpus_dev, jnp.asarray(init_centroids)
             )
             self.centroids = jax.device_put(cents)
             self._centroids_host = np.asarray(cents, np.float32)
+            self._set_assign_bias(np.asarray(bias, np.float32))
             return np.asarray(cand_dev)[:n_padded]
 
         def per_shard(corpus_local, cents):
@@ -1346,32 +1497,34 @@ class IVFIPIndex:
                 n_total - shard_id * shard_rows, 0, shard_rows
             )
             corpus_local = _pad_to_chunks(corpus_local, chunk)
-            cents = _lloyd_body(
+            cents, bias = _lloyd_body(
                 corpus_local, cents, n_valid_local, n_iters=iters,
                 chunk=chunk, axis_name=DATA_AXIS, spherical=spherical,
+                balance_eta=eta,
             )
             cand = _assign_top2_body(
                 corpus_local, cents, chunk=chunk, axis_name=DATA_AXIS,
-                n_cand=ASSIGN_CANDIDATES,
+                n_cand=ASSIGN_CANDIDATES, bias=bias if eta else None,
             )
-            return cents, cand[:shard_rows]
+            return cents, bias, cand[:shard_rows]
 
         fit = jax.jit(
             jax.shard_map(
                 per_shard,
                 mesh=mesh,
                 in_specs=(P(DATA_AXIS, None), P()),
-                out_specs=(P(), P(DATA_AXIS, None)),
+                out_specs=(P(), P(), P(DATA_AXIS, None)),
             ),
             # replicated outputs: every process fetches the full arrays
             out_shardings=NamedSharding(mesh, P()),
         )
-        cents, cand_dev = fit(
+        cents, bias, cand_dev = fit(
             corpus_dev, replicate_to_mesh(init_centroids, mesh)
         )
         # final placement: whole clusters per shard (K % W == 0)
         self._centroids_host = np.asarray(cents, np.float32)
         self.centroids = shard_rows_to_mesh(self._centroids_host, mesh)
+        self._set_assign_bias(np.asarray(bias, np.float32))
         return np.asarray(cand_dev)
 
     def _set_layout_maps(self, row_ids: np.ndarray):
@@ -1415,9 +1568,10 @@ class IVFIPIndex:
     _CLONE_FIELDS = (
         "mesh", "dim", "quantized", "store_dtype", "recall_target",
         "spherical", "reduced_dim", "candidates", "pq_m", "pq_iters",
-        "pq_rotate", "codebooks", "_codebooks_host", "rotation",
+        "pq_rotate", "pq_layout", "codebooks", "_codebooks_host", "rotation",
         "_rotation_host", "n_clusters", "centroids", "_centroids_host",
-        "proj", "nprobe", "local_clusters",
+        "proj", "nprobe", "local_clusters", "balance_eta",
+        "_assign_bias_host",
     )
 
     def _clone_shell(self) -> "IVFIPIndex":
@@ -1469,7 +1623,18 @@ class IVFIPIndex:
             )
             return y.reshape(k_c * new_cap, x.shape[1])
 
-        corpus = jax.jit(grow_rows, **row_kw)(self.corpus)
+        def grow_cols(x, fill=0):
+            # transposed codes [m, K*cap]: pad the slot axis on the lanes
+            y = jnp.pad(
+                x.reshape(x.shape[0], k_c, cap),
+                ((0, 0), (0, 0), (0, new_cap - cap)),
+                constant_values=fill,
+            )
+            return y.reshape(x.shape[0], k_c * new_cap)
+
+        corpus = jax.jit(
+            grow_cols if self._pq_cols else grow_rows, **row_kw
+        )(self.corpus)
         slot_scale = (
             jax.jit(
                 lambda s: jnp.pad(
@@ -1577,19 +1742,23 @@ class IVFIPIndex:
         chunk = _chunk_rows(n_buf, self.n_clusters)
         cents_rep = self._to_mesh(self._centroids_host)
 
-        def assign(rows, cents):
+        def assign(rows, cents, b=None):
             rows = _pad_to_chunks(rows, chunk)
-            return _assign_top2_body(rows, cents, chunk=chunk)
+            return _assign_top2_body(rows, cents, chunk=chunk, bias=b)
 
+        bias_extra = (
+            (self._to_mesh(self._assign_bias_host),)
+            if getattr(self, "_assign_bias_host", None) is not None else ()
+        )
         cand = np.asarray(
-            jax.jit(assign, **rep_kw)(new_rows, cents_rep)
+            jax.jit(assign, **rep_kw)(new_rows, cents_rep, *bias_extra)
         )[:n_new]
 
         # --- 2. grow capacity when the free slots run out ---------------
         out = self._clone_shell()
         total_free = int((self._row_ids_host < 0).sum())
         if total_free < n_new:
-            mult = 64 if self.pq_m is not None else 8
+            mult = self._capacity_multiple()
             # headroom pre-pays extra free slots so FOLLOWING appends keep
             # storage shapes (and compiled programs) — cf. the flat tier
             extra = int(np.ceil(headroom * (self.n_total + n_new)))
@@ -1650,10 +1819,14 @@ class IVFIPIndex:
                 if self._rotation_host is not None else None
             )
 
+            pq_cols = self._pq_cols
+
             def scatter_pq(buf, rows, sl, cents, cb, rot=None):
                 cl = jnp.clip(sl, 0) // cap_out
                 res = rows - jnp.take(cents, cl, axis=0)
                 codes = _pq_encode_block(res, cb, rot)
+                if pq_cols:
+                    return buf.at[:, sl].set(codes.T, mode="drop")
                 return buf.at[sl].set(codes, mode="drop")
 
             args = (corpus, new_rows, slots_dev, cents_rep, cb_dev)
@@ -2062,29 +2235,43 @@ class IVFIPIndex:
         # below the threshold the ds-wide take still wins (1.2 vs 1.5 ms
         # at Q=8 — grid dispatch overhead), so the small-probe path keeps
         # it. FORCE_INTERPRET routes CPU tests through the kernel.
+        pq_cols = pq and self.pq_layout == "cols"
         if pq:
             from rankpo_tpu.ops import pq_adc_pallas as _adc
 
-            # supported() also guards capacities without a legal VMEM
-            # tiling (legacy persisted indexes built before PQ capacities
-            # were rounded to x64) — those keep the XLA decode.
-            # The codes-size gate: with m < 128 the TPU (8,128) tile pads
-            # the minor dim to 128 lanes, so the program carries a ~2x
-            # relayout COPY of the whole uint8 codes array — measured at
-            # the 100M tier (u8[130M, 64]: a 15.5 G copy for 8.3 G of
-            # codes; compile OOM at 23.9 G). m multiples of 128 tile
-            # padding-free and skip the copy (measured: 50M x m128 carries
-            # no codes copy). Gate the kernel to layouts that fit; past it
-            # the XLA decode path takes over (natural-layout gather,
-            # batch-shrunk by _gather_bytes_per_query).
+            # supported()/supported_t() also guard capacities without a
+            # legal VMEM tiling (legacy persisted indexes built before PQ
+            # capacities were rounded) — those keep the XLA decode.
             codes_gb = self.n_clusters * cap * pq_m / (1 << 30)
-            padded_gb = codes_gb * (128 / pq_m if pq_m < 128 else 1.0)
-            pallas_adc = (
-                _adc.supported(cap, pq_m)
-                and (codes_gb + padded_gb <= 12.0 if pq_m < 128
-                     else codes_gb <= 12.0)
-                and (jax.default_backend() == "tpu" or _adc.FORCE_INTERPRET)
+            on_backend = (
+                jax.default_backend() == "tpu" or _adc.FORCE_INTERPRET
             )
+            if pq_cols:
+                # transposed [m, slots] tiles padding-free at any m x32 —
+                # no relayout copy to budget, the codes are the whole cost
+                # (the layout that unblocked 100M x m=64 on one chip)
+                pallas_adc = (
+                    _adc.supported_t(cap, pq_m)
+                    and codes_gb <= 12.0
+                    and on_backend
+                )
+            else:
+                # rows [slots, m]: the TPU int8 tile pads m up to the next
+                # x128 lanes, and the program carries a relayout COPY of
+                # the whole padded array per call — measured at the 100M
+                # tier (u8[130M, 64]: a 15.5 G copy for 8.3 G of codes;
+                # compile OOM at 23.9 G). Price the padding UNIFORMLY:
+                # pad = ceil(m/128)*128/m — m=192 still pads 1.33x, it is
+                # not free just because m > 128. Past the budget the XLA
+                # decode path takes over (natural-layout gather,
+                # batch-shrunk by _gather_bytes_per_query).
+                pad = (-(-pq_m // 128) * 128) / pq_m
+                budget_gb = codes_gb * (1.0 + pad) if pad > 1.0 else codes_gb
+                pallas_adc = (
+                    _adc.supported(cap, pq_m)
+                    and budget_gb <= 12.0
+                    and on_backend
+                )
         else:
             pallas_adc = False
 
@@ -2137,12 +2324,15 @@ class IVFIPIndex:
             # rotation replaces un-rotating every reconstructed row
             q_dec = queries if rot is None else _rotate_rows(queries, rot)
             rows_n = q * p * cap
-            if rows_n >= (1 << 16) and pallas_adc:
-                # large probed sets, TPU: fused ADC — the kernel gathers
-                # the code blocks itself (scalar-prefetch index_map), so
-                # no jnp.take here at all
+            # transposed layout dispatches the kernel at EVERY size when
+            # supported: its XLA fallback is a lane-axis gather (strided
+            # column reads), so the rows layout's small-probe
+            # take-reconstruct preference does not transfer
+            if pallas_adc and (pq_cols or rows_n >= (1 << 16)):
+                # fused ADC — the kernel gathers the code blocks itself
+                # (scalar-prefetch index_map), so no jnp.take here at all
                 from rankpo_tpu.ops.pq_adc_pallas import (
-                    FORCE_INTERPRET, pq_probe_scores,
+                    FORCE_INTERPRET, pq_probe_scores, pq_probe_scores_t,
                 )
 
                 cbm = cb.reshape(pq_m, PQ_K, pq_ds)
@@ -2151,7 +2341,8 @@ class IVFIPIndex:
                     "qmd,mkd->qmk", q_sub, cbm,
                     preferred_element_type=jnp.float32,
                 )
-                s = pq_probe_scores(
+                adc = pq_probe_scores_t if pq_cols else pq_probe_scores
+                s = adc(
                     clustered, probe, lut, cap=cap,
                     interpret=FORCE_INTERPRET,
                 ).reshape(q, p * cap)
@@ -2159,7 +2350,13 @@ class IVFIPIndex:
                 s = jnp.where(eligible(hit_ids, sel), s, NEG_INF)
                 top_s, pos = lax.top_k(s, kk)
                 return top_s, jnp.take_along_axis(hit_ids, pos, axis=1)
-            codes = jnp.take(clustered, slots, axis=0)  # [Q, p*cap, m]
+            if pq_cols:  # XLA fallback for transposed codes (CPU tests,
+                # unsupported tilings): lane-axis gather + transpose back
+                codes = jnp.transpose(
+                    jnp.take(clustered, slots, axis=1), (1, 2, 0)
+                )  # [Q, p*cap, m]
+            else:
+                codes = jnp.take(clustered, slots, axis=0)  # [Q, p*cap, m]
             if rows_n < (1 << 16):
                 # small probed sets: the ds-wide codebook take is fastest
                 # (1.12 vs 2.99 ms at Q=8/p=8/1M, pq_decode_probe)
@@ -2417,6 +2614,7 @@ class IVFIPIndex:
         pq_m = self.pq_m or 0
         pq_ds = (self.dim // pq_m) if pq else 0
         pq_rot = pq and self.rotation is not None
+        pq_cols = pq and self.pq_layout == "cols"
         mesh = self.mesh
         rows_local = local_clusters * cap
         k_local = min(k, rows_local)
@@ -2440,7 +2638,11 @@ class IVFIPIndex:
             if not pq_rot:
                 rot = None
             qn = queries.shape[0]
-            clustered_p = jnp.pad(clustered, ((0, padded - rows_local), (0, 0)))
+            clustered_p = jnp.pad(
+                clustered,
+                ((0, 0), (0, padded - rows_local)) if pq_cols
+                else ((0, padded - rows_local), (0, 0)),
+            )
             ids_p = jnp.pad(
                 ids, (0, padded - rows_local), constant_values=-1
             )
@@ -2466,7 +2668,14 @@ class IVFIPIndex:
 
             def body(ci, carry):
                 best_s, best_i = carry
-                rows = lax.dynamic_slice_in_dim(clustered_p, ci * chunk, chunk)
+                if pq_cols:  # [m, chunk] lane slice -> [chunk, m] codes
+                    rows = lax.dynamic_slice_in_dim(
+                        clustered_p, ci * chunk, chunk, axis=1
+                    ).T
+                else:
+                    rows = lax.dynamic_slice_in_dim(
+                        clustered_p, ci * chunk, chunk
+                    )
                 ids_c = lax.dynamic_slice_in_dim(ids_p, ci * chunk, chunk)
                 cent_term = None
                 if pq:
@@ -2563,8 +2772,13 @@ class IVFIPIndex:
                 quantized = self.quantized
                 has_rot = self.pq_m is not None and self.rotation is not None
 
+                pq_cols = self._pq_cols
+
                 def gather(corpus, scale, cents, cb, rot, slot_idx):
-                    stored = jnp.take(corpus, slot_idx, axis=0)
+                    if pq_cols:
+                        stored = jnp.take(corpus, slot_idx, axis=1).T
+                    else:
+                        stored = jnp.take(corpus, slot_idx, axis=0)
                     if pq_m is not None:
                         z = _pq_reconstruct(stored, cb, pq_m, pq_ds).astype(
                             jnp.float32

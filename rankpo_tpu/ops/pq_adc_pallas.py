@@ -101,6 +101,28 @@ def supported(cap: int, m: int) -> bool:
     return m % _MCH == 0 and _cap_block(cap, m) is not None
 
 
+def _cap_block_t(cap: int, m: int) -> Optional[int]:
+    """Capacity block for the TRANSPOSED kernel: blocks slice the LANE
+    dimension of ``codes_t [m, slots]``, so they must be x128 (int8 tile
+    boundaries) — the largest x128 divisor of cap under the stack budget.
+    ``IVFIPIndex`` rounds transposed-layout capacities to x128 at build,
+    so 128 always divides."""
+    limit = max(1, _STACK_BUDGET // (m * PQ_K * 2))
+    best = None
+    for blk in range(128, min(cap, max(limit, 128)) + 1, 128):
+        if cap % blk == 0:
+            best = blk
+    return best
+
+
+def supported_t(cap: int, m: int) -> bool:
+    """Transposed-kernel dispatch gate: m must chunk (x8) AND pack the
+    int8 SUBLANE dim without padding (x32 — below that the transposed
+    layout itself would pad sublanes up to 32, costing more memory than
+    the row layout's lane padding saves), and cap must tile x128."""
+    return m % _MCH == 0 and m % 32 == 0 and _cap_block_t(cap, m) is not None
+
+
 def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cblk: int, m: int,
             mxu: bool):
     """One grid step = one (query, probe, cap-block) triple."""
@@ -159,6 +181,132 @@ def _kernel(probe_ref, lut_ref, codes_ref, out_ref, *, cblk: int, m: int,
         precision=jax.lax.Precision.HIGHEST,
     )  # [1, cblk]
     out_ref[0, 0, 0] = s
+
+
+def _kernel_t(probe_ref, lut_ref, codes_ref, out_ref, *, cblk: int, m: int,
+              via_transpose: bool):
+    """Transposed-layout grid step: the code block arrives [m, cblk]
+    (natural slices of ``codes_t [m, slots]`` — no relayout copy at any m,
+    the whole point of the layout). Two compute orientations:
+
+    - native (via_transpose=False): one-hot select/reduce with the roles
+      of the two non-256 dims swapped vs ``_kernel``; the cross-chunk
+      matvec contracts the m-chunk dim directly into the [1, cblk] output
+      row (cblk is already the lane dim — no relayout-by-matmul needed).
+    - via_transpose=True: transpose the small [m, cblk] int block in VMEM
+      once and run EXACTLY the row kernel's mask orientation
+      ([cblk, mch, 256] transients) — measured A/B on v5e decides the
+      default (the mask build is the kernel's bound, so its vector
+      orientation matters more than the one extra block transpose)."""
+    codes = codes_ref[...].astype(jnp.int32) & 255  # [m, cblk]
+
+    if via_transpose:
+        codes = codes.T  # [cblk, m] — one VMEM relayout per grid step
+        acc = jnp.zeros((cblk, _MCH), jnp.float32)
+        for mc in range(0, m, _MCH):
+            sub = codes[:, mc:mc + _MCH]  # [cblk, mch]
+            lut_sub = lut_ref[0, pl.dslice(mc, _MCH), :]  # [mch, 256]
+            iota = lax.broadcasted_iota(
+                jnp.int32, (cblk, _MCH, PQ_K), dimension=2
+            )
+            mask = sub[:, :, None] == iota
+            part = jnp.where(mask, lut_sub[None, :, :], 0.0)
+            acc = acc + jnp.sum(part, axis=2)  # [cblk, mch]
+        ones = jnp.ones((1, _MCH), jnp.float32)
+        s = jax.lax.dot_general(
+            ones, acc,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [1, cblk] — reduce + lanes relayout in one matvec (cf. _kernel)
+        out_ref[0, 0, 0] = s
+        return
+
+    acc = jnp.zeros((_MCH, cblk), jnp.float32)
+    for mc in range(0, m, _MCH):  # static unroll, m/_MCH iterations
+        sub = codes[mc:mc + _MCH, :]  # [mch, cblk]
+        lut_sub = lut_ref[0, pl.dslice(mc, _MCH), :]  # [mch, 256] fp32
+        iota = lax.broadcasted_iota(
+            jnp.int32, (_MCH, cblk, PQ_K), dimension=2
+        )
+        mask = sub[:, :, None] == iota
+        part = jnp.where(mask, lut_sub[:, None, :], 0.0)
+        acc = acc + jnp.sum(part, axis=2)  # lane reduce -> [mch, cblk]
+
+    ones = jnp.ones((1, _MCH), jnp.float32)
+    s = jax.lax.dot_general(
+        ones, acc,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # cf. _kernel
+    )  # [1, cblk]
+    out_ref[0, 0, 0] = s
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap", "interpret", "via_transpose")
+)
+def pq_probe_scores_t(codes_t, probe, lut, *, cap: int,
+                      interpret: bool = False,
+                      via_transpose: bool = True):
+    """fp32 ADC scores [Q, P, cap] against TRANSPOSED codes.
+
+    codes_t: [m, K_c * cap] uint8 — subvector-major PQ codes. The row
+        layout's (8/32, 128) tile pads m < 128 up to 128 lanes, which at
+        the 100M x m=64 tier materialized a 15.5 GB relayout copy per
+        search call (docs/BENCHMARKS.md round 4) and ~6% hidden copy tax
+        on smaller tiers; [m, slots] puts the huge dim on the lanes and
+        tiles padding-free at any m x32.
+    probe: [Q, P] int32 local cluster ids
+    lut:   [Q, m, 256] fp32 per-query tables
+
+    Same contract as ``pq_probe_scores`` (fp32 sums of fp32 LUT entries).
+    """
+    q_n, p_probe = probe.shape
+    m = codes_t.shape[0]
+    if m % _MCH != 0:
+        raise ValueError(f"pq_m must be a multiple of {_MCH}, got {m}")
+    cblk = _cap_block_t(cap, m)
+    if cblk is None:
+        raise ValueError(
+            f"no legal transposed capacity tiling for cap={cap}, m={m} — "
+            "gate the dispatch on pq_adc_pallas.supported_t()"
+        )
+    n_cblk = cap // cblk
+    kernel = functools.partial(
+        _kernel_t, cblk=cblk, m=m, via_transpose=via_transpose
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(q_n, p_probe, n_cblk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, m, PQ_K), lambda qi, pi, ci, probe_ref: (qi, 0, 0)
+            ),
+            # the probed code sub-block, in units of cblk LANES: cluster
+            # probe[qi, pi] starts at block probe * n_cblk of the
+            # [m, K_c * n_cblk x cblk]-viewed codes
+            pl.BlockSpec(
+                (m, cblk),
+                lambda qi, pi, ci, probe_ref: (
+                    0, probe_ref[qi, pi] * n_cblk + ci
+                ),
+            ),
+        ],
+        out_specs=pl.BlockSpec(  # cf. pq_probe_scores' 5-D out spec
+            (1, 1, 1, 1, cblk),
+            lambda qi, pi, ci, probe_ref: (qi, pi, ci, 0, 0),
+        ),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (q_n, p_probe, n_cblk, 1, cblk), jnp.float32
+        ),
+        interpret=interpret,
+    )(probe, lut.astype(jnp.float32), codes_t)
+    return out.reshape(q_n, p_probe, cap)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "interpret", "mxu"))

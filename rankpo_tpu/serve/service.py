@@ -360,6 +360,8 @@ class RetrievalService:
                 # the slot's cluster centroid (rows round-trip with PQ
                 # error, the codec's contract — cf. int8 dequant below)
                 codes = np.asarray(gather(index.corpus))  # [slots, m] uint8
+                if getattr(index, "pq_layout", "rows") == "cols":
+                    codes = codes.T  # transposed [m, slots] physical layout
                 m, ds = index.pq_m, index.dim // index.pq_m
                 cb = index._codebooks_host  # [m, 256, ds] fp32
                 recon = cb[np.arange(m)[None, :], codes.astype(np.int64)]

@@ -883,3 +883,232 @@ class TestGatherBudgetGuard:
         assert priced == expected
         # far below the old full-dim fp32 pricing
         assert priced < p * index.capacity * 64 * 8 / 4
+
+
+class TestTransposedPQLayout:
+    """pq_layout='cols' — transposed [m, slots] code storage (the
+    100M-on-one-chip layout; rows pads m<128 to 128 lanes and carries a
+    whole-array relayout copy per search, docs/BENCHMARKS.md round 4)."""
+
+    def _pair(self, n=3000, d=64, m=32, k_c=16, seed=80):
+        corpus = _blob_corpus(n, d, n_blobs=30, seed=seed)
+        queries = _blob_corpus(32, d, n_blobs=30, seed=seed + 1)
+        rows = IVFIPIndex(
+            corpus, n_clusters=k_c, nprobe=k_c, pq_m=m, kmeans_iters=5,
+            pq_iters=10, pq_layout="rows",
+        )
+        cols = IVFIPIndex(
+            corpus, n_clusters=k_c, nprobe=k_c, pq_m=m, kmeans_iters=5,
+            pq_iters=10, pq_layout="cols",
+        )
+        return corpus, queries, rows, cols
+
+    def test_auto_resolution_and_shapes(self):
+        from rankpo_tpu.index import ivf as ivf_mod
+
+        corpus = _blob_corpus(600, 64, seed=90)
+        # below the padded-bytes threshold auto keeps the (faster) rows
+        # kernel; explicit 'cols' always honored
+        small = IVFIPIndex(corpus, n_clusters=4, nprobe=4, pq_m=32,
+                           kmeans_iters=3, pq_iters=5)
+        assert small.pq_layout == "rows"
+        cols = IVFIPIndex(corpus, n_clusters=4, nprobe=4, pq_m=32,
+                          kmeans_iters=3, pq_iters=5, pq_layout="cols")
+        assert cols.pq_layout == "cols"
+        assert cols.capacity % 128 == 0
+        assert cols.corpus.shape == (32, cols.n_clusters * cols.capacity)
+        # past the threshold (shrunk for the test) auto flips to cols
+        import unittest.mock as mock
+
+        with mock.patch.object(ivf_mod, "_COLS_AUTO_BYTES", 1024):
+            big = IVFIPIndex(corpus, n_clusters=4, nprobe=4, pq_m=32,
+                             kmeans_iters=3, pq_iters=5)
+            assert big.pq_layout == "cols"
+            # m a multiple of 128 tiles rows padding-free: stays rows
+            corpus128 = _blob_corpus(600, 128, seed=91)
+            m128 = IVFIPIndex(corpus128, n_clusters=4, nprobe=4, pq_m=128,
+                              kmeans_iters=3, pq_iters=5)
+            assert m128.pq_layout == "rows"
+        small_m = IVFIPIndex(corpus, n_clusters=4, nprobe=4, pq_m=16,
+                             kmeans_iters=3, pq_iters=5)
+        assert small_m.pq_layout == "rows"  # m < 32: sublane pad loses
+
+    def test_cols_matches_rows_everywhere(self):
+        corpus, queries, rows, cols = self._pair()
+        # same inputs, same capacity rounding (256 at these shapes) ->
+        # identical codes, only the physical layout differs
+        assert rows.capacity == cols.capacity
+        np.testing.assert_array_equal(
+            np.asarray(rows.corpus), np.asarray(cols.corpus).T
+        )
+        rs, ri = rows.search(queries, k=10, batch_size=8)
+        cs, ci = cols.search(queries, k=10, batch_size=8)
+        np.testing.assert_array_equal(ri, ci)
+        np.testing.assert_allclose(rs, cs, atol=1e-5)
+        es_r, ei_r = rows.exact_search(queries, k=10)
+        es_c, ei_c = cols.exact_search(queries, k=10)
+        np.testing.assert_array_equal(ei_r, ei_c)
+        np.testing.assert_allclose(es_r, es_c, atol=1e-5)
+        ids = np.arange(0, 100, 7)
+        np.testing.assert_allclose(
+            rows.reconstruct(ids), cols.reconstruct(ids), atol=1e-6
+        )
+
+    def test_cols_kernel_interpret_path(self, monkeypatch):
+        """FORCE_INTERPRET routes cols searches through pq_probe_scores_t
+        at EVERY batch size (no small-probe take-reconstruct preference:
+        the lane-gather fallback is the slow path)."""
+        from rankpo_tpu.ops import pq_adc_pallas
+
+        corpus, queries, rows, cols = self._pair(seed=82)
+        _, i_xla = cols.search(queries, k=10, batch_size=8)
+        monkeypatch.setattr(pq_adc_pallas, "FORCE_INTERPRET", True)
+        cols._search_fns = {}
+        _, i_adc = cols.search(queries, k=10, batch_size=8)
+        overlap = np.mean([
+            len(set(i_adc[r].tolist()) & set(i_xla[r].tolist())) / 10
+            for r in range(len(i_adc))
+        ])
+        assert overlap >= 0.9  # fp32 LUT sums vs bf16 decode near-ties
+
+    def test_cols_io_roundtrip(self, tmp_path):
+        from rankpo_tpu.index.io import read_index, write_index
+
+        _, queries, _, cols = self._pair(seed=84)
+        s0, i0 = cols.search(queries, k=10, batch_size=8)
+        path = tmp_path / "cols_index.npz"
+        write_index(cols, str(path))
+        loaded = read_index(str(path))
+        assert loaded.pq_layout == "cols"
+        assert loaded.corpus.shape == cols.corpus.shape
+        s1, i1 = loaded.search(queries, k=10, batch_size=8)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(s0, s1, atol=1e-6)
+
+    def test_cols_mutation_append_remove(self):
+        corpus, queries, _, cols = self._pair(seed=86)
+        d = corpus.shape[1]
+        new_rows = _blob_corpus(256, d, n_blobs=30, seed=87)
+        import jax as _jax
+
+        grown = cols.append_sharded(
+            _jax.device_put(jnp.asarray(new_rows)), 256
+        )
+        assert grown.pq_layout == "cols"
+        assert grown.n_total == cols.n_total + 256
+        assert grown.capacity % 128 == 0
+        # appended rows must be findable via their own reconstruction
+        rec = grown.reconstruct(np.arange(cols.n_total, cols.n_total + 8))
+        s, i = grown.search(rec, k=5, batch_size=8)
+        hits = np.mean([
+            cols.n_total + r in i[r].tolist() for r in range(8)
+        ])
+        assert hits >= 0.8  # codec error can shuffle a near-tie
+        shrunk = grown.remove_rows(np.arange(64))
+        assert shrunk.n_total == grown.n_total - 64
+        s2, i2 = shrunk.search(queries, k=10, batch_size=8)
+        assert np.all(i2 < shrunk.n_total)
+
+    def test_cols_rejected_on_mesh(self, data_mesh):
+        corpus = _blob_corpus(600, 64, seed=88)
+        with pytest.raises(ValueError, match="single-device"):
+            IVFIPIndex(corpus, mesh=data_mesh, n_clusters=8, nprobe=4,
+                       pq_m=32, pq_layout="cols")
+        # auto on a mesh resolves to rows
+        idx = IVFIPIndex(corpus, mesh=data_mesh, n_clusters=8, nprobe=4,
+                         pq_m=32, kmeans_iters=3, pq_iters=5)
+        assert idx.pq_layout == "rows"
+
+
+class TestBalancedKMeans:
+    """balance_eta: capacity-aware assignment bias (_lloyd_body) — closes
+    the Zipf cluster-size-skew recall gap (VERDICT r04 weak #2)."""
+
+    @staticmethod
+    def _zipf_corpus(n, d, n_blobs, seed, spread=0.25):
+        rng = np.random.default_rng(seed)
+        p = (1.0 / np.arange(1, n_blobs + 1)) ** 1.2
+        p /= p.sum()
+        assign = rng.choice(n_blobs, size=n, p=p)
+        centers = rng.standard_normal((n_blobs, d)).astype(np.float32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = centers[assign] + spread * rng.standard_normal(
+            (n, d)
+        ).astype(np.float32)
+        rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+        return rows
+
+    def test_balance_evens_fills_and_holds_recall(self):
+        corpus = self._zipf_corpus(8000, 32, 32, seed=0)
+        queries = self._zipf_corpus(64, 32, 32, seed=1)
+
+        def build(eta):
+            return IVFIPIndex(
+                corpus, n_clusters=32, nprobe=4, capacity_slack=1.05,
+                kmeans_iters=12, balance_eta=eta,
+            )
+
+        plain, balanced = build(0.0), build(0.05)
+        assert plain._assign_bias_host is None
+        assert balanced._assign_bias_host is not None
+
+        def fill_std(idx):
+            fills = (
+                idx._row_ids_host.reshape(idx.n_clusters, idx.capacity) >= 0
+            ).sum(1)
+            return float(fills.std())
+
+        assert fill_std(balanced) < 0.7 * fill_std(plain)
+
+        def recall(idx):
+            _, i = idx.search(queries, k=20, batch_size=64, nprobe=4)
+            _, ei = idx.exact_search(queries, k=20, batch_size=64)
+            return float(np.mean([
+                len(set(i[r].tolist()) & set(ei[r].tolist())) / 20
+                for r in range(64)
+            ]))
+
+        assert recall(balanced) >= recall(plain) - 0.02
+
+    def test_balance_chunked_build_and_io(self, tmp_path):
+        from rankpo_tpu.index.io import read_index, write_index
+
+        corpus = self._zipf_corpus(6000, 32, 32, seed=2)
+        idx = IVFIPIndex.from_chunk_fn(
+            lambda lo, hi: corpus[lo:hi], len(corpus), 32,
+            chunk_rows=2048, n_clusters=32, nprobe=4,
+            capacity_slack=1.05, kmeans_iters=10, balance_eta=0.05,
+        )
+        assert idx._assign_bias_host is not None
+        queries = self._zipf_corpus(16, 32, 32, seed=3)
+        s0, i0 = idx.search(queries, k=10, batch_size=16)
+        path = str(tmp_path / "bal.npz")
+        write_index(idx, path)
+        loaded = read_index(path)
+        assert loaded.balance_eta == idx.balance_eta
+        np.testing.assert_allclose(
+            loaded._assign_bias_host, idx._assign_bias_host
+        )
+        s1, i1 = loaded.search(queries, k=10, batch_size=16)
+        np.testing.assert_array_equal(i0, i1)
+        # append places through the SAME biased assignment
+        new_rows = self._zipf_corpus(128, 32, 32, seed=4)
+        grown = loaded.append_sharded(jnp.asarray(new_rows), 128)
+        assert grown.n_total == loaded.n_total + 128
+        assert grown._assign_bias_host is not None
+
+    def test_balance_sharded_build(self, data_mesh):
+        corpus = self._zipf_corpus(4096, 32, 32, seed=5)
+        idx = IVFIPIndex(
+            corpus, mesh=data_mesh, n_clusters=32, nprobe=8,
+            capacity_slack=1.1, kmeans_iters=8, balance_eta=0.05,
+        )
+        assert idx._assign_bias_host is not None
+        queries = self._zipf_corpus(16, 32, 32, seed=6)
+        _, i = idx.search(queries, k=10, batch_size=16)
+        _, ei = idx.exact_search(queries, k=10, batch_size=16)
+        overlap = np.mean([
+            len(set(i[r].tolist()) & set(ei[r].tolist())) / 10
+            for r in range(16)
+        ])
+        assert overlap >= 0.3  # smoke: balanced sharded build searches sanely
