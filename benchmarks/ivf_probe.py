@@ -110,6 +110,14 @@ parser.add_argument("--gather_budget_gb", type=float, default=3.0,
                     "query batch shrinks per config to fit (a 256-query x "
                     "nprobe=64 x cap=320 x 1024D bf16 gather is 10.7 GB — "
                     "OOM on a 16 GB chip)")
+parser.add_argument("--balance_eta", type=float, default=0.0,
+                    help="balanced k-means assignment-bias step (0 = off); "
+                    "evens Zipf cluster fills against the fixed capacity "
+                    "(index/ivf.py _lloyd_body)")
+parser.add_argument("--pq_layout", default="auto",
+                    choices=("auto", "rows", "cols"),
+                    help="PQ code layout; cols = transposed [m, slots] "
+                    "(no lane-padding relayout — the 100M tier)")
 parser.add_argument("--isotropic", action="store_true",
                     help="pure gaussian corpus — IVF's worst case")
 parser.add_argument("--anisotropic_decay", type=float, default=0.0,
@@ -260,6 +268,7 @@ def main():
                 nprobe=max(_args.nprobes),
                 kmeans_iters=_args.kmeans_iters, store_dtype=STORE,
                 capacity_slack=_args.capacity_slack,
+                balance_eta=_args.balance_eta,
             )
             build_s = time.perf_counter() - t0
             print(
@@ -472,7 +481,9 @@ def chunked_main(IVFIPIndex):
             candidates=_args.candidates,
             pq_m=(_args.pq_m or None),
             pq_rotate=(_args.pq_rotate if _args.pq_m else "none"),
+            pq_layout=_args.pq_layout,
             capacity_slack=_args.capacity_slack,
+            balance_eta=_args.balance_eta,
         )
         print(
             f"  chunked build K={k_c}: {time.perf_counter() - t0:.1f}s "

@@ -111,6 +111,20 @@ def main():
                              "every mutation (the cli/serve.py --autosave "
                              "behavior), so the measured p99 includes "
                              "serving-while-persisting")
+    parser.add_argument("--synthetic_index_n", type=int, default=0,
+                        help="> 0: skip the corpus encode and serve a "
+                             "chunk-streamed synthetic index of this many "
+                             "rows (the 10M one-chip tier — no host fp32 "
+                             "matrix ever exists). Uses --index_type ivf "
+                             "knobs; queries still go through the real "
+                             "encoder, so latency/QPS timing is faithful "
+                             "(recall is meaningless on this corpus and "
+                             "not measured here — docs/BENCHMARKS.md 10M "
+                             "rows carry the oracle-gated recall)")
+    parser.add_argument("--synthetic_store", default="int8",
+                        choices=("int8", "bfloat16", "float32"))
+    parser.add_argument("--capacity_slack", type=float, default=1.22)
+    parser.add_argument("--balance_eta", type=float, default=0.0)
     args = parser.parse_args()
 
     import jax
@@ -157,8 +171,45 @@ def main():
                                index_type=args.index_type,
                                index_kwargs=index_kwargs,
                                pack_queries=args.pack_queries)
-    corpus = [f"document {i} on some topic number {i}" for i in range(args.n_corpus)]
-    service.build_index(corpus, max_passage_length=64, batch_size=256)
+    if args.synthetic_index_n > 0:
+        import functools
+
+        from rankpo_tpu.index import IVFIPIndex
+
+        n = args.synthetic_index_n
+        d = args.hidden
+        chunk_rows = 262144
+        base_key = jax.random.key(7)
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def gen_rows(key, m):
+            rows = jax.random.normal(key, (m, d), jnp.float32)
+            return rows / jnp.linalg.norm(rows, axis=-1, keepdims=True)
+
+        def get_chunk(lo, hi):
+            return gen_rows(jax.random.fold_in(base_key, lo), hi - lo)
+
+        t0 = time.perf_counter()
+        index = IVFIPIndex.from_chunk_fn(
+            get_chunk, n, d, chunk_rows=chunk_rows,
+            n_clusters=args.ivf_clusters or 8192,
+            nprobe=args.ivf_nprobe or 8,
+            store_dtype={"int8": jnp.int8, "bfloat16": jnp.bfloat16,
+                         "float32": jnp.float32}[args.synthetic_store],
+            capacity_slack=args.capacity_slack,
+            balance_eta=args.balance_eta,
+        )
+        print(f"synthetic {n}-row {args.synthetic_store} index built in "
+              f"{time.perf_counter() - t0:.1f}s "
+              f"(capacity={index.capacity})", flush=True)
+        corpus = [f"synthetic passage {i}" for i in range(n)]
+        service.adopt_index(index, corpus)
+    else:
+        corpus = [
+            f"document {i} on some topic number {i}"
+            for i in range(args.n_corpus)
+        ]
+        service.build_index(corpus, max_passage_length=64, batch_size=256)
 
     # warm every batch bucket (each distinct batch shape is an XLA compile);
     # k_max matches the direct path's k so the two share the search program.
@@ -182,7 +233,7 @@ def main():
     out = {
         "metric": "serve_latency_concurrent",
         "threads": args.threads,
-        "n_corpus": args.n_corpus,
+        "n_corpus": args.synthetic_index_n or args.n_corpus,
         "index_type": args.index_type,
         "pack_queries": args.pack_queries,
         "mixed_len_words": args.mixed_len_words,

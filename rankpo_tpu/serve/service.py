@@ -330,6 +330,32 @@ class RetrievalService:
         with self._fused_lock:
             self._fused_fns.clear()  # fused programs bake in n_total/k_local
 
+    def adopt_index(self, index, corpus_texts: Sequence[str], *, ids=None):
+        """Attach an EXTERNALLY BUILT index object (e.g. a 10M
+        ``IVFIPIndex.from_chunk_fn`` build whose fp32 matrix never existed
+        and so could not ride ``load_index``'s host-numpy signature).
+        Everything downstream — fused encode+search, /add //remove device
+        mutation, autosave — works as with ``build_index``; the index's
+        dim must match the encoder's embedding width."""
+        dim = getattr(index, "dim", None)
+        if dim is not None and dim != self.encoder.config.hidden_size:
+            raise ValueError(
+                f"index dim {dim} != encoder hidden "
+                f"{self.encoder.config.hidden_size}"
+            )
+        if index.ntotal != len(corpus_texts):
+            raise ValueError(
+                f"index has {index.ntotal} rows, got "
+                f"{len(corpus_texts)} corpus texts"
+            )
+        self._state = (
+            index,
+            list(corpus_texts),
+            self._validate_ids(ids, len(corpus_texts)),
+        )
+        with self._fused_lock:
+            self._fused_fns.clear()  # fused programs bake in n_total/k_local
+
     def _stored_embeddings(self, index) -> np.ndarray:
         """Fetch an index's fp32 embedding matrix back to the host
         (dequantized for int8 storage). Multi-process gathers ride

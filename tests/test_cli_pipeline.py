@@ -488,3 +488,40 @@ def test_retrieval_eval_flags_rankpo_lora(workspace, tmp_path):
     ev = [h for h in history if "retrieval_MRR@1" in h]
     assert len(ev) == 1
     assert "retrieval_nDCG@5" in ev[0]
+
+
+def test_judge_pairs_alpha_blend(tmp_path):
+    """The alpha-blended judge (VERDICT r04 missing #2): alpha=1 ranks by
+    relevance, alpha=0 by style, and the relevance-agreement diagnostic
+    is monotone in alpha on a style-vs-relevance conflicted pair set."""
+    import json as _json
+    import sys as _sys
+
+    sys_path_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _sys.path.insert(0, os.path.join(sys_path_root, "benchmarks"))
+    from pipeline_repro import judge_pairs
+
+    marker = "premium verified profile"
+    rows = []
+    for i in range(32):
+        # passage1 relevant-but-plain, passage2 irrelevant-but-premium
+        rows.append({
+            "query": f"seeking t{i}a t{i}b t{i}c",
+            "passage1": f"t{i}a t{i}b t{i}c detail{i}",
+            "passage2": f"{marker} other{i} thing{i}",
+        })
+    pred = tmp_path / "pred.jsonl"
+    pred.write_text("\n".join(_json.dumps(r) for r in rows))
+
+    def run(alpha):
+        out = tmp_path / f"ann_{alpha}.jsonl"
+        n, n_a, agree = judge_pairs(str(pred), str(out), marker, alpha=alpha)
+        assert n == 32
+        return n_a, agree
+
+    a_style, agree_style = run(0.0)
+    a_mid, agree_mid = run(0.6)
+    a_rel, agree_rel = run(1.0)
+    assert a_style == 0 and agree_style == 0.0   # style judge: all B
+    assert a_rel == 32 and agree_rel == 1.0      # relevance judge: all A
+    assert agree_style <= agree_mid <= agree_rel

@@ -375,3 +375,63 @@ class TestIVFServing:
         res = svc.query("zebra quark lantern umbrella volcano", k=1)
         assert res["hits"][0]["index"] == 16
         assert res["hits"][0]["score"] == pytest.approx(1.0, abs=5e-2)
+
+
+class TestAdoptIndex:
+    """adopt_index: serve an EXTERNALLY built index (the 10M
+    from_chunk_fn tier whose fp32 matrix never exists — load_index's
+    host-numpy signature cannot carry it)."""
+
+    def test_adopt_chunked_index_serves_and_mutates(self, data_mesh):
+        cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(0), cfg)
+        tok = HashTokenizer(vocab_size=256)
+        encoder = InferenceEncoder(cfg, params, tok, mesh=data_mesh,
+                                   compute_dtype=jnp.float32,
+                                   length_multiple=8)
+        svc = RetrievalService(
+            encoder, mesh=None, max_query_length=16, query_batch_size=8,
+            index_type="ivf", index_kwargs={"n_clusters": 8, "nprobe": 8},
+        )
+        d = cfg.hidden_size
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((64, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        index = IVFIPIndex.from_chunk_fn(
+            lambda lo, hi: emb[lo:hi], 64, d, chunk_rows=32,
+            n_clusters=8, nprobe=8, store_dtype=jnp.int8, kmeans_iters=3,
+        )
+        texts = [f"adopted passage {i}" for i in range(64)]
+        svc.adopt_index(index, texts)
+        assert svc.index is index
+        res = svc.query("some query text", k=3)
+        assert len(res["hits"]) == 3
+        assert res["hits"][0]["passage"].startswith("adopted passage")
+        # device mutation on the adopted index
+        svc.add_passages(["brand new adopted doc"], max_passage_length=16)
+        assert svc.index.ntotal == 65
+        assert svc.corpus_texts[-1] == "brand new adopted doc"
+        removed = svc.remove_passages([0])
+        assert removed == 1
+        assert svc.index.ntotal == 64
+
+    def test_adopt_rejects_mismatches(self, data_mesh):
+        cfg = tiny_llama_config(vocab_size=256)
+        params = init_params(jax.random.key(1), cfg)
+        tok = HashTokenizer(vocab_size=256)
+        encoder = InferenceEncoder(cfg, params, tok, mesh=data_mesh,
+                                   compute_dtype=jnp.float32,
+                                   length_multiple=8)
+        svc = RetrievalService(encoder, mesh=None, max_query_length=16)
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((16, cfg.hidden_size + 8)).astype(np.float32)
+        from rankpo_tpu.index import FlatIPIndex
+
+        wrong_dim = FlatIPIndex(emb)
+        with pytest.raises(ValueError, match="dim"):
+            svc.adopt_index(wrong_dim, ["t"] * 16)
+        ok = FlatIPIndex(
+            rng.standard_normal((16, cfg.hidden_size)).astype(np.float32)
+        )
+        with pytest.raises(ValueError, match="corpus texts"):
+            svc.adopt_index(ok, ["t"] * 5)
