@@ -723,8 +723,9 @@ class IVFIPIndex:
 
         ``get_chunk(lo, hi)`` returns fp32 rows ``[hi-lo, D]`` for the
         global range [lo, hi) (host numpy or device array — generated from
-        a PRNG, mmap'd from disk, or encoded on the fly); it is called in
-        order, twice per range (once to assign, once to place). Peak device
+        a PRNG, mmap'd from disk, or encoded on the fly); ranges are
+        requested in ascending order: an evenly spaced subset once for the
+        k-means sample, then every range once to assign and once to place. Peak device
         memory is the FINAL storage (int8: N*D bytes) plus ONE fp32 chunk —
         the path that fits a 10M x 1024 int8 index on a single 16 GB chip,
         where the 40 GB fp32 matrix required by ``__init__``/
@@ -758,21 +759,43 @@ class IVFIPIndex:
             for lo in range(0, self.n_total, chunk_rows):
                 yield lo, min(lo + chunk_rows, self.n_total)
 
-        # --- pass 0: strided training sample -> Lloyd fit ---------------
+        # --- pass 0: sampled training rows -> Lloyd fit ------------------
+        # evenly spaced WHOLE chunks stream into one preallocated donated
+        # buffer: peak device memory = buffer + ONE chunk. (The previous
+        # per-chunk stride + jnp.concatenate kept every strided part alive
+        # THROUGH the concat — 2x the sample bytes, a measured OOM at
+        # 50M/K=32768 where the default sample alone is 8.6 GB fp32.)
         s_target = int(
             train_rows if train_rows is not None
             else min(self.n_total, max(64 * k_c, 1 << 16))
         )
-        stride = max(1, self.n_total // max(s_target, 1))
-        parts = []
-        for lo, hi in ranges():
+        n_chunks_total = -(-self.n_total // chunk_rows)
+        chunks_needed = min(
+            n_chunks_total, max(1, -(-s_target // chunk_rows))
+        )
+        picked = sorted(
+            {
+                round(i * (n_chunks_total - 1) / max(chunks_needed - 1, 1))
+                for i in range(chunks_needed)
+            }
+        )
+
+        def place_train(buf, rows, offset):
+            return lax.dynamic_update_slice_in_dim(buf, rows, offset, axis=0)
+
+        place_train_fn = jax.jit(place_train, donate_argnums=(0,))
+        train = jnp.zeros((len(picked) * chunk_rows, self.dim), jnp.float32)
+        n_train = 0
+        for slot, ci in enumerate(picked):
+            lo = ci * chunk_rows
+            hi = min(lo + chunk_rows, self.n_total)
             chunk = jnp.asarray(get_chunk(lo, hi), jnp.float32)
-            first = (-lo) % stride
-            if first < chunk.shape[0]:
-                parts.append(chunk[first::stride])
-        train = jnp.concatenate(parts, axis=0)
-        del parts
-        n_train = int(train.shape[0])
+            real = int(chunk.shape[0])
+            if real < chunk_rows:  # only the global last chunk is partial,
+                # and even spacing places it LAST — zeros stay a suffix
+                chunk = jnp.pad(chunk, ((0, chunk_rows - real), (0, 0)))
+            train = place_train_fn(train, chunk, slot * chunk_rows)
+            n_train += real
         rng = np.random.default_rng(seed)
         init_idx = rng.choice(
             n_train, size=k_c, replace=k_c > n_train
@@ -810,7 +833,9 @@ class IVFIPIndex:
             # against the cluster they landed in
             pq_target = min(n_train, 1 << 17)
             stride_pq = max(1, n_train // pq_target)
-            rows = train[::stride_pq][:pq_target]
+            # slice stops at n_train: the buffer may carry zero pad rows
+            # past it (chunk-streamed sample above)
+            rows = train[:n_train:stride_pq][:pq_target]
             n_rows = int(rows.shape[0])
             a2 = _chunk_rows(n_rows, k_c)
 
