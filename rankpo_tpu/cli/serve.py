@@ -257,6 +257,11 @@ def main(argv=None):
                              "(rotation trained against the codec, Ge et "
                              "al. / FAISS OPQMatrix analog); requires "
                              "--ivf_pq_m")
+    parser.add_argument("--ivf_balance_eta", type=float, default=0.0,
+                        help="balanced k-means assignment-bias step for IVF "
+                             "builds (0 = off): evens Zipf-skewed cluster "
+                             "fills against the fixed per-cluster capacity "
+                             "(index/ivf.py _lloyd_body)")
     parser.add_argument("--index_file", default=None,
                         help="persisted index (.npz): loaded if it exists, "
                              "else built from --corpus_data and saved here")
@@ -367,6 +372,10 @@ def main(argv=None):
             # fail loudly rather than silently build a plain bf16 IVF index
             # 32x the memory of the codec the operator asked for
             parser.error("--ivf_pq_rotate requires --ivf_pq_m")
+        if args.ivf_balance_eta:
+            index_kwargs["balance_eta"] = args.ivf_balance_eta
+    if args.ivf_balance_eta and args.index_type != "ivf":
+        parser.error("--ivf_balance_eta requires --index_type ivf")
     service = RetrievalService(
         encoder, mesh=mesh, max_query_length=args.max_query_length,
         recall_target=args.recall_target, index_dtype=dtype,
