@@ -1000,19 +1000,36 @@ class IVFIPIndex:
         return 128 if self.pq_layout == "cols" else 64
 
     def _set_assign_bias(self, bias: Optional[np.ndarray]):
-        """Store the balanced-k-means ASSIGNMENT bias (``_lloyd_body``
-        ``balance_eta``). None / all-zero = off. Applied to assignment
-        scores only — build candidates and ``append_sharded`` placement —
-        never to query-side probing (geometry ranks probes; the tuner
-        measures the compound recall on the real layout)."""
+        """Store the balanced-k-means bias (``_lloyd_body``
+        ``balance_eta``). None / all-zero = off.
+
+        The bias defines the index's effective PARTITION: rows were
+        assigned by ``argmax(score - bias)``, so query-side probing must
+        rank clusters by the SAME biased scores or balanced rows sit in
+        clusters the probe never reaches (measured at 10M int8 x decay-0.5:
+        unbiased probing read 0.805 recall where the unbalanced build read
+        0.869 — the bias helps only when both sides share the metric).
+        Score TERMS stay raw: the PQ path's q.centroid term and every
+        rerank use true geometry; the bias only reorders which clusters
+        are opened."""
         if (
             bias is None
             or getattr(self, "balance_eta", 0.0) == 0.0
             or not np.any(bias)
         ):
             self._assign_bias_host = None
+            self.assign_bias = None
         else:
             self._assign_bias_host = np.asarray(bias, np.float32)
+            if self.mesh is None:
+                self.assign_bias = jax.device_put(
+                    jnp.asarray(self._assign_bias_host)
+                )
+            else:
+                # sharded like the centroids: each shard owns its clusters
+                self.assign_bias = shard_rows_to_mesh(
+                    self._assign_bias_host, self.mesh
+                )
 
     def _set_store(self, store_dtype):
         """Validate storage dtype. fp32/bf16 rows rerank at storage
@@ -1596,7 +1613,7 @@ class IVFIPIndex:
         "pq_rotate", "pq_layout", "codebooks", "_codebooks_host", "rotation",
         "_rotation_host", "n_clusters", "centroids", "_centroids_host",
         "proj", "nprobe", "local_clusters", "balance_eta",
-        "_assign_bias_host",
+        "_assign_bias_host", "assign_bias",
     )
 
     def _clone_shell(self) -> "IVFIPIndex":
@@ -1992,6 +2009,10 @@ class IVFIPIndex:
             np.float32
         )
         scores = q_b @ c_b.T  # [S, K]
+        if self._assign_bias_host is not None:
+            # balanced build: probe SELECTION ranks by the biased scores
+            # (cf. probe_clusters) — the analytic ranks must match
+            scores = scores - self._assign_bias_host[None, :]
         local_clusters = self.local_clusters
         n_shards = self.n_clusters // local_clusters
         blocks = scores.reshape(n_sample, n_shards, local_clusters)
@@ -2073,10 +2094,12 @@ class IVFIPIndex:
     def search_arrays(self) -> tuple:
         """Device arrays ``search_callable`` consumes, in order (the index
         protocol serving composes against: ``fn(*search_arrays, queries)``).
-        Layout: (corpus, row_ids, centroids[, slot_scale][, codebooks]
-        [, rotation][, corpus_low, proj]) — optional groups present when
-        quantized / pq / pq_rotate / hybrid."""
+        Layout: (corpus, row_ids, centroids[, assign_bias][, slot_scale]
+        [, codebooks][, rotation][, corpus_low, proj]) — optional groups
+        present when balanced / quantized / pq / pq_rotate / hybrid."""
         arrays = (self.corpus, self.row_ids, self.centroids)
+        if self.assign_bias is not None:
+            arrays += (self.assign_bias,)
         if self.quantized:
             arrays += (self.slot_scale,)
         if self.pq_m is not None:
@@ -2094,6 +2117,8 @@ class IVFIPIndex:
             NamedSharding(mesh, P(DATA_AXIS)),
             NamedSharding(mesh, P(DATA_AXIS, None)),
         )
+        if self.assign_bias is not None:
+            specs += (NamedSharding(mesh, P(DATA_AXIS)),)
         if self.quantized:
             specs += (NamedSharding(mesh, P(DATA_AXIS)),)
         if self.pq_m is not None:
@@ -2174,6 +2199,7 @@ class IVFIPIndex:
         local_clusters = self.local_clusters
         hybrid = self.reduced_dim is not None
         quantized = self.quantized
+        balanced = self.assign_bias is not None
         pq = self.pq_m is not None
         pq_m = self.pq_m or 0
         pq_ds = (self.dim // pq_m) if pq else 0
@@ -2185,13 +2211,14 @@ class IVFIPIndex:
         def unpack(args):
             """(*search_arrays, queries[, sel]) in the documented layout."""
             clustered, ids, cents, *rest = args
+            bias = rest.pop(0) if balanced else None
             scale = rest.pop(0) if quantized else None
             cb = rest.pop(0) if pq else None
             rot = rest.pop(0) if pq_rot else None
             low, proj = (rest.pop(0), rest.pop(0)) if hybrid else (None, None)
             sel = rest.pop() if selector else None
             (queries,) = rest
-            return (clustered, ids, cents, scale, cb, rot, low, proj,
+            return (clustered, ids, cents, bias, scale, cb, rot, low, proj,
                     queries, sel)
 
         def eligible(hit_ids, sel):
@@ -2203,7 +2230,7 @@ class IVFIPIndex:
                 ok &= jnp.take(sel, jnp.clip(hit_ids, 0), axis=0)
             return ok
 
-        def probe_clusters(ids, cents, queries):
+        def probe_clusters(ids, cents, bias, queries):
             """Stage 0 shared by all variants: local top-p clusters expanded
             to flat SLOT ids, the probed slots' global row ids, and the
             probed centroid scores (the PQ path's q.centroid term comes
@@ -2220,7 +2247,15 @@ class IVFIPIndex:
                 cents.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
-            cent_s, probe = lax.top_k(qc, p)  # [Q, p] local cluster ids
+            if bias is None:
+                cent_s, probe = lax.top_k(qc, p)  # [Q, p] local clusters
+            else:
+                # balanced build: SELECT clusters by the biased scores the
+                # assignment used (the partition's metric — see
+                # _set_assign_bias), but keep the RAW q.centroid scores
+                # for the PQ decode term
+                _, probe = lax.top_k(qc - bias[None, :], p)
+                cent_s = jnp.take_along_axis(qc, probe, axis=1)
             slots = (
                 probe[:, :, None] * cap
                 + lax.iota(jnp.int32, cap)[None, None, :]
@@ -2303,11 +2338,13 @@ class IVFIPIndex:
         def probe_block(*args):
             """Plain IVF: gather probed full rows, rerank exactly (at
             storage precision; int8 = against the quantized rows)."""
-            clustered, ids, cents, scale, _, _, _, _, queries, sel = (
+            clustered, ids, cents, bias, scale, _, _, _, _, queries, sel = (
                 unpack(args)
             )
             q = queries.shape[0]
-            probe, slots, hit_ids, _ = probe_clusters(ids, cents, queries)
+            probe, slots, hit_ids, _ = probe_clusters(
+                ids, cents, bias, queries
+            )
             if pallas_gather:
                 from rankpo_tpu.ops.ivf_gather_pallas import probe_scores
 
@@ -2337,12 +2374,12 @@ class IVFIPIndex:
             approximations: q.centroid (free from stage 0) + q.decode(code);
             like FAISS IVFPQ they rank well but are not exact inner
             products."""
-            clustered, ids, cents, _, cb, rot, _, _, queries, sel = (
+            clustered, ids, cents, bias, _, cb, rot, _, _, queries, sel = (
                 unpack(args)
             )
             q = queries.shape[0]
             probe, slots, hit_ids, cent_s = probe_clusters(
-                ids, cents, queries
+                ids, cents, bias, queries
             )
             # pq_rotate: codes store ROTATED residuals z = x @ rot; the
             # decode score term q . x_hat = (q @ rot) . z, so one [Q, D]
@@ -2427,10 +2464,10 @@ class IVFIPIndex:
             """IVF+PCA: score probed rows in the projected d' space (d'/D of
             the gather bytes), gather only the top-C full rows, rerank
             exactly."""
-            clustered, ids, cents, scale, _, _, low, proj, queries, sel = (
+            clustered, ids, cents, bias, scale, _, _, low, proj, queries, sel = (
                 unpack(args)
             )
-            _, slots, hit_ids, _ = probe_clusters(ids, cents, queries)
+            _, slots, hit_ids, _ = probe_clusters(ids, cents, bias, queries)
             rows_low = jnp.take(low, slots, axis=0)  # [Q, p*cap, d']
             q_low = (queries.astype(jnp.float32) @ proj).astype(jnp.bfloat16)
             s1 = jnp.einsum(
@@ -2477,6 +2514,7 @@ class IVFIPIndex:
 
         array_specs = (
             (P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS, None))
+            + ((P(DATA_AXIS),) if balanced else ())
             + ((P(DATA_AXIS),) if quantized else ())
             + ((P(),) if pq else ())
             + ((P(),) if pq_rot else ())
