@@ -435,3 +435,26 @@ class TestAdoptIndex:
         )
         with pytest.raises(ValueError, match="corpus texts"):
             svc.adopt_index(ok, ["t"] * 5)
+
+
+def test_balanced_ivf_serves_fused(data_mesh):
+    """The balanced build adds assign_bias to search_arrays — the fused
+    serving path must compose the extended protocol."""
+    cfg = tiny_llama_config(vocab_size=256)
+    params = init_params(jax.random.key(2), cfg)
+    tok = HashTokenizer(vocab_size=256)
+    encoder = InferenceEncoder(cfg, params, tok, mesh=data_mesh,
+                               compute_dtype=jnp.float32, length_multiple=8)
+    svc = RetrievalService(
+        encoder, mesh=data_mesh, max_query_length=16, query_batch_size=8,
+        index_type="ivf",
+        index_kwargs={"n_clusters": 8, "nprobe": 8, "balance_eta": 0.05,
+                      "capacity_slack": 1.05},
+    )
+    corpus = [f"document {i} about topic {i % 4}" for i in range(48)]
+    svc.build_index(corpus, max_passage_length=16, batch_size=8)
+    assert svc.index.assign_bias is not None
+    res = svc.query(corpus[7], k=5)
+    assert len(res["hits"]) == 5
+    # full probe: self-retrieval must find the row
+    assert any(h["index"] == 7 for h in res["hits"])
