@@ -110,6 +110,10 @@ parser.add_argument("--gather_budget_gb", type=float, default=3.0,
                     "query batch shrinks per config to fit (a 256-query x "
                     "nprobe=64 x cap=320 x 1024D bf16 gather is 10.7 GB — "
                     "OOM on a 16 GB chip)")
+parser.add_argument("--kmeans_split", type=int, default=0,
+                    help="centroid redistribution per Lloyd iteration: up "
+                    "to this many emptiest clusters split the fullest "
+                    "(index/ivf.py _lloyd_body split_r)")
 parser.add_argument("--balance_eta", type=float, default=0.0,
                     help="balanced k-means assignment-bias step (0 = off); "
                     "evens Zipf cluster fills against the fixed capacity "
@@ -269,6 +273,7 @@ def main():
                 kmeans_iters=_args.kmeans_iters, store_dtype=STORE,
                 capacity_slack=_args.capacity_slack,
                 balance_eta=_args.balance_eta,
+                kmeans_split=_args.kmeans_split,
             )
             build_s = time.perf_counter() - t0
             print(
@@ -484,6 +489,7 @@ def chunked_main(IVFIPIndex):
             pq_layout=_args.pq_layout,
             capacity_slack=_args.capacity_slack,
             balance_eta=_args.balance_eta,
+            kmeans_split=_args.kmeans_split,
         )
         print(
             f"  chunked build K={k_c}: {time.perf_counter() - t0:.1f}s "

@@ -193,6 +193,7 @@ def index_state(index) -> Dict[str, np.ndarray]:
         cfg["pq_rotate"] = getattr(index, "pq_rotate", "none")
         cfg["pq_layout"] = getattr(index, "pq_layout", None)
         cfg["balance_eta"] = getattr(index, "balance_eta", 0.0)
+        cfg["kmeans_split"] = getattr(index, "kmeans_split", 0)
         if getattr(index, "_assign_bias_host", None) is not None:
             # balanced-k-means assignment bias: appends to a loaded index
             # must place new rows by the same biased scores the build used
@@ -313,6 +314,7 @@ def _load_ivf(cfg, data, meta, mesh):
         cfg.get("pq_layout") or "rows",
     )
     self.balance_eta = float(cfg.get("balance_eta", 0.0))
+    self.kmeans_split = int(cfg.get("kmeans_split", 0))
     self._set_assign_bias(_unpack(data, meta, "assign_bias"))
     self.n_clusters = int(cfg["n_clusters"])
     self.capacity = int(cfg["capacity"])

@@ -120,7 +120,7 @@ def _chunk_rows(rows: int, k: int) -> int:
 
 
 def _lloyd_body(corpus_local, centroids, n_valid_local, *, n_iters, chunk,
-                axis_name, spherical, balance_eta=0.0):
+                axis_name, spherical, balance_eta=0.0, split_r=0):
     """The full Lloyd loop for one shard's rows (or the whole corpus when
     unsharded). ``corpus_local`` is padded to a multiple of ``chunk``;
     rows at local index >= n_valid_local (zero padding) are masked into a
@@ -137,14 +137,26 @@ def _lloyd_body(corpus_local, centroids, n_valid_local, *, n_iters, chunk,
     scattering rows beyond any probe's reach — the measured 10M recall
     gap, docs/BENCHMARKS.md round 4) is respected by geometry instead of
     spill. The centroid update uses the biased assignment (centroids
-    track the rows they will actually hold). Query-side PROBING stays
-    unbiased — it ranks by geometry; the tuner measures the compound
-    effect on the real layout. Returns ``(centroids, bias)``."""
+    track the rows they will actually hold). Query-side PROBING ranks by
+    the same biased metric (see ``_set_assign_bias``); the tuner measures
+    the compound effect on the real layout. Returns ``(centroids, bias)``.
+
+    ``split_r > 0`` enables centroid REDISTRIBUTION (the FAISS k-means
+    empty-cluster policy generalized to overfull ones): each iteration
+    except the last, up to ``split_r`` of the emptiest clusters donate
+    their centroid slot to split the ``split_r`` fullest clusters
+    (> 1.5x target only) — the overfull centroid is duplicated with a
+    deterministic ±1% per-dim perturbation and the next Lloyd iterations
+    separate the pair. Dense regions end up with proportionally more
+    centroids, evening fills by GEOMETRY: rows stay in their nearest
+    cluster and probing needs no bias — unlike ``balance_eta``, which
+    (measured, 10M int8 decay-0.5) displaces boundary rows and costs
+    probing recall at mild overflow."""
     k = centroids.shape[0]
     d = corpus_local.shape[1]
     n_chunks = corpus_local.shape[0] // chunk
 
-    def one_iter(_, state):
+    def one_iter(it, state):
         cents, bias = state
         cb = cents.astype(jnp.bfloat16)
 
@@ -192,6 +204,30 @@ def _lloyd_body(corpus_local, centroids, n_valid_local, *, n_iters, chunk,
         if balance_eta:
             target = jnp.maximum(jnp.sum(counts) / k, 1.0)
             bias = bias + balance_eta * jnp.tanh(counts / target - 1.0)
+        if split_r:
+            target = jnp.maximum(jnp.sum(counts) / k, 1.0)
+            recv = jnp.argsort(-counts)[:split_r]  # fullest clusters
+            donor = jnp.argsort(counts)[:split_r]  # emptiest clusters
+            should = (counts[recv] > 1.5 * target) & (it < n_iters - 1)
+            sign = (
+                1.0 - 2.0 * (lax.iota(jnp.int32, d) % 2)
+            ).astype(jnp.float32)[None, :]
+            recv_c = jnp.take(new, recv, axis=0)
+            split_a = recv_c * (1.0 + 0.01 * sign)
+            split_b = recv_c * (1.0 - 0.01 * sign)
+            if spherical:
+                split_a = split_a / jnp.maximum(
+                    jnp.linalg.norm(split_a, axis=1, keepdims=True), 1e-12
+                )
+                split_b = split_b / jnp.maximum(
+                    jnp.linalg.norm(split_b, axis=1, keepdims=True), 1e-12
+                )
+            new = new.at[donor].set(
+                jnp.where(
+                    should[:, None], split_a, jnp.take(new, donor, axis=0)
+                )
+            )
+            new = new.at[recv].set(jnp.where(should[:, None], split_b, recv_c))
         return new, bias
 
     # bias is derived from PSUMMED counts, so like the centroids it stays
@@ -436,6 +472,7 @@ class IVFIPIndex:
         capacity_slack: float = 1.3,
         spherical: bool = True,
         balance_eta: float = 0.0,
+        kmeans_split: int = 0,
         reduced_dim: Optional[int] = None,
         candidates: Union[int, str] = "auto",
         pq_m: Optional[int] = None,
@@ -458,6 +495,7 @@ class IVFIPIndex:
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
         self.balance_eta = float(balance_eta)
+        self.kmeans_split = int(kmeans_split)
         self._set_hybrid(reduced_dim, candidates)
         self._set_pq(pq_m, pq_iters, pq_rotate, pq_layout)
 
@@ -541,6 +579,7 @@ class IVFIPIndex:
         capacity_slack: float = 1.3,
         spherical: bool = True,
         balance_eta: float = 0.0,
+        kmeans_split: int = 0,
         reduced_dim: Optional[int] = None,
         candidates: Union[int, str] = "auto",
         pq_m: Optional[int] = None,
@@ -570,6 +609,7 @@ class IVFIPIndex:
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
         self.balance_eta = float(balance_eta)
+        self.kmeans_split = int(kmeans_split)
         self._set_hybrid(reduced_dim, candidates)
         self._set_pq(pq_m, pq_iters, pq_rotate, pq_layout)
 
@@ -708,6 +748,7 @@ class IVFIPIndex:
         capacity_slack: float = 1.3,
         spherical: bool = True,
         balance_eta: float = 0.0,
+        kmeans_split: int = 0,
         reduced_dim: Optional[int] = None,
         candidates: Union[int, str] = "auto",
         pq_m: Optional[int] = None,
@@ -745,6 +786,7 @@ class IVFIPIndex:
         self.recall_target = float(recall_target)
         self.spherical = bool(spherical)
         self.balance_eta = float(balance_eta)
+        self.kmeans_split = int(kmeans_split)
         self._set_hybrid(reduced_dim, candidates)
         self._set_pq(pq_m, pq_iters, pq_rotate, pq_layout)
         self.n_clusters = _resolve_clusters(self.n_total, 1, n_clusters)
@@ -817,6 +859,7 @@ class IVFIPIndex:
             return _lloyd_body(
                 corpus, cents, n_train, n_iters=iters, chunk=t_chunk,
                 axis_name=None, spherical=spherical, balance_eta=eta,
+                split_r=self.kmeans_split,
             )
 
         self.centroids, bias_dev = jax.jit(fit)(train, jnp.asarray(init))
@@ -1511,6 +1554,7 @@ class IVFIPIndex:
         iters = max(0, int(kmeans_iters))
         spherical = self.spherical
         eta = self.balance_eta
+        split_r = self.kmeans_split
 
         if mesh is None:
 
@@ -1519,6 +1563,7 @@ class IVFIPIndex:
                 cents, bias = _lloyd_body(
                     corpus, cents, n_total, n_iters=iters, chunk=chunk,
                     axis_name=None, spherical=spherical, balance_eta=eta,
+                    split_r=split_r,
                 )
                 return cents, bias, _assign_top2_body(
                     corpus, cents, chunk=chunk, n_cand=ASSIGN_CANDIDATES,
@@ -1542,7 +1587,7 @@ class IVFIPIndex:
             cents, bias = _lloyd_body(
                 corpus_local, cents, n_valid_local, n_iters=iters,
                 chunk=chunk, axis_name=DATA_AXIS, spherical=spherical,
-                balance_eta=eta,
+                balance_eta=eta, split_r=split_r,
             )
             cand = _assign_top2_body(
                 corpus_local, cents, chunk=chunk, axis_name=DATA_AXIS,
@@ -1613,7 +1658,7 @@ class IVFIPIndex:
         "pq_rotate", "pq_layout", "codebooks", "_codebooks_host", "rotation",
         "_rotation_host", "n_clusters", "centroids", "_centroids_host",
         "proj", "nprobe", "local_clusters", "balance_eta",
-        "_assign_bias_host", "assign_bias",
+        "_assign_bias_host", "assign_bias", "kmeans_split",
     )
 
     def _clone_shell(self) -> "IVFIPIndex":

@@ -1112,3 +1112,56 @@ class TestBalancedKMeans:
             for r in range(16)
         ])
         assert overlap >= 0.3  # smoke: balanced sharded build searches sanely
+
+
+class TestKMeansSplit:
+    """kmeans_split: centroid redistribution (the FAISS split-the-largest
+    policy generalized to overfull clusters) — evens Zipf fills by
+    geometry, no probe bias."""
+
+    def test_split_evens_fills_and_helps_recall(self):
+        corpus = TestBalancedKMeans._zipf_corpus(8000, 32, 32, seed=10)
+        queries = TestBalancedKMeans._zipf_corpus(64, 32, 32, seed=11)
+
+        def build(split):
+            return IVFIPIndex(
+                corpus, n_clusters=32, nprobe=4, capacity_slack=1.05,
+                kmeans_iters=12, kmeans_split=split,
+            )
+
+        plain, split = build(0), build(4)
+        assert split.kmeans_split == 4
+        assert split.assign_bias is None  # geometry-only: no probe bias
+
+        def fill_std(idx):
+            fills = (
+                idx._row_ids_host.reshape(idx.n_clusters, idx.capacity) >= 0
+            ).sum(1)
+            return float(fills.std())
+
+        assert fill_std(split) < fill_std(plain)
+
+        def recall(idx):
+            _, i = idx.search(queries, k=20, batch_size=64, nprobe=4)
+            _, ei = idx.exact_search(queries, k=20, batch_size=64)
+            return float(np.mean([
+                len(set(i[r].tolist()) & set(ei[r].tolist())) / 20
+                for r in range(64)
+            ]))
+
+        assert recall(split) >= recall(plain) - 0.02
+
+    def test_split_io_roundtrip(self, tmp_path):
+        from rankpo_tpu.index.io import read_index, write_index
+
+        corpus = TestBalancedKMeans._zipf_corpus(2000, 32, 16, seed=12)
+        idx = IVFIPIndex(corpus, n_clusters=16, nprobe=16, kmeans_iters=6,
+                         kmeans_split=2)
+        queries = TestBalancedKMeans._zipf_corpus(8, 32, 16, seed=13)
+        s0, i0 = idx.search(queries, k=10, batch_size=8)
+        path = str(tmp_path / "split.npz")
+        write_index(idx, path)
+        loaded = read_index(path)
+        assert loaded.kmeans_split == 2
+        s1, i1 = loaded.search(queries, k=10, batch_size=8)
+        np.testing.assert_array_equal(i0, i1)
