@@ -196,6 +196,9 @@ def main(argv=None):
                          "--alpha_sweep_lr) under judges with these alpha "
                          "values — locates where RankPO's retention edge "
                          "appears as judge-relevance correlation rises")
+    ap.add_argument("--frontier_lrs", type=float, nargs="*", default=None,
+                    help="override the preset's frontier LR list (e.g. to "
+                         "refine the collapse transition)")
     ap.add_argument("--alpha_sweep_lr", type=float, default=3e-4,
                     help="stage-2 LR for the alpha sweep (a mid-frontier "
                          "LR where round 4's style-only judge collapsed "
@@ -396,7 +399,7 @@ def main(argv=None):
     # LR pushes alignment up and SFT's retrieval collapses
     if args.frontier:
         frontier = []
-        for lr in p["frontier_lrs"]:
+        for lr in (args.frontier_lrs or p["frontier_lrs"]):
             for variant in ("rankpo", "sft"):
                 tag = f"{variant}_lr{lr:g}"
                 with stage(f"frontier_{tag}"):
