@@ -243,7 +243,13 @@ def main(argv=None):
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         print(f"model: {n_params/1e6:.1f}M params")
         base_model = os.path.join(root, "base-model")
-        save_pretrained(base_model, cfg, params)
+        if os.path.isfile(os.path.join(base_model, "model.safetensors")):
+            # idempotent re-entry (frontier/alpha-sweep invocations): the
+            # deterministic init already landed on disk — skip the
+            # O(params) device->host fetch (minutes of tunnel exposure)
+            print(f"reusing base model at {base_model}")
+        else:
+            save_pretrained(base_model, cfg, params)
         del params
         results["n_params"] = n_params
 
